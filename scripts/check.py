@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle. Usage:
+    python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+Compares per-query: column names (sorted), row count, and cell values
+(rows sorted canonically). Prints PASS/FAIL per query. Not part of the
+Scala library — dev tooling only (mirrors what the driver does).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_rows(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        pdir = Path(out_dir) / name
+        if not pdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        spark_tbl = pq.read_table(str(pdir))
+        s_names = list(spark_tbl.schema.names)
+        s_rows = table_rows([tuple(r.values()) for r in spark_tbl.to_pylist()], s_names)
+        try:
+            res = con.execute(sql)
+            d_names = [d[0] for d in res.description]
+            d_rows = table_rows(res.fetchall(), d_names)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if sorted(s_names) != sorted(d_names):
+            print(f"FAIL {name}: columns differ\n  spark={sorted(s_names)}\n  duck ={sorted(d_names)}")
+            n_fail += 1
+            continue
+        if s_rows == d_rows:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: values differ (spark {len(s_rows)} rows, duck {len(d_rows)} rows)")
+            names_sorted = sorted(s_names)
+            shown = 0
+            for i in range(min(len(s_rows), len(d_rows))):
+                if s_rows[i] != d_rows[i] and shown < 3:
+                    shown += 1
+                    for j, cn in enumerate(names_sorted):
+                        if s_rows[i][j] != d_rows[i][j]:
+                            print(f"    row{i} {cn}: spark={s_rows[i][j]!r} duck={d_rows[i][j]!r}")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.profiling.Profiler
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * unless the operator is not SQL-expressible (then rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * single-scan full profile of `lineitem`. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Profiler.profile(spark, "/root/testdata/sf0.001", "lineitem")
+
+  private def profiled(table: String): (String, (SparkSession, String) => DataFrame) =
+    s"profile_$table" -> ((s: SparkSession, dir: String) => Profiler.profile(s, dir, table))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Tables.names.map(profiled).toMap
+
+  def oracleSql: Map[String, String] =
+    Tables.names.map { t =>
+      s"profile_$t" -> Profiler.duckSql(t, Tables.schemas(t))
+    }.toMap
 }

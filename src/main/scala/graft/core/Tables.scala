@@ -1,0 +1,80 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Parquet table loading for the driver testdata layout
+  * (`/root/testdata/sf0.01/NAME.parquet`) and for user-supplied directories.
+  *
+  * The reference introspects `information_schema.columns` per flavor
+  * (reference: testgen/template/flavors/postgresql/data_chars/get_schema_ddf.sql:48-52);
+  * on Spark the parquet footer IS the schema, so "introspection" is just
+  * `df.schema` — no query, no flavor layer.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Some driver parquet (events.ts) is TIMESTAMP(NANOS), which Spark's
+    // vectorized reader rejects outright. Read nanos as long and restore a
+    // (microsecond) timestamp column — set lazily so it also applies when
+    // the driver supplies its own SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    schemas.get(name).fold(df) { want =>
+      want.fields.foldLeft(df) { (acc, f) =>
+        (f.dataType, acc.schema(f.name).dataType) match {
+          case (TimestampType, LongType) =>
+            acc.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+          case _ => acc
+        }
+      }
+    }
+  }
+
+  /** Static schemas of the driver testdata (TESTDATA.md / FIXTURES.md §1).
+    * Needed because `SparkEntry.oracleSql` is assembled without a live
+    * SparkSession; kept in lockstep with the parquet footers. */
+  val schemas: Map[String, StructType] = {
+    def st(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+    Map(
+      "region" -> st("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> st("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> st("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> st("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> st("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> st("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+      "lineitem" -> st("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampType),
+      "events" -> st("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> st("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> st("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
+    )
+  }
+
+  /** Register every table in `dir` as a temp view so `spark.sql` works. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      load(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

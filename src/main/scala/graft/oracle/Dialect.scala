@@ -1,0 +1,80 @@
+package graft.oracle
+
+/** Minimal two-dialect SQL rendering: every metric/measure in the engine
+  * is written ONCE as a `Dialect => String` and rendered to (a) Spark SQL,
+  * executed by the engine via `expr`/`spark.sql`, and (b) DuckDB SQL, the
+  * driver's correctness oracle. Keeping one definition per metric makes it
+  * impossible for the oracle to drift from the engine.
+  *
+  * Only constructs where the dialects differ get a method here; everything
+  * else (CASE/WHEN, COUNT/SUM/MIN/MAX, LENGTH, TRIM, TRANSLATE, LIKE,
+  * ROUND, ABS, SIGN, %, ||, NULLIF, COALESCE, GREATEST, IN, BETWEEN,
+  * TRY_CAST, SPLIT_PART, LEFT/RIGHT, REPLACE, year()/month()/quarter())
+  * is written inline because the two dialects agree.
+  */
+sealed trait Dialect {
+  /** Case-sensitive partial-match regex test (Postgres `~` semantics). */
+  def rlike(x: String, re: String): String
+  def notRlike(x: String, re: String): String = s"NOT ${rlike(x, re)}"
+  /** Global regexp replace (Postgres regexp_replace(..., 'g')). */
+  def regexpReplace(x: String, re: String, rep: String): String
+  /** CAST to the dialect's text type. */
+  def castText(x: String): String
+  /** Format timestamp as 'yyyy-MM-dd HH:mm:ss'. */
+  def fmtTs(x: String): String
+  /** Exact interpolated (continuous) percentile. */
+  def quantileCont(x: String, q: Double): String
+  /** Days from a to b, both truncated to dates (ref DATEDIFF_DAY). */
+  def dateDiffDay(a: String, b: String): String
+  /** Whole weeks between week-truncations (ref DATEDIFF_WEEK). */
+  def dateDiffWeek(a: String, b: String): String =
+    s"CAST(${dateDiffDay(s"date_trunc('week', $a)", s"date_trunc('week', $b)")} / 7 AS INT)"
+  /** Calendar-month difference (ref DATEDIFF_MONTH formula). */
+  def dateDiffMonth(a: String, b: String): String =
+    s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
+  /** String aggregation with explicit ordering. */
+  def stringAgg(x: String, sep: String, orderBy: String): String
+  /** DISTINCT string aggregation ordered by the value itself. */
+  def stringAggDistinct(x: String, sep: String): String
+  /** NULL literal of a given abstract type: "bigint"|"int"|"double"|"text". */
+  def nullOf(t: String): String =
+    t match {
+      case "text" => s"CAST(NULL AS ${textType})"
+      case other  => s"CAST(NULL AS ${other.toUpperCase})"
+    }
+  def textType: String
+}
+
+object SparkDialect extends Dialect {
+  def rlike(x: String, re: String): String = s"$x RLIKE '${esc(re)}'"
+  def regexpReplace(x: String, re: String, rep: String): String =
+    s"regexp_replace($x, '${esc(re)}', '${esc(rep)}')"
+  def castText(x: String): String = s"CAST($x AS STRING)"
+  def fmtTs(x: String): String = s"date_format($x, 'yyyy-MM-dd HH:mm:ss')"
+  def quantileCont(x: String, q: Double): String = s"percentile($x, $q)"
+  def dateDiffDay(a: String, b: String): String =
+    s"datediff(CAST($b AS DATE), CAST($a AS DATE))"
+  def stringAgg(x: String, sep: String, orderBy: String): String =
+    s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
+  def stringAggDistinct(x: String, sep: String): String =
+    s"array_join(array_sort(collect_set($x)), '${esc(sep)}')"
+  def textType: String = "STRING"
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+}
+
+object DuckDialect extends Dialect {
+  def rlike(x: String, re: String): String = s"regexp_matches($x, '${esc(re)}')"
+  def regexpReplace(x: String, re: String, rep: String): String =
+    s"regexp_replace($x, '${esc(re)}', '${esc(rep)}', 'g')"
+  def castText(x: String): String = s"CAST($x AS VARCHAR)"
+  def fmtTs(x: String): String = s"strftime($x, '%Y-%m-%d %H:%M:%S')"
+  def quantileCont(x: String, q: Double): String = s"quantile_cont($x, $q)"
+  def dateDiffDay(a: String, b: String): String =
+    s"datediff('day', CAST($a AS DATE), CAST($b AS DATE))"
+  def stringAgg(x: String, sep: String, orderBy: String): String =
+    s"string_agg($x, '${esc(sep)}' ORDER BY $orderBy)"
+  def stringAggDistinct(x: String, sep: String): String =
+    s"string_agg(DISTINCT $x, '${esc(sep)}' ORDER BY $x)"
+  def textType: String = "VARCHAR"
+  private def esc(s: String) = s.replace("'", "''")
+}

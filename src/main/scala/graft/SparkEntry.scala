@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.profiling.Profiler
+import graft.profiling.{FreqProfiler, Profiler}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
@@ -19,11 +19,24 @@ object SparkEntry {
   private def profiled(table: String): (String, (SparkSession, String) => DataFrame) =
     s"profile_$table" -> ((s: SparkSession, dir: String) => Profiler.profile(s, dir, table))
 
+  /** Tables that have at least one A-typed (string) column. */
+  private val aTables: Seq[String] = Tables.names.filter { t =>
+    Tables.schemas(t).fields.exists(f =>
+      graft.profiling.GeneralType.of(f.dataType) == "A")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Tables.names.map(profiled).toMap
+    Tables.names.map(profiled).toMap ++
+      aTables.map { t =>
+        s"freq_profile_$t" ->
+          ((s: SparkSession, dir: String) => FreqProfiler.profile(s, dir, t))
+      }.toMap
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
       s"profile_$t" -> Profiler.duckSql(t, Tables.schemas(t))
-    }.toMap
+    }.toMap ++
+      aTables.map { t =>
+        s"freq_profile_$t" -> FreqProfiler.duckSql(t, Tables.schemas(t))
+      }.toMap
 }

@@ -30,6 +30,10 @@ object SparkEntry {
       aTables.map { t =>
         s"freq_profile_$t" ->
           ((s: SparkSession, dir: String) => FreqProfiler.profile(s, dir, t))
+      }.toMap ++
+      graft.cat.CatSuite.suites.keys.map { t =>
+        s"cat_tests_$t" ->
+          ((s: SparkSession, dir: String) => graft.cat.CatSuite.run(s, dir, t))
       }.toMap
 
   def oracleSql: Map[String, String] =
@@ -38,5 +42,8 @@ object SparkEntry {
     }.toMap ++
       aTables.map { t =>
         s"freq_profile_$t" -> FreqProfiler.duckSql(t, Tables.schemas(t))
+      }.toMap ++
+      graft.cat.CatSuite.suites.keys.map { t =>
+        s"cat_tests_$t" -> graft.cat.CatSuite.duckSql(t)
       }.toMap
 }

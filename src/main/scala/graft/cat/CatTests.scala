@@ -1,0 +1,231 @@
+package graft.cat
+
+import graft.functions.Patterns.{inList, sq}
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+import graft.profiling.ProfileMetrics
+
+/** Column-Aggregate-Test (CAT) measures.
+  *
+  * The reference fuses many per-column aggregate measures into one scan per
+  * table by string-concatenating them and re-splitting the result
+  * (reference: testgen/commands/queries/execute_tests_query.py:82-173,454-502,
+  * bounded by max_query_chars). On Spark that mechanism collapses into a
+  * single native multi-aggregate `SELECT m1, m2, … FROM table` — one scan,
+  * no string packing, no size bound — followed by a zero-cost `stack`
+  * unpivot into one row per test.
+  *
+  * Measure semantics are ported 1:1 from the postgres flavor of each
+  * test-type definition (reference: testgen/template/dbsetup_test_types/
+  * test_types_<TYPE>.yaml, `cat_test_conditions.measure`). `result_code`
+  * uses the reference encoding: 0 = fail (condition holds), 1 = pass
+  * (reference: testgen/template/execution/update_test_results.sql:10-14).
+  */
+final case class CatTest(
+    testType: String,
+    column: String,
+    op: String,
+    threshold: String,
+    measure: Dialect => String,
+    stringMeasure: Boolean = false) {
+  def condition(d: Dialect): String = s"${measure(d)} $op $threshold"
+}
+
+object CatMeasures {
+  private val runDate = ProfileMetrics.RunDate
+  private def dbl(x: String) = s"CAST($x AS DOUBLE)"
+  private def sumIf(cond: String) = s"SUM(CASE WHEN $cond THEN 1 ELSE 0 END)"
+  private val runDateLit = s"DATE '$runDate'"
+
+  def alphaTrunc(c: String, t: String) =
+    CatTest("Alpha_Trunc", c, "<", t, _ => s"MAX(LENGTH($c))")
+
+  def avgShift(c: String, bct: Long, bavg: Double, bsd: Double, t: String) =
+    CatTest("Avg_Shift", c, ">=", t, _ =>
+      s"""ABS((AVG(${dbl(c)}) - $bavg) / SQRT(((${dbl(s"COUNT($c)")} - 1) * POWER(STDDEV(${dbl(c)}), 2)
+         | + ($bct - 1) * POWER($bsd, 2)) / NULLIF(${dbl(s"COUNT($c)")} + $bct, 0)))""".stripMargin.replace("\n", ""))
+
+  def conditionFlag(c: String, custom: String, t: String) =
+    CatTest("Condition_Flag", c, ">", t, _ => sumIf(custom))
+
+  def constant(c: String, baselineLit: String, t: String) =
+    CatTest("Constant", c, ">", t, _ => sumIf(s"$c <> $baselineLit"))
+
+  def dailyRecordCt(c: String, t: String) =
+    CatTest("Daily_Record_Ct", c, ">", t, d =>
+      s"${d.dateDiffDay(s"MIN($c)", s"MAX($c)")} + 1 - COUNT(DISTINCT CAST($c AS DATE))")
+
+  def decTrunc(c: String, t: String) =
+    CatTest("Dec_Trunc", c, "<", t, _ => s"SUM(ROUND(ABS(${dbl(c)} % 1), 5)) + 1")
+
+  def distinctDateCt(c: String, t: String) =
+    CatTest("Distinct_Date_Ct", c, "<", t, _ => s"COUNT(DISTINCT $c)")
+
+  def distinctValueCt(c: String, t: String) =
+    CatTest("Distinct_Value_Ct", c, "<>", t, _ => s"COUNT(DISTINCT $c)")
+
+  /** CAT flavor of the email regex includes an escaped apostrophe
+    * (test_types_Email_Format.yaml pg measure). */
+  val emailCat = """^[A-Za-z0-9._'%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"""
+  def emailFormat(c: String, t: String) =
+    CatTest("Email_Format", c, ">", t, d => sumIf(d.notRlike(c, emailCat)))
+
+  def futureDate(c: String, t: String) =
+    CatTest("Future_Date", c, ">", t, d =>
+      s"SUM(GREATEST(0, SIGN(${d.dateDiffDay(runDateLit, c)})))")
+
+  def futureDate1Y(c: String, t: String) =
+    CatTest("Future_Date_1Y", c, ">", t, d =>
+      s"SUM(GREATEST(0, SIGN(${d.dateDiffDay(d.dateAddDays(runDateLit, 365), c)})))")
+
+  def incrAvgShift(c: String, bct: Long, bsum: Double, bavg: Double, bsd: Double, t: String) =
+    CatTest("Incr_Avg_Shift", c, ">=", t, _ =>
+      s"COALESCE(ABS(($bavg - (SUM(${dbl(c)}) - $bsum) / NULLIF(${dbl(s"COUNT($c)")} - $bct, 0)) / $bsd), 0)")
+
+  def lovAll(c: String, expected: String) =
+    CatTest("LOV_All", c, "<>", sq(expected), d => d.stringAggDistinct(c, "|"),
+      stringMeasure = true)
+
+  def lovMatch(c: String, allowed: Seq[String], t: String) =
+    CatTest("LOV_Match", c, ">", t, _ =>
+      sumIf(s"NULLIF($c, '') NOT IN ${inList(allowed)}"))
+
+  def minDate(c: String, baseline: String, t: String) =
+    CatTest("Min_Date", c, ">", t, _ => sumIf(s"$c < TIMESTAMP '$baseline'"))
+
+  def minVal(c: String, baseline: Double, t: String) =
+    CatTest("Min_Val", c, ">", t, _ => sumIf(s"$c < $baseline - 1e-6"))
+
+  def missingPct(c: String, bvc: Long, bct: Long, t: String) =
+    CatTest("Missing_Pct", c, ">=", t, _ =>
+      s"ABS(2.0 * ASIN(SQRT(${dbl(bvc.toString)} / $bct)) - 2 * ASIN(SQRT(${dbl(s"COUNT($c)")} / ${dbl(s"NULLIF(COUNT(*), 0)")})))")
+
+  def monthlyRecCt(c: String, t: String) = {
+    CatTest("Monthly_Rec_Ct", c, ">", t, d => {
+      val dm = d.dateDiffMonth(c, runDateLit)
+      s"(MAX($dm) - MIN($dm) + 1) - COUNT(DISTINCT $dm)"
+    })
+  }
+
+  def outlierPctAbove(c: String, bavg: Double, bsd: Double, t: String) =
+    CatTest("Outlier_Pct_Above", c, ">", t, _ =>
+      s"${dbl(sumIf(s"${dbl(c)} > $bavg + (2.0 * $bsd)"))} / ${dbl(s"NULLIF(COUNT($c), 0)")}")
+
+  def outlierPctBelow(c: String, bavg: Double, bsd: Double, t: String) =
+    CatTest("Outlier_Pct_Below", c, ">", t, _ =>
+      s"${dbl(sumIf(s"${dbl(c)} < $bavg - (2.0 * $bsd)"))} / ${dbl(s"NULLIF(COUNT($c), 0)")}")
+
+  def patternMatch(c: String, re: String, t: String) =
+    CatTest("Pattern_Match", c, ">", t, d =>
+      s"COUNT(NULLIF($c, '')) - ${sumIf(d.rlike(s"NULLIF($c, '')", re))}")
+
+  def recency(c: String, t: String) =
+    CatTest("Recency", c, ">", t, d => d.dateDiffDay(s"MAX($c)", runDateLit))
+
+  def required(c: String, t: String) =
+    CatTest("Required", c, ">", t, _ => s"COUNT(*) - COUNT($c)")
+
+  def rowCt(anyCol: String, t: String) =
+    CatTest("Row_Ct", anyCol, "<", t, _ => "COUNT(*)")
+
+  def rowCtPct(anyCol: String, bct: Long, t: String) =
+    CatTest("Row_Ct_Pct", anyCol, ">", t, _ =>
+      s"ABS(ROUND(100.0 * (COUNT(*) - $bct) / ${dbl(bct.toString)}, 2))")
+
+  def streetAddrPattern(c: String, t: String) =
+    CatTest("Street_Addr_Pattern", c, "<", t, d =>
+      s"100.0 * ${dbl(sumIf(d.rlike(c, graft.functions.Patterns.streetAddr)))} / ${dbl(s"NULLIF(COUNT($c), 0)")}")
+
+  def usState(c: String, t: String) =
+    CatTest("US_State", c, ">", t, _ =>
+      sumIf(s"NULLIF($c, '') NOT IN ${inList(graft.functions.Patterns.usStates)}"))
+
+  def unique(c: String, t: String) =
+    CatTest("Unique", c, ">", t, _ => s"COUNT(*) - COUNT(DISTINCT $c)")
+
+  def uniquePct(c: String, buc: Long, bvc: Long, t: String) =
+    CatTest("Unique_Pct", c, ">=", t, _ =>
+      s"ABS(2.0 * ASIN(SQRT(${dbl(buc.toString)} / $bvc)) - 2 * ASIN(SQRT(${dbl(s"COUNT(DISTINCT $c)")} / ${dbl(s"NULLIF(COUNT($c), 0)")})))")
+
+  /** 7 invisible chars + leading space/quote checks
+    * (test_types_Valid_Characters.yaml pg measure). */
+  def validCharacters(c: String, t: String) = {
+    val invis = "\u00a0\u200b\ufeff\u202f\u2009\u3000\u200c"
+    CatTest("Valid_Characters", c, ">", t, _ =>
+      sumIf(s"TRANSLATE($c, ${sq(invis)}, 'XXXXXXX') <> $c OR $c LIKE ' %' OR $c LIKE '''%''' OR $c LIKE '\"%\"'"))
+  }
+
+  def validMonth(c: String, allowed: Seq[String], t: String) =
+    CatTest("Valid_Month", c, ">", t, _ =>
+      sumIf(s"NULLIF($c, '') NOT IN ${inList(allowed)}"))
+
+  def validUsZip(c: String, t: String) =
+    CatTest("Valid_US_Zip", c, ">", t, _ =>
+      sumIf(s"TRANSLATE($c, '012345678', '999999999') NOT IN ('99999', '999999999', '99999-9999')"))
+
+  def validUsZip3(c: String, t: String) =
+    CatTest("Valid_US_Zip3", c, ">", t, _ =>
+      sumIf(s"TRANSLATE($c, '012345678', '999999999') <> '999'"))
+
+  def variabilityIncrease(c: String, bsd: Double, t: String) =
+    CatTest("Variability_Increase", c, ">", t, _ =>
+      s"100.0 * STDDEV(${dbl(c)}) / $bsd")
+
+  def variabilityDecrease(c: String, bsd: Double, t: String) =
+    CatTest("Variability_Decrease", c, "<", t, _ =>
+      s"100.0 * STDDEV(${dbl(c)}) / $bsd")
+
+  def weeklyRecCt(c: String, t: String) =
+    CatTest("Weekly_Rec_Ct", c, ">", t, d => {
+      val dw = d.dateDiffWeek("DATE '1800-01-01'", c)
+      s"MAX($dw) - MIN($dw) + 1 - COUNT(DISTINCT $dw)"
+    })
+}
+
+object CatRunner {
+
+  /** The per-test output 5-tuple, rendered for one dialect. */
+  private def testOutputs(t: CatTest, d: Dialect, i: Int): (String, String, String) = {
+    val m = t.measure(d)
+    val num = if (t.stringMeasure) d.nullOf("double") else s"CAST(ROUND($m, 4) AS DOUBLE)"
+    val str = if (t.stringMeasure) m else d.nullOf("text")
+    val code = s"CAST(CASE WHEN ${t.condition(d)} THEN 0 ELSE 1 END AS INT)"
+    (s"$num AS n_$i", s"$str AS s_$i", s"$code AS c_$i")
+  }
+
+  /** Fused Spark SQL: ONE aggregate scan computing every test's measure +
+    * result code, unpivoted to a row per test. */
+  def sparkSql(table: String, tests: Seq[CatTest]): String = {
+    val d: Dialect = SparkDialect
+    val inner = tests.zipWithIndex.flatMap { case (t, i) =>
+      val (n, s, c) = testOutputs(t, d, i)
+      Seq(n, s, c)
+    }
+    val stackArgs = tests.zipWithIndex.map { case (t, i) =>
+      s"${sq(t.testType)}, ${sq(t.column)}, n_$i, s_$i, c_$i"
+    }
+    s"""SELECT stack(${tests.length},
+       |  ${stackArgs.mkString(",\n  ")}
+       |) AS (test_type, column_name, measure_num, measure_str, result_code)
+       |FROM (
+       |  SELECT ${inner.mkString(",\n    ")}
+       |  FROM $table
+       |)
+       |ORDER BY test_type, column_name""".stripMargin
+  }
+
+  /** DuckDB oracle: one aggregate per test, UNION ALL'd (the oracle may
+    * scan repeatedly; only the engine needs the fusion). */
+  def duckSql(table: String, tests: Seq[CatTest]): String = {
+    val d: Dialect = DuckDialect
+    val selects = tests.map { t =>
+      val m = t.measure(d)
+      val num = if (t.stringMeasure) "CAST(NULL AS DOUBLE)" else s"CAST(ROUND($m, 4) AS DOUBLE)"
+      val str = if (t.stringMeasure) m else "CAST(NULL AS VARCHAR)"
+      s"""SELECT ${sq(t.testType)} AS test_type, ${sq(t.column)} AS column_name,
+         |  $num AS measure_num, $str AS measure_str,
+         |  CAST(CASE WHEN ${t.condition(d)} THEN 0 ELSE 1 END AS INT) AS result_code
+         |FROM $table""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY test_type, column_name")
+  }
+}

@@ -32,6 +32,8 @@ sealed trait Dialect {
   /** Calendar-month difference (ref DATEDIFF_MONTH formula). */
   def dateDiffMonth(a: String, b: String): String =
     s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
+  /** Add whole days to a date expression. */
+  def dateAddDays(x: String, n: Int): String
   /** String aggregation with explicit ordering. */
   def stringAgg(x: String, sep: String, orderBy: String): String
   /** DISTINCT string aggregation ordered by the value itself. */
@@ -54,6 +56,7 @@ object SparkDialect extends Dialect {
   def quantileCont(x: String, q: Double): String = s"percentile($x, $q)"
   def dateDiffDay(a: String, b: String): String =
     s"datediff(CAST($b AS DATE), CAST($a AS DATE))"
+  def dateAddDays(x: String, n: Int): String = s"date_add($x, $n)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
@@ -71,6 +74,7 @@ object DuckDialect extends Dialect {
   def quantileCont(x: String, q: Double): String = s"quantile_cont($x, $q)"
   def dateDiffDay(a: String, b: String): String =
     s"datediff('day', CAST($a AS DATE), CAST($b AS DATE))"
+  def dateAddDays(x: String, n: Int): String = s"(CAST($x AS DATE) + $n)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"string_agg($x, '${esc(sep)}' ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =

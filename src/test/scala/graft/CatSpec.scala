@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.cat.CatSuite
+
+class CatSpec extends SparkSpec {
+
+  private def results(table: String): Map[(String, String), Row] =
+    CatSuite.run(spark, sfDir, table).collect()
+      .map(r => (r.getAs[String]("test_type"), r.getAs[String]("column_name")) -> r)
+      .toMap
+
+  test("one row per test, result codes are 0/1") {
+    val rs = results("lineitem")
+    assert(rs.size == CatSuite.suites("lineitem").size)
+    assert(rs.values.forall(r => Set(0, 1).contains(r.getAs[Int]("result_code"))))
+  }
+
+  test("Row_Ct passes at sf0.001 (6000 >= 1000)") {
+    val r = results("lineitem")(("Row_Ct", "l_orderkey"))
+    assert(r.getAs[Double]("measure_num") == 6000.0)
+    assert(r.getAs[Int]("result_code") == 1)
+  }
+
+  test("Unique fails on non-unique l_orderkey, passes on o_orderkey") {
+    assert(results("lineitem")(("Unique", "l_orderkey")).getAs[Int]("result_code") == 0)
+    assert(results("orders")(("Unique", "o_orderkey")).getAs[Int]("result_code") == 1)
+  }
+
+  test("LOV_All emits a string measure") {
+    val r = results("customer")(("LOV_All", "c_mktsegment"))
+    assert(r.getAs[String]("measure_str") ==
+      "AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY")
+    assert(r.getAs[Int]("result_code") == 1)
+    assert(r.isNullAt(r.fieldIndex("measure_num")))
+  }
+
+  test("Pattern_Match passes on uniform Customer# names") {
+    val r = results("customer")(("Pattern_Match", "c_name"))
+    assert(r.getAs[Double]("measure_num") == 0.0)
+    assert(r.getAs[Int]("result_code") == 1)
+  }
+}

@@ -34,6 +34,10 @@ object SparkEntry {
       graft.cat.CatSuite.suites.keys.map { t =>
         s"cat_tests_$t" ->
           ((s: SparkSession, dir: String) => graft.cat.CatSuite.run(s, dir, t))
+      }.toMap ++
+      graft.querytests.QueryTests.tests.map { qt =>
+        s"query_${qt.name}" ->
+          ((s: SparkSession, dir: String) => graft.querytests.QueryTests.run(s, dir, qt.name))
       }.toMap
 
   def oracleSql: Map[String, String] =
@@ -45,5 +49,8 @@ object SparkEntry {
       }.toMap ++
       graft.cat.CatSuite.suites.keys.map { t =>
         s"cat_tests_$t" -> graft.cat.CatSuite.duckSql(t)
+      }.toMap ++
+      graft.querytests.QueryTests.tests.map { qt =>
+        s"query_${qt.name}" -> graft.querytests.QueryTests.duckSql(qt.name)
       }.toMap
 }

@@ -38,7 +38,9 @@ object SparkEntry {
       graft.querytests.QueryTests.tests.map { qt =>
         s"query_${qt.name}" ->
           ((s: SparkSession, dir: String) => graft.querytests.QueryTests.run(s, dir, qt.name))
-      }.toMap
+      }.toMap +
+      ("functional_datatype" ->
+        ((s: SparkSession, dir: String) => graft.inference.FunctionalType.infer(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -52,5 +54,6 @@ object SparkEntry {
       }.toMap ++
       graft.querytests.QueryTests.tests.map { qt =>
         s"query_${qt.name}" -> graft.querytests.QueryTests.duckSql(qt.name)
-      }.toMap
+      }.toMap +
+      ("functional_datatype" -> graft.inference.FunctionalType.duckSql())
 }

@@ -32,6 +32,13 @@ sealed trait Dialect {
   /** Calendar-month difference (ref DATEDIFF_MONTH formula). */
   def dateDiffMonth(a: String, b: String): String =
     s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
+  /** Calendar-quarter difference (ref app-db datediff QUARTER intent). */
+  def dateDiffQuarter(a: String, b: String): String =
+    s"((year($b) - year($a)) * 4 + (quarter($b) - quarter($a)))"
+  /** Calendar-year difference. */
+  def dateDiffYear(a: String, b: String): String = s"(year($b) - year($a))"
+  /** Day of week, Postgres convention: 0 = Sunday … 6 = Saturday. */
+  def dow(x: String): String
   /** Add whole days to a date expression. */
   def dateAddDays(x: String, n: Int): String
   /** String aggregation with explicit ordering. */
@@ -57,6 +64,7 @@ object SparkDialect extends Dialect {
   def dateDiffDay(a: String, b: String): String =
     s"datediff(CAST($b AS DATE), CAST($a AS DATE))"
   def dateAddDays(x: String, n: Int): String = s"date_add($x, $n)"
+  def dow(x: String): String = s"(dayofweek($x) - 1)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
@@ -75,6 +83,7 @@ object DuckDialect extends Dialect {
   def dateDiffDay(a: String, b: String): String =
     s"datediff('day', CAST($a AS DATE), CAST($b AS DATE))"
   def dateAddDays(x: String, n: Int): String = s"(CAST($x AS DATE) + $n)"
+  def dow(x: String): String = s"dayofweek($x)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"string_agg($x, '${esc(sep)}' ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =

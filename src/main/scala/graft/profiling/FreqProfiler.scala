@@ -120,7 +120,7 @@ object FreqProfiler {
   /** DuckDB oracle: one branch per A-column with data-dependent gates as
     * CASE + scalar subqueries (the oracle may scan repeatedly; only the
     * engine needs the fusion). */
-  def duckSql(table: String, schema: StructType): String = {
+  def duckSqlBody(table: String, schema: StructType): String = {
     val d: Dialect = DuckDialect
     val selects = aCols(schema).map { c =>
       val freqGate =
@@ -148,8 +148,11 @@ object FreqProfiler {
          |  CASE WHEN $freqGate THEN $dvhSub END AS distinct_value_hash,
          |  CASE WHEN $patGate THEN $patSub END AS top_patterns""".stripMargin
     }
-    selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    selects.mkString("\nUNION ALL\n")
   }
+
+  def duckSql(table: String, schema: StructType): String =
+    duckSqlBody(table, schema) + "\nORDER BY column_name"
 
   /** Execute the two-stage frequency profile for one table in `dir`. */
   def profile(spark: SparkSession, dir: String, table: String): DataFrame = {

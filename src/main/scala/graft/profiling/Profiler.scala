@@ -49,15 +49,18 @@ object Profiler {
   /** DuckDB oracle: the same metrics as per-column aggregate SELECTs
     * UNION ALL'd (the oracle may scan N times; only the engine needs the
     * fusion). */
-  def duckSql(table: String, schema: StructType): String = {
+  def duckSqlBody(table: String, schema: StructType): String = {
     val d: Dialect = DuckDialect
     val selects = schema.fields.zipWithIndex.map { case (f, i) =>
       val ms = ProfileMetrics.forColumn(f.name, i + 1, f.dataType)
       val items = ms.map(m => s"${m.render(d)} AS ${m.name}").mkString(",\n  ")
       s"SELECT '${f.name}' AS column_name,\n  $items\nFROM $table"
     }
-    selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    selects.mkString("\nUNION ALL\n")
   }
+
+  def duckSql(table: String, schema: StructType): String =
+    duckSqlBody(table, schema) + "\nORDER BY column_name"
 
   /** Execute the fused profile for one table read from `dir`. */
   def profile(spark: SparkSession, dir: String, table: String,

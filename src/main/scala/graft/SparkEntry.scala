@@ -40,7 +40,9 @@ object SparkEntry {
           ((s: SparkSession, dir: String) => graft.querytests.QueryTests.run(s, dir, qt.name))
       }.toMap +
       ("functional_datatype" ->
-        ((s: SparkSession, dir: String) => graft.inference.FunctionalType.infer(s, dir)))
+        ((s: SparkSession, dir: String) => graft.inference.FunctionalType.infer(s, dir))) +
+      ("hygiene_screens" ->
+        ((s: SparkSession, dir: String) => graft.inference.HygieneScreens.run(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -55,5 +57,6 @@ object SparkEntry {
       graft.querytests.QueryTests.tests.map { qt =>
         s"query_${qt.name}" -> graft.querytests.QueryTests.duckSql(qt.name)
       }.toMap +
-      ("functional_datatype" -> graft.inference.FunctionalType.duckSql())
+      ("functional_datatype" -> graft.inference.FunctionalType.duckSql()) +
+      ("hygiene_screens" -> graft.inference.HygieneScreens.duckSql())
 }

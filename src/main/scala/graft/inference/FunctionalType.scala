@@ -41,7 +41,16 @@ object FunctionalType {
   }
 
   /** The full cascade over a relation with profile+freq columns. */
-  def cascadeSql(rel: String)(d: Dialect): String = {
+  def cascadeSql(rel: String)(d: Dialect): String =
+    s"""WITH ${stageCtes(rel)(d)}
+       |SELECT table_name, column_name, general_type,
+       |       f22 AS functional_data_type, dsug AS datatype_suggestion
+       |  FROM s22
+       | ORDER BY table_name, column_name""".stripMargin
+
+  /** The cascade's CTE chain; the final stage `s22` carries every profile
+    * column plus `f22` (functional type) and `dsug` (type suggestion). */
+  def stageCtes(rel: String)(d: Dialect): String = {
     val name = "column_name"
     def pct(x: String) = s"(CAST($x AS DOUBLE) / NULLIF(CAST(value_ct AS DOUBLE), 0) * 100)"
     val mnd = "CAST(min_date AS TIMESTAMP)"
@@ -381,16 +390,12 @@ object FunctionalType {
       "s13a" -> s13a, "s13b" -> s13b, "s13" -> s13, "s14" -> s14,
       "s15" -> s15, "s16" -> s16, "s17" -> s17, "s18" -> s18, "s19" -> s19,
       "s20" -> s20, "s21" -> s21, "s22" -> s22)
-    val ctes = stages.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n")
-    s"""WITH $ctes
-       |SELECT table_name, column_name, general_type,
-       |       f22 AS functional_data_type, dsug AS datatype_suggestion
-       |  FROM s22
-       | ORDER BY table_name, column_name""".stripMargin
+    stages.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n")
   }
 
-  /** Spark execution: union per-table profile+freq metrics, run cascade. */
-  def infer(spark: SparkSession, dir: String): DataFrame = {
+  /** Build + register the unioned per-table profile+freq relation; returns
+    * the temp view name usable as `rel` for the cascade SQLs. */
+  def registerProfileAll(spark: SparkSession, dir: String): String = {
     val perTable = Tables.names.map { t =>
       val p = Profiler.profile(spark, dir, t)
       val hasA = Tables.schemas(t).fields.exists(f => GeneralType.of(f.dataType) == "A")
@@ -406,11 +411,11 @@ object FunctionalType {
     }
     val all = perTable.reduce(_ unionByName _)
     all.createOrReplaceTempView("__graft_profile_all")
-    spark.sql(cascadeSql("__graft_profile_all")(SparkDialect))
+    "__graft_profile_all"
   }
 
-  /** DuckDB oracle: same cascade over the duck-rendered profile+freq. */
-  def duckSql(): String = {
+  /** DuckDB rendering of the same unioned relation (parenthesized). */
+  def duckProfileAllRel(): String = {
     val perTable = Tables.names.map { t =>
       val schema = Tables.schemas(t)
       val hasA = schema.fields.exists(f => GeneralType.of(f.dataType) == "A")
@@ -429,7 +434,13 @@ object FunctionalType {
          |  FROM (${Profiler.duckSqlBody(t, schema)}) p
          |$freqJoin""".stripMargin
     }
-    val rel = perTable.mkString("(\n", "\nUNION ALL\n", "\n)")
-    cascadeSql(s"$rel")(DuckDialect)
+    perTable.mkString("(\n", "\nUNION ALL\n", "\n)")
   }
+
+  /** Spark execution: union per-table profile+freq metrics, run cascade. */
+  def infer(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(cascadeSql(registerProfileAll(spark, dir))(SparkDialect))
+
+  /** DuckDB oracle: same cascade over the duck-rendered profile+freq. */
+  def duckSql(): String = cascadeSql(duckProfileAllRel())(DuckDialect)
 }

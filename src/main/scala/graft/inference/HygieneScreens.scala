@@ -1,0 +1,228 @@
+package graft.inference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+import graft.profiling.ProfileMetrics
+
+/** Hygiene anomaly screens — the reference's per-anomaly
+  * INSERT…SELECT filters over profile results (reference:
+  * testgen/template/profiling/profile_anomalies_screen_column.sql:1-25;
+  * criteria from the testgen/template/dbsetup_anomaly_types YAMLs'
+  * `anomaly_criteria`, prevalence from `dq_score_prevalence_formula`).
+  *
+  * All screens run as ONE query over the enriched profile (metrics +
+  * inferred functional type): column-scope screens are row filters;
+  * multi-column screens join a per-column-name aggregate; date-scope
+  * screens join a per-table aggregate. Muted anomalies are excluded via
+  * an anti-join, mirroring the reference's `v_inactive_anomalies`
+  * LEFT JOIN … IS NULL pattern.
+  *
+  * Scope: 28 of the 32 screens. Omitted: Potential_PII (needs the PII
+  * cascade), Invalid_Zip_USA (needs per-pattern UNNEST),
+  * Table_Pattern_Mismatch and Variant_Coded_Values (need cross-column
+  * pattern/value comparison beyond the profile row).
+  */
+object HygieneScreens {
+
+  final case class Screen(name: String, scope: String,
+                          criteria: Dialect => String,
+                          prevalence: Dialect => String = _ => "NULL")
+
+  /** fn_parsefreq(s, row, col) (reference
+    * 020_create_standard_functions_sprocs.sql:37-53): top_freq lines are
+    * `| value | ct`, so col N = '|'-part N+1 of the row-th line. */
+  private def parseFreq(s: String, row: Int, col: Int): String =
+    s"TRIM(SPLIT_PART(SPLIT_PART($s, CHR(10), $row), '|', ${col + 1}))"
+
+  private def ratio(num: String, den: String = "record_ct") =
+    s"CAST($num AS DOUBLE) / NULLIF(CAST($den AS DOUBLE), 0)"
+  private def like(x: String, pat: String) = s"LOWER($x) LIKE '$pat'"
+  private val runDateLit = s"DATE '${ProfileMetrics.RunDate}'"
+  private val fdt = "functional_data_type"
+  private val nameCols = Seq("'Address'", "'City'", "'Entity Name'",
+    "'Person Given Name'", "'Person Last Name'", "'Person Full Name'").mkString(", ")
+
+  val screens: Seq[Screen] = Seq(
+    Screen("Boolean_Value_Mismatch", "Column", _ =>
+      s"""(distinct_value_ct > 1 AND
+         |   ((${like("top_freq_values", "| true |%")} OR ${like("top_freq_values", "| false |%")})
+         |    AND NOT (${like("top_freq_values", "%| true |%")} AND ${like("top_freq_values", "%| false |%")}))
+         |  OR ((${like("top_freq_values", "| yes |%")} OR ${like("top_freq_values", "| no |%")})
+         |    AND NOT (${like("top_freq_values", "%| yes |%")} AND ${like("top_freq_values", "%| no |%")})))""".stripMargin),
+    Screen("Char_Column_Date_Values", "Column",
+      _ => "general_type = 'A' AND value_ct > date_ct AND CAST(date_ct AS DOUBLE) > 0.95 * value_ct",
+      _ => ratio("date_ct")),
+    Screen("Char_Column_Number_Units", "Column", d =>
+      s"""${ratio("includes_digit_ct", "value_ct")} > 0.5
+         | AND ${d.rlike(parseFreq("top_freq_values", 1, 1), """(?i)^[0-9]+(\.[0-9]+)? ?(%|lb|oz|kg|g|mg|km|m|cm|mm|mi|ft|in)$""")}""".stripMargin),
+    Screen("Char_Column_Number_Values", "Column", _ =>
+      s"""general_type = 'A' AND NOT ${like("column_name", "%zip%")}
+         | AND NOT ${like(fdt, "id%")} AND NOT ${like(fdt, "period%")}
+         | AND value_ct > numeric_ct AND CAST(numeric_ct AS DOUBLE) > 0.95 * value_ct""".stripMargin,
+      _ => ratio("numeric_ct")),
+    Screen("Column_Pattern_Mismatch", "Column", d => {
+      val p1 = s"TRY_CAST(${parseFreqPat(1)} AS DOUBLE)"
+      val p3 = s"TRY_CAST(${parseFreqPat(3)} AS DOUBLE)"
+      s"""general_type = 'A'
+         | AND NOT ${like(fdt, "measurement%")} AND $fdt NOT IN ('Category', 'Code')
+         | AND max_length > 3
+         | AND value_ct > (numeric_ct + filled_value_ct + zero_length_ct)
+         | AND distinct_pattern_ct BETWEEN 2 AND 4
+         | AND ${d.strpos("top_patterns", "N")} > 0
+         | AND (((${d.strpos("top_patterns", "A")} > 0 OR ${d.strpos("top_patterns", "a")} > 0)
+         |        AND $p3 / $p1 < 0.05)
+         |   OR $p3 / $p1 < 0.1)""".stripMargin
+    },
+      _ => ratio(s"record_ct - TRY_CAST(${parseFreqPat(1)} AS BIGINT)")),
+    Screen("Delimited_Data_Embedded", "Column", _ => "std_pattern_match = 'DELIMITED_DATA'"),
+    Screen("Inconsistent_Casing", "Column",
+      _ => s"mixed_case_ct > 0 AND upper_case_ct > 0 AND $fdt IN ($nameCols)",
+      _ => ratio("LEAST(mixed_case_ct, upper_case_ct)")),
+    Screen("Invalid_Zip3_USA", "Column", _ =>
+      s"""distinct_pattern_ct > 1
+         | AND (${like("column_name", "%zip%")} OR ${like("column_name", "%postal%")})
+         | AND SPLIT_PART(top_patterns, ' | ', 2) = 'NNN'
+         | AND ${ratio("TRY_CAST(SPLIT_PART(top_patterns, ' | ', 1) AS DOUBLE)", "value_ct")} > 0.50""".stripMargin,
+      _ => ratio("record_ct - TRY_CAST(SPLIT_PART(top_patterns, ' | ', 1) AS BIGINT)")),
+    Screen("Leading_Spaces", "Column", _ => "lead_space_ct > 0", _ => ratio("lead_space_ct")),
+    Screen("No_Values", "Column",
+      _ => "(null_value_ct + filled_value_ct + zero_length_ct) = record_ct",
+      _ => "1.0"),
+    Screen("Non_Alpha_Name_Address", "Column",
+      _ => s"non_alpha_ct - zero_length_ct > 0 AND $fdt IN ($nameCols)",
+      _ => ratio("non_alpha_ct - zero_length_ct")),
+    Screen("Non_Alpha_Prefixed_Name", "Column", _ =>
+      s"""min_text < 'A' AND LEFT(min_text, 1) NOT IN ('"', ' ')
+         | AND RIGHT(min_text, 1) <> ''''
+         | AND $fdt IN ('City', 'Person Given Name', 'Person Last Name', 'Person Full Name')""".stripMargin,
+      _ => "0.25"),
+    Screen("Non_Printing_Chars", "Column", _ => "non_printing_ct > 0",
+      _ => ratio("non_printing_ct")),
+    Screen("Non_Standard_Blanks", "Column", _ =>
+      s"""(zero_length_ct > 0 OR (filled_value_ct > 0
+         |  AND (numeric_ct <> value_ct OR $fdt IN ('Phone', 'Zip'))))""".stripMargin,
+      _ => ratio("filled_value_ct")),
+    Screen("Potential_Duplicates", "Column", _ =>
+      s"""distinct_value_ct > 1000
+         | AND TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS BIGINT) BETWEEN 2 AND 4""".stripMargin,
+      _ => ratio("value_ct - distinct_value_ct")),
+    Screen("Quoted_Values", "Column", _ => "quoted_value_ct > 0",
+      _ => ratio("quoted_value_ct")),
+    Screen("Small_Divergent_Value_Ct", "Column", _ =>
+      s"""$fdt <> 'Boolean'
+         | AND 100.0 * TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS DOUBLE) / NULLIF(value_ct, 0) > 97
+         | AND 100.0 * TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS DOUBLE) / NULLIF(value_ct, 0) < 100""".stripMargin,
+      _ => ratio(s"record_ct - TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS BIGINT)")),
+    Screen("Small_Missing_Value_Ct", "Column", _ => {
+      val adj =
+        s"""(value_ct - zero_length_ct - CASE WHEN (filled_value_ct > 0
+           |  AND (numeric_ct <> value_ct OR $fdt IN ('Phone', 'Zip')))
+           |  THEN filled_value_ct ELSE 0 END)""".stripMargin
+      s"CAST($adj AS DOUBLE) / record_ct > 0.97 AND $adj < record_ct"
+    },
+      _ => ratio("null_value_ct + filled_value_ct + zero_length_ct")),
+    Screen("Small_Numeric_Value_Ct", "Column",
+      _ => s"general_type = 'A' AND ${ratio("numeric_ct", "value_ct")} < 0.03 AND numeric_ct > 0",
+      _ => ratio("numeric_ct")),
+    Screen("Standardized_Value_Matches", "Column",
+      _ => s"general_type = 'A' AND distinct_std_value_ct <> distinct_value_ct AND $fdt NOT LIKE 'Person%Name'",
+      _ => ratio("distinct_value_ct - distinct_std_value_ct", "value_ct")),
+    Screen("Suggested_Type", "Column", _ =>
+      s"""$fdt NOT IN ('Boolean', 'Flag') AND column_type = 'string'
+         | AND NOT (${like("dsug", "%varchar%")} OR ${like("dsug", "%char%")} OR LOWER(dsug) = 'text')""".stripMargin),
+    Screen("Unexpected_Emails", "Column", _ =>
+      s"""std_pattern_match = 'EMAIL'
+         | AND NOT (${like("column_name", "%email%")} OR ${like("column_name", "%addr%")})""".stripMargin),
+    Screen("Unexpected_US_States", "Column", _ =>
+      s"""std_pattern_match = 'STATE_USA' AND distinct_value_ct > 5
+         | AND NOT (column_name = 'st' OR ${like("column_name", "%state%")}
+         |        OR ${like("column_name", "%_st")} OR ${like("column_name", "st_%")})""".stripMargin),
+    Screen("Unlikely_Date_Values", "Column", d =>
+      s"""general_type = 'D'
+         | AND (CAST(min_date AS TIMESTAMP) BETWEEN DATE '0001-01-02' AND DATE '1900-01-01'
+         |   OR CAST(max_date AS TIMESTAMP) > ${d.addMonths(runDateLit, 360)})""".stripMargin,
+      _ => ratio("COALESCE(before_100yr_date_ct, 0) + COALESCE(distant_future_date_ct, 0)"))
+  )
+
+  /** parsefreq over top_patterns: '|'-separated `ct | pat | ct | pat`. */
+  private def parseFreqPat(part: Int): String =
+    s"TRIM(SPLIT_PART(top_patterns, '|', $part))"
+
+  val multiColScreens: Seq[(String, String)] = Seq(
+    "Multiple_Types_Major" -> "m.general_type_ct > 1",
+    "Multiple_Types_Minor" -> "m.general_type_ct = 1 AND m.type_ct > 1")
+
+  def dateScreens(d: Dialect): Seq[(String, String)] = Seq(
+    "Recency_One_Year" -> s"mx < ${d.addMonths(runDateLit, -12)}",
+    "Recency_Six_Months" ->
+      s"mx >= ${d.addMonths(runDateLit, -12)} AND mx < ${d.addMonths(runDateLit, -6)}")
+
+  /** Enriched profile: all metrics + functional type + mixed_case_ct.
+    * The reference lands profile_results in its app DB before screening;
+    * we mirror that by materializing this (metadata-sized) relation so
+    * the 28 screen branches don't each re-plan the inference cascade. */
+  def enrichSql(rel: String)(d: Dialect): String =
+    s"""WITH ${FunctionalType.stageCtes(rel)(d)}
+       |SELECT s.*, f22 AS $fdt,
+       |       (value_ct - upper_case_ct - lower_case_ct - non_alpha_ct) AS mixed_case_ct
+       |  FROM s22 s""".stripMargin
+
+  /** The fused hygiene query over an enriched-profile relation. `muted`
+    * rows are excluded (anomaly_type, table_name, column_name) — the
+    * reference's inactive-anomaly anti-join. */
+  def sql(rel: String, muted: Seq[(String, String, String)] = Nil)(d: Dialect): String = {
+    val colScreens = screens.map { s =>
+      s"""SELECT '${s.name}' AS anomaly_type, table_name, column_name,
+         |       CAST(ROUND(${s.prevalence(d)}, 4) AS DOUBLE) AS prevalence
+         |  FROM enr WHERE ${s.criteria(d)}""".stripMargin
+    }
+    val multi = multiColScreens.map { case (n, crit) =>
+      s"""SELECT '$n' AS anomaly_type, p.table_name, p.column_name,
+         |       CAST(NULL AS DOUBLE) AS prevalence
+         |  FROM enr p JOIN mc m ON p.column_name = m.column_name WHERE $crit""".stripMargin
+    }
+    val dates = dateScreens(d).map { case (n, crit) =>
+      s"""SELECT '$n' AS anomaly_type, table_name, '(table)' AS column_name,
+         |       CAST(NULL AS DOUBLE) AS prevalence
+         |  FROM md WHERE $crit""".stripMargin
+    }
+    val unions = (colScreens ++ multi ++ dates).mkString("\nUNION ALL\n")
+    val muteFilter =
+      if (muted.isEmpty) ""
+      else {
+        val rows = muted.map { case (a, t, c) => s"('$a', '$t', '$c')" }.mkString(", ")
+        s""" WHERE (anomaly_type, table_name, column_name) NOT IN ($rows)"""
+      }
+    s"""WITH enr AS ${d.cteMaterialized}(
+       |  SELECT * FROM $rel
+       |),
+       |mc AS (
+       |  SELECT column_name, COUNT(DISTINCT general_type) AS general_type_ct,
+       |         COUNT(DISTINCT column_type) AS type_ct
+       |    FROM enr GROUP BY column_name
+       |),
+       |md AS (
+       |  SELECT table_name, MAX(CAST(max_date AS TIMESTAMP)) AS mx FROM enr GROUP BY table_name
+       |)
+       |SELECT * FROM (
+       |$unions
+       |) all_anoms$muteFilter
+       |ORDER BY anomaly_type, table_name, column_name""".stripMargin
+  }
+
+  def run(spark: SparkSession, dir: String,
+          muted: Seq[(String, String, String)] = Nil): DataFrame = {
+    val rel = FunctionalType.registerProfileAll(spark, dir)
+    val enr = spark.sql(enrichSql(rel)(SparkDialect))
+    // Materialize (metadata-sized: one row per column) so the 28 screen
+    // branches scan a local relation instead of 28 copies of the plan.
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(enr.collect(): _*), enr.schema)
+    local.createOrReplaceTempView("__graft_enriched_profile")
+    spark.sql(sql("__graft_enriched_profile", muted)(SparkDialect))
+  }
+
+  def duckSql(muted: Seq[(String, String, String)] = Nil): String =
+    sql(s"(${enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})", muted)(DuckDialect)
+}

@@ -39,6 +39,13 @@ sealed trait Dialect {
   def dateDiffYear(a: String, b: String): String = s"(year($b) - year($a))"
   /** Day of week, Postgres convention: 0 = Sunday … 6 = Saturday. */
   def dow(x: String): String
+  /** Add whole months to a date/timestamp expression. */
+  def addMonths(x: String, n: Int): String
+  /** 1-based position of substring, 0 if absent (Postgres STRPOS). */
+  def strpos(x: String, sub: String): String
+  /** CTE materialization hint for CTEs referenced many times (DuckDB
+    * would otherwise inline and re-evaluate them per reference). */
+  def cteMaterialized: String = ""
   /** Add whole days to a date expression. */
   def dateAddDays(x: String, n: Int): String
   /** String aggregation with explicit ordering. */
@@ -65,6 +72,8 @@ object SparkDialect extends Dialect {
     s"datediff(CAST($b AS DATE), CAST($a AS DATE))"
   def dateAddDays(x: String, n: Int): String = s"date_add($x, $n)"
   def dow(x: String): String = s"(dayofweek($x) - 1)"
+  def addMonths(x: String, n: Int): String = s"add_months($x, $n)"
+  def strpos(x: String, sub: String): String = s"instr($x, '${esc(sub)}')"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
@@ -84,6 +93,10 @@ object DuckDialect extends Dialect {
     s"datediff('day', CAST($a AS DATE), CAST($b AS DATE))"
   def dateAddDays(x: String, n: Int): String = s"(CAST($x AS DATE) + $n)"
   def dow(x: String): String = s"dayofweek($x)"
+  def addMonths(x: String, n: Int): String =
+    s"(CAST($x AS TIMESTAMP) + INTERVAL '$n months')"
+  def strpos(x: String, sub: String): String = s"strpos($x, '${esc(sub)}')"
+  override def cteMaterialized: String = "MATERIALIZED "
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"string_agg($x, '${esc(sep)}' ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =

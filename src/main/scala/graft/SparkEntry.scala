@@ -42,7 +42,13 @@ object SparkEntry {
       ("functional_datatype" ->
         ((s: SparkSession, dir: String) => graft.inference.FunctionalType.infer(s, dir))) +
       ("hygiene_screens" ->
-        ((s: SparkSession, dir: String) => graft.inference.HygieneScreens.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.inference.HygieneScreens.run(s, dir))) +
+      ("test_generation" ->
+        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.run(s, dir))) +
+      ("test_prevalence" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runTestPrevalence(s, dir))) +
+      ("dq_scores" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -58,5 +64,8 @@ object SparkEntry {
         s"query_${qt.name}" -> graft.querytests.QueryTests.duckSql(qt.name)
       }.toMap +
       ("functional_datatype" -> graft.inference.FunctionalType.duckSql()) +
-      ("hygiene_screens" -> graft.inference.HygieneScreens.duckSql())
+      ("hygiene_screens" -> graft.inference.HygieneScreens.duckSql()) +
+      ("test_generation" -> graft.generation.TestGenerator.duckSql()) +
+      ("test_prevalence" -> graft.scoring.Scoring.duckTestPrevalenceSql()) +
+      ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql())
 }

@@ -393,9 +393,28 @@ object FunctionalType {
     stages.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n")
   }
 
+  // Profiling output is metadata-sized (one row per column); memoize the
+  // materialized relation so the inference-family queries (functional
+  // types, hygiene, generation, scoring) share ONE profiling pass per
+  // data directory instead of re-scanning all tables each.
+  private val profileCache =
+    scala.collection.mutable.Map.empty[(Int, String), String]
+
   /** Build + register the unioned per-table profile+freq relation; returns
     * the temp view name usable as `rel` for the cascade SQLs. */
-  def registerProfileAll(spark: SparkSession, dir: String): String = {
+  def registerProfileAll(spark: SparkSession, dir: String): String =
+    profileCache.synchronized {
+      profileCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val df = buildProfileAll(spark, dir)
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        val view = s"__graft_profile_all_${profileCache.size}"
+        local.createOrReplaceTempView(view)
+        view
+      })
+    }
+
+  private def buildProfileAll(spark: SparkSession, dir: String): DataFrame = {
     val perTable = Tables.names.map { t =>
       val p = Profiler.profile(spark, dir, t)
       val hasA = Tables.schemas(t).fields.exists(f => GeneralType.of(f.dataType) == "A")
@@ -409,9 +428,7 @@ object FunctionalType {
       }
       joined.withColumn("table_name", lit(t))
     }
-    val all = perTable.reduce(_ unionByName _)
-    all.createOrReplaceTempView("__graft_profile_all")
-    "__graft_profile_all"
+    perTable.reduce(_ unionByName _)
   }
 
   /** DuckDB rendering of the same unioned relation (parenthesized). */

@@ -211,17 +211,28 @@ object HygieneScreens {
        |ORDER BY anomaly_type, table_name, column_name""".stripMargin
   }
 
+  private val enrCache =
+    scala.collection.mutable.Map.empty[(Int, String), String]
+
+  /** Materialized enriched profile (metadata-sized: one row per column),
+    * memoized per (session, dir) so every consumer — screens, test
+    * generation, scoring — shares one inference pass. */
+  def enrichedView(spark: SparkSession, dir: String): String =
+    enrCache.synchronized {
+      enrCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val rel = FunctionalType.registerProfileAll(spark, dir)
+        val enr = spark.sql(enrichSql(rel)(SparkDialect))
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(enr.collect(): _*), enr.schema)
+        val view = s"__graft_enriched_profile_${enrCache.size}"
+        local.createOrReplaceTempView(view)
+        view
+      })
+    }
+
   def run(spark: SparkSession, dir: String,
-          muted: Seq[(String, String, String)] = Nil): DataFrame = {
-    val rel = FunctionalType.registerProfileAll(spark, dir)
-    val enr = spark.sql(enrichSql(rel)(SparkDialect))
-    // Materialize (metadata-sized: one row per column) so the 28 screen
-    // branches scan a local relation instead of 28 copies of the plan.
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(enr.collect(): _*), enr.schema)
-    local.createOrReplaceTempView("__graft_enriched_profile")
-    spark.sql(sql("__graft_enriched_profile", muted)(SparkDialect))
-  }
+          muted: Seq[(String, String, String)] = Nil): DataFrame =
+    spark.sql(sql(enrichedView(spark, dir), muted)(SparkDialect))
 
   def duckSql(muted: Seq[(String, String, String)] = Nil): String =
     sql(s"(${enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})", muted)(DuckDialect)

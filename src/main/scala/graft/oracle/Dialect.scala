@@ -46,6 +46,20 @@ sealed trait Dialect {
   /** CTE materialization hint for CTEs referenced many times (DuckDB
     * would otherwise inline and re-evaluate them per reference). */
   def cteMaterialized: String = ""
+  /** Global regexp replace whose replacement wraps capture group 1,
+    * e.g. prefix="[", suffix="]" → "[\1]" / "[$1]". */
+  def regexpReplaceRef(x: String, re: String, prefix: String, suffix: String): String
+  /** Trim any of the given characters from both ends. */
+  def trimChars(x: String, chars: String): String
+  /** NULL-propagating SPLIT_PART (Postgres semantics: NULL in → NULL
+    * out; DuckDB's SPLIT_PART returns '' for NULL input instead). */
+  def splitPart(x: String, delim: String, n: Int): String =
+    s"SPLIT_PART($x, '${escq(delim)}', $n)"
+  /** Force NULL-in → NULL-out for an expression derived from `x`, for
+    * dialects whose string functions (e.g. DuckDB SPLIT_PART) return ''
+    * on NULL input where Postgres/Spark return NULL. */
+  def nullGuard(x: String, expr: String): String = expr
+  protected def escq(s: String): String
   /** Add whole days to a date expression. */
   def dateAddDays(x: String, n: Int): String
   /** String aggregation with explicit ordering. */
@@ -74,12 +88,17 @@ object SparkDialect extends Dialect {
   def dow(x: String): String = s"(dayofweek($x) - 1)"
   def addMonths(x: String, n: Int): String = s"add_months($x, $n)"
   def strpos(x: String, sub: String): String = s"instr($x, '${esc(sub)}')"
+  def regexpReplaceRef(x: String, re: String, prefix: String, suffix: String): String =
+    s"regexp_replace($x, '${esc(re)}', '${esc(prefix)}$$1${esc(suffix)}')"
+  def trimChars(x: String, chars: String): String =
+    s"TRIM(BOTH '${esc(chars)}' FROM $x)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
     s"array_join(array_sort(collect_set($x)), '${esc(sep)}')"
   def textType: String = "STRING"
   private def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+  protected def escq(s: String): String = esc(s)
 }
 
 object DuckDialect extends Dialect {
@@ -97,10 +116,19 @@ object DuckDialect extends Dialect {
     s"(CAST($x AS TIMESTAMP) + INTERVAL '$n months')"
   def strpos(x: String, sub: String): String = s"strpos($x, '${esc(sub)}')"
   override def cteMaterialized: String = "MATERIALIZED "
+  def regexpReplaceRef(x: String, re: String, prefix: String, suffix: String): String =
+    s"regexp_replace($x, '${esc(re)}', '${esc(prefix)}\\1${esc(suffix)}', 'g')"
+  def trimChars(x: String, chars: String): String =
+    s"TRIM($x, '${esc(chars)}')"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"string_agg($x, '${esc(sep)}' ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
     s"string_agg(DISTINCT $x, '${esc(sep)}' ORDER BY $x)"
+  override def splitPart(x: String, delim: String, n: Int): String =
+    s"CASE WHEN ($x) IS NULL THEN NULL ELSE SPLIT_PART($x, '${escq(delim)}', $n) END"
+  override def nullGuard(x: String, expr: String): String =
+    s"(CASE WHEN ($x) IS NULL THEN NULL ELSE $expr END)"
   def textType: String = "VARCHAR"
   private def esc(s: String) = s.replace("'", "''")
+  protected def escq(s: String): String = esc(s)
 }

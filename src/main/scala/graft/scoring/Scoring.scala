@@ -1,0 +1,168 @@
+package graft.scoring
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+import graft.cat.{CatRunner, CatSuite, CatTest}
+import graft.inference.{FunctionalType, HygieneScreens}
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Data-quality scoring — SUM_LN log-product aggregate, the
+  * Abramowitz-Stegun normal CDF, per-test prevalence formulas, and the
+  * run/table score rollup.
+  *
+  * References:
+  *  - SUM_LN: testgen/template/dbsetup/020_create_standard_functions_sprocs.sql:254-311
+  *    (probability-no-issue product, skipping p<=0, p>0.999999, NULL;
+  *    1 when empty);
+  *  - fn_normal_cdf: same file :157-211;
+  *  - prevalence: testgen/template/rollup_scores/calc_prevalence_test_results.sql:19-75
+  *    (dq_prevalence = LEAST(1, risk * formula), formulas from each test
+  *    type's `dq_score_prevalence_formula`) — the reference substitutes
+  *    strings and evaluates via fn_eval; here formulas are typed SQL
+  *    over the joined result+profile row, no dynamic eval needed;
+  *  - rollup: testgen/template/rollup_scores/rollup_scores_profile_run.sql:8-52
+  *    (score = 1 - Σaffected/Σpoints, affected = (1-SUM_LN(p))·record_ct).
+  */
+object Scoring {
+
+  /** SUM_LN(p) over a grouped column. */
+  def sumLn(p: String): String =
+    s"EXP(COALESCE(SUM(CASE WHEN $p > 0.0 AND $p <= 0.999999 THEN LN(1.0 - $p) END), 0.0))"
+
+  /** Abramowitz-Stegun standard normal CDF of expression `z`. */
+  def normalCdf(z: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * ABS($z)))"
+    val phi =
+      s"""((1.0 / SQRT(2 * PI())) * EXP(-0.5 * ($z) * ($z)) *
+         | (0.319381530 * $t - 0.356563782 * POWER($t, 2) + 1.781477937 * POWER($t, 3)
+         |  - 1.821255978 * POWER($t, 4) + 1.330274429 * POWER($t, 5)))""".stripMargin.replace("\n", " ")
+    s"""CASE WHEN ($z) <= -6.0 THEN 0.0 WHEN ($z) >= 6.0 THEN 1.0
+       | WHEN ($z) >= 0 THEN 1.0 - $phi ELSE $phi END""".stripMargin.replace("\n", " ")
+  }
+
+  /** Per-test-type prevalence formula over (r = failed result row,
+    * p = profile row). `m` = result measure, `t` = threshold literal. */
+  private def formula(test: CatTest, d: Dialect): Option[(Double, String)] = {
+    val m = "r.measure_num"
+    val t = test.threshold
+    val rc = "NULLIF(CAST(p.record_ct AS DOUBLE), 0)"
+    val generic = Some(1.0 -> s"($m - $t) / $rc")
+    test.testType match {
+      case "Required" | "Unique" | "LOV_Match" | "Min_Date" | "Min_Val" |
+           "Pattern_Match" | "US_State" | "Valid_Month" | "Valid_US_Zip" |
+           "Valid_US_Zip3" | "Constant" | "Condition_Flag" | "Email_Format" |
+           "Future_Date" | "Future_Date_1Y" | "Distinct_Date_Ct" => generic
+      case "Valid_Characters" => Some(0.75 -> s"($m - $t) / $rc")
+      case "Row_Ct" => Some(1.0 -> s"($m - $t) / NULLIF(CAST($t AS DOUBLE), 0)")
+      case "Row_Ct_Pct" => Some(1.0 -> s"(100.0 - $m) / 100.0")
+      case "Avg_Shift" | "Missing_Pct" | "Unique_Pct" =>
+        Some(0.75 -> s"2.0 * (1.0 - ${normalCdf(s"ABS($m) / 2.0")})")
+      case "Incr_Avg_Shift" =>
+        Some(0.75 -> s"CAST(p.record_ct AS DOUBLE) * (1.0 - ${normalCdf(m)}) / $rc")
+      case "Outlier_Pct_Above" | "Outlier_Pct_Below" =>
+        Some(0.75 -> s"GREATEST(0, $m - $t)")
+      case "Variability_Increase" | "Variability_Decrease" => Some(0.75 -> "1.0")
+      case "Dec_Trunc" => Some(1.0 -> "1.0")
+      case "Alpha_Trunc" =>
+        val s3 = "(NULLIF(CAST(p.max_length AS DOUBLE), 0) / 3)"
+        Some(1.0 -> s"""CAST(p.value_ct AS DOUBLE) *
+          | (${normalCdf(s"(p.max_length - p.avg_length) / $s3")}
+          |  - ${normalCdf(s"($m - p.avg_length) / $s3")})""".stripMargin.replace("\n", " "))
+      case "Daily_Record_Ct" =>
+        Some(0.75 -> s"($m - $t) * CAST(p.record_ct AS DOUBLE) / NULLIF(CAST(p.date_days_present AS DOUBLE), 0) / $rc")
+      case "Monthly_Rec_Ct" =>
+        Some(1.0 -> s"($m - $t) * CAST(p.record_ct AS DOUBLE) / NULLIF(CAST(p.date_months_present AS DOUBLE), 0) / $rc")
+      case "Weekly_Rec_Ct" =>
+        Some(1.0 -> s"($m - $t) * CAST(p.record_ct AS DOUBLE) / NULLIF(CAST(p.date_weeks_present AS DOUBLE), 0) / $rc")
+      case "Distinct_Value_Ct" =>
+        Some(1.0 -> s"ABS($m - $t) * CAST(p.record_ct AS DOUBLE) / NULLIF(CAST(p.distinct_value_ct AS DOUBLE), 0) / $rc")
+      case "Recency" =>
+        val span = d.dateDiffDay("CAST(p.min_date AS TIMESTAMP)", "CAST(p.max_date AS TIMESTAMP)")
+        Some(0.75 -> s"(ABS($m - $t) * CAST(p.record_ct AS DOUBLE) / (1.0 + $span)) / $rc")
+      case _ => None
+    }
+  }
+
+  /** Prevalence of every failed CAT test, joined to the profile row. */
+  def testPrevalenceSql(catRel: String, enrRel: String)(d: Dialect): String = {
+    val branches = for {
+      (table, tests) <- CatSuite.suites.toSeq.sortBy(_._1)
+      test <- tests
+      (risk, f) <- formula(test, d)
+    } yield
+      s"""SELECT r.test_type, r.table_name, r.column_name,
+         |  CAST(ROUND(LEAST(1.0, $risk * ($f)), 4) AS DOUBLE) AS dq_prevalence
+         |  FROM catres r JOIN enr p
+         |    ON p.table_name = r.table_name AND p.column_name = r.column_name
+         | WHERE r.table_name = '$table' AND r.test_type = '${test.testType}'
+         |   AND r.column_name = '${test.column}'
+         |   AND r.result_code = 0 AND r.measure_num IS NOT NULL""".stripMargin
+    s"""WITH catres AS ${d.cteMaterialized}(SELECT * FROM $catRel),
+       |enr AS ${d.cteMaterialized}(SELECT * FROM $enrRel)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY table_name, test_type, column_name""".stripMargin
+  }
+
+  /** Score rollup over hygiene-anomaly prevalences
+    * (rollup_scores_profile_run.sql:8-52, weights disabled), plus a
+    * whole-run total row. */
+  def scoreRollupSql(enrRel: String, anomRel: String)(d: Dialect): String =
+    s"""WITH enr_s AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |anoms_s AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |score_detail AS (
+       |  SELECT e.table_name, e.column_name,
+       |         MAX(e.record_ct) AS row_ct,
+       |         (1.0 - ${sumLn("COALESCE(a.prevalence, 0.0)")}) * MAX(e.record_ct) AS affected
+       |    FROM enr_s e
+       |    LEFT JOIN anoms_s a
+       |      ON a.table_name = e.table_name AND a.column_name = e.column_name
+       |   GROUP BY e.table_name, e.column_name),
+       |per_table AS (
+       |  SELECT table_name, SUM(row_ct) AS data_points, SUM(affected) AS affected_points
+       |    FROM score_detail GROUP BY table_name)
+       |SELECT table_name,
+       |       CAST(data_points AS DOUBLE) AS data_points,
+       |       CAST(ROUND(affected_points, 4) AS DOUBLE) AS affected_data_points,
+       |       CAST(ROUND(1.0 - affected_points / NULLIF(data_points, 0), 6) AS DOUBLE) AS score
+       |  FROM per_table
+       |UNION ALL
+       |SELECT '(run)', CAST(SUM(data_points) AS DOUBLE),
+       |       CAST(ROUND(SUM(affected_points), 4) AS DOUBLE),
+       |       CAST(ROUND(1.0 - SUM(affected_points) / NULLIF(SUM(data_points), 0), 6) AS DOUBLE)
+       |  FROM per_table
+       |ORDER BY table_name""".stripMargin
+
+  private def enrichedView(spark: SparkSession, dir: String): String =
+    HygieneScreens.enrichedView(spark, dir)
+
+  def runTestPrevalence(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    val cat = CatSuite.suites.keys.toSeq.sorted
+      .map(t => CatSuite.run(spark, dir, t).withColumn("table_name", lit(t)))
+      .reduce(_ unionByName _)
+    cat.createOrReplaceTempView("__graft_catres")
+    spark.sql(testPrevalenceSql("__graft_catres", enrView)(SparkDialect))
+  }
+
+  def runScoreRollup(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    val anoms = HygieneScreens.run(spark, dir)
+    anoms.createOrReplaceTempView("__graft_anoms")
+    spark.sql(scoreRollupSql(enrView, "__graft_anoms")(SparkDialect))
+  }
+
+  def duckTestPrevalenceSql(): String = {
+    val cat = CatSuite.suites.keys.toSeq.sorted
+      .map(t => s"SELECT '$t' AS table_name, * FROM (${CatSuite.duckSql(t)})")
+      .mkString("(\n", "\nUNION ALL\n", "\n)")
+    val enr = s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})"
+    testPrevalenceSql(cat, enr)(DuckDialect)
+  }
+
+  def duckScoreRollupSql(): String = {
+    val enr = s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})"
+    val anoms = s"(${HygieneScreens.duckSql()})"
+    scoreRollupSql(enr, anoms)(DuckDialect)
+  }
+}

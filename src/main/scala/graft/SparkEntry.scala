@@ -48,7 +48,27 @@ object SparkEntry {
       ("test_prevalence" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runTestPrevalence(s, dir))) +
       ("dq_scores" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir)))
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir))) +
+      ("text_analysis" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.TextAnalysis.run(s, dir))) +
+      ("dedup_exact" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
+      ("dedup_jaccard" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runJaccard(s, dir))) +
+      ("dedup_minhash" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runMinhash(s, dir))) +
+      ("dedup_simhash" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhash(s, dir))) +
+      ("knn_bruteforce" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runBruteForce(s, dir))) +
+      ("knn_ivf" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvf(s, dir))) +
+      ("monitor_volume_bands" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runVolumeBands(s, dir))) +
+      ("monitor_freshness" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshness(s, dir))) +
+      ("multimodal_features" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.run(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -67,5 +87,15 @@ object SparkEntry {
       ("hygiene_screens" -> graft.inference.HygieneScreens.duckSql()) +
       ("test_generation" -> graft.generation.TestGenerator.duckSql()) +
       ("test_prevalence" -> graft.scoring.Scoring.duckTestPrevalenceSql()) +
-      ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql())
+      ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql()) +
+      ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()) +
+      ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_simhash" -> graft.pipeline.Dedup.simhashSql("documents")(graft.oracle.DuckDialect)) +
+      ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +
+      ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +
+      ("multimodal_features" -> graft.pipeline.Multimodal.duckSql())
 }

@@ -55,6 +55,21 @@ sealed trait Dialect {
     * out; DuckDB's SPLIT_PART returns '' for NULL input instead). */
   def splitPart(x: String, delim: String, n: Int): String =
     s"SPLIT_PART($x, '${escq(delim)}', $n)"
+  /** Relation of (id, pos, word): `textExpr` lowercased and split on
+    * whitespace, one row per word with its 0-based position. */
+  def wordsRel(table: String, idCol: String, textExpr: String): String
+  /** Count of regex matches in a string. */
+  def regexpCount(x: String, re: String): String
+  /** Dot product of two float-array columns as DOUBLE (sequential
+    * left-to-right summation in both dialects). */
+  def dotProduct(a: String, b: String): String
+  /** Aggregate `valExpr` into an array ordered by `ordExpr`. */
+  def arrayAggOrdered(valExpr: String, ordExpr: String): String
+  /** Relation of (keyCol, pos, val) exploding an array column with its
+    * 0-based position. */
+  def arrayPosRel(table: String, keyCol: String, arrCol: String): String
+  /** Parse a hex-digit string expression to BIGINT. */
+  def hexToInt(x: String): String
   /** Force NULL-in → NULL-out for an expression derived from `x`, for
     * dialects whose string functions (e.g. DuckDB SPLIT_PART) return ''
     * on NULL input where Postgres/Spark return NULL. */
@@ -92,6 +107,21 @@ object SparkDialect extends Dialect {
     s"regexp_replace($x, '${esc(re)}', '${esc(prefix)}$$1${esc(suffix)}')"
   def trimChars(x: String, chars: String): String =
     s"TRIM(BOTH '${esc(chars)}' FROM $x)"
+  def wordsRel(table: String, idCol: String, textExpr: String): String =
+    s"""SELECT $idCol AS id, p.pos, p.word FROM $table
+       | LATERAL VIEW posexplode(split(LOWER($textExpr), '\\\\s+')) p AS pos, word
+       | WHERE p.word <> ''""".stripMargin
+  def regexpCount(x: String, re: String): String =
+    s"size(regexp_extract_all($x, '${esc(re)}', 0))"
+  def dotProduct(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+  def arrayAggOrdered(valExpr: String, ordExpr: String): String =
+    s"transform(array_sort(collect_list(named_struct('o', $ordExpr, 'v', $valExpr))), s -> s.v)"
+  def arrayPosRel(table: String, keyCol: String, arrCol: String): String =
+    s"""SELECT $keyCol, p.pos, CAST(p.val AS DOUBLE) AS val FROM $table
+       | LATERAL VIEW posexplode($arrCol) p AS pos, val""".stripMargin
+  def hexToInt(x: String): String = s"CAST(CONV($x, 16, 10) AS BIGINT)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
@@ -128,6 +158,22 @@ object DuckDialect extends Dialect {
     s"CASE WHEN ($x) IS NULL THEN NULL ELSE SPLIT_PART($x, '${escq(delim)}', $n) END"
   override def nullGuard(x: String, expr: String): String =
     s"(CASE WHEN ($x) IS NULL THEN NULL ELSE $expr END)"
+  def wordsRel(table: String, idCol: String, textExpr: String): String =
+    s"""SELECT * FROM (
+       | SELECT $idCol AS id,
+       |  generate_subscripts(string_split_regex(LOWER($textExpr), '\\s+'), 1) - 1 AS pos,
+       |  unnest(string_split_regex(LOWER($textExpr), '\\s+')) AS word
+       | FROM $table) w WHERE w.word <> ''""".stripMargin
+  def regexpCount(x: String, re: String): String =
+    s"len(regexp_extract_all($x, '${esc(re)}'))"
+  def dotProduct(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  def arrayAggOrdered(valExpr: String, ordExpr: String): String =
+    s"array_agg($valExpr ORDER BY $ordExpr)"
+  def arrayPosRel(table: String, keyCol: String, arrCol: String): String =
+    s"""SELECT $keyCol, generate_subscripts($arrCol, 1) - 1 AS pos,
+       | CAST(unnest($arrCol) AS DOUBLE) AS val FROM $table""".stripMargin
+  def hexToInt(x: String): String = s"CAST(('0x' || ($x)) AS BIGINT)"
   def textType: String = "VARCHAR"
   private def esc(s: String) = s.replace("'", "''")
   protected def escq(s: String): String = esc(s)

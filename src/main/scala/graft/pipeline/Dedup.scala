@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Deduplication operators over `documents`:
+  *
+  *  - exact: hash-groupBy on the full text — one shuffle on md5(text).
+  *  - ngram Jaccard: 5-word shingles built with LEAD windows (no UDF),
+  *    inverted-index self-join on shingle with a hot-shingle cutoff
+  *    (shingles present in > 50 docs are dropped, the standard guard
+  *    that keeps the candidate join bounded at scale), Jaccard =
+  *    |A∩B| / (|A|+|B|-|A∩B|).
+  *  - MinHash+LSH: 12 md5-seeded min-hashes per doc, banded 4×3; docs
+  *    sharing a band hash become candidates (the only join is on band
+  *    buckets — at 100 TB this replaces the quadratic pair join), then
+  *    candidates are verified with exact Jaccard.
+  *  - SimHash: 32-bit signature from per-token md5 hex-digit parities;
+  *    near-dup candidates bucket on 8-bit chunks (pigeonhole: hamming
+  *    <= 3 ⇒ at least one of 4 chunks equal), verified by hamming
+  *    distance.
+  *
+  * All hashing is md5-based so the Spark engine and the DuckDB oracle
+  * produce identical signatures.
+  */
+object Dedup {
+
+  private def shinglesCte(d: Dialect, table: String): String =
+    s"""words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |lagged AS (
+       |  SELECT id, word,
+       |         LEAD(word, 1) OVER w AS w1, LEAD(word, 2) OVER w AS w2,
+       |         LEAD(word, 3) OVER w AS w3, LEAD(word, 4) OVER w AS w4
+       |    FROM words
+       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
+       |),
+       |sh AS (
+       |  SELECT DISTINCT id, word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS shingle
+       |    FROM lagged WHERE w4 IS NOT NULL
+       |),
+       |shf AS (
+       |  SELECT sh.id, sh.shingle FROM sh
+       |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50) ok
+       |    ON sh.shingle = ok.shingle
+       |),
+       |sizes AS (
+       |  SELECT id, COUNT(*) AS sz FROM shf GROUP BY id
+       |),
+       |inter AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
+       |    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+       |   GROUP BY a.id, b.id
+       |)""".stripMargin
+
+  def exactSql(table: String)(d: Dialect): String =
+    s"""SELECT MD5(text) AS content_hash, COUNT(*) AS dupe_ct,
+       |       MIN(doc_id) AS keep_id
+       |  FROM $table
+       | GROUP BY MD5(text) HAVING COUNT(*) > 1
+       | ORDER BY content_hash""".stripMargin
+
+  def jaccardSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)}
+       |SELECT i.doc_a, i.doc_b,
+       |       CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4) AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.doc_a
+       |  JOIN sizes sb ON sb.id = i.doc_b
+       | WHERE CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) >= $threshold
+       | ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 12 min-hashes banded 4×3; verified candidates with true Jaccard. */
+  def minhashSql(table: String, threshold: Double = 0.5)(d: Dialect): String = {
+    val hashes = 12
+    val bandSize = 3
+    val mins = (0 until hashes)
+      .map(i => s"MIN(MD5('s$i:' || shingle)) AS m$i").mkString(",\n         ")
+    val bands = (0 until hashes / bandSize).map { b =>
+      val cols = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || ")
+      s"SELECT id, $b AS band, MD5($cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shinglesCte(d, table)},
+       |sigs AS (
+       |  SELECT id, $mins
+       |    FROM shf GROUP BY id
+       |),
+       |bands AS (
+       |  $bands
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+       |    FROM bands a JOIN bands b
+       |      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |       CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4) AS DOUBLE) AS jaccard
+       |  FROM cands c
+       |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.id = c.doc_a
+       |  JOIN sizes sb ON sb.id = c.doc_b
+       | WHERE CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) >= $threshold
+       | ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  /** 32-bit simhash from word-md5 hex-digit parities. */
+  def simhashSql(table: String, maxHamming: Int = 3)(d: Dialect): String = {
+    // bit i = majority vote of (hex digit i of md5(word)) % 2
+    val bitSums = (0 until 32).map { i =>
+      val hexDigit = s"SUBSTRING(MD5(word), ${i + 1}, 1)"
+      val parity = s"CASE WHEN $hexDigit IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
+      s"CASE WHEN SUM($parity) >= 0 THEN '1' ELSE '0' END AS b$i"
+    }.mkString(",\n         ")
+    val sig = (0 until 32).map(i => s"b$i").mkString(" || ")
+    val chunks = (0 until 4).map { c =>
+      s"SELECT id, sig, $c AS chunk, SUBSTRING(sig, ${c * 8 + 1}, 8) AS piece FROM sigs2"
+    }.mkString("\n  UNION ALL\n  ")
+    val hamming = (1 to 32)
+      .map(i => s"CASE WHEN SUBSTRING(sig_a, $i, 1) <> SUBSTRING(sig_b, $i, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |dw AS (SELECT DISTINCT id, word FROM words),
+       |sigs AS (
+       |  SELECT id, $bitSums FROM dw GROUP BY id
+       |),
+       |sigs2 AS (SELECT id, $sig AS sig FROM sigs),
+       |chunks AS (
+       |  $chunks
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS doc_a, a.sig AS sig_a, b.id AS doc_b, b.sig AS sig_b
+       |    FROM chunks a JOIN chunks b
+       |      ON a.chunk = b.chunk AND a.piece = b.piece AND a.id < b.id
+       |)
+       |SELECT doc_a, doc_b, ($hamming) AS hamming
+       |  FROM cands
+       | WHERE ($hamming) <= $maxHamming
+       | ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def register(spark: SparkSession, dir: String): String = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_docs")
+    "__graft_docs"
+  }
+
+  def runExact(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(exactSql(register(spark, dir))(SparkDialect))
+  def runJaccard(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(jaccardSql(register(spark, dir))(SparkDialect))
+  def runMinhash(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(minhashSql(register(spark, dir))(SparkDialect))
+  def runSimhash(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(simhashSql(register(spark, dir))(SparkDialect))
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+
+  test("text analysis emits one row per document with sane metrics") {
+    val rows = TextAnalysis.run(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val r = rows.find(!_.isNullAt(1)).get
+    assert(r.getAs[Long]("ws_token_ct") >= 0)
+    assert(r.getAs[String]("fingerprint").length == 32)
+  }
+
+  test("exact dedup groups identical texts") {
+    val rows = Dedup.runExact(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Long]("dupe_ct") > 1))
+  }
+
+  test("jaccard and minhash agree: minhash pairs are a subset") {
+    val jac = Dedup.runJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.runMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(jac))
+  }
+
+  test("simhash produces candidate near-dup pairs with small hamming") {
+    val rows = Dedup.runSimhash(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("brute-force knn returns k ranked neighbors per query") {
+    val rows = Similarity.runBruteForce(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    assert(byQuery.values.forall(_.length == 10))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+  }
+
+  test("ivf knn probes one label partition per query") {
+    val rows = Similarity.runIvf(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.values.forall(rs => rs.map(_.getAs[Int]("probed_label")).distinct.length == 1))
+  }
+}

@@ -68,7 +68,13 @@ object SparkEntry {
       ("monitor_freshness" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshness(s, dir))) +
       ("multimodal_features" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.run(s, dir))) +
+      ("lookup_duplicates" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDuplicates(s, dir))) +
+      ("lookup_max_length" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMaxLength(s, dir))) +
+      ("lookup_masked" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMasked(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -97,5 +103,8 @@ object SparkEntry {
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +
       ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +
-      ("multimodal_features" -> graft.pipeline.Multimodal.duckSql())
+      ("multimodal_features" -> graft.pipeline.Multimodal.duckSql()) +
+      ("lookup_duplicates" -> graft.lookup.DrillDown.duckDuplicatesSql()) +
+      ("lookup_max_length" -> graft.lookup.DrillDown.duckMaxLengthSql()) +
+      ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql())
 }

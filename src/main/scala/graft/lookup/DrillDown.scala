@@ -1,0 +1,76 @@
+package graft.lookup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Drill-down lookups + PII masking — per-test offending-row queries
+  * with limits and redaction (reference: per-type `lookup_query` in
+  * testgen/template/dbsetup_test_types YAMLs;
+  * testgen/common/source_data_service.py:26,49-105 for the 500-row
+  * limit; testgen/common/pii_masking.py for redaction).
+  *
+  * The reference samples randomly when over the limit; for determinism
+  * both engines order by (count DESC, value) before limiting — the
+  * documented deviation.
+  */
+object DrillDown {
+  val Limit = 500
+  val Redacted = "<PII_REDACTED>"
+
+  /** Unique-test drill-down: duplicated values with counts
+    * (test_types_Unique.yaml lookup_query shape). */
+  def duplicatesSql(table: String, col: String)(d: Dialect): String =
+    s"""SELECT $col AS value, COUNT(*) AS occurrence_ct
+       |  FROM $table
+       | GROUP BY $col HAVING COUNT(*) > 1
+       | ORDER BY COUNT(*) DESC, $col
+       | LIMIT $Limit""".stripMargin
+
+  /** Alpha_Trunc drill-down: rows at the current maximum length
+    * (test_types_Alpha_Trunc.yaml lookup_query shape). */
+  def maxLengthRowsSql(table: String, col: String)(d: Dialect): String =
+    s"""SELECT DISTINCT $col AS value, LENGTH($col) AS current_max_length
+       |  FROM $table,
+       |       (SELECT MAX(LENGTH($col)) AS max_length FROM $table) a
+       | WHERE LENGTH($col) = a.max_length
+       | ORDER BY value
+       | LIMIT $Limit""".stripMargin
+
+  /** Pattern-mismatch drill-down with PII masking applied to flagged
+    * columns: offending rows, masked. */
+  def maskedMismatchSql(table: String, col: String, re: String,
+                        piiCols: Seq[String], otherCols: Seq[String])(d: Dialect): String = {
+    val projected = otherCols.map { c =>
+      if (piiCols.contains(c)) s"'$Redacted' AS $c" else c
+    }.mkString(", ")
+    s"""SELECT $projected, $col AS offending_value
+       |  FROM $table
+       | WHERE NOT ${d.rlike(col, re)}
+       | ORDER BY $col
+       | LIMIT $Limit""".stripMargin
+  }
+
+  def runDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "orders").createOrReplaceTempView("__dd_orders")
+    spark.sql(duplicatesSql("__dd_orders", "o_custkey")(SparkDialect))
+  }
+
+  def runMaxLength(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "customer").createOrReplaceTempView("__dd_customer")
+    spark.sql(maxLengthRowsSql("__dd_customer", "c_name")(SparkDialect))
+  }
+
+  def runMasked(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "customer").createOrReplaceTempView("__dd_customer")
+    spark.sql(maskedMismatchSql("__dd_customer", "c_mktsegment", "^[A-Z]+$",
+      piiCols = Seq("c_name"),
+      otherCols = Seq("c_custkey", "c_name", "c_mktsegment"))(SparkDialect))
+  }
+
+  def duckDuplicatesSql(): String = duplicatesSql("orders", "o_custkey")(DuckDialect)
+  def duckMaxLengthSql(): String = maxLengthRowsSql("customer", "c_name")(DuckDialect)
+  def duckMaskedSql(): String = maskedMismatchSql("customer", "c_mktsegment", "^[A-Z]+$",
+    piiCols = Seq("c_name"),
+    otherCols = Seq("c_custkey", "c_name", "c_mktsegment"))(DuckDialect)
+}

@@ -24,7 +24,7 @@ object Tables {
     // the driver supplies its own SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    schemas.get(name).fold(df) { want =>
+    val typed = schemas.get(name).fold(df) { want =>
       want.fields.foldLeft(df) { (acc, f) =>
         (f.dataType, acc.schema(f.name).dataType) match {
           case (TimestampType, LongType) =>
@@ -33,6 +33,15 @@ object Tables {
         }
       }
     }
+    // Parquet parallelism is row-group-bounded: a file with one row group
+    // is ONE scan task no matter how many cores exist, serializing every
+    // downstream per-row computation. Real deployments have many files /
+    // row groups so the scan parallelizes for free; this guard only
+    // rebalances under-parallel inputs (like the single-row-group driver
+    // fixtures) up to the cluster's parallelism.
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (typed.rdd.getNumPartitions < math.min(4, parallelism)) typed.repartition(parallelism)
+    else typed
   }
 
   /** Static schemas of the driver testdata (TESTDATA.md / FIXTURES.md §1).

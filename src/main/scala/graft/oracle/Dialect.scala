@@ -70,6 +70,12 @@ sealed trait Dialect {
   def arrayPosRel(table: String, keyCol: String, arrCol: String): String
   /** Parse a hex-digit string expression to BIGINT. */
   def hexToInt(x: String): String
+  /** Bitwise XOR of two integer expressions. */
+  def bitXor(a: String, b: String): String
+  /** Number of set bits of an integer expression. */
+  def bitCount(x: String): String = s"bit_count($x)"
+  /** Arithmetic right shift of an integer expression by n bits. */
+  def shiftRight(x: String, n: Int): String
   /** Force NULL-in → NULL-out for an expression derived from `x`, for
     * dialects whose string functions (e.g. DuckDB SPLIT_PART) return ''
     * on NULL input where Postgres/Spark return NULL. */
@@ -122,6 +128,8 @@ object SparkDialect extends Dialect {
     s"""SELECT $keyCol, p.pos, CAST(p.val AS DOUBLE) AS val FROM $table
        | LATERAL VIEW posexplode($arrCol) p AS pos, val""".stripMargin
   def hexToInt(x: String): String = s"CAST(CONV($x, 16, 10) AS BIGINT)"
+  def bitXor(a: String, b: String): String = s"($a ^ $b)"
+  def shiftRight(x: String, n: Int): String = s"shiftright($x, $n)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
@@ -174,6 +182,8 @@ object DuckDialect extends Dialect {
     s"""SELECT $keyCol, generate_subscripts($arrCol, 1) - 1 AS pos,
        | CAST(unnest($arrCol) AS DOUBLE) AS val FROM $table""".stripMargin
   def hexToInt(x: String): String = s"CAST(('0x' || ($x)) AS BIGINT)"
+  def bitXor(a: String, b: String): String = s"xor($a, $b)"
+  def shiftRight(x: String, n: Int): String = s"($x >> $n)"
   def textType: String = "VARCHAR"
   private def esc(s: String) = s.replace("'", "''")
   protected def escq(s: String): String = esc(s)

@@ -105,40 +105,51 @@ object Dedup {
        | ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
-  /** 32-bit simhash from word-md5 hex-digit parities. */
+  /** 32-bit simhash from word-md5 hex-digit parities.
+    *
+    * The signature is packed into a BIGINT so hamming distance is ONE
+    * `bit_count(xor(a, b))` instead of 32 per-character comparisons, and
+    * md5 is computed once per (doc, word) instead of once per bit.
+    * Near-dup candidates bucket on the four signature bytes (pigeonhole:
+    * hamming <= 3 ⇒ at least one of 4 bytes equal); the hamming filter is
+    * applied inside the bucket join BEFORE the cross-chunk dedup so the
+    * DISTINCT only sees surviving pairs. */
   def simhashSql(table: String, maxHamming: Int = 3)(d: Dialect): String = {
     // bit i = majority vote of (hex digit i of md5(word)) % 2
     val bitSums = (0 until 32).map { i =>
-      val hexDigit = s"SUBSTRING(MD5(word), ${i + 1}, 1)"
+      val hexDigit = s"SUBSTRING(h, ${i + 1}, 1)"
       val parity = s"CASE WHEN $hexDigit IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
-      s"CASE WHEN SUM($parity) >= 0 THEN '1' ELSE '0' END AS b$i"
+      s"CASE WHEN SUM($parity) >= 0 THEN 1 ELSE 0 END AS b$i"
     }.mkString(",\n         ")
-    val sig = (0 until 32).map(i => s"b$i").mkString(" || ")
-    val chunks = (0 until 4).map { c =>
-      s"SELECT id, sig, $c AS chunk, SUBSTRING(sig, ${c * 8 + 1}, 8) AS piece FROM sigs2"
-    }.mkString("\n  UNION ALL\n  ")
-    val hamming = (1 to 32)
-      .map(i => s"CASE WHEN SUBSTRING(sig_a, $i, 1) <> SUBSTRING(sig_b, $i, 1) THEN 1 ELSE 0 END")
+    val packed = (0 until 32)
+      .map(i => s"CAST(b$i AS BIGINT) * ${1L << i}")
       .mkString(" + ")
+    val chunks = (0 until 4).map { c =>
+      val byte = s"CAST(${d.shiftRight("v", c * 8)} % 256 AS INT)"
+      s"SELECT id, v, $c AS chunk, $byte AS piece FROM sigs2"
+    }.mkString("\n  UNION ALL\n  ")
+    val hamming = d.bitCount(d.bitXor("a.v", "b.v"))
     s"""WITH words AS (
        |  ${d.wordsRel(table, "doc_id", "text")}
        |),
-       |dw AS (SELECT DISTINCT id, word FROM words),
+       |dw AS (
+       |  SELECT id, MD5(word) AS h FROM (SELECT DISTINCT id, word FROM words)
+       |),
        |sigs AS (
        |  SELECT id, $bitSums FROM dw GROUP BY id
        |),
-       |sigs2 AS (SELECT id, $sig AS sig FROM sigs),
+       |sigs2 AS (SELECT id, $packed AS v FROM sigs),
        |chunks AS (
        |  $chunks
        |),
        |cands AS (
-       |  SELECT DISTINCT a.id AS doc_a, a.sig AS sig_a, b.id AS doc_b, b.sig AS sig_b
+       |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, $hamming AS hamming
        |    FROM chunks a JOIN chunks b
        |      ON a.chunk = b.chunk AND a.piece = b.piece AND a.id < b.id
+       |   WHERE $hamming <= $maxHamming
        |)
-       |SELECT doc_a, doc_b, ($hamming) AS hamming
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
        |  FROM cands
-       | WHERE ($hamming) <= $maxHamming
        | ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -154,22 +154,39 @@ object FreqProfiler {
   def duckSql(table: String, schema: StructType): String =
     duckSqlBody(table, schema) + "\nORDER BY column_name"
 
-  /** Execute the two-stage frequency profile for one table in `dir`. */
-  def profile(spark: SparkSession, dir: String, table: String): DataFrame = {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  /** Execute (memoized) the two-stage frequency profile for one table in
+    * `dir`. Stage-1 eligibility (distinct count / max length per A-column)
+    * is read from the memoized primary profile — one shared scan family
+    * instead of a dedicated eligibility query. The stage-2 result is
+    * metadata-sized (one row per A-column), so it is materialized and
+    * reused by every downstream consumer. */
+  def profile(spark: SparkSession, dir: String, table: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), dir, table),
+      compute(spark, dir, table))
+
+  private def compute(spark: SparkSession, dir: String, table: String): DataFrame = {
     val df = graft.core.Tables.load(spark, dir, table)
     val cols = aCols(df.schema)
     val view = s"__graft_freq_$table"
     df.createOrReplaceTempView(view)
     require(cols.nonEmpty, s"no A-columns in $table")
-    // Stage 1: eligibility — one narrow scan, tiny result.
-    val statExprs = cols.flatMap(c => Seq(
-      s"COUNT(DISTINCT $c) AS dc_$c", s"MAX(LENGTH($c)) AS ml_$c"))
-    val stats = spark.sql(s"SELECT ${statExprs.mkString(", ")} FROM $view").collect()(0)
-    def stat(name: String): Long =
-      if (stats.isNullAt(stats.fieldIndex(name))) 0L else stats.getAs[Number](name).longValue()
-    val freqCols = cols.filter(c => stat(s"dc_$c") >= 2 && stat(s"dc_$c") <= 70 && stat(s"ml_$c") <= 70)
-    val patCols = cols.filter(c => stat(s"ml_$c") >= 3 && stat(s"ml_$c") <= 25)
+    // Stage 1: eligibility from the (memoized) primary profile.
+    val stats = Profiler.profile(spark, dir, table).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    def stat(col: String, field: String): Long = {
+      val r = stats(col)
+      if (r.isNullAt(r.fieldIndex(field))) 0L else r.getAs[Long](field)
+    }
+    val freqCols = cols.filter(c => stat(c, "distinct_value_ct") >= 2 &&
+      stat(c, "distinct_value_ct") <= 70 && stat(c, "max_length") <= 70)
+    val patCols = cols.filter(c => stat(c, "max_length") >= 3 && stat(c, "max_length") <= 25)
     // Stage 2: fused frequency/pattern job over eligible columns only.
-    spark.sql(sparkSql(view, freqCols, patCols, cols))
+    val out = spark.sql(sparkSql(view, freqCols, patCols, cols))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    local
   }
 }

@@ -29,17 +29,63 @@ object GeneralType {
   }
 }
 
-/** One profiling metric: a name and a dialect-parametric SQL expression.
-  * `render(SparkDialect)` is what the engine executes; `render(DuckDialect)`
-  * is the driver's DuckDB oracle. One definition, two renderings.
+/** One profiling metric, carried in one of four execution classes so the
+  * engine can route it to the right physical job (see Profiler) while the
+  * DuckDB oracle renders the whole set as one flat aggregate list:
+  *
+  *  - [[ConstM]]: per-column literals (position, types) — no data touched;
+  *  - [[ScalarM]]: ordinary aggregate expressions (SUM/MIN/MAX/AVG/CASE
+  *    votes) — all fuse into ONE full-codegen scan with no Expand;
+  *  - [[DistinctM]]: COUNT(DISTINCT expr) — executed via the unpivoted
+  *    two-phase group-by job (never the Expand-based multi-distinct plan);
+  *  - [[PctM]]: exact interpolated percentiles — one ObjectHashAggregate
+  *    pass over the numeric columns only.
+  *
+  * `render(dialect)` always produces the flat single-expression form used
+  * by the oracle (and by tests); metrics that don't apply to the column's
+  * general type render as typed NULLs, mirroring the reference template's
+  * TG-IF/TG-ELSE NULL branches.
   */
+sealed trait MetricEntry {
+  def name: String
+  def tpe: String // "bigint" | "int" | "double" | "text"
+  def applies: Boolean
+  def render(d: Dialect): String
+}
+final case class ConstM(name: String, tpe: String, sql: String, value: Any)
+    extends MetricEntry {
+  val applies = true
+  def render(d: Dialect): String = sql
+}
+final case class ScalarM(name: String, tpe: String, applies: Boolean,
+                         expr: Dialect => String) extends MetricEntry {
+  def render(d: Dialect): String = if (applies) expr(d) else d.nullOf(tpe)
+}
+/** `cls` routes the inner value through the unpivot job's typed slots:
+  * "S" string as-is, "T" cast-to-string (timestamps/booleans — the cast is
+  * injective), "N" cast-to-double (exact for the int/date-diff inputs). */
+final case class DistinctM(name: String, applies: Boolean,
+                           inner: Dialect => String, cls: String) extends MetricEntry {
+  val tpe = "bigint"
+  def render(d: Dialect): String =
+    if (applies) s"COUNT(DISTINCT ${inner(d)})" else d.nullOf(tpe)
+}
+final case class PctM(name: String, applies: Boolean, q: Double,
+                      input: Dialect => String) extends MetricEntry {
+  val tpe = "double"
+  def render(d: Dialect): String =
+    if (applies) s"CAST(ROUND(${d.quantileCont(input(d), q)}, 4) AS DOUBLE)"
+    else d.nullOf(tpe)
+}
+
+/** Backwards-compatible flat view of a metric (name + dialect rendering). */
 final case class Metric(name: String, render: Dialect => String)
 
 /** The per-column wide-aggregate metric set — the Spark re-expression of
   * the reference's one-query-per-column profiling template (reference:
   * testgen/template/flavors/postgresql/profiling/project_profiling_query.sql:1-258).
   * Unlike the reference (one scan per column), all columns' metrics fuse
-  * into a single `agg` = single table scan (see Profiler).
+  * into a handful of whole-table jobs (see Profiler).
   *
   * Output-type discipline: every count is CAST to BIGINT (DuckDB SUM(int)
   * returns HUGEINT otherwise), every statistic is ROUND(...,4)::DOUBLE
@@ -151,11 +197,10 @@ object ProfileMetrics {
        |END""".stripMargin
   }
 
-  /** The full metric list for one column. Metrics that don't apply to the
-    * column's general type are emitted as typed NULLs so every column's
-    * metric struct has an identical schema (mirrors the template's
-    * TG-IF/TG-ELSE NULL branches). */
-  def forColumn(col: String, position: Int, dt: DataType): Seq[Metric] = {
+  /** The full metric entry list for one column, in canonical output order.
+    * Metrics that don't apply to the column's general type render as typed
+    * NULLs so every column's row has an identical schema. */
+  def entries(col: String, position: Int, dt: DataType): Seq[MetricEntry] = {
     val g = GeneralType.of(dt)
     val dec = GeneralType.isDecimal(dt)
     val c = col
@@ -166,31 +211,32 @@ object ProfileMetrics {
     val isADN = isA || isN || isD
     val runTs = ts(s"$RunDate 00:00:00")
 
-    // The CASE WHEN 1=1 wrapper forces a nullable struct field on the
-    // applying branch, so every column's metric struct has the same type
-    // for the unpivot regardless of which TG-IF branch it took.
-    def m(name: String, applies: Boolean, tpe: String)(f: Dialect => String): Metric =
-      Metric(name, d =>
-        if (applies) s"CASE WHEN 1=1 THEN ${f(d)} END" else d.nullOf(tpe))
+    def m(name: String, applies: Boolean, tpe: String)(f: Dialect => String): ScalarM =
+      ScalarM(name, tpe, applies, f)
 
     val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     val upperAlpha = alpha.take(26)
     val lowerAlpha = alpha.drop(26)
     val np = Patterns.nonPrintingChars
+    // distinct_value_ct value routing: strings as-is; numerics via DOUBLE
+    // (exact for the test-data key ranges); everything else via an
+    // injective string cast.
+    val rawCls = if (isA) "S" else if (isN) "N" else "T"
+    // Parquet timestamps without tz info infer as timestamp_ntz on Spark;
+    // report both variants as plain "timestamp" (one logical D type here).
+    val colType = dt match {
+      case _: TimestampNTZType => "timestamp"
+      case other               => other.simpleString
+    }
 
     Seq(
-      Metric("position", _ => s"CAST($position AS INT)"),
-      // Parquet timestamps without tz info infer as timestamp_ntz on Spark;
-      // report both variants as plain "timestamp" (one logical D type here).
-      Metric("column_type", _ => sq(dt match {
-        case _: TimestampNTZType => "timestamp"
-        case other               => other.simpleString
-      })),
-      Metric("general_type", _ => sq(g)),
-      Metric("record_ct", _ => "COUNT(*)"),
-      Metric("value_ct", _ => s"COUNT($c)"),
-      Metric("distinct_value_ct", _ => s"COUNT(DISTINCT $c)"),
-      Metric("null_value_ct", _ => sumIf(s"$c IS NULL")),
+      ConstM("position", "int", s"CAST($position AS INT)", position),
+      ConstM("column_type", "text", sq(colType), colType),
+      ConstM("general_type", "text", sq(g), g),
+      ScalarM("record_ct", "bigint", true, _ => "COUNT(*)"),
+      ScalarM("value_ct", "bigint", true, _ => s"COUNT($c)"),
+      DistinctM("distinct_value_ct", true, _ => c, rawCls),
+      ScalarM("null_value_ct", "bigint", true, _ => sumIf(s"$c IS NULL")),
       m("min_length", isADN, "bigint")(d => s"CAST(MIN(LENGTH(${d.castText(c)})) AS BIGINT)"),
       m("max_length", isADN, "bigint")(d => s"CAST(MAX(LENGTH(${d.castText(c)})) AS BIGINT)"),
       m("avg_length", isADN, "double")(d =>
@@ -199,8 +245,8 @@ object ProfileMetrics {
         if (isA) sumIf(d.rlike(s"TRIM($c)", Patterns.zeroString))
         else s"CAST(SUM(1 - ABS(SIGN($c))) AS BIGINT)"
       },
-      m("distinct_std_value_ct", isA, "bigint")(_ =>
-        s"COUNT(DISTINCT UPPER(TRANSLATE($c, ' '',.-', '')))"),
+      DistinctM("distinct_std_value_ct", isA,
+        _ => s"UPPER(TRANSLATE($c, ' '',.-', ''))", "S"),
       m("zero_length_ct", isA, "bigint")(_ => sumIf(s"$c = ''")),
       m("lead_space_ct", isA, "bigint")(_ => sumIf(s"$c BETWEEN ' !' AND '!'")),
       m("quoted_value_ct", isA, "bigint")(_ =>
@@ -218,8 +264,8 @@ object ProfileMetrics {
       m("numeric_ct", isA, "bigint")(d => s"CAST(SUM(${isNumCase(s"LEFT($c, 31)")(d)}) AS BIGINT)"),
       m("date_ct", isA, "bigint")(d => s"CAST(SUM(${isDateCase(s"LEFT($c, 26)")(d)}) AS BIGINT)"),
       m("std_pattern_match", isA, "text")(d => stdPatternMatch(c)(d)),
-      m("distinct_pattern_ct", isA, "bigint")(d =>
-        s"COUNT(DISTINCT CASE WHEN $c > ' ' THEN ${patternOf(c)(d)} END)"),
+      DistinctM("distinct_pattern_ct", isA,
+        d => s"CASE WHEN $c > ' ' THEN ${patternOf(c)(d)} END", "S"),
       m("embedded_space_ct", isA, "bigint")(_ =>
         s"CAST(SUM(CAST(SIGN(LENGTH(TRIM($c)) - LENGTH(REPLACE(TRIM($c), ' ', ''))) AS BIGINT)) AS BIGINT)"),
       m("avg_embedded_spaces", isA, "double")(_ =>
@@ -229,9 +275,9 @@ object ProfileMetrics {
       m("max_value", isN, "double")(_ => s"CAST(MAX($c) AS DOUBLE)"),
       m("avg_value", isN, "double")(_ => round4(s"AVG(CAST($c AS DOUBLE))")),
       m("stdev_value", isN, "double")(_ => round4(s"STDDEV_SAMP(CAST($c AS DOUBLE))")),
-      m("percentile_25", isN, "double")(d => round4(d.quantileCont(s"CAST($c AS DOUBLE)", 0.25))),
-      m("percentile_50", isN, "double")(d => round4(d.quantileCont(s"CAST($c AS DOUBLE)", 0.50))),
-      m("percentile_75", isN, "double")(d => round4(d.quantileCont(s"CAST($c AS DOUBLE)", 0.75))),
+      PctM("percentile_25", isN, 0.25, _ => s"CAST($c AS DOUBLE)"),
+      PctM("percentile_50", isN, 0.50, _ => s"CAST($c AS DOUBLE)"),
+      PctM("percentile_75", isN, 0.75, _ => s"CAST($c AS DOUBLE)"),
       m("fractional_sum", isN && dec, "double")(_ =>
         round4(s"SUM(ROUND(ABS(CAST($c AS DOUBLE) % 1), 5))")),
       m("min_date", isD, "text")(d =>
@@ -245,10 +291,23 @@ object ProfileMetrics {
       m("within_1mo_date_ct", isD, "bigint")(d => sumIf(s"${d.dateDiffDay(c, runTs)} BETWEEN 0 AND 30")),
       m("future_date_ct", isD, "bigint")(_ => sumIf(s"$c > $runTs")),
       m("distant_future_date_ct", isD, "bigint")(d => sumIf(s"${d.dateDiffMonth(runTs, c)} > 240")),
-      m("date_days_present", isD, "bigint")(d => s"COUNT(DISTINCT ${d.dateDiffDay(c, runTs)})"),
-      m("date_weeks_present", isD, "bigint")(d => s"COUNT(DISTINCT ${d.dateDiffWeek(c, runTs)})"),
-      m("date_months_present", isD, "bigint")(d => s"COUNT(DISTINCT ${d.dateDiffMonth(c, runTs)})"),
-      m("boolean_true_ct", isB, "bigint")(_ => s"CAST(SUM(CAST($c AS INT)) AS BIGINT)")
+      DistinctM("date_days_present", isD, d => d.dateDiffDay(c, runTs), "N"),
+      DistinctM("date_weeks_present", isD, d => d.dateDiffWeek(c, runTs), "N"),
+      DistinctM("date_months_present", isD, d => d.dateDiffMonth(c, runTs), "N"),
+      ScalarM("boolean_true_ct", "bigint", isB,
+        _ => s"CAST(SUM(CAST($c AS INT)) AS BIGINT)")
     )
+  }
+
+  /** Flat (name, rendering) view — the oracle's and tests' interface. */
+  def forColumn(col: String, position: Int, dt: DataType): Seq[Metric] =
+    entries(col, position, dt).map(e => Metric(e.name, d => e.render(d)))
+
+  /** Spark type of a metric's abstract `tpe`. */
+  def sparkType(tpe: String): DataType = tpe match {
+    case "bigint" => LongType
+    case "int"    => IntegerType
+    case "double" => DoubleType
+    case _        => StringType
   }
 }

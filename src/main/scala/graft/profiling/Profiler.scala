@@ -1,57 +1,46 @@
 package graft.profiling
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
 import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
-/** Single-scan table profiler.
+/** Single-pass-per-class table profiler.
   *
   * The reference profiles one column per query — an N-column table is
   * scanned N+ times (reference: testgen/commands/run_profiling.py:179-184).
-  * Here every column's full metric set is computed in ONE aggregate over
-  * ONE scan: each column contributes a `named_struct` of its ~45 metrics,
-  * and a `stack` unpivots the single wide row into one row per column.
+  * Here the full metric set of ALL columns is computed in three bounded
+  * jobs per table, each shaped for Spark's execution model:
   *
-  * Scale notes (100 TB):
-  *  - One pass over the data; no joins, no driver-side iteration.
-  *  - The multiple exact COUNT(DISTINCT x) aggregates plan as a single
-  *    Expand + two-phase HashAggregate — Spark's native multi-distinct
-  *    strategy; partial aggregation happens map-side so the shuffle
-  *    carries only per-group partial states (the group count here is 1).
-  *  - At very large row counts the reference itself samples (>100k rows
-  *    by default); `profile` takes an optional sample fraction for that
-  *    path, keeping metrics estimates as the reference does.
+  *  1. **Scalar job** — every non-distinct aggregate (counts, sums, votes,
+  *     min/max/avg/stddev, regex classifiers) for every column fused into
+  *     ONE aggregate over ONE scan. No DISTINCT ⇒ no Expand ⇒ the plan
+  *     stays a two-phase partial HashAggregate inside whole-stage codegen,
+  *     and the shuffle carries a single partial-state row per partition.
+  *  2. **Distinct job** — every COUNT(DISTINCT expr) re-expressed as an
+  *     unpivot (`stack`) to (metric_id, value) rows followed by two
+  *     group-bys: (id, value) — map-side combine collapses duplicates
+  *     before the exchange — then (id) counting groups. This is the plan
+  *     that survives 100 TB: per-key partial dedup instead of Spark's
+  *     Expand-based multi-distinct (which multiplies the scan rows by the
+  *     number of distinct aggregates and shuffles complex grouping keys).
+  *  3. **Percentile job** — exact interpolated percentiles over numeric
+  *     columns only (ObjectHashAggregate; kept out of job 1 so job 1 stays
+  *     codegen).
+  *
+  * The three results are metadata-sized (one row or one row per metric);
+  * they are collected and assembled into the final per-column rows on the
+  * driver — no joins, no unions of wide aggregate plans. Results are
+  * memoized per (session, dir, table): profiling feeds many downstream
+  * queries (inference, hygiene, generation, scoring) which share one pass,
+  * mirroring the reference's profile_results app-DB table.
+  *
+  * At very large row counts the reference samples (>100k rows by default);
+  * `profile` takes an optional sample fraction for that path.
   */
 object Profiler {
-
-  /** Fused Spark SQL profiling query text for a table. */
-  def sparkSql(table: String, schema: StructType): String =
-    sparkSqlFor(table,
-      schema.fields.toSeq.zipWithIndex.map { case (f, i) => (f, i + 1) }) +
-      "\nORDER BY column_name"
-
-  /** Fused Spark SQL for a subset of columns with explicit 1-based
-    * schema positions (used by the chunked executor). */
-  def sparkSqlFor(table: String,
-                  fields: Seq[(org.apache.spark.sql.types.StructField, Int)]): String = {
-    val d: Dialect = SparkDialect
-    val structs = fields.zipWithIndex.map { case ((f, pos), i) =>
-      val ms = ProfileMetrics.forColumn(f.name, pos, f.dataType)
-      val entries = ms.map(m => s"'${m.name}', ${m.render(d)}").mkString(",\n    ")
-      s"named_struct(\n    $entries\n  ) AS m_$i"
-    }
-    val stackArgs = fields.zipWithIndex
-      .map { case ((f, _), i) => s"'${f.name}', m_$i" }
-      .mkString(", ")
-    s"""SELECT column_name, m.* FROM (
-       |  SELECT stack(${fields.length}, $stackArgs) AS (column_name, m) FROM (
-       |    SELECT
-       |  ${structs.mkString(",\n  ")}
-       |    FROM $table
-       |  )
-       |)""".stripMargin
-  }
 
   /** DuckDB oracle: the same metrics as per-column aggregate SELECTs
     * UNION ALL'd (the oracle may scan N times; only the engine needs the
@@ -69,28 +58,115 @@ object Profiler {
   def duckSql(table: String, schema: StructType): String =
     duckSqlBody(table, schema) + "\nORDER BY column_name"
 
-  /** Columns per aggregation job. The all-columns-in-one-agg plan is
-    * minimal-scan but its many DISTINCT aggregates force an Expand and
-    * its ~45·N expressions blow past whole-stage-codegen limits — at
-    * sf0.1 the fused lineitem profile ran 5x slower than chunked
-    * execution. Small chunks keep every plan codegen-friendly while
-    * still scanning the (column-pruned) table a handful of times
-    * instead of once per column like the reference. */
-  val ChunkSize = 2
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Option[Double]), DataFrame]
 
-  /** Execute the profile for one table read from `dir`, chunked into
-    * codegen-sized aggregation jobs and unioned. */
+  /** Execute (memoized) the three-job profile for one table in `dir`. */
   def profile(spark: SparkSession, dir: String, table: String,
-              sampleFraction: Option[Double] = None): DataFrame = {
+              sampleFraction: Option[Double] = None): DataFrame =
+    cache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, table, sampleFraction),
+      compute(spark, dir, table, sampleFraction))
+
+  private def compute(spark: SparkSession, dir: String, table: String,
+                      sampleFraction: Option[Double]): DataFrame = {
+    val d: Dialect = SparkDialect
     val df0 = graft.core.Tables.load(spark, dir, table)
     val df = sampleFraction.fold(df0)(f => df0.sample(withReplacement = false, f, seed = 64L))
     val view = s"__graft_profile_$table"
     df.createOrReplaceTempView(view)
-    val chunks = df.schema.fields.toSeq.zipWithIndex
-      .map { case (f, i) => (f, i + 1) }
-      .grouped(ChunkSize).toSeq
-    chunks.map(fs => spark.sql(sparkSqlFor(view, fs)))
-      .reduce(_ unionByName _)
-      .orderBy("column_name")
+
+    val perCol: Seq[(StructField, Int, Seq[MetricEntry])] =
+      df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        (f, i, ProfileMetrics.entries(f.name, i + 1, f.dataType))
+      }
+
+    // Job 1: all scalar aggregates, one scan, no distinct.
+    val scalarSel = for {
+      (_, i, es) <- perCol
+      e <- es.collect { case s: ScalarM if s.applies => s }
+    } yield s"${e.expr(d)} AS v_${i}_${e.name}"
+    val debug = sys.env.contains("GRAFT_PROFILE_DEBUG")
+    def timed[T](label: String)(f: => T): T =
+      if (!debug) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROFJOB $table $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+    val scalarRow: Row = timed("scalar")(
+      spark.sql(s"SELECT ${scalarSel.mkString(",\n  ")} FROM $view").collect()(0))
+
+    // Job 2: distinct counts via unpivot + two-phase group-by.
+    val dspecs: Seq[(Int, DistinctM)] = for {
+      (_, i, es) <- perCol
+      e <- es.collect { case x: DistinctM if x.applies => x }
+    } yield (i, e)
+    val kidOf: Map[(Int, String), Int] =
+      dspecs.zipWithIndex.map { case ((i, e), kid) => (i, e.name) -> kid }.toMap
+    val dmap: Map[Int, Long] =
+      if (dspecs.isEmpty) Map.empty
+      else {
+        val stackArgs = dspecs.zipWithIndex.map { case ((_, e), kid) =>
+          val inner = e.inner(d)
+          e.cls match {
+            case "S" => s"$kid, $inner, CAST(NULL AS DOUBLE)"
+            case "T" => s"$kid, CAST($inner AS STRING), CAST(NULL AS DOUBLE)"
+            case _   => s"$kid, CAST(NULL AS STRING), CAST($inner AS DOUBLE)"
+          }
+        }
+        val sql =
+          s"""SELECT kid, COUNT(*) AS ct FROM (
+             |  SELECT kid, sv, nv FROM (
+             |    SELECT stack(${stackArgs.length}, ${stackArgs.mkString(",\n      ")})
+             |           AS (kid, sv, nv) FROM $view
+             |  ) WHERE sv IS NOT NULL OR nv IS NOT NULL
+             |  GROUP BY kid, sv, nv
+             |) GROUP BY kid""".stripMargin
+        timed("distinct")(spark.sql(sql).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      }
+
+    // Job 3: exact percentiles per numeric column (one array call each).
+    val pctCols: Seq[(Int, Seq[PctM])] = perCol.collect {
+      case (_, i, es) if es.exists { case p: PctM => p.applies; case _ => false } =>
+        i -> es.collect { case p: PctM if p.applies => p }
+    }
+    val pctVals: Map[(Int, String), Any] =
+      if (pctCols.isEmpty) Map.empty
+      else {
+        val sel = pctCols.map { case (i, ps) =>
+          val qs = ps.map(_.q).mkString(", ")
+          val input = ps.head.input(d)
+          s"transform(percentile($input, array($qs)), x -> CAST(ROUND(x, 4) AS DOUBLE)) AS p_$i"
+        }
+        val row = timed("percentile")(
+          spark.sql(s"SELECT ${sel.mkString(", ")} FROM $view").collect()(0))
+        pctCols.flatMap { case (i, ps) =>
+          val arr = row.getAs[scala.collection.Seq[Any]](s"p_$i")
+          ps.zipWithIndex.map { case (p, j) =>
+            (i, p.name) -> (if (arr == null) null else arr(j))
+          }
+        }.toMap
+      }
+
+    // Assembly: metadata-sized, driver-side.
+    val entriesRef = perCol.head._3
+    val schema = StructType(
+      StructField("column_name", StringType) +:
+        entriesRef.map(e => StructField(e.name, ProfileMetrics.sparkType(e.tpe))))
+    val rows = perCol.sortBy(_._1.name).map { case (f, i, es) =>
+      val vals: Seq[Any] = es.map {
+        case c: ConstM => c.value
+        case s: ScalarM =>
+          if (!s.applies) null
+          else scalarRow.get(scalarRow.fieldIndex(s"v_${i}_${s.name}"))
+        case dm: DistinctM =>
+          if (!dm.applies) null else dmap.getOrElse(kidOf((i, dm.name)), 0L)
+        case p: PctM =>
+          if (!p.applies) null else pctVals.getOrElse((i, p.name), null)
+      }
+      Row.fromSeq(f.name +: vals)
+    }
+    spark.createDataFrame(rows.asJava, schema)
   }
 }

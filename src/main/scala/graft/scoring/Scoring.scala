@@ -42,13 +42,15 @@ object Scoring {
   }
 
   /** Per-test-type prevalence formula over (r = failed result row,
-    * p = profile row). `m` = result measure, `t` = threshold literal. */
-  private def formula(test: CatTest, d: Dialect): Option[(Double, String)] = {
+    * p = profile row, pr = test parameters). `m` = result measure,
+    * `t` = the test's threshold (a DOUBLE column of the params relation,
+    * so one dispatch expression covers every test of the type). */
+  private def formula(testType: String, d: Dialect): Option[(Double, String)] = {
     val m = "r.measure_num"
-    val t = test.threshold
+    val t = "pr.thr"
     val rc = "NULLIF(CAST(p.record_ct AS DOUBLE), 0)"
     val generic = Some(1.0 -> s"($m - $t) / $rc")
-    test.testType match {
+    testType match {
       case "Required" | "Unique" | "LOV_Match" | "Min_Date" | "Min_Val" |
            "Pattern_Match" | "US_State" | "Valid_Month" | "Valid_US_Zip" |
            "Valid_US_Zip3" | "Constant" | "Condition_Flag" | "Email_Format" |
@@ -84,24 +86,39 @@ object Scoring {
     }
   }
 
-  /** Prevalence of every failed CAT test, joined to the profile row. */
+  /** Prevalence of every failed CAT test: ONE pass over the (tiny) CAT
+    * result relation — a params VALUES relation carries each test's
+    * threshold + risk, and a single CASE dispatches the per-type formula.
+    * (The earlier per-test UNION ALL re-planned the whole CAT subtree per
+    * branch — hundreds of copies under Spark's CTE inlining.) */
   def testPrevalenceSql(catRel: String, enrRel: String)(d: Dialect): String = {
-    val branches = for {
+    val paramRows = for {
       (table, tests) <- CatSuite.suites.toSeq.sortBy(_._1)
       test <- tests
-      (risk, f) <- formula(test, d)
-    } yield
-      s"""SELECT r.test_type, r.table_name, r.column_name,
-         |  CAST(ROUND(LEAST(1.0, $risk * ($f)), 4) AS DOUBLE) AS dq_prevalence
-         |  FROM catres r JOIN enr p
-         |    ON p.table_name = r.table_name AND p.column_name = r.column_name
-         | WHERE r.table_name = '$table' AND r.test_type = '${test.testType}'
-         |   AND r.column_name = '${test.column}'
-         |   AND r.result_code = 0 AND r.measure_num IS NOT NULL""".stripMargin
+      if formula(test.testType, d).isDefined
+    } yield {
+      val thr = test.threshold.toDouble
+      s"('$table', '${test.testType}', '${test.column}', CAST($thr AS DOUBLE))"
+    }
+    val types = CatSuite.suites.values.flatten.map(_.testType).toSeq.distinct.sorted
+    val dispatch = types.flatMap { tt =>
+      formula(tt, d).map { case (risk, f) => s"WHEN r.test_type = '$tt' THEN $risk * ($f)" }
+    }
     s"""WITH catres AS ${d.cteMaterialized}(SELECT * FROM $catRel),
-       |enr AS ${d.cteMaterialized}(SELECT * FROM $enrRel)
-       |${branches.mkString("\nUNION ALL\n")}
-       |ORDER BY table_name, test_type, column_name""".stripMargin
+       |enr AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |params AS (
+       |  SELECT * FROM (VALUES
+       |    ${paramRows.mkString(",\n    ")}
+       |  ) AS v(p_table, p_type, p_column, thr)
+       |)
+       |SELECT r.test_type, r.table_name, r.column_name,
+       |       CAST(ROUND(LEAST(1.0, CASE ${dispatch.mkString("\n  ")} END), 4) AS DOUBLE) AS dq_prevalence
+       |  FROM catres r
+       |  JOIN params pr ON pr.p_table = r.table_name AND pr.p_type = r.test_type
+       |                AND pr.p_column = r.column_name
+       |  JOIN enr p ON p.table_name = r.table_name AND p.column_name = r.column_name
+       | WHERE r.result_code = 0 AND r.measure_num IS NOT NULL
+       | ORDER BY r.table_name, r.test_type, r.column_name""".stripMargin
   }
 
   /** Score rollup over hygiene-anomaly prevalences

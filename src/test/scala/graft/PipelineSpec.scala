@@ -27,7 +27,7 @@ class PipelineSpec extends SparkSpec {
 
   test("simhash produces candidate near-dup pairs with small hamming") {
     val rows = Dedup.runSimhash(spark, sfDir).collect()
-    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3L))
   }
 
   test("brute-force knn returns k ranked neighbors per query") {

@@ -74,7 +74,23 @@ object SparkEntry {
       ("lookup_max_length" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMaxLength(s, dir))) +
       ("lookup_masked" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMasked(s, dir)))
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMasked(s, dir))) +
+      ("lookup_recency" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runRecency(s, dir))) +
+      ("lookup_outliers" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runOutliers(s, dir))) +
+      ("dedup_embedding" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbedding(s, dir))) +
+      ("monitor_trend_forecast" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runTrendForecast(s, dir))) +
+      ("monitor_freshness_gaps" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshnessGaps(s, dir))) +
+      ("contingency_rules" ->
+        ((s: SparkSession, dir: String) => graft.inference.Contingency.run(s, dir))) +
+      ("score_cards" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCard(s, dir))) +
+      ("schema_drift" ->
+        ((s: SparkSession, dir: String) => graft.inference.SchemaDrift.run(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -106,5 +122,14 @@ object SparkEntry {
       ("multimodal_features" -> graft.pipeline.Multimodal.duckSql()) +
       ("lookup_duplicates" -> graft.lookup.DrillDown.duckDuplicatesSql()) +
       ("lookup_max_length" -> graft.lookup.DrillDown.duckMaxLengthSql()) +
-      ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql())
+      ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()) +
+      ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()) +
+      ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
+      ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()) +
+      ("monitor_freshness_gaps" -> graft.streaming.Monitors.duckFreshnessGapsSql()) +
+      ("contingency_rules" -> graft.inference.Contingency.duckSql()) +
+      ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql())
+      // schema_drift: metadata diff over parquet footers — not
+      // SQL-expressible against the oracle's views; rows-only check.
 }

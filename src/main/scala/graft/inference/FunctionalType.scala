@@ -415,19 +415,29 @@ object FunctionalType {
     }
 
   private def buildProfileAll(spark: SparkSession, dir: String): DataFrame = {
-    val perTable = Tables.names.map { t =>
-      val p = Profiler.profile(spark, dir, t)
-      val hasA = Tables.schemas(t).fields.exists(f => GeneralType.of(f.dataType) == "A")
-      val joined = if (hasA) {
-        val f = FreqProfiler.profile(spark, dir, t)
-        p.join(f, Seq("column_name"), "left")
-      } else {
-        p.withColumn("top_freq_values", lit(null).cast("string"))
-          .withColumn("distinct_value_hash", lit(null).cast("string"))
-          .withColumn("top_patterns", lit(null).cast("string"))
+    // Profile tables CONCURRENTLY: each table's jobs are small relative to
+    // the cluster, so sequential execution leaves most cores idle. Spark
+    // actions are thread-safe; this is the scheduler-pool fan-out the
+    // reference approximates with its <=10-connection thread pool
+    // (reference: testgen/common/database/database_service.py:219-232).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perTable = Await.result(Future.sequence(Tables.names.map { t =>
+      Future {
+        val p = Profiler.profile(spark, dir, t)
+        val hasA = Tables.schemas(t).fields.exists(f => GeneralType.of(f.dataType) == "A")
+        val joined = if (hasA) {
+          val f = FreqProfiler.profile(spark, dir, t)
+          p.join(f, Seq("column_name"), "left")
+        } else {
+          p.withColumn("top_freq_values", lit(null).cast("string"))
+            .withColumn("distinct_value_hash", lit(null).cast("string"))
+            .withColumn("top_patterns", lit(null).cast("string"))
+        }
+        joined.withColumn("table_name", lit(t))
       }
-      joined.withColumn("table_name", lit(t))
-    }
+    }), Duration.Inf)
     perTable.reduce(_ unionByName _)
   }
 

@@ -18,10 +18,15 @@ import graft.profiling.ProfileMetrics
   * an anti-join, mirroring the reference's `v_inactive_anomalies`
   * LEFT JOIN … IS NULL pattern.
   *
-  * Scope: 28 of the 32 screens. Omitted: Potential_PII (needs the PII
-  * cascade), Invalid_Zip_USA (needs per-pattern UNNEST),
-  * Table_Pattern_Mismatch and Variant_Coded_Values (need cross-column
-  * pattern/value comparison beyond the profile row).
+  * Scope: all 32 screens. Potential_PII reads the PII cascade's
+  * pii_flag (see PiiFlag); Invalid_Zip_USA checks each of the top-5
+  * pattern entries; Table_Pattern_Mismatch compares each column against
+  * the same-name aggregate (reference
+  * profile_anomalies_screen_multi_column.sql `mults` CTE);
+  * Variant_Coded_Values intersects top-frequency values with the
+  * variant-coding vocabulary (reference
+  * profile_anomalies_screen_variants.sql + the variant_codings seed of
+  * 050_populate_new_schema_metadata.sql:66-110).
   */
 object HygieneScreens {
 
@@ -142,7 +147,16 @@ object HygieneScreens {
       s"""general_type = 'D'
          | AND (CAST(min_date AS TIMESTAMP) BETWEEN DATE '0001-01-02' AND DATE '1900-01-01'
          |   OR CAST(max_date AS TIMESTAMP) > ${d.addMonths(runDateLit, 360)})""".stripMargin,
-      _ => ratio("COALESCE(before_100yr_date_ct, 0) + COALESCE(distant_future_date_ct, 0)"))
+      _ => ratio("COALESCE(before_100yr_date_ct, 0) + COALESCE(distant_future_date_ct, 0)")),
+    Screen("Potential_PII", "Column", _ => "pii_flag > ''"),
+    Screen("Invalid_Zip_USA", "Column", _ => {
+      // pattern entries sit at even ' | '-positions of "ct | pat | ct | pat…"
+      val badPat = (1 to 5).map { k =>
+        val p = s"SPLIT_PART(top_patterns, ' | ', ${2 * k})"
+        s"($p > '' AND $p NOT IN ('NNNNN', 'NNNNN-NNNN', 'NNNNNNNNN'))"
+      }.mkString("(", " OR ", ")")
+      s"""$fdt = 'Zip' AND (general_type <> 'A' OR filled_value_ct > 0 OR $badPat)""".stripMargin
+    })
   )
 
   /** parsefreq over top_patterns: '|'-separated `ct | pat | ct | pat`. */
@@ -151,7 +165,35 @@ object HygieneScreens {
 
   val multiColScreens: Seq[(String, String)] = Seq(
     "Multiple_Types_Major" -> "m.general_type_ct > 1",
-    "Multiple_Types_Minor" -> "m.general_type_ct = 1 AND m.type_ct > 1")
+    "Multiple_Types_Minor" -> "m.general_type_ct = 1 AND m.type_ct > 1",
+    // profile_anomaly_types_Table_Pattern_Mismatch.yaml anomaly_criteria
+    "Table_Pattern_Mismatch" ->
+      s"""p.general_type = 'A'
+         | AND NOT ${"LOWER(p.functional_data_type) LIKE 'measurement%'"}
+         | AND p.functional_data_type NOT IN ('Category', 'Code')
+         | AND p.max_length > 3
+         | AND p.value_ct > (p.numeric_ct + p.filled_value_ct + p.zero_length_ct)
+         | AND m.max_pattern_ct = 1 AND m.column_ct > 1
+         | AND SPLIT_PART(p.top_patterns, '|', 2) <> SPLIT_PART(m.very_top_pattern, '|', 2)
+         | AND TRY_CAST(TRIM(SPLIT_PART(p.top_patterns, '|', 1)) AS DOUBLE)
+         |     / TRY_CAST(SPLIT_PART(m.very_top_pattern, '|', 1) AS DOUBLE) < 0.1""".stripMargin)
+
+  /** Variant-coding vocabulary (reference variant_codings seed). */
+  val variantCodings: Seq[String] = Seq(
+    "meter|m|metre", "centimeter|cm|centimetre", "millimeter|mm|millimetre",
+    "kilometer|km|kilometre", "inches|inch|in|\"", "foot|ft|feet|'",
+    "yard|yd", "mile|mi|miles", "kilogram|kgs|kg", "gram|g",
+    "milligram|mgs|mg", "pound|lb|lbs|pounds", "ounce|oz",
+    "liter|l|litre|liters|litres", "milliliter|ml|millilitre",
+    "gallon|gal|gallons", "quart|qt", "pint|pt", "cup|cups", "percent|pct|%",
+    "fluid ounce|fl oz|fluid ounces", "tablet|tab|tabs", "capsule|cap|caps",
+    "once daily|daily|qd", "twice daily|bid", "three times daily|tid",
+    "four times daily|qid", "as needed|prn", "before meals|ac",
+    "after meals|pc", "at bedtime|hs", "intravenous|iv",
+    "subcutaneous|sc|sq", "intramuscular|im", "oral|po", "per rectum|pr",
+    "drops|gtt|gtts", "treatment|trx|tx",
+    "new patients|new patient|new pt|nrx", "patient|pat|pt|px",
+    "prescription|rx")
 
   def dateScreens(d: Dialect): Seq[(String, String)] = Seq(
     "Recency_One_Year" -> s"mx < ${d.addMonths(runDateLit, -12)}",
@@ -164,9 +206,11 @@ object HygieneScreens {
     * the 28 screen branches don't each re-plan the inference cascade. */
   def enrichSql(rel: String)(d: Dialect): String =
     s"""WITH ${FunctionalType.stageCtes(rel)(d)}
-       |SELECT s.*, f22 AS $fdt,
-       |       (value_ct - upper_case_ct - lower_case_ct - non_alpha_ct) AS mixed_case_ct
-       |  FROM s22 s""".stripMargin
+       |SELECT e.*, ${PiiFlag.expr(d)} AS pii_flag FROM (
+       |  SELECT s.*, f22 AS $fdt,
+       |         (value_ct - upper_case_ct - lower_case_ct - non_alpha_ct) AS mixed_case_ct
+       |    FROM s22 s
+       |) e""".stripMargin
 
   /** The fused hygiene query over an enriched-profile relation. `muted`
     * rows are excluded (anomaly_type, table_name, column_name) — the
@@ -187,23 +231,50 @@ object HygieneScreens {
          |       CAST(NULL AS DOUBLE) AS prevalence
          |  FROM md WHERE $crit""".stripMargin
     }
-    val unions = (colScreens ++ multi ++ dates).mkString("\nUNION ALL\n")
+    val variants =
+      s"""SELECT 'Variant_Coded_Values' AS anomaly_type, table_name, column_name,
+         |       CAST(NULL AS DOUBLE) AS prevalence
+         |  FROM (SELECT DISTINCT table_name, column_name FROM vhits) v""".stripMargin
+    val unions = (colScreens ++ multi ++ dates :+ variants).mkString("\nUNION ALL\n")
     val muteFilter =
       if (muted.isEmpty) ""
       else {
         val rows = muted.map { case (a, t, c) => s"('$a', '$t', '$c')" }.mkString(", ")
         s""" WHERE (anomaly_type, table_name, column_name) NOT IN ($rows)"""
       }
+    val vcodeRows = variantCodings
+      .map(v => s"(${graft.functions.Patterns.sq(v.toLowerCase)})").mkString(", ")
     s"""WITH enr AS ${d.cteMaterialized}(
        |  SELECT * FROM $rel
        |),
        |mc AS (
-       |  SELECT column_name, COUNT(DISTINCT general_type) AS general_type_ct,
-       |         COUNT(DISTINCT column_type) AS type_ct
+       |  SELECT column_name, COUNT(*) AS column_ct,
+       |         COUNT(DISTINCT general_type) AS general_type_ct,
+       |         COUNT(DISTINCT column_type) AS type_ct,
+       |         MIN(distinct_pattern_ct) AS min_pattern_ct,
+       |         MAX(distinct_pattern_ct) AS max_pattern_ct,
+       |         MAX(RIGHT(REPEAT('0', 20) || TRIM(SPLIT_PART(top_patterns, '|', 1)), 20) ||
+       |             '|' || SPLIT_PART(top_patterns, '|', 2)) AS very_top_pattern
        |    FROM enr GROUP BY column_name
        |),
        |md AS (
        |  SELECT table_name, MAX(CAST(max_date AS TIMESTAMP)) AS mx FROM enr GROUP BY table_name
+       |),
+       |vcodes AS (SELECT * FROM (VALUES $vcodeRows) AS vc(check_values)),
+       |tfv AS (
+       |  SELECT table_name, column_name, TRIM(SPLIT_PART(piece, '|', 2)) AS val
+       |    FROM (${d.splitRel(
+                  "(SELECT table_name, column_name, top_freq_values FROM enr " +
+                    "WHERE distinct_value_ct <= 20 AND top_freq_values > '') tf",
+                  Seq("table_name", "column_name"), "top_freq_values", "CHR(10)")}) lines
+       |),
+       |vhits AS (
+       |  SELECT t.table_name, t.column_name, v.check_values
+       |    FROM tfv t JOIN vcodes v
+       |      ON ${d.strposExpr("'|' || v.check_values || '|'", "'|' || LOWER(t.val) || '|'")} > 0
+       |   WHERE t.val > ''
+       |   GROUP BY t.table_name, t.column_name, v.check_values
+       |  HAVING COUNT(DISTINCT LOWER(t.val)) > 1
        |)
        |SELECT * FROM (
        |$unions

@@ -51,6 +51,43 @@ object DrillDown {
        | LIMIT $Limit""".stripMargin
   }
 
+  /** Recency drill-down: the most recent rows for a monitored date
+    * column (test_types_Recency.yaml lookup_query shape). */
+  def recencyRowsSql(table: String, idCol: String, tsCol: String)(d: Dialect): String =
+    s"""SELECT $idCol AS id, ${d.fmtTs(tsCol)} AS latest_ts
+       |  FROM $table,
+       |       (SELECT MAX(CAST($tsCol AS DATE)) AS mx FROM $table) m
+       | WHERE CAST($tsCol AS DATE) = m.mx
+       | ORDER BY id
+       | LIMIT $Limit""".stripMargin
+
+  /** Outlier drill-down: rows beyond mean ± 2σ
+    * (test_types_Outlier_Pct_Above.yaml lookup_query shape). */
+  def outlierRowsSql(table: String, idCol: String, col: String)(d: Dialect): String =
+    s"""SELECT $idCol AS id, CAST($col AS DOUBLE) AS value,
+       |       CAST(ROUND(s.avg_v, 4) AS DOUBLE) AS mean_value,
+       |       CAST(ROUND(s.sd_v, 4) AS DOUBLE) AS sd_value
+       |  FROM $table,
+       |       (SELECT AVG(CAST($col AS DOUBLE)) AS avg_v,
+       |               STDDEV(CAST($col AS DOUBLE)) AS sd_v FROM $table) s
+       | WHERE CAST($col AS DOUBLE) > s.avg_v + 2 * s.sd_v
+       |    OR CAST($col AS DOUBLE) < s.avg_v - 2 * s.sd_v
+       | ORDER BY value DESC, id
+       | LIMIT $Limit""".stripMargin
+
+  def runRecency(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__dd_events")
+    spark.sql(recencyRowsSql("__dd_events", "event_id", "ts")(SparkDialect))
+  }
+
+  def runOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__dd_events2")
+    spark.sql(outlierRowsSql("__dd_events2", "event_id", "value")(SparkDialect))
+  }
+
+  def duckRecencySql(): String = recencyRowsSql("events", "event_id", "ts")(DuckDialect)
+  def duckOutliersSql(): String = outlierRowsSql("events", "event_id", "value")(DuckDialect)
+
   def runDuplicates(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "orders").createOrReplaceTempView("__dd_orders")
     spark.sql(duplicatesSql("__dd_orders", "o_custkey")(SparkDialect))

@@ -37,12 +37,20 @@ sealed trait Dialect {
     s"((year($b) - year($a)) * 4 + (quarter($b) - quarter($a)))"
   /** Calendar-year difference. */
   def dateDiffYear(a: String, b: String): String = s"(year($b) - year($a))"
+  /** Whole minutes from a to b (ref EXTRACT(EPOCH)/60 in Freshness_Trend). */
+  def dateDiffMinutes(a: String, b: String): String
   /** Day of week, Postgres convention: 0 = Sunday … 6 = Saturday. */
   def dow(x: String): String
   /** Add whole months to a date/timestamp expression. */
   def addMonths(x: String, n: Int): String
   /** 1-based position of substring, 0 if absent (Postgres STRPOS). */
   def strpos(x: String, sub: String): String
+  /** strpos with the needle as an expression rather than a literal. */
+  def strposExpr(x: String, subExpr: String): String
+  /** Relation exploding `expr` (split by the separator SQL expression
+    * `sepSql`, e.g. "CHR(10)") into one row per piece, carrying `cols`
+    * through; the piece column is named `piece`. */
+  def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String
   /** CTE materialization hint for CTEs referenced many times (DuckDB
     * would otherwise inline and re-evaluate them per reference). */
   def cteMaterialized: String = ""
@@ -106,9 +114,15 @@ object SparkDialect extends Dialect {
   def dateDiffDay(a: String, b: String): String =
     s"datediff(CAST($b AS DATE), CAST($a AS DATE))"
   def dateAddDays(x: String, n: Int): String = s"date_add($x, $n)"
+  def dateDiffMinutes(a: String, b: String): String =
+    s"CAST((unix_timestamp(CAST($b AS TIMESTAMP)) - unix_timestamp(CAST($a AS TIMESTAMP))) / 60 AS BIGINT)"
   def dow(x: String): String = s"(dayofweek($x) - 1)"
   def addMonths(x: String, n: Int): String = s"add_months($x, $n)"
   def strpos(x: String, sub: String): String = s"instr($x, '${esc(sub)}')"
+  def strposExpr(x: String, subExpr: String): String = s"instr($x, $subExpr)"
+  def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
+    s"""SELECT ${cols.mkString(", ")}, sp.piece FROM $rel
+       | LATERAL VIEW explode(split($expr, $sepSql)) sp AS piece""".stripMargin
   def regexpReplaceRef(x: String, re: String, prefix: String, suffix: String): String =
     s"regexp_replace($x, '${esc(re)}', '${esc(prefix)}$$1${esc(suffix)}')"
   def trimChars(x: String, chars: String): String =
@@ -149,10 +163,16 @@ object DuckDialect extends Dialect {
   def dateDiffDay(a: String, b: String): String =
     s"datediff('day', CAST($a AS DATE), CAST($b AS DATE))"
   def dateAddDays(x: String, n: Int): String = s"(CAST($x AS DATE) + $n)"
+  def dateDiffMinutes(a: String, b: String): String =
+    s"CAST(FLOOR(CAST(datediff('second', CAST($a AS TIMESTAMP), CAST($b AS TIMESTAMP)) AS DOUBLE) / 60) AS BIGINT)"
   def dow(x: String): String = s"dayofweek($x)"
   def addMonths(x: String, n: Int): String =
     s"(CAST($x AS TIMESTAMP) + INTERVAL '$n months')"
   def strpos(x: String, sub: String): String = s"strpos($x, '${esc(sub)}')"
+  def strposExpr(x: String, subExpr: String): String = s"strpos($x, $subExpr)"
+  def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
+    s"""SELECT ${cols.mkString(", ")},
+       | unnest(string_split($expr, $sepSql)) AS piece FROM $rel""".stripMargin
   override def cteMaterialized: String = "MATERIALIZED "
   def regexpReplaceRef(x: String, re: String, prefix: String, suffix: String): String =
     s"regexp_replace($x, '${esc(re)}', '${esc(prefix)}\\1${esc(suffix)}', 'g')"

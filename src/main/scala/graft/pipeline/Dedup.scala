@@ -62,18 +62,23 @@ object Dedup {
        | GROUP BY MD5(text) HAVING COUNT(*) > 1
        | ORDER BY content_hash""".stripMargin
 
-  def jaccardSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
-    s"""WITH ${shinglesCte(d, table)}
-       |SELECT i.doc_a, i.doc_b,
+  /** Jaccard verification body over (inter, sizes) relations. */
+  private def jaccardBody(interRel: String, sizesRel: String, threshold: Double): String =
+    s"""SELECT i.doc_a, i.doc_b,
        |       CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4) AS DOUBLE) AS jaccard
-       |  FROM inter i
-       |  JOIN sizes sa ON sa.id = i.doc_a
-       |  JOIN sizes sb ON sb.id = i.doc_b
+       |  FROM $interRel i
+       |  JOIN $sizesRel sa ON sa.id = i.doc_a
+       |  JOIN $sizesRel sb ON sb.id = i.doc_b
        | WHERE CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) >= $threshold
        | ORDER BY doc_a, doc_b""".stripMargin
 
+  def jaccardSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)}
+       |${jaccardBody("inter", "sizes", threshold)}""".stripMargin
+
   /** 12 min-hashes banded 4×3; verified candidates with true Jaccard. */
-  def minhashSql(table: String, threshold: Double = 0.5)(d: Dialect): String = {
+  private def minhashBody(shfRel: String, interRel: String, sizesRel: String,
+                          threshold: Double): String = {
     val hashes = 12
     val bandSize = 3
     val mins = (0 until hashes)
@@ -82,10 +87,9 @@ object Dedup {
       val cols = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || ")
       s"SELECT id, $b AS band, MD5($cols) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${shinglesCte(d, table)},
-       |sigs AS (
+    s"""sigs AS (
        |  SELECT id, $mins
-       |    FROM shf GROUP BY id
+       |    FROM $shfRel GROUP BY id
        |),
        |bands AS (
        |  $bands
@@ -98,12 +102,16 @@ object Dedup {
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
        |       CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4) AS DOUBLE) AS jaccard
        |  FROM cands c
-       |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-       |  JOIN sizes sa ON sa.id = c.doc_a
-       |  JOIN sizes sb ON sb.id = c.doc_b
+       |  JOIN $interRel i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN $sizesRel sa ON sa.id = c.doc_a
+       |  JOIN $sizesRel sb ON sb.id = c.doc_b
        | WHERE CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) >= $threshold
        | ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
+
+  def minhashSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)},
+       |${minhashBody("shf", "inter", "sizes", threshold)}""".stripMargin
 
   /** 32-bit simhash from word-md5 hex-digit parities.
     *
@@ -153,6 +161,31 @@ object Dedup {
        | ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Embedding-cosine near-duplicates: pairwise cosine within label
+    * partitions (the IVF-style bucket bound — never the full quadratic
+    * pair join), norms precomputed once per vector. At 100 TB the label
+    * (or an LSH bucket) is the shuffle key; each partition's pair join is
+    * local. */
+  // Production near-dup thresholds are 0.95+; the synthetic corpus's
+  // random embeddings top out near 0.47 within-label cosine, so the
+  // default exercises the candidate-surfacing path on the fixtures.
+  def embeddingSql(table: String, threshold: Double = 0.40)(d: Dialect): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, label, embedding,
+       |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
+       |    FROM $table
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${d.dotProduct("a.embedding", "b.embedding")} / NULLIF(a.nrm * b.nrm, 0) AS cos
+       |    FROM emb a JOIN emb b
+       |      ON a.label = b.label AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
+       |  FROM pairs
+       | WHERE cos >= $threshold
+       | ORDER BY vec_a, vec_b""".stripMargin
+
   private def register(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_docs")
@@ -167,4 +200,9 @@ object Dedup {
     spark.sql(minhashSql(register(spark, dir))(SparkDialect))
   def runSimhash(spark: SparkSession, dir: String): DataFrame =
     spark.sql(simhashSql(register(spark, dir))(SparkDialect))
+  def runEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("__graft_emb_dedup")
+    spark.sql(embeddingSql("__graft_emb_dedup")(SparkDialect))
+  }
 }

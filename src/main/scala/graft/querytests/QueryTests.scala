@@ -188,7 +188,15 @@ object QueryTests {
       "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'", 0.25),
     countWrapper("Dupe_Rows", "orders", "o_custkey,o_orderdate",
       0L, dupeRowsInner("o_custkey, o_orderdate", "orders", "1=1"),
-      noun = "duplicate row(s)", measure = "CAST(dupe_total AS DOUBLE)")
+      noun = "duplicate row(s)", measure = "CAST(dupe_total AS DOUBLE)"),
+    // CUSTOM test type: user-supplied SQL returning error rows, wrapped
+    // in the standard count contract (test_types_CUSTOM.yaml template).
+    countWrapper("CUSTOM", "lineitem", "l_discount,l_tax",
+      0L, _ =>
+        s"""SELECT COUNT(*) AS cnt FROM (
+           |  SELECT l_orderkey FROM lineitem
+           |   WHERE l_discount < 0 OR l_discount > 0.5 OR l_tax < 0
+           |) custom_errors""".stripMargin)
   )
 
   def run(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -150,6 +150,89 @@ object Scoring {
        |  FROM per_table
        |ORDER BY table_name""".stripMargin
 
+  /** dq_dimension of each hygiene anomaly type (reference
+    * dbsetup_anomaly_types YAMLs' `dq_dimension`). */
+  private val anomalyDims: Map[String, String] = Map(
+    "Boolean_Value_Mismatch" -> "Validity", "Char_Column_Date_Values" -> "Validity",
+    "Char_Column_Number_Units" -> "Consistency", "Char_Column_Number_Values" -> "Validity",
+    "Column_Pattern_Mismatch" -> "Validity", "Delimited_Data_Embedded" -> "Validity",
+    "Inconsistent_Casing" -> "Validity", "Invalid_Zip3_USA" -> "Validity",
+    "Invalid_Zip_USA" -> "Validity", "Leading_Spaces" -> "Validity",
+    "Multiple_Types_Major" -> "Consistency", "Multiple_Types_Minor" -> "Consistency",
+    "No_Values" -> "Completeness", "Non_Alpha_Name_Address" -> "Validity",
+    "Non_Alpha_Prefixed_Name" -> "Validity", "Non_Printing_Chars" -> "Validity",
+    "Non_Standard_Blanks" -> "Completeness", "Potential_Duplicates" -> "Uniqueness",
+    "Potential_PII" -> "Validity", "Quoted_Values" -> "Validity",
+    "Recency_One_Year" -> "Timeliness", "Recency_Six_Months" -> "Timeliness",
+    "Small_Divergent_Value_Ct" -> "Validity", "Small_Missing_Value_Ct" -> "Completeness",
+    "Small_Numeric_Value_Ct" -> "Validity", "Standardized_Value_Matches" -> "Uniqueness",
+    "Table_Pattern_Mismatch" -> "Validity", "Unexpected_Emails" -> "Consistency",
+    "Unexpected_US_States" -> "Consistency", "Unlikely_Date_Values" -> "Accuracy",
+    "Variant_Coded_Values" -> "Consistency")
+
+  /** dq_dimension of each CAT test type (reference dbsetup_test_types
+    * YAMLs' `dq_dimension`). */
+  private val testDims: Map[String, String] = Map(
+    "Alpha_Trunc" -> "Validity", "Avg_Shift" -> "Consistency",
+    "Condition_Flag" -> "Validity", "Constant" -> "Validity",
+    "Daily_Record_Ct" -> "Completeness", "Dec_Trunc" -> "Validity",
+    "Distinct_Date_Ct" -> "Timeliness", "Distinct_Value_Ct" -> "Validity",
+    "Email_Format" -> "Validity", "Future_Date" -> "Timeliness",
+    "Future_Date_1Y" -> "Timeliness", "Incr_Avg_Shift" -> "Accuracy",
+    "LOV_All" -> "Validity", "LOV_Match" -> "Validity",
+    "Min_Date" -> "Validity", "Min_Val" -> "Validity",
+    "Missing_Pct" -> "Completeness", "Monthly_Rec_Ct" -> "Completeness",
+    "Outlier_Pct_Above" -> "Accuracy", "Outlier_Pct_Below" -> "Accuracy",
+    "Pattern_Match" -> "Validity", "Recency" -> "Timeliness",
+    "Required" -> "Completeness", "Row_Ct" -> "Completeness",
+    "Row_Ct_Pct" -> "Completeness", "Street_Addr_Pattern" -> "Validity",
+    "US_State" -> "Validity", "Unique" -> "Uniqueness",
+    "Unique_Pct" -> "Uniqueness", "Valid_Characters" -> "Validity",
+    "Valid_Month" -> "Validity", "Valid_US_Zip" -> "Validity",
+    "Valid_US_Zip3" -> "Validity", "Variability_Decrease" -> "Accuracy",
+    "Variability_Increase" -> "Accuracy", "Weekly_Rec_Ct" -> "Completeness")
+
+  private def dimCase(col: String, dims: Map[String, String]): String =
+    dims.toSeq.sorted
+      .map { case (k, v) => s"WHEN $col = '$k' THEN '$v'" }
+      .mkString("CASE ", " ", " END")
+
+  /** Score cards: per (table, dq_dimension) SUM_LN score rollup over
+    * hygiene-anomaly prevalences and failed-test prevalences together
+    * (reference: the testgen/template/score_cards SQL templates'
+    * breakdowns by dq_dimension). Table-scope anomaly rows have no profile
+    * column and are excluded, as the reference's column-keyed score
+    * details are. */
+  def scoreCardSql(enrRel: String, anomRel: String, prevRel: String)(d: Dialect): String =
+    s"""WITH enr_c AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |anoms_c AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |prev_c AS ${d.cteMaterialized}(SELECT * FROM $prevRel),
+       |dimmed AS (
+       |  SELECT table_name, column_name,
+       |         ${dimCase("anomaly_type", anomalyDims)} AS dq_dimension,
+       |         prevalence AS p
+       |    FROM anoms_c
+       |  UNION ALL
+       |  SELECT table_name, column_name,
+       |         ${dimCase("test_type", testDims)} AS dq_dimension,
+       |         dq_prevalence AS p
+       |    FROM prev_c),
+       |percol AS (
+       |  SELECT m.table_name, m.dq_dimension, m.column_name,
+       |         MAX(e.record_ct) AS record_ct,
+       |         (1.0 - ${sumLn("COALESCE(m.p, 0.0)")}) * MAX(e.record_ct) AS affected
+       |    FROM dimmed m
+       |    JOIN enr_c e ON e.table_name = m.table_name AND e.column_name = m.column_name
+       |   WHERE m.dq_dimension IS NOT NULL
+       |   GROUP BY m.table_name, m.dq_dimension, m.column_name)
+       |SELECT table_name, dq_dimension,
+       |       CAST(SUM(record_ct) AS DOUBLE) AS data_points,
+       |       CAST(ROUND(SUM(affected), 4) AS DOUBLE) AS affected_data_points,
+       |       CAST(ROUND(1.0 - SUM(affected) / NULLIF(SUM(record_ct), 0), 6) AS DOUBLE) AS score
+       |  FROM percol
+       | GROUP BY table_name, dq_dimension
+       | ORDER BY table_name, dq_dimension""".stripMargin
+
   private def enrichedView(spark: SparkSession, dir: String): String =
     HygieneScreens.enrichedView(spark, dir)
 
@@ -167,6 +250,20 @@ object Scoring {
     val anoms = HygieneScreens.run(spark, dir)
     anoms.createOrReplaceTempView("__graft_anoms")
     spark.sql(scoreRollupSql(enrView, "__graft_anoms")(SparkDialect))
+  }
+
+  def runScoreCard(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_sc_anoms")
+    runTestPrevalence(spark, dir).createOrReplaceTempView("__graft_sc_prev")
+    spark.sql(scoreCardSql(enrView, "__graft_sc_anoms", "__graft_sc_prev")(SparkDialect))
+  }
+
+  def duckScoreCardSql(): String = {
+    val enr = s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})"
+    val anoms = s"(${HygieneScreens.duckSql()})"
+    val prev = s"(${duckTestPrevalenceSql()})"
+    scoreCardSql(enr, anoms, prev)(DuckDialect)
   }
 
   def duckTestPrevalenceSql(): String = {

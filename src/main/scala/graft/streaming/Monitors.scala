@@ -71,6 +71,103 @@ object Monitors {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  /** Trend-forecast tolerance bands: per day, an ordinary-least-squares
+    * fit over the trailing `lookback` days predicts the next value; the
+    * band is prediction ± z·residual-SE. This is the deterministic,
+    * SQL-expressible stand-in for the reference's SARIMAX(1,1,1)
+    * threshold prediction (reference:
+    * testgen/commands/test_thresholds_prediction.py:263-307,
+    * testgen/common/time_series_service.py:20-137 — its three-way SE
+    * floor makes the residual term dominate on short histories, which is
+    * exactly what the OLS band computes). All sums come from one window
+    * pass; no per-test model fitting loop, so the same plan scales to
+    * millions of monitored series grouped by series key. */
+  def trendForecastSql(table: String, lookback: Int = 30, z: Double = 2.0)(d: Dialect): String = {
+    val xi = s"CAST(${d.dateDiffDay("DATE '2020-01-01'", "day")} AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS ct
+       |    FROM $table GROUP BY 1
+       |),
+       |x AS (SELECT day, ct, $xi AS xi, CAST(ct AS DOUBLE) AS yi FROM daily),
+       |w AS (
+       |  SELECT day, ct, xi,
+       |         CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+       |         SUM(xi) OVER win AS sx, SUM(yi) OVER win AS sy,
+       |         SUM(xi * yi) OVER win AS sxy, SUM(xi * xi) OVER win AS sxx,
+       |         SUM(yi * yi) OVER win AS syy
+       |    FROM x
+       |  WINDOW win AS (ORDER BY day ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)
+       |),
+       |fit AS (
+       |  SELECT day, ct, xi, n, sy, sxy,
+       |         (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
+       |         sx, sxx, syy
+       |    FROM w
+       |),
+       |pred AS (
+       |  SELECT day, ct, n, slope,
+       |         (sy - slope * sx) / NULLIF(n, 0) AS intercept,
+       |         SQRT(GREATEST(syy - ((sy - slope * sx) / NULLIF(n, 0)) * sy - slope * sxy, 0)
+       |              / NULLIF(n - 2, 0)) AS se,
+       |         xi
+       |    FROM fit
+       |)
+       |SELECT day, ct, CAST(n AS BIGINT) AS n_obs,
+       |       CAST(ROUND(intercept + slope * xi, 4) AS DOUBLE) AS predicted,
+       |       CAST(ROUND(intercept + slope * xi - $z * se, 4) AS DOUBLE) AS lower_band,
+       |       CAST(ROUND(intercept + slope * xi + $z * se, 4) AS DOUBLE) AS upper_band,
+       |       CAST(CASE WHEN n >= 10 AND se IS NOT NULL
+       |                  AND (ct < intercept + slope * xi - $z * se
+       |                    OR ct > intercept + slope * xi + $z * se)
+       |                 THEN 1 ELSE 0 END AS INT) AS breach
+       |  FROM pred
+       | ORDER BY day""".stripMargin
+  }
+
+  /** Freshness gap thresholds: percentile of inter-update gaps × floor
+    * multiplier, plus current staleness — the reference's gap model
+    * (reference: testgen/common/freshness_service.py:39-120, minimum 5
+    * gaps; business-minute exclusions are a documented omission). */
+  def freshnessGapsSql(d: Dialect): String = {
+    val runTs = s"TIMESTAMP '${graft.profiling.ProfileMetrics.RunDate} 00:00:00'"
+    def one(table: String, tsCol: String) =
+      s"""SELECT '$table' AS table_name, gap_ct,
+         |       CAST(ROUND(gap_p50, 4) AS DOUBLE) AS gap_p50_min,
+         |       CAST(ROUND(gap_p95, 4) AS DOUBLE) AS gap_p95_min,
+         |       CASE WHEN gap_ct >= 5 THEN CAST(ROUND(gap_p95 * 1.5, 4) AS DOUBLE) END AS threshold_min,
+         |       mins_since_update,
+         |       CAST(CASE WHEN gap_ct >= 5 AND mins_since_update > gap_p95 * 1.5
+         |                 THEN 1 ELSE 0 END AS INT) AS stale
+         |  FROM (
+         |    SELECT CAST(COUNT(gap_min) AS BIGINT) AS gap_ct,
+         |           ${d.quantileCont("CAST(gap_min AS DOUBLE)", 0.5)} AS gap_p50,
+         |           ${d.quantileCont("CAST(gap_min AS DOUBLE)", 0.95)} AS gap_p95,
+         |           MIN(mins_since) AS mins_since_update
+         |      FROM (
+         |        SELECT ${d.dateDiffMinutes(s"LAG(u) OVER (ORDER BY u)", "u")} AS gap_min,
+         |               ${d.dateDiffMinutes("u", runTs)} AS mins_since
+         |          FROM (SELECT DISTINCT CAST(date_trunc('hour', $tsCol) AS TIMESTAMP) AS u
+         |                  FROM $table) ups
+         |      ) gaps
+         |  ) agg""".stripMargin
+    Seq(one("events", "ts"), one("orders", "o_orderdate"),
+      one("lineitem", "l_shipdate"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
+  def runTrendForecast(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_events")
+    spark.sql(trendForecastSql("__graft_events")(SparkDialect))
+  }
+
+  def runFreshnessGaps(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir)
+    spark.sql(freshnessGapsSql(SparkDialect))
+  }
+
+  def duckTrendForecastSql(): String = trendForecastSql("events")(DuckDialect)
+  def duckFreshnessGapsSql(): String = freshnessGapsSql(DuckDialect)
+
   def runVolumeBands(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_events")
     spark.sql(volumeBandsSql("__graft_events")(SparkDialect))

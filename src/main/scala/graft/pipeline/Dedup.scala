@@ -76,22 +76,23 @@ object Dedup {
     s"""WITH ${shinglesCte(d, table)}
        |${jaccardBody("inter", "sizes", threshold)}""".stripMargin
 
+  /** The 12 md5-seeded min-hash signatures per doc. */
+  def minhashSigsSql(shfRel: String): String = {
+    val mins = (0 until 12)
+      .map(i => s"MIN(MD5('s$i:' || shingle)) AS m$i").mkString(",\n       ")
+    s"""SELECT id, $mins
+       |  FROM $shfRel GROUP BY id""".stripMargin
+  }
+
   /** 12 min-hashes banded 4×3; verified candidates with true Jaccard. */
-  private def minhashBody(shfRel: String, interRel: String, sizesRel: String,
+  private def minhashBody(sigsRel: String, interRel: String, sizesRel: String,
                           threshold: Double): String = {
-    val hashes = 12
     val bandSize = 3
-    val mins = (0 until hashes)
-      .map(i => s"MIN(MD5('s$i:' || shingle)) AS m$i").mkString(",\n         ")
-    val bands = (0 until hashes / bandSize).map { b =>
+    val bands = (0 until 12 / bandSize).map { b =>
       val cols = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || ")
-      s"SELECT id, $b AS band, MD5($cols) AS bucket FROM sigs"
+      s"SELECT id, $b AS band, MD5($cols) AS bucket FROM $sigsRel"
     }.mkString("\n  UNION ALL\n  ")
-    s"""sigs AS (
-       |  SELECT id, $mins
-       |    FROM $shfRel GROUP BY id
-       |),
-       |bands AS (
+    s"""bands AS (
        |  $bands
        |),
        |cands AS (
@@ -111,7 +112,10 @@ object Dedup {
 
   def minhashSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
     s"""WITH ${shinglesCte(d, table)},
-       |${minhashBody("shf", "inter", "sizes", threshold)}""".stripMargin
+       |sigs AS (
+       |${minhashSigsSql("shf")}
+       |),
+       |${minhashBody("sigs", "inter", "sizes", threshold)}""".stripMargin
 
   /** 32-bit simhash from word-md5 hex-digit parities.
     *
@@ -122,7 +126,8 @@ object Dedup {
     * hamming <= 3 ⇒ at least one of 4 bytes equal); the hamming filter is
     * applied inside the bucket join BEFORE the cross-chunk dedup so the
     * DISTINCT only sees surviving pairs. */
-  def simhashSql(table: String, maxHamming: Int = 3)(d: Dialect): String = {
+  /** The signature pipeline: doc → 32-bit packed simhash (`id`, `v`). */
+  def simhashSigsSql(table: String)(d: Dialect): String = {
     // bit i = majority vote of (hex digit i of md5(word)) % 2
     val bitSums = (0 until 32).map { i =>
       val hexDigit = s"SUBSTRING(h, ${i + 1}, 1)"
@@ -132,11 +137,6 @@ object Dedup {
     val packed = (0 until 32)
       .map(i => s"CAST(b$i AS BIGINT) * ${1L << i}")
       .mkString(" + ")
-    val chunks = (0 until 4).map { c =>
-      val byte = s"CAST(${d.shiftRight("v", c * 8)} % 256 AS INT)"
-      s"SELECT id, v, $c AS chunk, $byte AS piece FROM sigs2"
-    }.mkString("\n  UNION ALL\n  ")
-    val hamming = d.bitCount(d.bitXor("a.v", "b.v"))
     s"""WITH words AS (
        |  ${d.wordsRel(table, "doc_id", "text")}
        |),
@@ -145,9 +145,18 @@ object Dedup {
        |),
        |sigs AS (
        |  SELECT id, $bitSums FROM dw GROUP BY id
-       |),
-       |sigs2 AS (SELECT id, $packed AS v FROM sigs),
-       |chunks AS (
+       |)
+       |SELECT id, $packed AS v FROM sigs""".stripMargin
+  }
+
+  /** Bucket join + hamming verify over a signature relation. */
+  def simhashBody(sigs2Rel: String, maxHamming: Int)(d: Dialect): String = {
+    val chunks = (0 until 4).map { c =>
+      val byte = s"CAST(${d.shiftRight("v", c * 8)} % 256 AS INT)"
+      s"SELECT id, v, $c AS chunk, $byte AS piece FROM $sigs2Rel"
+    }.mkString("\n  UNION ALL\n  ")
+    val hamming = d.bitCount(d.bitXor("a.v", "b.v"))
+    s"""WITH chunks AS (
        |  $chunks
        |),
        |cands AS (
@@ -160,6 +169,9 @@ object Dedup {
        |  FROM cands
        | ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  def simhashSql(table: String, maxHamming: Int = 3)(d: Dialect): String =
+    simhashBody(s"(${simhashSigsSql(table)(d)})", maxHamming)(d)
 
   /** Embedding-cosine near-duplicates: pairwise cosine within label
     * partitions (the IVF-style bucket bound — never the full quadratic
@@ -192,14 +204,71 @@ object Dedup {
     "__graft_docs"
   }
 
+  // Spark inlines CTEs, so a CTE referenced k times is COMPUTED k times
+  // (the shingle pipeline appears 4x in the minhash plan, the simhash
+  // signature pipeline 8x through the chunk union's self-join). DuckDB
+  // materializes multiply-referenced CTEs, so the single-statement
+  // oracle SQL is unaffected. Here the shared intermediates (shingles,
+  // sizes, intersection counts, simhash signatures) are persisted ONCE
+  // per (session, dir) and exposed as temp views — at 100 TB these are
+  // exactly the relations you'd persist before a multi-consumer fan-out
+  // (jaccard + minhash verification both consume them).
+  private val relCache =
+    scala.collection.mutable.Map.empty[(Int, String), Unit]
+
+  private def registerShingleRels(spark: SparkSession, dir: String): Unit =
+    relCache.synchronized {
+      relCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val docs = register(spark, dir)
+        val d: Dialect = SparkDialect
+        // localCheckpoint truncates lineage: the view becomes the
+        // materialized partitions themselves, so downstream plans can
+        // never silently recompute the pipeline (persist+view relies on
+        // cache plan-matching, which misses here). On a real cluster the
+        // equivalent is reliable checkpoint / write-to-storage.
+        def mat(name: String, sql: String): Unit = {
+          val t0 = System.nanoTime()
+          val df = spark.sql(sql).localCheckpoint(eager = true)
+          df.createOrReplaceTempView(name)
+          if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
+            println(f"DEDUPMAT $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        // sh first: the word-explode + window pipeline runs ONCE; the
+        // hot-shingle filter then reads the persisted sh twice cheaply.
+        mat("__graft_sh", s"WITH ${shinglesCte(d, docs)} SELECT * FROM sh")
+        mat("__graft_shf",
+          s"""SELECT s.id, s.shingle FROM __graft_sh s
+             |JOIN (SELECT shingle FROM __graft_sh
+             |       GROUP BY shingle HAVING COUNT(*) <= 50) ok
+             |  ON s.shingle = ok.shingle""".stripMargin)
+        mat("__graft_sizes", "SELECT id, COUNT(*) AS sz FROM __graft_shf GROUP BY id")
+        mat("__graft_inter",
+          s"""SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
+             |  FROM __graft_shf a JOIN __graft_shf b
+             |    ON a.shingle = b.shingle AND a.id < b.id
+             | GROUP BY a.id, b.id""".stripMargin)
+        mat("__graft_minhash_sigs", minhashSigsSql("__graft_shf"))
+      })
+    }
+
   def runExact(spark: SparkSession, dir: String): DataFrame =
     spark.sql(exactSql(register(spark, dir))(SparkDialect))
-  def runJaccard(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(jaccardSql(register(spark, dir))(SparkDialect))
-  def runMinhash(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(minhashSql(register(spark, dir))(SparkDialect))
-  def runSimhash(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(simhashSql(register(spark, dir))(SparkDialect))
+  def runJaccard(spark: SparkSession, dir: String): DataFrame = {
+    registerShingleRels(spark, dir)
+    spark.sql(jaccardBody("__graft_inter", "__graft_sizes", 0.5))
+  }
+  def runMinhash(spark: SparkSession, dir: String): DataFrame = {
+    registerShingleRels(spark, dir)
+    spark.sql(
+      s"WITH ${minhashBody("__graft_minhash_sigs", "__graft_inter", "__graft_sizes", 0.5)}")
+  }
+  def runSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = register(spark, dir)
+    val sigs = spark.sql(simhashSigsSql(docs)(SparkDialect))
+      .localCheckpoint(eager = true)
+    sigs.createOrReplaceTempView("__graft_simhash_sigs")
+    spark.sql(simhashBody("__graft_simhash_sigs", 3)(SparkDialect))
+  }
   def runEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb_dedup")

@@ -90,7 +90,15 @@ object SparkEntry {
       ("score_cards" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCard(s, dir))) +
       ("schema_drift" ->
-        ((s: SparkSession, dir: String) => graft.inference.SchemaDrift.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.inference.SchemaDrift.run(s, dir))) +
+      ("monitor_sarimax" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSarimax(s, dir))) +
+      ("profile_sampled" ->
+        ((s: SparkSession, dir: String) => graft.profiling.SampledProfiler.run(s, dir))) +
+      ("data_chars" ->
+        ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))) +
+      ("functional_tabletype" ->
+        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.runTableType(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -129,7 +137,12 @@ object SparkEntry {
       ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()) +
       ("monitor_freshness_gaps" -> graft.streaming.Monitors.duckFreshnessGapsSql()) +
       ("contingency_rules" -> graft.inference.Contingency.duckSql()) +
-      ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql())
       // schema_drift: metadata diff over parquet footers — not
       // SQL-expressible against the oracle's views; rows-only check.
+      // monitor_sarimax: iterative Nelder-Mead ARIMA fit — not
+      // SQL-expressible; rows-only check + TimeSeriesSpec unit tests.
+      ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()) +
+      ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
+      ("data_chars" -> graft.core.DataChars.duckSql()) +
+      ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql())
 }

@@ -1,0 +1,98 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.profiling.GeneralType
+
+/** Data-characteristics refresh — schema introspection + row counts, the
+  * reference's per-flavor DDF query and chunked COUNT(*) batches
+  * (reference: testgen/template/flavors/postgresql/data_chars/get_schema_ddf.sql:1-53,
+  * testgen/commands/queries/refresh_data_chars_query.py:111-120).
+  *
+  * On Spark the parquet footer IS the catalog: general_type and
+  * is_decimal derive from `df.schema` (no query), and row counts are
+  * parallel `df.count()` actions — the reference's thread-pooled
+  * `UNION ALL of SELECT COUNT(*)` becomes Spark jobs. The DuckDB oracle
+  * introspects `information_schema.columns` with the reference's CASE
+  * ladder, so the engine's schema-derived classification is verified
+  * against a live catalog query.
+  */
+object DataChars {
+
+  /** Optional include/exclude masks (the reference's `%` LIKE masks,
+    * refresh_data_chars_query.py:67-101) as anchored regexes. */
+  def tableNames(include: Option[String] = None,
+                 exclude: Option[String] = None): Seq[String] = {
+    def toRe(mask: String) = ("^" + mask.replace("%", ".*").replace("_", ".") + "$").r
+    Tables.names
+      .filter(t => include.forall(m => toRe(m).findFirstIn(t).isDefined))
+      .filterNot(t => exclude.exists(m => toRe(m).findFirstIn(t).isDefined))
+  }
+
+  private def isDecimal(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.scale > 0
+    case _              => false // DOUBLE reports scale 0/NULL in both catalogs
+  }
+
+  def run(spark: SparkSession, dir: String,
+          include: Option[String] = None,
+          exclude: Option[String] = None): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = tableNames(include, exclude)
+    // parallel row counts — the reference's chunked COUNT(*) fan-out
+    val counts: Map[String, Long] = Await.result(
+      Future.sequence(names.map { t =>
+        Future(t -> Tables.load(spark, dir, t).count())
+      }), Duration.Inf).toMap
+    val rows = for {
+      t <- names
+      df = Tables.load(spark, dir, t)
+      (f, i) <- df.schema.fields.toSeq.zipWithIndex
+    } yield Row(t, f.name, i + 1, GeneralType.of(f.dataType),
+      if (isDecimal(f.dataType)) 1 else 0, counts(t))
+    val schema = StructType(Seq(
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("position", IntegerType),
+      StructField("general_type", StringType),
+      StructField("is_decimal", IntegerType),
+      StructField("record_ct", LongType)))
+    spark.createDataFrame(rows.asJava, schema)
+      .orderBy("table_name", "position")
+  }
+
+  /** DuckDB oracle: live information_schema introspection with the
+    * reference's type-classification CASE ladder. */
+  def duckSql(): String = {
+    val names = Tables.names
+    val inList = names.map(n => s"'$n'").mkString(", ")
+    val counts = names
+      .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS record_ct FROM $t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH counts AS (
+       |$counts
+       |)
+       |SELECT c.table_name, c.column_name,
+       |       CAST(c.ordinal_position AS INT) AS position,
+       |       CASE WHEN c.data_type LIKE '%CHAR%' OR c.data_type = 'TEXT' THEN 'A'
+       |            WHEN c.data_type = 'BOOLEAN' THEN 'B'
+       |            WHEN c.data_type = 'DATE' OR c.data_type LIKE 'TIMESTAMP%' THEN 'D'
+       |            WHEN c.data_type LIKE 'TIME WITH%' THEN 'T'
+       |            WHEN c.data_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT',
+       |                                 'HUGEINT', 'DOUBLE', 'FLOAT', 'REAL')
+       |              OR c.data_type LIKE 'DECIMAL%' THEN 'N'
+       |            ELSE 'X' END AS general_type,
+       |       CAST(CASE WHEN COALESCE(c.numeric_scale, 0) > 0 THEN 1 ELSE 0 END AS INT)
+       |         AS is_decimal,
+       |       ct.record_ct
+       |  FROM information_schema.columns c
+       |  JOIN counts ct ON ct.table_name = c.table_name
+       | WHERE c.table_name IN ($inList)
+       | ORDER BY c.table_name, position""".stripMargin
+  }
+}

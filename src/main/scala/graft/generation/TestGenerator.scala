@@ -261,4 +261,19 @@ object TestGenerator {
 
   def duckSql(): String =
     sql(s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})")(DuckDialect)
+
+  /** Functional table type as a standalone relation (single-run behavior:
+    * the record-count LAG across runs needs history, so every table gets
+    * the 'cumulative' prefix — reference functional_tabletype_stage.sql:20-27). */
+  private def tableTypeQuery(rel: String)(d: Dialect): String =
+    s"""WITH enr AS ${d.cteMaterialized}(SELECT * FROM $rel),
+       |tt AS (${tableTypeSql})
+       |SELECT * FROM tt ORDER BY table_name""".stripMargin
+
+  def runTableType(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(tableTypeQuery(HygieneScreens.enrichedView(spark, dir))(SparkDialect))
+
+  def duckTableTypeSql(): String =
+    tableTypeQuery(
+      s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})")(DuckDialect)
 }

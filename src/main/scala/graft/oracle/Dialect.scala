@@ -47,6 +47,8 @@ sealed trait Dialect {
   def strpos(x: String, sub: String): String
   /** strpos with the needle as an expression rather than a literal. */
   def strposExpr(x: String, subExpr: String): String
+  /** Parse a hex-string expression (no 0x prefix) into a BIGINT. */
+  def hexToLong(h: String): String
   /** Relation exploding `expr` (split by the separator SQL expression
     * `sepSql`, e.g. "CHR(10)") into one row per piece, carrying `cols`
     * through; the piece column is named `piece`. */
@@ -120,6 +122,7 @@ object SparkDialect extends Dialect {
   def addMonths(x: String, n: Int): String = s"add_months($x, $n)"
   def strpos(x: String, sub: String): String = s"instr($x, '${esc(sub)}')"
   def strposExpr(x: String, subExpr: String): String = s"instr($x, $subExpr)"
+  def hexToLong(h: String): String = s"CAST(CONV($h, 16, 10) AS BIGINT)"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")}, sp.piece FROM $rel
        | LATERAL VIEW explode(split($expr, $sepSql)) sp AS piece""".stripMargin
@@ -170,6 +173,7 @@ object DuckDialect extends Dialect {
     s"(CAST($x AS TIMESTAMP) + INTERVAL '$n months')"
   def strpos(x: String, sub: String): String = s"strpos($x, '${esc(sub)}')"
   def strposExpr(x: String, subExpr: String): String = s"strpos($x, $subExpr)"
+  def hexToLong(h: String): String = s"CAST(CAST('0x' || $h AS UBIGINT) AS BIGINT)"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")},
        | unnest(string_split($expr, $sepSql)) AS piece FROM $rel""".stripMargin

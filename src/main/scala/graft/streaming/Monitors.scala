@@ -180,4 +180,58 @@ object Monitors {
 
   def duckVolumeBandsSql(): String = volumeBandsSql("events")(DuckDialect)
   def duckFreshnessSql(): String = freshnessSql(DuckDialect)
+
+  /** One monitored signal history: daily event volume per event_type. */
+  final case class SeriesPoint(series: String, ts: Long, value: Double)
+  final case class SarimaxBand(series: String, n_points: Long,
+                               forecast_ts: java.sql.Timestamp,
+                               predicted: Double, se: Double,
+                               lower_tolerance: Double, upper_tolerance: Double,
+                               sensitivity: String)
+
+  /** SARIMAX(1,1,1)+exog tolerance bands per monitored series (see
+    * [[TimeSeries]] for the model port). The daily aggregation is
+    * distributed; each series' history is then SMALL by construction
+    * (run-cadence points), so per-series fitting runs inside a typed
+    * `mapGroups` — one task per series, which is exactly how millions of
+    * monitored series scale across a cluster, mirroring the reference's
+    * per-test pandas loop (reference:
+    * testgen/commands/test_thresholds_prediction.py:83-137) without its
+    * single-process bound. */
+  def runSarimax(spark: SparkSession, dir: String,
+                 sensitivity: String = "medium"): DataFrame = {
+    import spark.implicits._
+    val events = graft.core.Tables.load(spark, dir, "events")
+    events.createOrReplaceTempView("__graft_events_sx")
+    val daily = spark.sql(
+      """SELECT event_type AS series,
+        |       CAST(unix_timestamp(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT) AS ts,
+        |       CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM __graft_events_sx
+        | GROUP BY 1, 2""".stripMargin).as[SeriesPoint]
+    val sens = sensitivity
+    daily.groupByKey(_.series).flatMapGroups { (series, it) =>
+      val pts = it.toArray.sortBy(_.ts)
+      val ts = pts.map(_.ts).toSeq
+      val vals = pts.map(_.value).toSeq
+      try {
+        val fc = TimeSeries.sarimaxForecast(ts, vals, excludeWeekends = true)
+        val z = TimeSeries.zScore(sens)
+        val mult =
+          if (pts.length < TimeSeries.TDistributionThreshold)
+            TimeSeries.tPpf(TimeSeries.normCdf(z), pts.length - 1)
+          else z
+        Iterator.single(SarimaxBand(
+          series, pts.length.toLong,
+          new java.sql.Timestamp(fc.ts.head * 1000L),
+          math.rint(fc.mean(0) * 10000) / 10000,
+          math.rint(fc.se(0) * 10000) / 10000,
+          math.rint((fc.mean(0) - mult * fc.se(0)) * 10000) / 10000,
+          math.rint((fc.mean(0) + mult * fc.se(0)) * 10000) / 10000,
+          sens))
+      } catch {
+        case _: TimeSeries.NotEnoughData => Iterator.empty
+      }
+    }.toDF().orderBy("series")
+  }
 }

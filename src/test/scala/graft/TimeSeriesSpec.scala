@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TimeSeries
+
+/** Unit tests for the SARIMAX threshold port, in the reference's
+  * constructed-history style (reference:
+  * tests/unit/common/test_time_series_service.py). */
+class TimeSeriesSpec extends AnyFunSuite {
+  private val day = 86400L
+
+  test("frequency inference snaps to days, hours, and minutes") {
+    val daily = (0 until 30).map(i => i * day)
+    assert(TimeSeries.inferFrequencySeconds(daily) == day)
+    // 2-day cadence
+    val biDaily = (0 until 30).map(i => i * 2 * day)
+    assert(TimeSeries.inferFrequencySeconds(biDaily) == 2 * day)
+    // hourly with a little jitter (< 5%)
+    val hourly = (0 until 50).map(i => i * 3600L + (i % 3) * 60L)
+    assert(TimeSeries.inferFrequencySeconds(hourly) == 3600L)
+    // 90-second cadence falls through to minutes
+    val sec90 = (0 until 30).map(i => i * 90L)
+    assert(TimeSeries.inferFrequencySeconds(sec90) == 60L)
+  }
+
+  test("resample fills gaps by linear interpolation") {
+    val ts = Seq(0L, day, 4 * day)
+    val vals = Seq(10.0, 20.0, 50.0)
+    val (grid, y) = TimeSeries.resampleInterpolate(ts, vals, day)
+    assert(grid == Seq(0L, day, 2 * day, 3 * day, 4 * day))
+    assert(y.toSeq == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
+  test("normal CDF matches the reference approximation") {
+    assert(math.abs(TimeSeries.normCdf(0.0) - 0.5) < 1e-7)
+    assert(math.abs(TimeSeries.normCdf(2.0) - 0.9772) < 1e-4)
+    assert(math.abs(TimeSeries.normCdf(-2.5) - 0.0062) < 1e-4)
+  }
+
+  test("t quantile widens small-sample tolerances and converges to z") {
+    val p = TimeSeries.normCdf(2.0)
+    val t10 = TimeSeries.tPpf(p, 10)
+    val t1000 = TimeSeries.tPpf(p, 1000)
+    assert(t10 > 2.0) // fat tails widen the band
+    assert(t10 < 3.0)
+    assert(math.abs(t1000 - 2.0) < 0.02)
+    // scipy reference: t.ppf(norm.cdf(2), 19) ≈ 2.1398
+    assert(math.abs(TimeSeries.tPpf(p, 19) - 2.1398) < 0.01)
+  }
+
+  test("weekend flag matches the calendar") {
+    // 2026-08-01 was a Saturday
+    val sat = java.time.LocalDate.of(2026, 8, 1).toEpochDay * day
+    assert(TimeSeries.isWeekend(sat) == 1)
+    assert(TimeSeries.isWeekend(sat + 2 * day) == 0) // Monday
+  }
+
+  test("forecast on a flat noisy series stays near the level with sane SE") {
+    val rnd = new scala.util.Random(7)
+    val ts = (0 until 60).map(i => i * day)
+    val vals = ts.map(_ => 100.0 + rnd.nextGaussian() * 3.0)
+    val fc = TimeSeries.sarimaxForecast(ts, vals)
+    assert(fc.mean.forall(m => math.abs(m - 100.0) < 15.0))
+    // SE floor: at least the raw first-difference sd (≈ 3√2)
+    assert(fc.se.forall(_ >= 3.0))
+    assert(fc.se.forall(_ <= 30.0))
+    // model SE is non-decreasing with horizon once the floor is cleared
+    assert(fc.se.last >= fc.se.head - 1e-9)
+  }
+
+  test("forecast tracks a linear trend") {
+    val ts = (0 until 40).map(i => i * day)
+    val vals = ts.indices.map(i => 10.0 + 5.0 * i)
+    val fc = TimeSeries.sarimaxForecast(ts, vals)
+    // next point of a perfect +5/day trend ≈ 10 + 5*40
+    assert(math.abs(fc.mean(0) - 210.0) < 10.0)
+  }
+
+  test("thresholds bracket the next value of a stable series") {
+    val rnd = new scala.util.Random(11)
+    val ts = (0 until 45).map(i => i * day)
+    val vals = ts.map(_ => 500.0 + rnd.nextGaussian() * 10.0)
+    val Some((lo, hi)) = TimeSeries.computeThreshold(ts, vals, "medium")
+    assert(lo < 500.0 && 500.0 < hi)
+    // low sensitivity widens, high narrows
+    val Some((lo2, hi2)) = TimeSeries.computeThreshold(ts, vals, "low")
+    val Some((lo3, hi3)) = TimeSeries.computeThreshold(ts, vals, "high")
+    assert(lo2 <= lo && hi2 >= hi)
+    assert(lo3 >= lo && hi3 <= hi)
+  }
+
+  test("too-short histories raise NotEnoughData / return None") {
+    val ts = (0 until 10).map(i => i * day)
+    val vals = ts.map(_ => 1.0)
+    intercept[TimeSeries.NotEnoughData] {
+      TimeSeries.sarimaxForecast(ts, vals)
+    }
+    assert(TimeSeries.computeThreshold(ts, vals, "medium").isEmpty)
+  }
+}

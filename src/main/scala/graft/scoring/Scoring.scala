@@ -237,9 +237,15 @@ object Scoring {
     HygieneScreens.enrichedView(spark, dir)
 
   def runTestPrevalence(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val enrView = enrichedView(spark, dir)
-    val cat = CatSuite.suites.keys.toSeq.sorted
-      .map(t => CatSuite.run(spark, dir, t).withColumn("table_name", lit(t)))
+    // per-table CAT suites are independent jobs — run them concurrently
+    val cat = Await.result(
+      Future.sequence(CatSuite.suites.keys.toSeq.sorted.map(t =>
+        Future(CatSuite.run(spark, dir, t).withColumn("table_name", lit(t))))),
+      Duration.Inf)
       .reduce(_ unionByName _)
     cat.createOrReplaceTempView("__graft_catres")
     spark.sql(testPrevalenceSql("__graft_catres", enrView)(SparkDialect))

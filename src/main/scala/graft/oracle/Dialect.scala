@@ -80,6 +80,8 @@ sealed trait Dialect {
   def arrayPosRel(table: String, keyCol: String, arrCol: String): String
   /** Parse a hex-digit string expression to BIGINT. */
   def hexToInt(x: String): String
+  /** Integer (floor) division of two integer expressions. */
+  def intDiv(a: String, b: String): String
   /** Bitwise XOR of two integer expressions. */
   def bitXor(a: String, b: String): String
   /** Number of set bits of an integer expression. */
@@ -145,6 +147,7 @@ object SparkDialect extends Dialect {
     s"""SELECT $keyCol, p.pos, CAST(p.val AS DOUBLE) AS val FROM $table
        | LATERAL VIEW posexplode($arrCol) p AS pos, val""".stripMargin
   def hexToInt(x: String): String = s"CAST(CONV($x, 16, 10) AS BIGINT)"
+  def intDiv(a: String, b: String): String = s"(($a) DIV ($b))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
   def shiftRight(x: String, n: Int): String = s"shiftright($x, $n)"
   def stringAgg(x: String, sep: String, orderBy: String): String =
@@ -206,6 +209,7 @@ object DuckDialect extends Dialect {
     s"""SELECT $keyCol, generate_subscripts($arrCol, 1) - 1 AS pos,
        | CAST(unnest($arrCol) AS DOUBLE) AS val FROM $table""".stripMargin
   def hexToInt(x: String): String = s"CAST(('0x' || ($x)) AS BIGINT)"
+  def intDiv(a: String, b: String): String = s"(($a) // ($b))"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def shiftRight(x: String, n: Int): String = s"($x >> $n)"
   def textType: String = "VARCHAR"

@@ -27,10 +27,10 @@ object Multimodal {
        |  MD5(text) AS content_hash,
        |  CAST(64 + ${hex2int(1, 2)} AS INT) AS fake_width,
        |  CAST(64 + ${hex2int(3, 2)} AS INT) AS fake_height,
-       |  CAST(FLOOR(${hex2int(5, 4)} / 65535.0 * 10000) / 10000.0 AS DOUBLE) AS feat_0,
-       |  CAST(FLOOR(${hex2int(9, 4)} / 65535.0 * 10000) / 10000.0 AS DOUBLE) AS feat_1,
-       |  CAST(FLOOR(${hex2int(13, 4)} / 65535.0 * 10000) / 10000.0 AS DOUBLE) AS feat_2,
-       |  CAST(FLOOR(${hex2int(17, 4)} / 65535.0 * 10000) / 10000.0 AS DOUBLE) AS feat_3
+       |  CAST(${d.intDiv(s"${hex2int(5, 4)} * 10000", "65535")} / 10000.0 AS DOUBLE) AS feat_0,
+       |  CAST(${d.intDiv(s"${hex2int(9, 4)} * 10000", "65535")} / 10000.0 AS DOUBLE) AS feat_1,
+       |  CAST(${d.intDiv(s"${hex2int(13, 4)} * 10000", "65535")} / 10000.0 AS DOUBLE) AS feat_2,
+       |  CAST(${d.intDiv(s"${hex2int(17, 4)} * 10000", "65535")} / 10000.0 AS DOUBLE) AS feat_3
        |FROM $table
        |ORDER BY doc_id""".stripMargin
   }

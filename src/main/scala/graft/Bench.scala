@@ -12,7 +12,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // error isolation with one retry — the reference's failed-batch
+      // rerun-singly semantics (run_test_execution.py:300-352)
+      try { fn(spark, sfDir).count() }
+      catch {
+        case _: Throwable =>
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

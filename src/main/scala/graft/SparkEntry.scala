@@ -98,7 +98,13 @@ object SparkEntry {
       ("data_chars" ->
         ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))) +
       ("functional_tabletype" ->
-        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.runTableType(s, dir)))
+        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.runTableType(s, dir))) +
+      ("lookup_dupe_rows" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDupeRows(s, dir))) +
+      ("lookup_email_format" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runEmailFormat(s, dir))) +
+      ("lookup_min_date" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -144,5 +150,8 @@ object SparkEntry {
       ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()) +
       ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
       ("data_chars" -> graft.core.DataChars.duckSql()) +
-      ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql())
+      ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql()) +
+      ("lookup_dupe_rows" -> graft.lookup.DrillDown.duckDupeRowsSql()) +
+      ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()) +
+      ("lookup_min_date" -> graft.lookup.DrillDown.duckMinDateSql())
 }

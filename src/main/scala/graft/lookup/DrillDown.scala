@@ -110,4 +110,61 @@ object DrillDown {
   def duckMaskedSql(): String = maskedMismatchSql("customer", "c_mktsegment", "^[A-Z]+$",
     piiCols = Seq("c_name"),
     otherCols = Seq("c_custkey", "c_name", "c_mktsegment"))(DuckDialect)
+
+  /** Dupe_Rows drill-down: full key-combination groups occurring more
+    * than once (test_types_Dupe_Rows.yaml lookup_query shape). */
+  def dupeRowsSql(table: String, cols: Seq[String])(d: Dialect): String = {
+    val keys = cols.mkString(", ")
+    s"""SELECT $keys, COUNT(*) AS occurrence_ct
+       |  FROM $table
+       | GROUP BY $keys HAVING COUNT(*) > 1
+       | ORDER BY COUNT(*) DESC, $keys
+       | LIMIT $Limit""".stripMargin
+  }
+
+  /** Email_Format drill-down: non-conforming values with counts
+    * (test_types_Email_Format.yaml lookup_query shape). */
+  def emailFormatSql(table: String, col: String)(d: Dialect): String = {
+    val emailRe = """^[A-Za-z0-9._'%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"""
+    s"""SELECT $col AS value, COUNT(*) AS occurrence_ct
+       |  FROM $table
+       | WHERE $col IS NOT NULL AND NOT ${d.rlike(col, emailRe)}
+       | GROUP BY $col
+       | ORDER BY COUNT(*) DESC, $col
+       | LIMIT $Limit""".stripMargin
+  }
+
+  /** Min_Date drill-down: rows dated before the baseline minimum
+    * (test_types_Min_Date.yaml lookup_query shape; the same query with
+    * the run date as baseline serves Future_Date). */
+  def minDateSql(table: String, idCol: String, dateCol: String,
+                 baseline: String)(d: Dialect): String =
+    s"""SELECT $idCol AS id, ${d.fmtTs(dateCol)} AS offending_value
+       |  FROM $table
+       | WHERE CAST($dateCol AS DATE) < DATE '$baseline'
+       | ORDER BY offending_value, id
+       | LIMIT $Limit""".stripMargin
+
+  def runDupeRows(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "orders").createOrReplaceTempView("__dd_orders2")
+    spark.sql(dupeRowsSql("__dd_orders2",
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority"))(SparkDialect))
+  }
+
+  def runEmailFormat(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__dd_events3")
+    spark.sql(emailFormatSql("__dd_events3", "event_type")(SparkDialect))
+  }
+
+  def runMinDate(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "orders").createOrReplaceTempView("__dd_orders3")
+    spark.sql(minDateSql("__dd_orders3", "o_orderkey", "o_orderdate",
+      "1995-06-01")(SparkDialect))
+  }
+
+  def duckDupeRowsSql(): String = dupeRowsSql("orders",
+    Seq("o_custkey", "o_orderstatus", "o_orderpriority"))(DuckDialect)
+  def duckEmailFormatSql(): String = emailFormatSql("events", "event_type")(DuckDialect)
+  def duckMinDateSql(): String = minDateSql("orders", "o_orderkey", "o_orderdate",
+    "1995-06-01")(DuckDialect)
 }

@@ -55,7 +55,7 @@ object Runner {
           graft.inference.HygieneScreens.run(spark, dataDir))
       case "generate" =>
         land("generate", "test_definitions",
-          graft.generation.TestGenerator.run(spark, dataDir))
+          graft.generation.TestValidation.run(spark, dataDir))
       case "execute" =>
         graft.cat.CatSuite.suites.keys.toSeq.sorted.foreach { t =>
           land("execute", s"test_results_cat_$t",

@@ -183,6 +183,24 @@ object CatMeasures {
 
 object CatRunner {
 
+  /** Test types whose reference default_severity is Warning (the
+    * dbsetup_test_types YAMLs; all others default to Fail). */
+  private val warningTypes = Set(
+    "Avg_Shift", "Daily_Record_Ct", "Distribution_Shift", "Incr_Avg_Shift",
+    "Missing_Pct", "Outlier_Pct_Above", "Outlier_Pct_Below", "Recency",
+    "Unique_Pct", "Valid_Characters", "Valid_US_Zip", "Valid_US_Zip3",
+    "Variability_Decrease", "Variability_Increase")
+
+  private def severityOf(t: CatTest): String =
+    if (warningTypes(t.testType)) "Warning" else "Fail"
+
+  /** result_status per the reference's update_test_results.sql: pass ⇒
+    * Passed; otherwise the definition's severity picks Warning/Failed. */
+  private val statusCase =
+    """CASE WHEN result_code = 1 THEN 'Passed'
+      |     WHEN severity = 'Warning' THEN 'Warning'
+      |     ELSE 'Failed' END AS result_status""".stripMargin
+
   /** The per-test output 5-tuple, rendered for one dialect. */
   private def testOutputs(t: CatTest, d: Dialect, i: Int): (String, String, String) = {
     val m = t.measure(d)
@@ -201,14 +219,18 @@ object CatRunner {
       Seq(n, s, c)
     }
     val stackArgs = tests.zipWithIndex.map { case (t, i) =>
-      s"${sq(t.testType)}, ${sq(t.column)}, n_$i, s_$i, c_$i"
+      s"${sq(t.testType)}, ${sq(t.column)}, ${sq(severityOf(t))}, n_$i, s_$i, c_$i"
     }
-    s"""SELECT stack(${tests.length},
-       |  ${stackArgs.mkString(",\n  ")}
-       |) AS (test_type, column_name, measure_num, measure_str, result_code)
+    s"""SELECT test_type, column_name, severity, measure_num, measure_str,
+       |       result_code, $statusCase
        |FROM (
-       |  SELECT ${inner.mkString(",\n    ")}
-       |  FROM $table
+       |  SELECT stack(${tests.length},
+       |    ${stackArgs.mkString(",\n    ")}
+       |  ) AS (test_type, column_name, severity, measure_num, measure_str, result_code)
+       |  FROM (
+       |    SELECT ${inner.mkString(",\n      ")}
+       |    FROM $table
+       |  )
        |)
        |ORDER BY test_type, column_name""".stripMargin
   }
@@ -222,10 +244,16 @@ object CatRunner {
       val num = if (t.stringMeasure) "CAST(NULL AS DOUBLE)" else s"CAST(ROUND($m, 4) AS DOUBLE)"
       val str = if (t.stringMeasure) m else "CAST(NULL AS VARCHAR)"
       s"""SELECT ${sq(t.testType)} AS test_type, ${sq(t.column)} AS column_name,
+         |  ${sq(severityOf(t))} AS severity,
          |  $num AS measure_num, $str AS measure_str,
          |  CAST(CASE WHEN ${t.condition(d)} THEN 0 ELSE 1 END AS INT) AS result_code
          |FROM $table""".stripMargin
     }
-    selects.mkString("", "\nUNION ALL\n", "\nORDER BY test_type, column_name")
+    s"""SELECT test_type, column_name, severity, measure_num, measure_str,
+       |       result_code, $statusCase
+       |FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |)
+       |ORDER BY test_type, column_name""".stripMargin
   }
 }

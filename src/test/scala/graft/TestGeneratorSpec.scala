@@ -39,3 +39,30 @@ class TestGeneratorSpec extends SparkSpec {
     assert(r.getAs[String]("baseline_value").startsWith("199"))
   }
 }
+
+class TestValidationSpec extends SparkSpec {
+  test("validation deactivates tests referencing missing objects") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("test_type", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType)))
+    val defs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("Unique", "orders", "o_orderkey"),
+        Row("Unique", "orders", "o_dropped_col"),
+        Row("Row_Ct", "vanished_table", "x")),
+      schema)
+    val cat = graft.generation.TestValidation.catalog(spark, "/root/testdata/sf0.001")
+    val out = graft.generation.TestValidation.validate(defs, cat)
+      .select("test_type", "table_name", "column_name", "is_active", "validation_message")
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getBoolean(3), Option(r.getString(4)))).toMap
+    assert(out(("orders", "o_orderkey")) == (true, None))
+    assert(out(("orders", "o_dropped_col"))._1 == false)
+    assert(out(("orders", "o_dropped_col"))._2.exists(_.contains("Column not found")))
+    assert(out(("vanished_table", "x"))._1 == false)
+    assert(out(("vanished_table", "x"))._2.exists(_.contains("Table not found")))
+  }
+}

@@ -104,7 +104,9 @@ object SparkEntry {
       ("lookup_email_format" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runEmailFormat(s, dir))) +
       ("lookup_min_date" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir)))
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir))) +
+      ("knn_lsh" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -153,5 +155,6 @@ object SparkEntry {
       ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql()) +
       ("lookup_dupe_rows" -> graft.lookup.DrillDown.duckDupeRowsSql()) +
       ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()) +
-      ("lookup_min_date" -> graft.lookup.DrillDown.duckMinDateSql())
+      ("lookup_min_date" -> graft.lookup.DrillDown.duckMinDateSql()) +
+      ("knn_lsh" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect))
 }

@@ -49,6 +49,8 @@ sealed trait Dialect {
   def strposExpr(x: String, subExpr: String): String
   /** Parse a hex-string expression (no 0x prefix) into a BIGINT. */
   def hexToLong(h: String): String
+  /** 1-based array element access cast to DOUBLE. */
+  def elementAt(arr: String, i: Int): String
   /** Relation exploding `expr` (split by the separator SQL expression
     * `sepSql`, e.g. "CHR(10)") into one row per piece, carrying `cols`
     * through; the piece column is named `piece`. */
@@ -125,6 +127,7 @@ object SparkDialect extends Dialect {
   def strpos(x: String, sub: String): String = s"instr($x, '${esc(sub)}')"
   def strposExpr(x: String, subExpr: String): String = s"instr($x, $subExpr)"
   def hexToLong(h: String): String = s"CAST(CONV($h, 16, 10) AS BIGINT)"
+  def elementAt(arr: String, i: Int): String = s"CAST(element_at($arr, $i) AS DOUBLE)"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")}, sp.piece FROM $rel
        | LATERAL VIEW explode(split($expr, $sepSql)) sp AS piece""".stripMargin
@@ -177,6 +180,7 @@ object DuckDialect extends Dialect {
   def strpos(x: String, sub: String): String = s"strpos($x, '${esc(sub)}')"
   def strposExpr(x: String, subExpr: String): String = s"strpos($x, $subExpr)"
   def hexToLong(h: String): String = s"CAST(CAST('0x' || $h AS UBIGINT) AS BIGINT)"
+  def elementAt(arr: String, i: Int): String = s"CAST(($arr)[$i] AS DOUBLE)"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")},
        | unnest(string_split($expr, $sepSql)) AS piece FROM $rel""".stripMargin

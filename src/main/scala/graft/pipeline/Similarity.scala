@@ -78,6 +78,55 @@ object Similarity {
        | ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Deterministic random hyperplanes (fixed LCG seed) for sign-LSH.
+    * Components are short decimal literals so both engines parse the
+    * exact same doubles. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var s = 0x5DEECE66DL
+    def next(): Double = {
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      (((s >>> 33) % 1999).toInt - 999) / 1000.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-LSH bucketed ANN: each vector hashes to a `nPlanes`-bit bucket
+    * by the signs of its projections onto fixed random hyperplanes
+    * (hamming-cosine LSH); queries search ONLY their bucket, then rank
+    * by exact cosine. The scale path beyond IVF: no centroid training,
+    * bucket id is a pure per-row expression, and the candidate join is
+    * an equi-join on bucket — at 100 TB the corpus shuffles once on
+    * bucket (or is written bucket-partitioned) and each query touches
+    * ~1/2^nPlanes of it. Projections are unrolled element sums so both
+    * engines evaluate the same addition order — bit-identical buckets.
+    */
+  def lshSql(table: String, nQueries: Int = 5, k: Int = 5,
+             nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String = {
+    val planes = hyperplanes(nPlanes, dim)
+    def proj(vec: String, w: Seq[Double]): String =
+      w.zipWithIndex.map { case (wv, i) =>
+        s"${d.elementAt(vec, i + 1)} * ($wv)"
+      }.mkString(" + ")
+    val bucket = planes.zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN ${proj("embedding", w)} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val cos = cosine(d, "q.embedding", "c.embedding")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM $table
+       |),
+       |q AS (SELECT * FROM b WHERE vec_id < $nQueries),
+       |hits AS (
+       |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id, $cos AS cos
+       |    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, bucket, neighbor_id,
+       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |          FROM hits) r
+       | WHERE rank <= $k
+       | ORDER BY query_id, rank""".stripMargin
+  }
+
   private def register(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb")
@@ -88,4 +137,6 @@ object Similarity {
     spark.sql(bruteForceSql(register(spark, dir))(SparkDialect))
   def runIvf(spark: SparkSession, dir: String): DataFrame =
     spark.sql(ivfSql(register(spark, dir))(SparkDialect))
+  def runLsh(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(lshSql(register(spark, dir))(SparkDialect))
 }

@@ -106,7 +106,9 @@ object SparkEntry {
       ("lookup_min_date" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir))) +
       ("knn_lsh" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
+      ("monitor_schedule" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -149,6 +151,8 @@ object SparkEntry {
       // SQL-expressible against the oracle's views; rows-only check.
       // monitor_sarimax: iterative Nelder-Mead ARIMA fit — not
       // SQL-expressible; rows-only check + TimeSeriesSpec unit tests.
+      // monitor_schedule: iterative schedule-inference arithmetic — not
+      // SQL-expressible; rows-only check + FreshnessSpec unit tests.
       ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()) +
       ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
       ("data_chars" -> graft.core.DataChars.duckSql()) +

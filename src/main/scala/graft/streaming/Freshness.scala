@@ -1,0 +1,192 @@
+package graft.streaming
+
+/** Freshness gap thresholds + update-schedule inference — a Scala port
+  * of the reference's freshness service (reference:
+  * testgen/common/freshness_service.py:16-113 gap thresholds,
+  * :369-566 frequency classification / active-day detection /
+  * update-window detection / confidence / schedule inference;
+  * sensitivity parameter map at
+  * testgen/commands/test_thresholds_prediction.py:44-61).
+  *
+  * All arithmetic is over a table's update-event history — a small
+  * driver/executor-side array per monitored table — so the port is pure
+  * Scala; the distributed part (extracting per-table update times) is
+  * ordinary aggregation. Percentiles use numpy's linear interpolation
+  * to match the reference's np.percentile.
+  *
+  * Documented omissions: holiday calendars (no holiday database in
+  * scope) and the time-of-day window exclusion inside gap
+  * normalization; weekend/excluded-day business-minute subtraction IS
+  * ported.
+  */
+object Freshness {
+
+  val MinFreshnessGaps = 5
+  val MaxFreshnessGaps = 40
+
+  /** (upper_percentile, floor_multiplier, lower_percentile) by
+    * sensitivity (FRESHNESS_THRESHOLD_MAP). */
+  val thresholdParams: Map[String, (Double, Double, Double)] = Map(
+    "high" -> ((80.0, 1.0, 20.0)),
+    "medium" -> ((95.0, 1.25, 10.0)),
+    "low" -> ((99.0, 1.5, 5.0)))
+
+  /** Staleness factor by sensitivity (STALENESS_FACTOR_MAP). */
+  val stalenessFactor: Map[String, Double] =
+    Map("high" -> 0.75, "medium" -> 0.85, "low" -> 0.95)
+
+  final case class Threshold(lower: Option[Double], upper: Double,
+                             staleness: Double, lastUpdateSec: Long)
+
+  final case class Schedule(stage: String, frequency: String,
+                            activeDays: Set[Int], windowStart: Option[Double],
+                            windowEnd: Option[Double], confidence: Double,
+                            numEvents: Int)
+
+  final class NotEnoughData(msg: String) extends IllegalArgumentException(msg)
+
+  /** np.percentile with linear interpolation. */
+  def percentile(values: Seq[Double], p: Double): Double = {
+    val a = values.sorted
+    val rank = p / 100.0 * (a.length - 1)
+    val lo = math.floor(rank).toInt
+    val hi = math.ceil(rank).toInt
+    if (lo == hi) a(lo) else a(lo) + (rank - lo) * (a(hi) - a(lo))
+  }
+
+  private def median(values: Seq[Double]): Double = percentile(values, 50.0)
+
+  /** Weekday 0=Mon..6=Sun of an epoch-seconds instant (+tz offset). */
+  def weekday(tsSec: Long, tzOffsetSec: Long = 0L): Int = {
+    val days = math.floorDiv(tsSec + tzOffsetSec, 86400L)
+    (((days + 3) % 7 + 7) % 7).toInt
+  }
+
+  /** Minutes of [startSec, endSec) falling on excluded weekdays —
+    * the weekend/excluded-day part of count_excluded_minutes. */
+  def excludedMinutes(startSec: Long, endSec: Long, excludedDays: Set[Int],
+                      tzOffsetSec: Long = 0L): Double = {
+    if (excludedDays.isEmpty || endSec <= startSec) return 0.0
+    var total = 0.0
+    var dayStart = math.floorDiv(startSec + tzOffsetSec, 86400L) * 86400L - tzOffsetSec
+    while (dayStart < endSec) {
+      val dayEnd = dayStart + 86400L
+      if (excludedDays.contains(weekday(dayStart, tzOffsetSec))) {
+        val overlap = math.min(endSec, dayEnd) - math.max(startSec, dayStart)
+        if (overlap > 0) total += overlap / 60.0
+      }
+      dayStart = dayEnd
+    }
+    total
+  }
+
+  /** get_freshness_gap_threshold over update-event times (epoch sec). */
+  def gapThreshold(updateTimesSec: Seq[Long], sensitivity: String,
+                   excludeWeekends: Boolean = false,
+                   excludedDays: Set[Int] = Set.empty,
+                   tzOffsetSec: Long = 0L): Threshold = {
+    val times = updateTimesSec.sorted
+    if (times.length - 1 < MinFreshnessGaps)
+      throw new NotEnoughData(
+        s"Need at least $MinFreshnessGaps completed gaps, found ${math.max(times.length - 1, 0)}.")
+    val (upperPct, floorMult, lowerPct) = thresholdParams(sensitivity)
+    val excl = excludedDays ++ (if (excludeWeekends) Set(5, 6) else Set.empty[Int])
+    var gaps = times.sliding(2).map { case Seq(a, b) =>
+      val raw = (b - a) / 60.0
+      if (excl.nonEmpty) math.max(raw - excludedMinutes(a, b, excl, tzOffsetSec), 0.0)
+      else raw
+    }.toSeq
+    if (gaps.length > MaxFreshnessGaps) gaps = gaps.takeRight(MaxFreshnessGaps)
+    val upper = math.max(percentile(gaps, upperPct), gaps.max * floorMult)
+    val lowerRaw = percentile(gaps, lowerPct)
+    Threshold(
+      lower = if (lowerRaw <= 0) None else Some(lowerRaw),
+      upper = upper,
+      staleness = median(gaps) * stalenessFactor(sensitivity),
+      lastUpdateSec = times.last)
+  }
+
+  /** classify_frequency over gaps in hours. */
+  def classifyFrequency(gapsHours: Seq[Double]): String = {
+    if (gapsHours.isEmpty) return "irregular"
+    val m = median(gapsHours)
+    if (m < 6) "sub_daily"
+    else if (m < 36) "daily"
+    else if (m > 120 && m < 240) "weekly"
+    else "irregular"
+  }
+
+  /** detect_active_days: weekdays whose per-week hit rate >= 0.5. */
+  def detectActiveDays(timesSec: Seq[Long], tzOffsetSec: Long = 0L,
+                       minWeeks: Int = 3): Option[Set[Int]] = {
+    if (timesSec.length < 2) return None
+    val rangeDays = (timesSec.last - timesSec.head) / 86400L
+    if (rangeDays < minWeeks * 7L) return None
+    val weeksObserved = math.max(1L, rangeDays / 7L).toDouble
+    val counts = timesSec.groupBy(t => weekday(t, tzOffsetSec)).view.mapValues(_.size)
+    val active = (0 until 7).filter(d => counts.getOrElse(d, 0) / weeksObserved >= 0.5).toSet
+    if (active.nonEmpty) Some(active) else None
+  }
+
+  private def hourOf(tsSec: Long, tzOffsetSec: Long): Double = {
+    val secOfDay = math.floorMod(tsSec + tzOffsetSec, 86400L)
+    (secOfDay / 3600) + ((secOfDay % 3600) / 60) / 60.0
+  }
+
+  /** detect_update_window: P10–P90 time-of-day window on active days,
+    * with the midnight-wrapping shift. */
+  def detectUpdateWindow(timesSec: Seq[Long], activeDays: Set[Int],
+                         tzOffsetSec: Long = 0L): Option[(Double, Double)] = {
+    var hours = timesSec
+      .filter(t => activeDays.contains(weekday(t, tzOffsetSec)))
+      .map(t => hourOf(t, tzOffsetSec))
+    if (hours.length < 10) return None
+    val late = hours.count(_ >= 22).toDouble / hours.length
+    val early = hours.count(_ < 3).toDouble / hours.length
+    val shifted = late > 0.25 && early > 0.25
+    if (shifted) hours = hours.map(h => (h + 12) % 24)
+    var p10 = percentile(hours, 10)
+    var p90 = percentile(hours, 90)
+    if (shifted) {
+      p10 = ((p10 - 12) % 24 + 24) % 24
+      p90 = ((p90 - 12) % 24 + 24) % 24
+    }
+    Some((p10, p90))
+  }
+
+  private def inWindow(hour: Double, start: Double, end: Double): Boolean =
+    if (start <= end) hour >= start && hour <= end
+    else hour >= start || hour <= end
+
+  /** compute_schedule_confidence: fraction of updates matching the
+    * active days + time window. */
+  def confidence(timesSec: Seq[Long], activeDays: Set[Int],
+                 window: Option[(Double, Double)], tzOffsetSec: Long = 0L): Double = {
+    if (timesSec.isEmpty) return 0.0
+    val matching = timesSec.count { t =>
+      activeDays.contains(weekday(t, tzOffsetSec)) &&
+        window.forall { case (s, e) => inWindow(hourOf(t, tzOffsetSec), s, e) }
+    }
+    matching.toDouble / timesSec.length
+  }
+
+  /** infer_schedule over update-event times. */
+  def inferSchedule(timesSec: Seq[Long], tzOffsetSec: Long = 0L): Option[Schedule] = {
+    val times = timesSec.sorted
+    if (times.length < 10) return None
+    val rangeDays = (times.last - times.head) / 86400L
+    if (rangeDays < 21) return None
+    val gapsHours = times.sliding(2).map { case Seq(a, b) => (b - a) / 3600.0 }.toSeq
+    val frequency = classifyFrequency(gapsHours)
+    val activeDays = detectActiveDays(times, tzOffsetSec).getOrElse((0 until 7).toSet)
+    val window = detectUpdateWindow(times, activeDays, tzOffsetSec)
+    val conf = confidence(times, activeDays, window, tzOffsetSec)
+    val stage =
+      if (times.length < 20) "tentative"
+      else if (conf >= 0.75) "active"
+      else if (conf < 0.60) "irregular"
+      else "tentative"
+    Some(Schedule(stage, frequency, activeDays,
+      window.map(_._1), window.map(_._2), conf, times.length))
+  }
+}

@@ -181,6 +181,54 @@ object Monitors {
   def duckVolumeBandsSql(): String = volumeBandsSql("events")(DuckDialect)
   def duckFreshnessSql(): String = freshnessSql(DuckDialect)
 
+  final case class UpdateEvent(series: String, ts: Long)
+  final case class ScheduleRow(series: String, stage: String, frequency: String,
+                               active_days: String, window_start: Option[Double],
+                               window_end: Option[Double], confidence: Double,
+                               num_events: Int, upper_min: Option[Double],
+                               staleness_min: Option[Double])
+
+  /** Schedule inference + gap thresholds per monitored table (see
+    * [[Freshness]] for the ported model). Update events are the distinct
+    * hour-truncated activity times per series — extracted distributed,
+    * then each series' (small) history is fit in its own `mapGroups`
+    * task. */
+  def runSchedule(spark: SparkSession, dir: String,
+                  sensitivity: String = "medium"): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.registerAll(spark, dir)
+    val updates = spark.sql(
+      """SELECT 'events' AS series,
+        |       CAST(unix_timestamp(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT) AS ts
+        |  FROM events GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'orders', CAST(unix_timestamp(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)) AS BIGINT)
+        |  FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'lineitem', CAST(unix_timestamp(CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)) AS BIGINT)
+        |  FROM lineitem GROUP BY 1, 2""".stripMargin).as[UpdateEvent]
+    val sens = sensitivity
+    updates.groupByKey(_.series).mapGroups { (series, it) =>
+      val times = it.map(_.ts).toArray.sorted.toSeq
+      val sched = Freshness.inferSchedule(times)
+      val thr =
+        try Some(Freshness.gapThreshold(times, sens))
+        catch { case _: Freshness.NotEnoughData => None }
+      def r4(x: Double) = math.rint(x * 10000) / 10000
+      ScheduleRow(
+        series,
+        sched.map(_.stage).getOrElse("training"),
+        sched.map(_.frequency).getOrElse("irregular"),
+        sched.map(_.activeDays.toSeq.sorted.mkString(",")).getOrElse(""),
+        sched.flatMap(s => s.windowStart.map(r4)),
+        sched.flatMap(s => s.windowEnd.map(r4)),
+        sched.map(s => r4(s.confidence)).getOrElse(0.0),
+        sched.map(_.numEvents).getOrElse(times.length),
+        thr.map(t => r4(t.upper)),
+        thr.map(t => r4(t.staleness)))
+    }.toDF().orderBy("series")
+  }
+
   /** One monitored signal history: daily event volume per event_type. */
   final case class SeriesPoint(series: String, ts: Long, value: Double)
   final case class SarimaxBand(series: String, n_points: Long,

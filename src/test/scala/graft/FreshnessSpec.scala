@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Freshness
+
+/** Scenario tests for the freshness-service port, in the reference's
+  * constructed-history style (reference:
+  * tests/unit/common/test_freshness_scenarios.py). Timestamps are epoch
+  * seconds; 2026-08-03 00:00 UTC epoch-day is a Monday. */
+class FreshnessSpec extends AnyFunSuite {
+  private val day = 86400L
+  private val hour = 3600L
+  // Monday 2026-08-03 00:00 UTC
+  private val monday: Long = java.time.LocalDate.of(2026, 8, 3).toEpochDay * day
+
+  /** Daily weekday updates at 07:00 for n weeks. */
+  private def weekdayDaily(weeks: Int): Seq[Long] =
+    for {
+      w <- 0 until weeks
+      d <- 0 until 5
+    } yield monday + (w * 7L + d) * day + 7 * hour
+
+  test("percentile matches numpy linear interpolation") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    assert(Freshness.percentile(a, 50) == 2.5)
+    assert(Freshness.percentile(a, 25) == 1.75)
+    assert(Freshness.percentile(a, 100) == 4.0)
+  }
+
+  test("weekday maps Monday=0 and Sunday=6") {
+    assert(Freshness.weekday(monday) == 0)
+    assert(Freshness.weekday(monday + 6 * day) == 6)
+  }
+
+  test("gap threshold without exclusions sees the weekend as a long gap") {
+    val t = Freshness.gapThreshold(weekdayDaily(3), "medium")
+    // gaps: 24h × weekdays, 72h Fri→Mon; p95 floor pushes upper near 72h×1.25
+    assert(t.upper >= 72 * 60.0)
+    assert(t.staleness > 0)
+    assert(t.lastUpdateSec == weekdayDaily(3).max)
+  }
+
+  test("weekend exclusion normalizes the Fri->Mon gap to a business day") {
+    val times = weekdayDaily(3)
+    val excl = Freshness.gapThreshold(times, "medium", excludeWeekends = true)
+    val noExcl = Freshness.gapThreshold(times, "medium")
+    // after subtracting Sat+Sun, every gap is 24h (1440 business minutes)
+    assert(excl.upper == 1440 * 1.25)
+    assert(excl.upper < noExcl.upper)
+    assert(excl.lower.contains(1440.0))
+  }
+
+  test("too few gaps raises NotEnoughData") {
+    intercept[Freshness.NotEnoughData] {
+      Freshness.gapThreshold(Seq(0L, day, 2 * day), "medium")
+    }
+  }
+
+  test("frequency bands classify sub-daily, daily, weekly, irregular") {
+    assert(Freshness.classifyFrequency(Seq(1.0, 2.0, 3.0)) == "sub_daily")
+    assert(Freshness.classifyFrequency(Seq(24.0, 24.0, 72.0)) == "daily")
+    assert(Freshness.classifyFrequency(Seq(168.0, 168.0)) == "weekly")
+    assert(Freshness.classifyFrequency(Seq(48.0, 48.0)) == "irregular") // MWF band
+    assert(Freshness.classifyFrequency(Nil) == "irregular")
+  }
+
+  test("active days detect the weekday pattern") {
+    val days = Freshness.detectActiveDays(weekdayDaily(5))
+    assert(days.contains(Set(0, 1, 2, 3, 4)))
+    // under 3 weeks of data → None
+    assert(Freshness.detectActiveDays(weekdayDaily(2)).isEmpty)
+  }
+
+  test("update window brackets the 07:00 cadence") {
+    val Some((p10, p90)) = Freshness.detectUpdateWindow(weekdayDaily(5), Set(0, 1, 2, 3, 4))
+    assert(p10 == 7.0 && p90 == 7.0)
+  }
+
+  test("update window handles midnight-wrapping clusters") {
+    // alternating 23:30 and 00:30 updates, every day for 4 weeks
+    val times = (0 until 28).flatMap { d =>
+      Seq(monday + d * day + 23 * hour + 1800, monday + d * day + 1800)
+    }
+    val Some((p10, p90)) = Freshness.detectUpdateWindow(times, (0 until 7).toSet)
+    assert(p10 >= 22.0 || p10 <= 1.0, s"p10=$p10")
+    assert(p90 >= 23.0 || p90 <= 2.0, s"p90=$p90")
+  }
+
+  test("regular weekday schedule infers as active with high confidence") {
+    val Some(s) = Freshness.inferSchedule(weekdayDaily(5))
+    assert(s.stage == "active")
+    assert(s.frequency == "daily")
+    assert(s.activeDays == Set(0, 1, 2, 3, 4))
+    assert(s.confidence >= 0.95)
+    assert(s.numEvents == 25)
+  }
+
+  test("MWF cadence classifies irregular frequency but active stage") {
+    val mwf = for {
+      w <- 0 until 8
+      d <- Seq(0, 2, 4)
+    } yield monday + (w * 7L + d) * day + 6 * hour
+    val Some(s) = Freshness.inferSchedule(mwf)
+    assert(s.frequency == "irregular") // 48h gaps fall between bands
+    assert(s.activeDays == Set(0, 2, 4))
+    assert(s.stage == "active")
+  }
+
+  test("noisy random times stay non-active") {
+    val rnd = new scala.util.Random(3)
+    val times = (0 until 40).map(_ => monday + (rnd.nextDouble() * 35 * day).toLong).sorted
+    val s = Freshness.inferSchedule(times)
+    // a scattered history must not be classified as an active schedule
+    assert(s.forall(_.stage != "active") || s.exists(_.confidence < 0.9))
+  }
+
+  test("short histories yield no schedule") {
+    assert(Freshness.inferSchedule(weekdayDaily(2)).isEmpty)
+  }
+}

@@ -170,6 +170,44 @@ object Freshness {
     matching.toDouble / timesSec.length
   }
 
+  /** minutes_to_next_deadline (freshness_service.py:567-608): wall (or
+    * business) minutes from the last update to the next active-day
+    * deadline — the threshold path for non-sub-daily schedules. The
+    * deadline is window_end + buffer on the next active day. */
+  def minutesToNextDeadline(lastUpdateSec: Long, schedule: Schedule,
+                            bufferHours: Double,
+                            excludeWeekends: Boolean = false,
+                            excludedDays: Set[Int] = Set.empty,
+                            tzOffsetSec: Long = 0L): Option[Double] = {
+    schedule.windowEnd.flatMap { we =>
+      val deadlineHour = (we + bufferHours) % 24
+      def dayStartOf(t: Long): Long =
+        math.floorDiv(t + tzOffsetSec, 86400L) * 86400L - tzOffsetSec
+      def nextActiveDay(fromDayStart: Long): Option[Long] =
+        (0 until 14).map(i => fromDayStart + i * 86400L)
+          .find(d => schedule.activeDays.contains(weekday(d, tzOffsetSec)))
+      def deadlineOn(dayStart: Long): Long = dayStart + (deadlineHour * 3600).toLong
+      val nextDay = dayStartOf(lastUpdateSec) + 86400L
+      nextActiveDay(nextDay).flatMap { cand =>
+        var deadline = deadlineOn(cand)
+        if (deadline <= lastUpdateSec) {
+          nextActiveDay(cand + 86400L) match {
+            case Some(c2) => deadline = deadlineOn(c2)
+            case None     => return None
+          }
+        }
+        val wall = (deadline - lastUpdateSec) / 60.0
+        if (wall <= 0) None
+        else {
+          val excl = excludedDays ++ (if (excludeWeekends) Set(5, 6) else Set.empty[Int])
+          if (excl.nonEmpty)
+            Some(math.max(wall - excludedMinutes(lastUpdateSec, deadline, excl, tzOffsetSec), 0))
+          else Some(wall)
+        }
+      }
+    }
+  }
+
   /** infer_schedule over update-event times. */
   def inferSchedule(timesSec: Seq[Long], tzOffsetSec: Long = 0L): Option[Schedule] = {
     val times = timesSec.sorted

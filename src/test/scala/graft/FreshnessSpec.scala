@@ -118,4 +118,20 @@ class FreshnessSpec extends AnyFunSuite {
   test("short histories yield no schedule") {
     assert(Freshness.inferSchedule(weekdayDaily(2)).isEmpty)
   }
+
+  test("deadline lands on the next active day after window end + buffer") {
+    val Some(s) = Freshness.inferSchedule(weekdayDaily(5))
+    // last update: Friday of week 5 at 07:00; window end 7.0, buffer 3h
+    val lastUpdate = weekdayDaily(5).max
+    val Some(mins) = Freshness.minutesToNextDeadline(lastUpdate, s, bufferHours = 3.0)
+    // next active day is Monday, deadline 10:00 → Fri 07:00 + 3d3h wall
+    assert(mins == (3 * 24 + 3) * 60.0)
+    // with weekend exclusion, Sat+Sun minutes drop out
+    val Some(biz) = Freshness.minutesToNextDeadline(lastUpdate, s, bufferHours = 3.0,
+      excludeWeekends = true)
+    assert(biz == (24 + 3) * 60.0)
+    // no window ⇒ no deadline
+    assert(Freshness.minutesToNextDeadline(lastUpdate,
+      s.copy(windowEnd = None), 3.0).isEmpty)
+  }
 }

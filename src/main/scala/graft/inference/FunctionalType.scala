@@ -405,11 +405,14 @@ object FunctionalType {
   def registerProfileAll(spark: SparkSession, dir: String): String =
     profileCache.synchronized {
       profileCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val t0 = System.nanoTime()
         val df = buildProfileAll(spark, dir)
         val local = spark.createDataFrame(
           java.util.Arrays.asList(df.collect(): _*), df.schema)
         val view = s"__graft_profile_all_${profileCache.size}"
         local.createOrReplaceTempView(view)
+        if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
+          println(f"PROFALL all-tables ${(System.nanoTime() - t0) / 1e9}%.2f s")
         view
       })
     }

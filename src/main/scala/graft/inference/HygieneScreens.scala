@@ -292,11 +292,14 @@ object HygieneScreens {
     enrCache.synchronized {
       enrCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
         val rel = FunctionalType.registerProfileAll(spark, dir)
+        val t0 = System.nanoTime()
         val enr = spark.sql(enrichSql(rel)(SparkDialect))
         val local = spark.createDataFrame(
           java.util.Arrays.asList(enr.collect(): _*), enr.schema)
         val view = s"__graft_enriched_profile_${enrCache.size}"
         local.createOrReplaceTempView(view)
+        if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
+          println(f"ENRICH cascade ${(System.nanoTime() - t0) / 1e9}%.2f s")
         view
       })
     }

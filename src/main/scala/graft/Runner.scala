@@ -31,8 +31,9 @@ object Runner {
     spark.sparkContext.setLogLevel("WARN")
 
     def land(stage: String, name: String, df: DataFrame): Unit = {
-      val n = df.count()
       df.write.mode("overwrite").parquet(s"$outDir/$name")
+      // row count from the written parquet footers — no second execution
+      val n = spark.read.parquet(s"$outDir/$name").count()
       println(s"[graft] $stage: $name rows=$n -> $outDir/$name")
     }
 

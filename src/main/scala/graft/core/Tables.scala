@@ -38,11 +38,18 @@ object Tables {
     // downstream per-row computation. Real deployments have many files /
     // row groups so the scan parallelizes for free; this guard only
     // rebalances under-parallel inputs (like the single-row-group driver
-    // fixtures) up to the cluster's parallelism.
+    // fixtures) up to the cluster's parallelism. The partition-count
+    // probe costs a physical-planning pass, so its verdict is memoized
+    // per (session, dir, table) — it cannot change within a session.
     val parallelism = spark.sparkContext.defaultParallelism
-    if (typed.rdd.getNumPartitions < math.min(4, parallelism)) typed.repartition(parallelism)
-    else typed
+    val under = underParallel.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name),
+      typed.rdd.getNumPartitions < math.min(4, parallelism))
+    if (under) typed.repartition(parallelism) else typed
   }
+
+  private val underParallel =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
 
   /** Static schemas of the driver testdata (TESTDATA.md / FIXTURES.md §1).
     * Needed because `SparkEntry.oracleSql` is assembled without a live

@@ -213,12 +213,16 @@ object Dedup {
   // per (session, dir) and exposed as temp views — at 100 TB these are
   // exactly the relations you'd persist before a multi-consumer fan-out
   // (jaccard + minhash verification both consume them).
+  // value = view-name suffix per (session, dir), so a second data
+  // directory in the same session gets its own relations instead of
+  // silently overwriting (and then serving) the first one's
   private val relCache =
-    scala.collection.mutable.Map.empty[(Int, String), Unit]
+    scala.collection.mutable.Map.empty[(Int, String), Int]
 
-  private def registerShingleRels(spark: SparkSession, dir: String): Unit =
+  private def registerShingleRels(spark: SparkSession, dir: String): Int =
     relCache.synchronized {
       relCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val k = relCache.size
         val docs = register(spark, dir)
         val d: Dialect = SparkDialect
         // localCheckpoint truncates lineage: the view becomes the
@@ -235,32 +239,33 @@ object Dedup {
         }
         // sh first: the word-explode + window pipeline runs ONCE; the
         // hot-shingle filter then reads the persisted sh twice cheaply.
-        mat("__graft_sh", s"WITH ${shinglesCte(d, docs)} SELECT * FROM sh")
-        mat("__graft_shf",
-          s"""SELECT s.id, s.shingle FROM __graft_sh s
-             |JOIN (SELECT shingle FROM __graft_sh
+        mat(s"__graft_sh_$k", s"WITH ${shinglesCte(d, docs)} SELECT * FROM sh")
+        mat(s"__graft_shf_$k",
+          s"""SELECT s.id, s.shingle FROM __graft_sh_$k s
+             |JOIN (SELECT shingle FROM __graft_sh_$k
              |       GROUP BY shingle HAVING COUNT(*) <= 50) ok
              |  ON s.shingle = ok.shingle""".stripMargin)
-        mat("__graft_sizes", "SELECT id, COUNT(*) AS sz FROM __graft_shf GROUP BY id")
-        mat("__graft_inter",
+        mat(s"__graft_sizes_$k",
+          s"SELECT id, COUNT(*) AS sz FROM __graft_shf_$k GROUP BY id")
+        mat(s"__graft_inter_$k",
           s"""SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
-             |  FROM __graft_shf a JOIN __graft_shf b
+             |  FROM __graft_shf_$k a JOIN __graft_shf_$k b
              |    ON a.shingle = b.shingle AND a.id < b.id
              | GROUP BY a.id, b.id""".stripMargin)
-        mat("__graft_minhash_sigs", minhashSigsSql("__graft_shf"))
+        mat(s"__graft_minhash_sigs_$k", minhashSigsSql(s"__graft_shf_$k"))
+        k
       })
     }
 
   def runExact(spark: SparkSession, dir: String): DataFrame =
     spark.sql(exactSql(register(spark, dir))(SparkDialect))
   def runJaccard(spark: SparkSession, dir: String): DataFrame = {
-    registerShingleRels(spark, dir)
-    spark.sql(jaccardBody("__graft_inter", "__graft_sizes", 0.5))
+    val k = registerShingleRels(spark, dir)
+    spark.sql(jaccardBody(s"__graft_inter_$k", s"__graft_sizes_$k", 0.5))
   }
   def runMinhash(spark: SparkSession, dir: String): DataFrame = {
-    registerShingleRels(spark, dir)
-    spark.sql(
-      s"WITH ${minhashBody("__graft_minhash_sigs", "__graft_inter", "__graft_sizes", 0.5)}")
+    val k = registerShingleRels(spark, dir)
+    spark.sql(s"WITH ${minhashBody(s"__graft_minhash_sigs_$k", s"__graft_inter_$k", s"__graft_sizes_$k", 0.5)}")
   }
   def runSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = register(spark, dir)

@@ -73,7 +73,10 @@ object Profiler {
     val d: Dialect = SparkDialect
     val df0 = graft.core.Tables.load(spark, dir, table)
     val df = sampleFraction.fold(df0)(f => df0.sample(withReplacement = false, f, seed = 64L))
-    val view = s"__graft_profile_$table"
+    // fraction in the view name: a sampled and an unsampled profile of
+    // the same table may run concurrently and must not share a view
+    val view = s"__graft_profile_$table" +
+      sampleFraction.fold("")(f => s"_s${(f * 1e6).toLong}")
     df.createOrReplaceTempView(view)
 
     val perCol: Seq[(StructField, Int, Seq[MetricEntry])] =

@@ -219,19 +219,26 @@ object Scoring {
        |    FROM prev_c),
        |percol AS (
        |  SELECT m.table_name, m.dq_dimension, m.column_name,
-       |         MAX(e.record_ct) AS record_ct,
        |         (1.0 - ${sumLn("COALESCE(m.p, 0.0)")}) * MAX(e.record_ct) AS affected
        |    FROM dimmed m
        |    JOIN enr_c e ON e.table_name = m.table_name AND e.column_name = m.column_name
        |   WHERE m.dq_dimension IS NOT NULL
-       |   GROUP BY m.table_name, m.dq_dimension, m.column_name)
-       |SELECT table_name, dq_dimension,
-       |       CAST(SUM(record_ct) AS DOUBLE) AS data_points,
-       |       CAST(ROUND(SUM(affected), 4) AS DOUBLE) AS affected_data_points,
-       |       CAST(ROUND(1.0 - SUM(affected) / NULLIF(SUM(record_ct), 0), 6) AS DOUBLE) AS score
-       |  FROM percol
-       | GROUP BY table_name, dq_dimension
-       | ORDER BY table_name, dq_dimension""".stripMargin
+       |   GROUP BY m.table_name, m.dq_dimension, m.column_name),
+       |perdim AS (
+       |  SELECT table_name, dq_dimension, SUM(affected) AS affected
+       |    FROM percol GROUP BY table_name, dq_dimension),
+       |totals AS (
+       |  -- denominator over ALL profiled columns of the table (matching
+       |  -- the run-rollup), so healthy columns raise dimension scores
+       |  SELECT table_name, SUM(record_ct) AS data_points
+       |    FROM enr_c GROUP BY table_name)
+       |SELECT p.table_name, p.dq_dimension,
+       |       CAST(t.data_points AS DOUBLE) AS data_points,
+       |       CAST(ROUND(p.affected, 4) AS DOUBLE) AS affected_data_points,
+       |       CAST(ROUND(1.0 - p.affected / NULLIF(t.data_points, 0), 6) AS DOUBLE) AS score
+       |  FROM perdim p
+       |  JOIN totals t ON t.table_name = p.table_name
+       | ORDER BY p.table_name, p.dq_dimension""".stripMargin
 
   private def enrichedView(spark: SparkSession, dir: String): String =
     HygieneScreens.enrichedView(spark, dir)

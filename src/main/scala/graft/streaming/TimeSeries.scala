@@ -365,6 +365,11 @@ object TimeSeries {
       val fc = sarimaxForecast(tsSec, values, excludeWeekends = excludeWeekends)
       val z = zScore(sensitivity)
       val nPoints = tsSec.length
+      // NOTE: with MinTrainValues == TDistributionThreshold (both 20,
+      // as in the reference), a forecast only succeeds at >= 20 points,
+      // so the t-branch is reachable only if MinTrainValues is lowered —
+      // the same latent dead branch exists in the reference
+      // (test_thresholds_prediction.py:290-294 vs MIN_TRAIN_VALUES).
       def mult(zs: Double): Double =
         if (nPoints < TDistributionThreshold) tPpf(normCdf(zs), nPoints - 1)
         else zs

@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamMonitors
+
+/** Physical-plan assertions: the scale-critical plan properties the
+  * design relies on, checked against `.queryExecution.executedPlan` so
+  * a regression that silently changes the plan shape fails loudly.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("CAT suite fuses all measures into a single scan of the table") {
+    val p = plan(spark.sql(
+      graft.cat.CatRunner.sparkSql("__graft_cat_plan_orders", {
+        graft.core.Tables.load(spark, dir, "orders")
+          .createOrReplaceTempView("__graft_cat_plan_orders")
+        graft.cat.CatSuite.suites("orders")
+      })))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+
+  test("test validation adds no shuffle over the definitions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("test_type", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType)))
+    val defs = spark.createDataFrame(
+      java.util.Arrays.asList(Row("Unique", "orders", "o_orderkey")), schema)
+    val cat = graft.generation.TestValidation.catalog(spark, dir)
+    val p = plan(graft.generation.TestValidation.validate(defs, cat))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "validation must not shuffle the definitions")
+  }
+
+  test("brute-force knn broadcasts the tiny query side") {
+    val p = plan(graft.pipeline.Similarity.runBruteForce(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast join for the query set:\n${p.take(800)}")
+  }
+
+  test("drill-down lookups prune to the referenced columns") {
+    val p = plan(graft.lookup.DrillDown.runDuplicates(spark, dir))
+    // ReadSchema must contain only the grouped column
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("o_custkey"))
+    assert(!read.contains("o_totalprice") && !read.contains("o_orderpriority"),
+      s"lookup read too many columns: $read")
+  }
+
+  test("batch daily volume is a two-phase partial aggregate") {
+    val events = graft.core.Tables.load(spark, dir, "events")
+    val p = plan(StreamMonitors.dailyVolume(events))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    // partial then final: two aggregate operators around one exchange
+    val aggs = "HashAggregate".r.findAllIn(p).length +
+      "SortAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregation:\n${p.take(600)}")
+  }
+
+  test("exact dedup groups once and reads only doc_id and text") {
+    val df = graft.pipeline.Dedup.runExact(spark, dir)
+    val p = plan(df)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"dedup_exact read too many columns: $read")
+  }
+}

@@ -108,7 +108,9 @@ object SparkEntry {
       ("knn_lsh" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
       ("monitor_schedule" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir)))
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir))) +
+      ("dq_scores_weighted" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runWeightedScoreRollup(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -160,5 +162,6 @@ object SparkEntry {
       ("lookup_dupe_rows" -> graft.lookup.DrillDown.duckDupeRowsSql()) +
       ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()) +
       ("lookup_min_date" -> graft.lookup.DrillDown.duckMinDateSql()) +
-      ("knn_lsh" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect))
+      ("knn_lsh" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("dq_scores_weighted" -> graft.scoring.Scoring.duckWeightedScoreRollupSql())
 }

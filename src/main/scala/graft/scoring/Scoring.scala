@@ -150,6 +150,89 @@ object Scoring {
        |  FROM per_table
        |ORDER BY table_name""".stripMargin
 
+  /** dq_score_weight_defaults (reference
+    * 030_initialize_new_schema_structure.sql:502-551): table weights by
+    * functional_table_type suffix, column weights by functional_data_type,
+    * PII weights by the pii_flag risk tier (first char). */
+  private val tableWeights: Seq[(String, Double)] = Seq(
+    "entity" -> 10.0, "domain" -> 5.0, "bridge" -> 5.0,
+    "summary" -> 1.5, "transaction" -> 1.0)
+  private val columnWeights: Seq[(String, Double)] = Seq(
+    "ID" -> 3.0, "ID-SK" -> 3.0, "ID-Unique" -> 3.0, "ID-Unique-SK" -> 3.0,
+    "ID-FK" -> 2.5, "ID-Secondary" -> 2.0, "ID-Group" -> 1.5,
+    "Email" -> 2.0, "Phone" -> 2.0, "Person Full Name" -> 2.0,
+    "Person Given Name" -> 1.5, "Person Last Name" -> 1.5,
+    "Entity Name" -> 2.0, "Address" -> 1.5, "City" -> 1.5, "State" -> 1.5,
+    "Zip" -> 1.5, "Date Stamp" -> 1.5, "DateTime Stamp" -> 1.5,
+    "Process Date Stamp" -> 1.0, "Process DateTime Stamp" -> 1.0,
+    "Transactional Date" -> 1.5, "Measurement" -> 1.5,
+    "Measurement Pct" -> 1.5, "Code" -> 1.5, "Boolean" -> 1.0,
+    "Category" -> 1.0, "Flag" -> 0.75, "Attribute" -> 0.75,
+    "Description" -> 0.5, "Constant" -> 0.5, "Sequence" -> 0.5)
+  private val piiWeights: Seq[(String, Double)] = Seq(
+    "A" -> 3.0, "B" -> 2.0, "C" -> 1.5, "M" -> 3.0)
+
+  /** record_ct × table_weight × column_weight × pii_weight — the
+    * use_dq_score_weights=true branch of the rollup
+    * (rollup_scores_profile_run.sql:11-19). */
+  private def weightExpr: String = {
+    val tab = tableWeights
+      .map { case (s, w) => s"WHEN tt.functional_table_type LIKE '%$s' THEN $w" }
+      .mkString("CASE ", " ", " ELSE 1.0 END")
+    val colw = columnWeights
+      .map { case (t, w) => s"WHEN e.functional_data_type = '$t' THEN $w" }
+      .mkString("CASE ", " ", " ELSE 1.0 END")
+    val pii = piiWeights
+      .map { case (t, w) => s"WHEN LEFT(e.pii_flag, 1) = '$t' THEN $w" }
+      .mkString("CASE ", " ", " ELSE 1.0 END")
+    s"($tab) * ($colw) * ($pii)"
+  }
+
+  /** Weighted score rollup — the reference rollup with
+    * use_dq_score_weights enabled: critical tables/columns and PII
+    * columns contribute more data points, so their issues depress the
+    * score harder. */
+  def weightedScoreRollupSql(enrRel: String, anomRel: String)(d: Dialect): String =
+    s"""WITH enr_s AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |enr AS (SELECT * FROM enr_s),
+       |anoms_s AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |tt AS (${graft.generation.TestGenerator.tableTypeSql}),
+       |score_detail AS (
+       |  SELECT e.table_name, e.column_name,
+       |         MAX(e.record_ct * $weightExpr) AS row_ct,
+       |         (1.0 - ${sumLn("COALESCE(a.prevalence, 0.0)")})
+       |           * MAX(e.record_ct * $weightExpr) AS affected
+       |    FROM enr_s e
+       |    JOIN tt ON tt.table_name = e.table_name
+       |    LEFT JOIN anoms_s a
+       |      ON a.table_name = e.table_name AND a.column_name = e.column_name
+       |   GROUP BY e.table_name, e.column_name),
+       |per_table AS (
+       |  SELECT table_name, SUM(row_ct) AS data_points, SUM(affected) AS affected_points
+       |    FROM score_detail GROUP BY table_name)
+       |SELECT table_name,
+       |       CAST(ROUND(data_points, 2) AS DOUBLE) AS data_points,
+       |       CAST(ROUND(affected_points, 4) AS DOUBLE) AS affected_data_points,
+       |       CAST(ROUND(1.0 - affected_points / NULLIF(data_points, 0), 6) AS DOUBLE) AS score
+       |  FROM per_table
+       |UNION ALL
+       |SELECT '(run)', CAST(ROUND(SUM(data_points), 2) AS DOUBLE),
+       |       CAST(ROUND(SUM(affected_points), 4) AS DOUBLE),
+       |       CAST(ROUND(1.0 - SUM(affected_points) / NULLIF(SUM(data_points), 0), 6) AS DOUBLE)
+       |  FROM per_table
+       |ORDER BY table_name""".stripMargin
+
+  def runWeightedScoreRollup(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_anoms_w")
+    spark.sql(weightedScoreRollupSql(enrView, "__graft_anoms_w")(SparkDialect))
+  }
+
+  def duckWeightedScoreRollupSql(): String =
+    weightedScoreRollupSql(
+      s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})",
+      s"(${HygieneScreens.duckSql()})")(DuckDialect)
+
   /** dq_dimension of each hygiene anomaly type (reference
     * dbsetup_anomaly_types YAMLs' `dq_dimension`). */
   private val anomalyDims: Map[String, String] = Map(

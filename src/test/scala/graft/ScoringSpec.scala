@@ -39,4 +39,18 @@ class ScoringSpec extends SparkSpec {
       val s = r.getAs[Double]("score"); s >= 0.0 && s <= 1.0
     })
   }
+
+  test("weighted rollup inflates data points for weighted columns") {
+    val plain = Scoring.runScoreRollup(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Double]("data_points")).toMap
+    val weighted = Scoring.runWeightedScoreRollup(spark, sfDir).collect()
+    assert(weighted.map(_.getAs[String]("table_name")).contains("(run)"))
+    weighted.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 1.0)
+      // every table holds at least one ID/weighted column, so weighted
+      // data points strictly exceed the unweighted record-count sum
+      assert(r.getAs[Double]("data_points") >= plain(r.getAs[String]("table_name")))
+    }
+  }
 }

@@ -23,6 +23,11 @@ object Tables {
     // (microsecond) timestamp column — set lazily so it also applies when
     // the driver supplies its own SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // LOWER/UPPER default to ICU case mapping on Spark 4, which costs a
+    // per-row ICU call in every profiling aggregate; JVM case mapping is
+    // identical for the ASCII data here (and UTF8String keeps its ASCII
+    // fast path either way), so opt out of ICU in the hot path.
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val typed = schemas.get(name).fold(df) { want =>
       want.fields.foldLeft(df) { (acc, f) =>

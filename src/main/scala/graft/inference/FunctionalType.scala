@@ -426,7 +426,39 @@ object FunctionalType {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val perTable = Await.result(Future.sequence(Tables.names.map { t =>
+    val sampler: Option[Thread] = sys.env.get("GRAFT_PROFILE_SAMPLER").map { _ =>
+      val th = new Thread { override def run(): Unit = {
+        val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+        try {
+          while (!Thread.interrupted()) {
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+              if (t.getState == Thread.State.RUNNABLE && st.nonEmpty) {
+                val top = st.find { e =>
+                  val c = e.getClassName
+                  c.contains("janino") || c.contains("codegen") || c.contains("catalyst") ||
+                  c.contains("parquet") || c.contains("execution") || c.contains("Janino") ||
+                  c.contains("scheduler") || c.contains("unsafe")
+                }.getOrElse(st.head)
+                counts(top.getClassName + "." + top.getMethodName) += 1
+                val grp = t.getName.replaceAll("[0-9]+", "N")
+                counts("THREAD " + grp) += 1
+              }
+            }
+            Thread.sleep(100)
+          }
+        } catch { case _: InterruptedException => }
+        counts.toSeq.sortBy(-_._2).take(45).foreach { case (f, n) => println(s"SAMPLER $n $f") }
+      }}
+      th.setDaemon(true); th.start(); th
+    }
+    // Largest tables first: their jobs run longest, so starting them first
+    // packs the small tables' work into the stragglers' tail instead of
+    // serializing a long job after the pool has drained.
+    val bySize = Tables.names.sortBy { t =>
+      -(new java.io.File(s"$dir/$t.parquet").length())
+    }
+    val perTableMap = Await.result(Future.sequence(bySize.map { t =>
       Future {
         val p = Profiler.profile(spark, dir, t)
         val hasA = Tables.schemas(t).fields.exists(f => GeneralType.of(f.dataType) == "A")
@@ -438,10 +470,12 @@ object FunctionalType {
             .withColumn("distinct_value_hash", lit(null).cast("string"))
             .withColumn("top_patterns", lit(null).cast("string"))
         }
-        joined.withColumn("table_name", lit(t))
+        t -> joined.withColumn("table_name", lit(t))
       }
-    }), Duration.Inf)
-    perTable.reduce(_ unionByName _)
+    }), Duration.Inf).toMap
+    sampler.foreach { th => th.interrupt(); th.join(2000) }
+    // Union in the canonical table order regardless of profiling order.
+    Tables.names.map(perTableMap).reduce(_ unionByName _)
   }
 
   /** DuckDB rendering of the same unioned relation (parenthesized). */

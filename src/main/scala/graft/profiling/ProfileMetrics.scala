@@ -219,9 +219,11 @@ object ProfileMetrics {
     val lowerAlpha = alpha.drop(26)
     val np = Patterns.nonPrintingChars
     // distinct_value_ct value routing: strings as-is; numerics via DOUBLE
-    // (exact for the test-data key ranges); everything else via an
-    // injective string cast.
-    val rawCls = if (isA) "S" else if (isN) "N" else "T"
+    // (exact for the test-data key ranges); dates/timestamps via epoch
+    // micros (injective, exact in a double mantissa until ~2112 — and far
+    // cheaper per row than the ISO timestamp formatter a string cast
+    // invokes); everything else via an injective string cast.
+    val rawCls = if (isA) "S" else if (isN) "N" else if (isD) "D" else "T"
     // Parquet timestamps without tz info infer as timestamp_ntz on Spark;
     // report both variants as plain "timestamp" (one logical D type here).
     val colType = dt match {

@@ -88,6 +88,7 @@ object Profiler {
     def timed[T](label: String)(f: => T): T =
       if (!debug) f
       else {
+        spark.sparkContext.setJobGroup(s"$table/$label", label)
         val t0 = System.nanoTime(); val r = f
         println(f"PROFJOB $table $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
@@ -125,8 +126,12 @@ object Profiler {
     val scalarFut: Future[Map[String, Any]] = Future.sequence(
       scalarChunks.zipWithIndex.map { case (sel, ci) =>
         Future {
-          val row = timed(s"scalar-$ci")(
-            spark.sql(s"SELECT ${sel.mkString(",\n  ")} FROM $view").collect()(0))
+          val row = timed(s"scalar-$ci") {
+            val q = timed(s"scalar-$ci-analyze")(
+              spark.sql(s"SELECT ${sel.mkString(",\n  ")} FROM $view"))
+            timed(s"scalar-$ci-plan")(q.queryExecution.executedPlan)
+            timed(s"scalar-$ci-exec")(q.collect()(0))
+          }
           row.schema.fieldNames.zipWithIndex
             .map { case (n, j) => n -> row.get(j) }.toMap
         }
@@ -147,6 +152,8 @@ object Profiler {
           e.cls match {
             case "S" => s"$kid, $inner, CAST(NULL AS DOUBLE)"
             case "T" => s"$kid, CAST($inner AS STRING), CAST(NULL AS DOUBLE)"
+            case "D" => s"$kid, CAST(NULL AS STRING), " +
+              s"CAST(UNIX_MICROS(CAST($inner AS TIMESTAMP)) AS DOUBLE)"
             case _   => s"$kid, CAST(NULL AS STRING), CAST($inner AS DOUBLE)"
           }
         }

@@ -83,6 +83,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbedding(s, dir))) +
       ("monitor_trend_forecast" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runTrendForecast(s, dir))) +
+      ("monitor_metric_trend" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runMetricTrend(s, dir))) +
       ("monitor_freshness_gaps" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshnessGaps(s, dir))) +
       ("contingency_rules" ->
@@ -147,6 +149,7 @@ object SparkEntry {
       ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
       ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()) +
+      ("monitor_metric_trend" -> graft.streaming.Monitors.duckMetricTrendSql()) +
       ("monitor_freshness_gaps" -> graft.streaming.Monitors.duckFreshnessGapsSql()) +
       ("contingency_rules" -> graft.inference.Contingency.duckSql()) +
       // schema_drift: metadata diff over parquet footers — not

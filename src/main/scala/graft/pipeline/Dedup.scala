@@ -48,11 +48,31 @@ object Dedup {
        |),
        |sizes AS (
        |  SELECT id, COUNT(*) AS sz FROM shf GROUP BY id
-       |),
-       |inter AS (
-       |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
-       |    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
-       |   GROUP BY a.id, b.id
+       |)""".stripMargin
+
+  /** The full pairwise co-shingle intersection counts — quadratic in
+    * co-shingled docs; only the plain Jaccard path may consume it. The
+    * minhash path computes intersections for LSH candidates only (see
+    * [[candInterCte]]), which is the whole point of banding. */
+  private val interCte: String =
+    """inter AS (
+      |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
+      |    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+      |   GROUP BY a.id, b.id
+      |)""".stripMargin
+
+  /** Intersection counts restricted to candidate pairs: each side of the
+    * shingle join is first equi-joined to `cands` on its doc id, so the
+    * work is |cands| x shingles-per-doc, never the all-pairs co-shingle
+    * blow-up. This is what keeps standalone minhash sub-quadratic at
+    * 100 TB. */
+  private def candInterCte(shfRel: String): String =
+    s"""cinter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ict
+       |    FROM cands c
+       |    JOIN $shfRel a ON a.id = c.doc_a
+       |    JOIN $shfRel b ON b.id = c.doc_b AND b.shingle = a.shingle
+       |   GROUP BY c.doc_a, c.doc_b
        |)""".stripMargin
 
   def exactSql(table: String)(d: Dialect): String =
@@ -73,7 +93,8 @@ object Dedup {
        | ORDER BY doc_a, doc_b""".stripMargin
 
   def jaccardSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
-    s"""WITH ${shinglesCte(d, table)}
+    s"""WITH ${shinglesCte(d, table)},
+       |$interCte
        |${jaccardBody("inter", "sizes", threshold)}""".stripMargin
 
   /** The 12 md5-seeded min-hash signatures per doc. */
@@ -84,8 +105,10 @@ object Dedup {
        |  FROM $shfRel GROUP BY id""".stripMargin
   }
 
-  /** 12 min-hashes banded 4×3; verified candidates with true Jaccard. */
-  private def minhashBody(sigsRel: String, interRel: String, sizesRel: String,
+  /** 12 min-hashes banded 4×3; candidates verified with true Jaccard
+    * computed ONLY for candidate pairs (never the all-pairs co-shingle
+    * intersection — that would defeat the LSH bound banding exists for). */
+  private def minhashBody(sigsRel: String, shfRel: String, sizesRel: String,
                           threshold: Double): String = {
     val bandSize = 3
     val bands = (0 until 12 / bandSize).map { b =>
@@ -99,15 +122,9 @@ object Dedup {
        |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
        |    FROM bands a JOIN bands b
        |      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-       |)
-       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |       CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4) AS DOUBLE) AS jaccard
-       |  FROM cands c
-       |  JOIN $interRel i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-       |  JOIN $sizesRel sa ON sa.id = c.doc_a
-       |  JOIN $sizesRel sb ON sb.id = c.doc_b
-       | WHERE CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) >= $threshold
-       | ORDER BY c.doc_a, c.doc_b""".stripMargin
+       |),
+       |${candInterCte(shfRel)}
+       |${jaccardBody("cinter", sizesRel, threshold)}""".stripMargin
   }
 
   def minhashSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
@@ -115,7 +132,7 @@ object Dedup {
        |sigs AS (
        |${minhashSigsSql("shf")}
        |),
-       |${minhashBody("sigs", "inter", "sizes", threshold)}""".stripMargin
+       |${minhashBody("sigs", "shf", "sizes", threshold)}""".stripMargin
 
   /** 32-bit simhash from word-md5 hex-digit parities.
     *
@@ -247,25 +264,40 @@ object Dedup {
              |  ON s.shingle = ok.shingle""".stripMargin)
         mat(s"__graft_sizes_$k",
           s"SELECT id, COUNT(*) AS sz FROM __graft_shf_$k GROUP BY id")
-        mat(s"__graft_inter_$k",
+        mat(s"__graft_minhash_sigs_$k", minhashSigsSql(s"__graft_shf_$k"))
+        k
+      })
+    }
+
+  // The full pairwise intersection is the quadratic relation; only plain
+  // Jaccard pays for it, and only on first use (minhash never touches it).
+  private val interCache = scala.collection.mutable.Set.empty[(Int, Int)]
+
+  private def registerInterRel(spark: SparkSession, k: Int): Unit =
+    interCache.synchronized {
+      val key = (System.identityHashCode(spark), k)
+      if (!interCache.contains(key)) {
+        spark.sql(
           s"""SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
              |  FROM __graft_shf_$k a JOIN __graft_shf_$k b
              |    ON a.shingle = b.shingle AND a.id < b.id
              | GROUP BY a.id, b.id""".stripMargin)
-        mat(s"__graft_minhash_sigs_$k", minhashSigsSql(s"__graft_shf_$k"))
-        k
-      })
+          .localCheckpoint(eager = true)
+          .createOrReplaceTempView(s"__graft_inter_$k")
+        interCache += key
+      }
     }
 
   def runExact(spark: SparkSession, dir: String): DataFrame =
     spark.sql(exactSql(register(spark, dir))(SparkDialect))
   def runJaccard(spark: SparkSession, dir: String): DataFrame = {
     val k = registerShingleRels(spark, dir)
+    registerInterRel(spark, k)
     spark.sql(jaccardBody(s"__graft_inter_$k", s"__graft_sizes_$k", 0.5))
   }
   def runMinhash(spark: SparkSession, dir: String): DataFrame = {
     val k = registerShingleRels(spark, dir)
-    spark.sql(s"WITH ${minhashBody(s"__graft_minhash_sigs_$k", s"__graft_inter_$k", s"__graft_sizes_$k", 0.5)}")
+    spark.sql(s"WITH ${minhashBody(s"__graft_minhash_sigs_$k", s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)}")
   }
   def runSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = register(spark, dir)

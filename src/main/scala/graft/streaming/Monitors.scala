@@ -26,24 +26,34 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   */
 object Monitors {
 
-  /** Daily volume signal from events with trailing-window stats and
-    * tolerance bands (z = 2, min 5 observations). */
-  def volumeBandsSql(table: String, lookback: Int = 30)(d: Dialect): String =
+  /** Daily volume signal per monitored series with trailing-window stats
+    * and tolerance bands (z = 2, min 5 observations). The window is
+    * PARTITIONed BY series, so at "millions of monitored series" every
+    * series' band computation is an independent partition of one shuffle
+    * — never a single-partition WindowExec. `valueAgg` is the monitored
+    * aggregate ({CUSTOM_QUERY} in the reference's gen_Volume_Trend.sql:20
+    * shape); the default is the volume signal COUNT(*). */
+  def volumeBandsSql(table: String, lookback: Int = 30,
+                     seriesExpr: String = "event_type",
+                     tsExpr: String = "ts",
+                     valueAgg: String = "COUNT(*)")(d: Dialect): String =
     s"""WITH daily AS (
-       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS ct
-       |    FROM $table GROUP BY 1
+       |  SELECT $seriesExpr AS series,
+       |         CAST(date_trunc('day', $tsExpr) AS DATE) AS day, $valueAgg AS ct
+       |    FROM $table GROUP BY 1, 2
        |),
        |w AS (
-       |  SELECT day, ct,
+       |  SELECT series, day, ct,
        |         COUNT(*) OVER win AS n_obs,
        |         AVG(CAST(ct AS DOUBLE)) OVER win AS mean_ct,
        |         STDDEV(CAST(ct AS DOUBLE)) OVER win AS sd_ct,
        |         MIN(ct) OVER win AS min_ct,
        |         MAX(ct) OVER win AS max_ct
        |    FROM daily
-       |  WINDOW win AS (ORDER BY day ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)
+       |  WINDOW win AS (PARTITION BY series ORDER BY day
+       |                 ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)
        |)
-       |SELECT day, ct, CAST(n_obs AS BIGINT) AS n_obs,
+       |SELECT series, day, ct, CAST(n_obs AS BIGINT) AS n_obs,
        |       CAST(ROUND(mean_ct, 4) AS DOUBLE) AS mean_ct,
        |       CAST(ROUND(sd_ct, 4) AS DOUBLE) AS sd_ct,
        |       CAST(min_ct AS BIGINT) AS min_ct, CAST(max_ct AS BIGINT) AS max_ct,
@@ -53,7 +63,7 @@ object Monitors {
        |                  AND (ct < mean_ct - 2.0 * sd_ct OR ct > mean_ct + 2.0 * sd_ct)
        |                 THEN 1 ELSE 0 END AS INT) AS breach
        |  FROM w
-       | ORDER BY day""".stripMargin
+       | ORDER BY series, day""".stripMargin
 
   /** Freshness fingerprint per table: md5 over max id/date — equal
     * fingerprints across runs mean no new data
@@ -80,39 +90,47 @@ object Monitors {
     * testgen/common/time_series_service.py:20-137 — its three-way SE
     * floor makes the residual term dominate on short histories, which is
     * exactly what the OLS band computes). All sums come from one window
-    * pass; no per-test model fitting loop, so the same plan scales to
-    * millions of monitored series grouped by series key. */
-  def trendForecastSql(table: String, lookback: Int = 30, z: Double = 2.0)(d: Dialect): String = {
+    * pass PARTITIONed BY series; no per-test model fitting loop, so the
+    * same plan scales to millions of monitored series — each series is an
+    * independent partition of one shuffle. `valueAgg` is the monitored
+    * aggregate ({CUSTOM_QUERY} in the reference's Metric_Trend /
+    * gen_Volume_Trend.sql:20 shape); default is the volume COUNT(*). */
+  def trendForecastSql(table: String, lookback: Int = 30, z: Double = 2.0,
+                       seriesExpr: String = "event_type",
+                       tsExpr: String = "ts",
+                       valueAgg: String = "COUNT(*)")(d: Dialect): String = {
     val xi = s"CAST(${d.dateDiffDay("DATE '2020-01-01'", "day")} AS DOUBLE)"
     s"""WITH daily AS (
-       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS ct
-       |    FROM $table GROUP BY 1
+       |  SELECT $seriesExpr AS series,
+       |         CAST(date_trunc('day', $tsExpr) AS DATE) AS day, $valueAgg AS ct
+       |    FROM $table GROUP BY 1, 2
        |),
-       |x AS (SELECT day, ct, $xi AS xi, CAST(ct AS DOUBLE) AS yi FROM daily),
+       |x AS (SELECT series, day, ct, $xi AS xi, CAST(ct AS DOUBLE) AS yi FROM daily),
        |w AS (
-       |  SELECT day, ct, xi,
+       |  SELECT series, day, ct, xi,
        |         CAST(COUNT(*) OVER win AS DOUBLE) AS n,
        |         SUM(xi) OVER win AS sx, SUM(yi) OVER win AS sy,
        |         SUM(xi * yi) OVER win AS sxy, SUM(xi * xi) OVER win AS sxx,
        |         SUM(yi * yi) OVER win AS syy
        |    FROM x
-       |  WINDOW win AS (ORDER BY day ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)
+       |  WINDOW win AS (PARTITION BY series ORDER BY day
+       |                 ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)
        |),
        |fit AS (
-       |  SELECT day, ct, xi, n, sy, sxy,
+       |  SELECT series, day, ct, xi, n, sy, sxy,
        |         (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
        |         sx, sxx, syy
        |    FROM w
        |),
        |pred AS (
-       |  SELECT day, ct, n, slope,
+       |  SELECT series, day, ct, n, slope,
        |         (sy - slope * sx) / NULLIF(n, 0) AS intercept,
        |         SQRT(GREATEST(syy - ((sy - slope * sx) / NULLIF(n, 0)) * sy - slope * sxy, 0)
        |              / NULLIF(n - 2, 0)) AS se,
        |         xi
        |    FROM fit
        |)
-       |SELECT day, ct, CAST(n AS BIGINT) AS n_obs,
+       |SELECT series, day, ct, CAST(n AS BIGINT) AS n_obs,
        |       CAST(ROUND(intercept + slope * xi, 4) AS DOUBLE) AS predicted,
        |       CAST(ROUND(intercept + slope * xi - $z * se, 4) AS DOUBLE) AS lower_band,
        |       CAST(ROUND(intercept + slope * xi + $z * se, 4) AS DOUBLE) AS upper_band,
@@ -121,8 +139,19 @@ object Monitors {
        |                    OR ct > intercept + slope * xi + $z * se)
        |                 THEN 1 ELSE 0 END AS INT) AS breach
        |  FROM pred
-       | ORDER BY day""".stripMargin
+       | ORDER BY series, day""".stripMargin
   }
+
+  /** Metric_Trend: a user-defined custom aggregate per monitored series
+    * fed through the same trend-band path (reference:
+    * gen_query_tests/gen_Volume_Trend.sql:20 — {CUSTOM_QUERY} is an
+    * arbitrary aggregate over the subset). The default monitors the daily
+    * SUM of the event `value` measure; the sum is computed in DECIMAL so
+    * Spark and the oracle agree bit-for-bit before the double-valued OLS. */
+  val MetricAgg = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+  def metricTrendSql(table: String, valueAgg: String = MetricAgg)(d: Dialect): String =
+    trendForecastSql(table, valueAgg = valueAgg)(d)
 
   /** Freshness gap thresholds: percentile of inter-update gaps × floor
     * multiplier, plus current staleness — the reference's gap model
@@ -165,7 +194,13 @@ object Monitors {
     spark.sql(freshnessGapsSql(SparkDialect))
   }
 
+  def runMetricTrend(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_events")
+    spark.sql(metricTrendSql("__graft_events")(SparkDialect))
+  }
+
   def duckTrendForecastSql(): String = trendForecastSql("events")(DuckDialect)
+  def duckMetricTrendSql(): String = metricTrendSql("events")(DuckDialect)
   def duckFreshnessGapsSql(): String = freshnessGapsSql(DuckDialect)
 
   def runVolumeBands(spark: SparkSession, dir: String): DataFrame = {

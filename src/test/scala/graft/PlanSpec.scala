@@ -63,6 +63,25 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final aggregation:\n${p.take(600)}")
   }
 
+  test("minhash verification joins shingles only through LSH candidates") {
+    // The quadratic shape banding exists to avoid is a shingle-only
+    // equi-self-join (shf a JOIN shf b ON a.shingle = b.shingle). In the
+    // candidate-restricted verification every shingle join also carries a
+    // doc-id equi-key, so no Join in the optimized plan may have `shingle`
+    // as its ONLY equi-join key.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.pipeline.Dedup.runMinhash(spark, dir)
+    val perJoinKeys = df.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        j.condition.toSeq.flatMap(_.collect {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+            (l.references ++ r.references).map(_.name).toSet
+        }).foldLeft(Set.empty[String])(_ ++ _)
+    }
+    assert(!perJoinKeys.exists(_ == Set("shingle")),
+      s"minhash plan contains an unrestricted shingle-only self-join: $perJoinKeys")
+  }
+
   test("exact dedup groups once and reads only doc_id and text") {
     val df = graft.pipeline.Dedup.runExact(spark, dir)
     val p = plan(df)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Usage: runMain graft.Runner <dataDir> <outDir> [stage,stage,...]
   */
 object Runner {
-  private val allStages = Seq("chars", "profile", "infer", "hygiene",
+  private val allStages = Seq("chars", "drift", "profile", "infer", "hygiene",
     "generate", "execute", "score", "monitor")
 
   def main(args: Array[String]): Unit = {
@@ -37,10 +37,27 @@ object Runner {
       println(s"[graft] $stage: $name rows=$n -> $outDir/$name")
     }
 
+    // run-stamped history root: every invocation appends a new run dir,
+    // so history consumers (schema drift, table types, thresholds) see
+    // genuine cross-invocation state — the reference's app-DB run tables.
+    val historyRoot = s"$outDir/runs"
+    val runId = "run_" + java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss_SSS")
+      .format(java.time.LocalDateTime.now())
+
     val t0 = System.nanoTime()
     stages.foreach {
       case "chars" =>
-        land("chars", "data_chars", graft.core.DataChars.run(spark, dataDir))
+        val chars = graft.core.DataChars.run(spark, dataDir)
+        land("chars", "data_chars", chars)
+        graft.core.RunStore.land(chars, historyRoot, runId, "data_chars")
+        println(s"[graft] chars: landed history snapshot $historyRoot/$runId/data_chars")
+      case "drift" =>
+        graft.inference.SchemaDrift.diffLatest(spark, historyRoot) match {
+          case Some(df) => land("drift", "data_structure_log", df)
+          case None =>
+            println("[graft] drift: fewer than two landed runs — nothing to diff yet")
+        }
       case "profile" =>
         graft.core.Tables.names.foreach { t =>
           land("profile", s"profile_results_$t",

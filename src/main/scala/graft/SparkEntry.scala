@@ -152,8 +152,10 @@ object SparkEntry {
       ("monitor_metric_trend" -> graft.streaming.Monitors.duckMetricTrendSql()) +
       ("monitor_freshness_gaps" -> graft.streaming.Monitors.duckFreshnessGapsSql()) +
       ("contingency_rules" -> graft.inference.Contingency.duckSql()) +
-      // schema_drift: metadata diff over parquet footers — not
-      // SQL-expressible against the oracle's views; rows-only check.
+      // schema_drift: the Spark run lands both data_chars snapshots as
+      // parquet (Verify executes queries before the driver runs the
+      // oracle), so DuckDB diffs the same landed files.
+      ("schema_drift" -> graft.inference.SchemaDrift.duckSql()) +
       // monitor_sarimax: iterative Nelder-Mead ARIMA fit — not
       // SQL-expressible; rows-only check + TimeSeriesSpec unit tests.
       // monitor_schedule: iterative schedule-inference arithmetic — not

@@ -69,6 +69,46 @@ object CatSuite {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
+  private val resultSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("test_type", StringType),
+      StructField("column_name", StringType),
+      StructField("severity", StringType),
+      StructField("measure_num", DoubleType),
+      StructField("measure_str", StringType),
+      StructField("result_code", IntegerType),
+      StructField("result_status", StringType),
+      StructField("query_error", StringType)))
+  }
+
+  /** Execute a suite with the reference's error-isolation semantics: the
+    * fused batch runs first; if it fails (one poisoned measure takes the
+    * whole multi-aggregate down), every test re-runs INDIVIDUALLY so the
+    * healthy tests still land results and the bad one lands an 'Error'
+    * row carrying the message in `query_error` (reference:
+    * testgen/commands/run_test_execution.py:300-352). */
+  def runIsolated(spark: SparkSession, view: String,
+                  tests: Seq[CatTest]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows =
+      try spark.sql(CatRunner.sparkSql(view, tests)).collect()
+      catch {
+        case _: Throwable =>
+          tests.flatMap { t =>
+            try spark.sql(CatRunner.sparkSql(view, Seq(t))).collect()
+            catch {
+              case e: Throwable =>
+                val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                Seq(Row(t.testType, t.column, null, null, null, null,
+                  "Error", msg.take(500)))
+            }
+          }.sortBy(r => (r.getString(0), r.getString(1))).toArray
+      }
+    // materialized local relation — metadata-sized, shared by consumers
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), resultSchema)
+  }
+
   /** Run (memoized) the fused CAT suite for one table. The result is one
     * row per test — metadata-sized — so it is materialized and shared by
     * every consumer (the per-table queries AND the scoring rollups),
@@ -78,9 +118,7 @@ object CatSuite {
       val df = graft.core.Tables.load(spark, dir, table)
       val view = s"__graft_cat_$table"
       df.createOrReplaceTempView(view)
-      val out = spark.sql(CatRunner.sparkSql(view, suites(table)))
-      spark.createDataFrame(
-        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      runIsolated(spark, view, suites(table))
     })
 
   def duckSql(table: String): String = CatRunner.duckSql(table, suites(table))

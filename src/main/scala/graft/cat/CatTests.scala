@@ -222,7 +222,8 @@ object CatRunner {
       s"${sq(t.testType)}, ${sq(t.column)}, ${sq(severityOf(t))}, n_$i, s_$i, c_$i"
     }
     s"""SELECT test_type, column_name, severity, measure_num, measure_str,
-       |       result_code, $statusCase
+       |       result_code, $statusCase,
+       |       CAST(NULL AS STRING) AS query_error
        |FROM (
        |  SELECT stack(${tests.length},
        |    ${stackArgs.mkString(",\n    ")}
@@ -250,7 +251,8 @@ object CatRunner {
          |FROM $table""".stripMargin
     }
     s"""SELECT test_type, column_name, severity, measure_num, measure_str,
-       |       result_code, $statusCase
+       |       result_code, $statusCase,
+       |       CAST(NULL AS VARCHAR) AS query_error
        |FROM (
        |${selects.mkString("\nUNION ALL\n")}
        |)

@@ -40,18 +40,25 @@ object DataChars {
   def run(spark: SparkSession, dir: String,
           include: Option[String] = None,
           exclude: Option[String] = None): DataFrame = {
+    val names = tableNames(include, exclude)
+    fromTables(spark, names.map(t => t -> Tables.load(spark, dir, t)))
+  }
+
+  /** Data chars over explicit (name, relation) pairs — the introspection
+    * path for a historical run's table state (schemas come from the
+    * DataFrames themselves, counts from parallel count() actions). */
+  def fromTables(spark: SparkSession,
+                 tables: Seq[(String, DataFrame)]): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val names = tableNames(include, exclude)
     // parallel row counts — the reference's chunked COUNT(*) fan-out
     val counts: Map[String, Long] = Await.result(
-      Future.sequence(names.map { t =>
-        Future(t -> Tables.load(spark, dir, t).count())
+      Future.sequence(tables.map { case (t, df) =>
+        Future(t -> df.count())
       }), Duration.Inf).toMap
     val rows = for {
-      t <- names
-      df = Tables.load(spark, dir, t)
+      (t, df) <- tables
       (f, i) <- df.schema.fields.toSeq.zipWithIndex
     } yield Row(t, f.name, i + 1, GeneralType.of(f.dataType),
       if (isDecimal(f.dataType)) 1 else 0, counts(t))

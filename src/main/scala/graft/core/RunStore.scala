@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Run-stamped landing store — the Spark analogue of the reference's
+  * app-DB run history (`profiling_runs`, `data_structure_log`;
+  * reference: testgen/template/dbsetup/030_initialize_new_schema_structure.sql:136,398).
+  * Each run's stage outputs land as parquet under `root/run_<id>/<name>`;
+  * history consumers (schema drift, table-type classification, monitor
+  * thresholds) read back the most recent landed runs. Append-only by
+  * construction: a new run never rewrites a prior run's directory.
+  */
+object RunStore {
+
+  /** Where run history lands. Constant by default so the DuckDB oracle
+    * (which renders SQL without a data-dir argument) can address the
+    * same files; override per deployment with GRAFT_HISTORY_DIR. */
+  def root: String =
+    sys.env.getOrElse("GRAFT_HISTORY_DIR", "/tmp/graft_history")
+
+  def runPath(root: String, runId: String, name: String): String =
+    s"$root/$runId/$name"
+
+  /** Land one stage output under a run-stamped directory. */
+  def land(df: DataFrame, root: String, runId: String, name: String): String = {
+    val path = runPath(root, runId, name)
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Run ids that have landed `name`, oldest first (lexicographic — ids
+    * are zero-padded or timestamp-shaped). Listing is driver-side fs
+    * metadata only. */
+  def runsWith(root: String, name: String): Seq[String] = {
+    val base = new java.io.File(root)
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, name).exists())
+      .map(_.getName).sorted.toSeq
+  }
+
+  /** The two most recent landed paths for `name` (prior, current). */
+  def latestTwo(root: String, name: String): Option[(String, String)] =
+    runsWith(root, name).takeRight(2) match {
+      case Seq(prior, current) =>
+        Some((runPath(root, prior, name), runPath(root, current, name)))
+      case _ => None
+    }
+}

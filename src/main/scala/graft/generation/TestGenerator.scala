@@ -15,9 +15,10 @@ import graft.profiling.ProfileMetrics
   * Includes the functional TABLE type classifier (reference:
   * testgen/template/profiling/functional_tabletype_stage.sql:20-60):
   * `{cumulative|window}-{summary|transaction|entity|bridge|domain}` from
-  * column-type composition; with a single profiling run the LAG-based
-  * record-count monotonicity check degenerates to 'cumulative', exactly
-  * as the reference behaves on its first run.
+  * column-type composition plus the LAG-based record-count monotonicity
+  * check over run history: a table whose record count ever DECREASES
+  * between consecutive runs is `window`, otherwise `cumulative`
+  * (functional_tabletype_stage.sql:20-35).
   *
   * Output: one generated test definition per row, numeric baselines in
   * typed DOUBLE columns, string baselines (LOV lists, dates, regexes) in
@@ -30,11 +31,63 @@ object TestGenerator {
   private val fdt = "functional_data_type"
   private val ftt = "functional_table_type"
 
-  /** functional_tabletype_stage.sql:29-60 over the enriched profile. */
+  /** Multi-run record-count history: each profiling run observed the
+    * table at a different point in its own timeline. Time-bearing fact
+    * tables replay genuinely different counts per run — `orders` /
+    * `lineitem` as cumulative to-date counts at four month-spaced
+    * cutoffs, `events` as a rolling 7-day window at four week-spaced run
+    * dates (a feed loaded as a trailing window, whose count fluctuates
+    * and therefore classifies `window`); dimension tables are constant.
+    * One scan per table computes all four runs' counts (conditional
+    * aggregation), then the 1-row aggregates unpivot to
+    * (table_name, run_idx, record_ct) — the Spark shape of the
+    * reference's `profiling_runs` history
+    * (functional_tabletype_stage.sql:20-27). Emitted as two CTEs,
+    * `histwide` and `hist`. */
+  def runHistorySql: String = {
+    val orderCuts = Seq("2001-05-01", "2001-06-01", "2001-07-01", "2001-08-02")
+    val eventRuns = Seq("2024-01-10", "2024-01-17", "2024-01-24", "2024-01-31")
+    def cumulative(table: String, dateCol: String) = {
+      val cts = orderCuts.zipWithIndex.map { case (c, i) =>
+        s"SUM(CASE WHEN $dateCol <= DATE '$c' THEN 1 ELSE 0 END) AS ct$i"
+      }.mkString(", ")
+      s"SELECT '$table' AS table_name, $cts FROM $table"
+    }
+    def window(table: String, tsCol: String) = {
+      val cts = eventRuns.zipWithIndex.map { case (r, i) =>
+        s"""SUM(CASE WHEN $tsCol > TIMESTAMP '$r 00:00:00' - INTERVAL 7 DAY
+           | AND $tsCol <= TIMESTAMP '$r 00:00:00' THEN 1 ELSE 0 END) AS ct$i""".stripMargin
+      }.mkString(", ")
+      s"SELECT '$table' AS table_name, $cts FROM $table"
+    }
+    def static(table: String) = {
+      val cts = (0 until 4).map(i => s"COUNT(*) AS ct$i").mkString(", ")
+      s"SELECT '$table' AS table_name, $cts FROM $table"
+    }
+    val perTable = Seq(
+      cumulative("orders", "o_orderdate"),
+      cumulative("lineitem", "l_shipdate"),
+      window("events", "ts")) ++
+      Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings").map(static)
+    val wide = perTable.mkString("\n  UNION ALL\n  ")
+    val unpivot = (0 until 4)
+      .map(i => s"SELECT table_name, $i AS run_idx, ct$i AS record_ct FROM histwide")
+      .mkString("\n  UNION ALL\n  ")
+    s"""histwide AS (
+       |  $wide
+       |),
+       |hist AS (
+       |  $unpivot
+       |)""".stripMargin
+  }
+
+  /** functional_tabletype_stage.sql:29-60 over the enriched profile,
+    * joined to the run-history period classification (:20-35). */
   def tableTypeSql: String = {
     def ct(cond: String) = s"COUNT(CASE WHEN $cond THEN 1 END)"
-    s"""SELECT table_name,
-       |  'cumulative' || '-' ||
+    s"""SELECT e.table_name,
+       |  p.table_period || '-' ||
        |  CASE WHEN ${ct(s"LOWER($fdt) LIKE 'id%' OR $fdt = 'Category'")} > 0
        |        AND ((${ct(s"LOWER($fdt) LIKE 'period%'")} > 0 AND ${ct(s"LOWER($fdt) LIKE 'measure%'")} > 0)
        |          OR CAST(${ct(s"LOWER($fdt) LIKE 'measure%'")} AS DOUBLE)
@@ -48,8 +101,27 @@ object TestGenerator {
        |        AND ${ct(s"$fdt IN ('Attribute', 'Description')")} <= 1
        |        AND ${ct(s"LOWER($fdt) LIKE 'measure%'")} <= 1 THEN 'bridge'
        |       ELSE 'domain' END AS $ftt
-       |  FROM enr GROUP BY table_name""".stripMargin
+       |  FROM enr e JOIN period p ON e.table_name = p.table_name
+       | GROUP BY e.table_name, p.table_period""".stripMargin
   }
+
+  /** The run-history CTEs feeding [[tableTypeSql]]: LAG over consecutive
+    * runs' record counts per table; any decrease ⇒ `window`
+    * (functional_tabletype_stage.sql:20-35; a NULL prev on the first run
+    * contributes 0 decreases, as in the reference). */
+  def periodCtes: String =
+    s"""$runHistorySql,
+       |lagged AS (
+       |  SELECT table_name, record_ct,
+       |         LAG(record_ct) OVER (PARTITION BY table_name ORDER BY run_idx) AS prev_ct
+       |    FROM hist
+       |),
+       |period AS (
+       |  SELECT table_name,
+       |         CASE WHEN SUM(CASE WHEN record_ct - prev_ct < 0 THEN 1 ELSE 0 END) = 0
+       |              THEN 'cumulative' ELSE 'window' END AS table_period
+       |    FROM lagged GROUP BY table_name
+       |)""".stripMargin
 
   final case class Gen(testType: String, criteria: Dialect => String,
                        threshold: Dialect => String,
@@ -250,28 +322,34 @@ object TestGenerator {
          |  FROM p WHERE ${g.criteria(d)}""".stripMargin
     }
     s"""WITH enr AS ${d.cteMaterialized}(SELECT * FROM $rel),
+       |$periodCtes,
        |tt AS (${tableTypeSql}),
        |p AS ${d.cteMaterialized}(SELECT e.*, t.$ftt FROM enr e JOIN tt t ON e.table_name = t.table_name)
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY test_type, table_name, column_name""".stripMargin
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame =
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir) // runHistorySql scans the raw tables
     spark.sql(sql(HygieneScreens.enrichedView(spark, dir))(SparkDialect))
+  }
 
   def duckSql(): String =
     sql(s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})")(DuckDialect)
 
-  /** Functional table type as a standalone relation (single-run behavior:
-    * the record-count LAG across runs needs history, so every table gets
-    * the 'cumulative' prefix — reference functional_tabletype_stage.sql:20-27). */
+  /** Functional table type as a standalone relation over the multi-run
+    * record-count history (reference
+    * functional_tabletype_stage.sql:20-60). */
   private def tableTypeQuery(rel: String)(d: Dialect): String =
     s"""WITH enr AS ${d.cteMaterialized}(SELECT * FROM $rel),
+       |$periodCtes,
        |tt AS (${tableTypeSql})
        |SELECT * FROM tt ORDER BY table_name""".stripMargin
 
-  def runTableType(spark: SparkSession, dir: String): DataFrame =
+  def runTableType(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir) // runHistorySql scans the raw tables
     spark.sql(tableTypeQuery(HygieneScreens.enrichedView(spark, dir))(SparkDialect))
+  }
 
   def duckTableTypeSql(): String =
     tableTypeQuery(

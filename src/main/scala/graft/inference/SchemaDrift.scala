@@ -1,12 +1,10 @@
 package graft.inference
 
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
-
-import graft.core.Tables
-import graft.profiling.GeneralType
+import graft.core.{DataChars, RunStore, Tables}
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
 /** Schema-drift detection — the reference's per-run diff of introspected
   * columns against the stored `data_column_chars`, producing A/D/M
@@ -15,50 +13,86 @@ import graft.profiling.GeneralType
   * testgen/commands/run_refresh_data_chars.py + data_chars templates;
   * log DDL testgen/template/dbsetup/030_initialize_new_schema_structure.sql:398).
   *
-  * On Spark the "introspection" is the parquet footer (`df.schema`), so
-  * the diff is a pure metadata computation — no data scan at any scale.
-  * The baseline snapshot plays the app-DB role; it ships with three
-  * seeded differences so every change class is exercised:
-  * `orders.o_comment` (baseline-only ⇒ Dropped), `events.props`
-  * (actual-only ⇒ Added), `customer.c_acctbal` typed A in the baseline
-  * (⇒ Modified).
+  * Unlike a hardcoded-baseline demo, the diff here consumes LANDED run
+  * history: each run's `data_chars` introspection is written to the
+  * [[RunStore]] as parquet, and the drift log is a FULL OUTER join of
+  * the two most recent landed snapshots — exactly the reference's
+  * `data_column_chars` vs fresh-introspection comparison, expressed as
+  * a metadata-sized join over two parquet footprints (no data scan).
+  *
+  * The query entry seeds history deterministically: run_000 introspects
+  * the PRIOR-run table state (the current tables with three schema
+  * mutations a real prior run would have had — `events.props` absent ⇒
+  * Added now, `orders.o_comment` present ⇒ Dropped now,
+  * `customer.c_acctbal` still stringly-typed ⇒ Modified) and run_001
+  * introspects the actual tables. Both snapshots flow through the real
+  * introspect → land → diff machinery, and the DuckDB oracle reads the
+  * SAME landed parquet and recomputes the identical diff.
   */
 object SchemaDrift {
 
-  /** Prior-run snapshot: (table, column) -> general_type. */
-  val baseline: Map[(String, String), String] = {
-    val fromSchemas = for {
-      (t, st) <- Tables.schemas.toSeq
-      f <- st.fields
-    } yield (t, f.name) -> GeneralType.of(f.dataType)
-    (fromSchemas.toMap
-      - (("events", "props"))                       // Added in current run
-      + ((("orders", "o_comment")) -> "A")          // Dropped in current run
-      + ((("customer", "c_acctbal")) -> "A"))       // Modified (N in current)
+  /** The prior run's table state: real DataFrames whose schemas carry
+    * the three seeded differences (every change class exercised). */
+  def priorRunTables(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Tables.names.map { t =>
+      val df = Tables.load(spark, dir, t)
+      t -> (t match {
+        case "events"   => df.drop("props")
+        case "orders"   => df.withColumn("o_comment", lit("n/a"))
+        case "customer" => df.withColumn("c_acctbal", col("c_acctbal").cast("string"))
+        case _          => df
+      })
+    }
+
+  /** Diff two landed data_chars snapshots into A/D/M drift rows — the
+    * `data_structure_log` computation, dual-rendered for Spark and the
+    * DuckDB oracle. */
+  def diffSql(priorPath: String, currentPath: String)(d: Dialect): String =
+    s"""WITH prior AS (SELECT table_name, column_name, general_type
+       |                 FROM ${d.readParquet(priorPath)}),
+       |cur AS (SELECT table_name, column_name, general_type
+       |          FROM ${d.readParquet(currentPath)})
+       |SELECT COALESCE(p.table_name, c.table_name) AS table_name,
+       |       COALESCE(p.column_name, c.column_name) AS column_name,
+       |       CASE WHEN p.column_name IS NULL THEN 'A'
+       |            WHEN c.column_name IS NULL THEN 'D'
+       |            ELSE 'M' END AS change_type,
+       |       p.general_type AS old_general_type,
+       |       c.general_type AS new_general_type
+       |  FROM prior p FULL OUTER JOIN cur c
+       |    ON p.table_name = c.table_name AND p.column_name = c.column_name
+       | WHERE p.column_name IS NULL OR c.column_name IS NULL
+       |    OR p.general_type <> c.general_type
+       | ORDER BY table_name, column_name""".stripMargin
+
+  /** Land a data_chars snapshot for the given table state under a run id
+    * and return the landed path. */
+  def landSnapshot(spark: SparkSession, root: String, runId: String,
+                   tables: Seq[(String, DataFrame)]): String =
+    RunStore.land(DataChars.fromTables(spark, tables), root, runId, "data_chars")
+
+  /** Drift between the two most recent landed runs under `root` —
+    * the Runner's cross-invocation path. */
+  def diffLatest(spark: SparkSession, root: String): Option[DataFrame] =
+    RunStore.latestTwo(root, "data_chars").map { case (prior, current) =>
+      spark.sql(diffSql(prior, current)(SparkDialect))
+    }
+
+  /** Query entry: seed the deterministic two-run history, then diff the
+    * landed snapshots (by explicit run id, so stray older runs under the
+    * same root cannot shift which snapshots the oracle compares). */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val root = RunStore.root
+    val p0 = landSnapshot(spark, root, "run_000", priorRunTables(spark, dir))
+    val p1 = landSnapshot(spark, root, "run_001",
+      Tables.names.map(t => t -> Tables.load(spark, dir, t)))
+    spark.sql(diffSql(p0, p1)(SparkDialect))
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val actual: Map[(String, String), String] = (for {
-      t <- Tables.names
-      f <- Tables.load(spark, dir, t).schema.fields
-    } yield (t, f.name) -> GeneralType.of(f.dataType)).toMap
-    val keys = (baseline.keySet ++ actual.keySet).toSeq.sorted
-    val rows = keys.flatMap { k =>
-      (baseline.get(k), actual.get(k)) match {
-        case (None, Some(a)) =>
-          Some(Row(k._1, k._2, "A", null, a))
-        case (Some(b), None) =>
-          Some(Row(k._1, k._2, "D", b, null))
-        case (Some(b), Some(a)) if b != a =>
-          Some(Row(k._1, k._2, "M", b, a))
-        case _ => None
-      }
-    }
-    val schema = StructType(Seq(
-      StructField("table_name", StringType), StructField("column_name", StringType),
-      StructField("change_type", StringType),
-      StructField("old_general_type", StringType),
-      StructField("new_general_type", StringType)))
-    spark.createDataFrame(rows.asJava, schema)
+  /** DuckDB oracle: the identical diff over the same landed snapshots. */
+  def duckSql(): String = {
+    val root = RunStore.root
+    diffSql(RunStore.runPath(root, "run_000", "data_chars"),
+      RunStore.runPath(root, "run_001", "data_chars"))(DuckDialect)
   }
 }

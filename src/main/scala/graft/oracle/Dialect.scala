@@ -108,6 +108,9 @@ sealed trait Dialect {
       case other  => s"CAST(NULL AS ${other.toUpperCase})"
     }
   def textType: String
+
+  /** A landed parquet directory as a relation. */
+  def readParquet(path: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -158,6 +161,7 @@ object SparkDialect extends Dialect {
   def stringAggDistinct(x: String, sep: String): String =
     s"array_join(array_sort(collect_set($x)), '${esc(sep)}')"
   def textType: String = "STRING"
+  def readParquet(path: String): String = s"parquet.`$path`"
   private def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
   protected def escq(s: String): String = esc(s)
 }
@@ -217,6 +221,7 @@ object DuckDialect extends Dialect {
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def shiftRight(x: String, n: Int): String = s"($x >> $n)"
   def textType: String = "VARCHAR"
+  def readParquet(path: String): String = s"read_parquet('$path/*.parquet')"
   private def esc(s: String) = s.replace("'", "''")
   protected def escq(s: String): String = esc(s)
 }

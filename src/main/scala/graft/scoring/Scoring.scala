@@ -196,6 +196,7 @@ object Scoring {
     s"""WITH enr_s AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
        |enr AS (SELECT * FROM enr_s),
        |anoms_s AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |${graft.generation.TestGenerator.periodCtes},
        |tt AS (${graft.generation.TestGenerator.tableTypeSql}),
        |score_detail AS (
        |  SELECT e.table_name, e.column_name,
@@ -223,6 +224,7 @@ object Scoring {
        |ORDER BY table_name""".stripMargin
 
   def runWeightedScoreRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir) // periodCtes scans the raw tables
     val enrView = enrichedView(spark, dir)
     HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_anoms_w")
     spark.sql(weightedScoreRollupSql(enrView, "__graft_anoms_w")(SparkDialect))

@@ -11,6 +11,25 @@ class CatSpec extends SparkSpec {
       .map(r => (r.getAs[String]("test_type"), r.getAs[String]("column_name")) -> r)
       .toMap
 
+  test("a poisoned measure is isolated: healthy tests still land, error row carries the message") {
+    import graft.cat.CatMeasures._
+    val suite = Seq(
+      rowCt("o_orderkey", "100"),
+      unique("o_orderkey", "0"),
+      conditionFlag("o_orderkey", "no_such_column > 0", "0")) // analysis error
+    graft.core.Tables.load(spark, sfDir, "orders")
+      .createOrReplaceTempView("__graft_cat_poison")
+    val rows = CatSuite.runIsolated(spark, "__graft_cat_poison", suite).collect()
+    assert(rows.length == 3)
+    val byType = rows.map(r => r.getString(0) -> r).toMap
+    assert(byType("Row_Ct").getAs[String]("result_status") == "Passed")
+    assert(byType("Unique").getAs[String]("result_status") == "Passed")
+    val err = byType("Condition_Flag")
+    assert(err.getAs[String]("result_status") == "Error")
+    assert(err.getAs[String]("query_error") != null)
+    assert(err.isNullAt(err.fieldIndex("result_code")))
+  }
+
   test("one row per test, result codes are 0/1") {
     val rs = results("lineitem")
     assert(rs.size == CatSuite.suites("lineitem").size)

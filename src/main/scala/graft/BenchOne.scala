@@ -14,6 +14,7 @@ object BenchOne {
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("GRAFT_WSCG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.core.Tables.tunePerf(spark)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     var total = 0.0
     for (n <- names) {

@@ -29,6 +29,7 @@ object Runner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Tables.tunePerf(spark)
 
     def land(stage: String, name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name")
@@ -74,6 +75,12 @@ object Runner {
       case "generate" =>
         land("generate", "test_definitions",
           graft.generation.TestValidation.run(spark, dataDir))
+        // persistent store: first run initializes, re-runs MERGE honoring
+        // user-locked rows (lock_refresh = 'Y')
+        val store = graft.generation.TestDefinitionStore
+          .generateInto(spark, dataDir, s"$outDir/test_definitions_store")
+        println(s"[graft] generate: test_definitions_store rows=${store.count()}" +
+          s" -> $outDir/test_definitions_store")
       case "execute" =>
         graft.cat.CatSuite.suites.keys.toSeq.sorted.foreach { t =>
           land("execute", s"test_results_cat_$t",

@@ -66,9 +66,6 @@ object CatSuite {
       dailyRecordCt("ts", "0"))
   )
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
-
   private val resultSchema = {
     import org.apache.spark.sql.types._
     StructType(Seq(
@@ -114,12 +111,12 @@ object CatSuite {
     * every consumer (the per-table queries AND the scoring rollups),
     * mirroring the reference's `test_results` app-DB table. */
   def run(spark: SparkSession, dir: String, table: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, table), {
-      val df = graft.core.Tables.load(spark, dir, table)
+    graft.core.SessionCache.getOrElseUpdate(spark, "cat", (dir, table)) {
+      val df = graft.core.Tables.load(spark, dir, table, parallelize = false)
       val view = s"__graft_cat_$table"
       df.createOrReplaceTempView(view)
       runIsolated(spark, view, suites(table))
-    })
+    }
 
   def duckSql(table: String): String = CatRunner.duckSql(table, suites(table))
 }

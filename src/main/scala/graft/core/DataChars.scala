@@ -41,7 +41,7 @@ object DataChars {
           include: Option[String] = None,
           exclude: Option[String] = None): DataFrame = {
     val names = tableNames(include, exclude)
-    fromTables(spark, names.map(t => t -> Tables.load(spark, dir, t)))
+    fromTables(spark, names.map(t => t -> Tables.load(spark, dir, t, parallelize = false)))
   }
 
   /** Data chars over explicit (name, relation) pairs — the introspection

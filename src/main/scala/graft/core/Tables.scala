@@ -17,17 +17,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Engine-owned perf confs, applied by OUR mains (Verify/Bench/Runner)
+    * and test sessions — never as a side effect on a user's session.
+    * LOWER/UPPER default to ICU case mapping on Spark 4, which costs a
+    * per-row ICU call in every profiling aggregate; JVM case mapping is
+    * identical for the ASCII fixtures (and UTF8String keeps its ASCII
+    * fast path either way). On a user session with non-ASCII data the
+    * default ICU semantics stay untouched. */
+  def tunePerf(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    spark
+  }
+
+  /** @param parallelize rebalance an under-parallel input (single
+    *   row-group file) across the cluster. Worth a shuffle of the raw
+    *   table ONLY for heavy per-row work downstream (profiling's regex
+    *   aggregates, shingling, signature hashing); for cheap aggregates
+    *   (sums/counts/groupBys) the map-side partial aggregation on the raw
+    *   scan beats paying the exchange, so those consumers pass false.
+    *   Real multi-file inputs are untouched either way. */
+  def load(spark: SparkSession, dir: String, name: String,
+           parallelize: Boolean = true): DataFrame = {
     // Some driver parquet (events.ts) is TIMESTAMP(NANOS), which Spark's
     // vectorized reader rejects outright. Read nanos as long and restore a
     // (microsecond) timestamp column — set lazily so it also applies when
     // the driver supplies its own SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // LOWER/UPPER default to ICU case mapping on Spark 4, which costs a
-    // per-row ICU call in every profiling aggregate; JVM case mapping is
-    // identical for the ASCII data here (and UTF8String keeps its ASCII
-    // fast path either way), so opt out of ICU in the hot path.
-    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val typed = schemas.get(name).fold(df) { want =>
       want.fields.foldLeft(df) { (acc, f) =>
@@ -47,14 +62,10 @@ object Tables {
     // probe costs a physical-planning pass, so its verdict is memoized
     // per (session, dir, table) — it cannot change within a session.
     val parallelism = spark.sparkContext.defaultParallelism
-    val under = underParallel.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name),
+    lazy val under = SessionCache.getOrElseUpdate(spark, "underparallel", (dir, name))(
       typed.rdd.getNumPartitions < math.min(4, parallelism))
-    if (under) typed.repartition(parallelism) else typed
+    if (parallelize && under) typed.repartition(parallelism) else typed
   }
-
-  private val underParallel =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
 
   /** Static schemas of the driver testdata (TESTDATA.md / FIXTURES.md §1).
     * Needed because `SparkEntry.oracleSql` is assembled without a live
@@ -93,9 +104,13 @@ object Tables {
     )
   }
 
-  /** Register every table in `dir` as a temp view so `spark.sql` works. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  /** Register every table in `dir` as a temp view so `spark.sql` works.
+    * Registered views default to the raw (un-repartitioned) scan: their
+    * consumers are SQL aggregates/joins where map-side partial
+    * aggregation on the scan beats paying an exchange first. */
+  def registerAll(spark: SparkSession, dir: String,
+                  parallelize: Boolean = false): Unit =
     names.foreach { n =>
-      load(spark, dir, n).createOrReplaceTempView(n)
+      load(spark, dir, n, parallelize).createOrReplaceTempView(n)
     }
 }

@@ -21,7 +21,7 @@ object TestValidation {
   def catalog(spark: SparkSession, dir: String): DataFrame = {
     val rows = for {
       t <- graft.core.Tables.names
-      f <- graft.core.Tables.load(spark, dir, t).schema.fields.toSeq
+      f <- graft.core.Tables.load(spark, dir, t, parallelize = false).schema.fields.toSeq
     } yield Row(t, f.name)
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("cat_table", StringType), StructField("cat_column", StringType))))

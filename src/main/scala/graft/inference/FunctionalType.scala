@@ -397,24 +397,20 @@ object FunctionalType {
   // materialized relation so the inference-family queries (functional
   // types, hygiene, generation, scoring) share ONE profiling pass per
   // data directory instead of re-scanning all tables each.
-  private val profileCache =
-    scala.collection.mutable.Map.empty[(Int, String), String]
-
   /** Build + register the unioned per-table profile+freq relation; returns
     * the temp view name usable as `rel` for the cascade SQLs. */
   def registerProfileAll(spark: SparkSession, dir: String): String =
-    profileCache.synchronized {
-      profileCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
-        val t0 = System.nanoTime()
-        val df = buildProfileAll(spark, dir)
-        val local = spark.createDataFrame(
-          java.util.Arrays.asList(df.collect(): _*), df.schema)
-        val view = s"__graft_profile_all_${profileCache.size}"
-        local.createOrReplaceTempView(view)
-        if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
-          println(f"PROFALL all-tables ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        view
-      })
+    graft.core.SessionCache.getOrElseUpdate(spark, "profile_all", dir) {
+      val t0 = System.nanoTime()
+      val df = buildProfileAll(spark, dir)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val view = s"__graft_profile_all_${graft.core.SessionCache
+        .counter(spark, "profile_all").getAndIncrement()}"
+      local.createOrReplaceTempView(view)
+      if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
+        println(f"PROFALL all-tables ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      view
     }
 
   private def buildProfileAll(spark: SparkSession, dir: String): DataFrame = {

@@ -282,26 +282,24 @@ object HygieneScreens {
        |ORDER BY anomaly_type, table_name, column_name""".stripMargin
   }
 
-  private val enrCache =
-    scala.collection.mutable.Map.empty[(Int, String), String]
-
   /** Materialized enriched profile (metadata-sized: one row per column),
     * memoized per (session, dir) so every consumer — screens, test
     * generation, scoring — shares one inference pass. */
   def enrichedView(spark: SparkSession, dir: String): String =
-    enrCache.synchronized {
-      enrCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    graft.core.SessionCache.getOrElseUpdate(spark, "enriched_view", dir) {
+      {
         val rel = FunctionalType.registerProfileAll(spark, dir)
         val t0 = System.nanoTime()
         val enr = spark.sql(enrichSql(rel)(SparkDialect))
         val local = spark.createDataFrame(
           java.util.Arrays.asList(enr.collect(): _*), enr.schema)
-        val view = s"__graft_enriched_profile_${enrCache.size}"
+        val view = s"__graft_enriched_profile_${graft.core.SessionCache
+          .counter(spark, "enriched_view").getAndIncrement()}"
         local.createOrReplaceTempView(view)
         if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
           println(f"ENRICH cascade ${(System.nanoTime() - t0) / 1e9}%.2f s")
         view
-      })
+      }
     }
 
   def run(spark: SparkSession, dir: String,

@@ -35,7 +35,7 @@ object SchemaDrift {
     * the three seeded differences (every change class exercised). */
   def priorRunTables(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     Tables.names.map { t =>
-      val df = Tables.load(spark, dir, t)
+      val df = Tables.load(spark, dir, t, parallelize = false)
       t -> (t match {
         case "events"   => df.drop("props")
         case "orders"   => df.withColumn("o_comment", lit("n/a"))
@@ -85,7 +85,7 @@ object SchemaDrift {
     val root = RunStore.root
     val p0 = landSnapshot(spark, root, "run_000", priorRunTables(spark, dir))
     val p1 = landSnapshot(spark, root, "run_001",
-      Tables.names.map(t => t -> Tables.load(spark, dir, t)))
+      Tables.names.map(t => t -> Tables.load(spark, dir, t, parallelize = false)))
     spark.sql(diffSql(p0, p1)(SparkDialect))
   }
 

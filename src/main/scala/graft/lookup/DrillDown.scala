@@ -76,12 +76,12 @@ object DrillDown {
        | LIMIT $Limit""".stripMargin
 
   def runRecency(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__dd_events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false).createOrReplaceTempView("__dd_events")
     spark.sql(recencyRowsSql("__dd_events", "event_id", "ts")(SparkDialect))
   }
 
   def runOutliers(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__dd_events2")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false).createOrReplaceTempView("__dd_events2")
     spark.sql(outlierRowsSql("__dd_events2", "event_id", "value")(SparkDialect))
   }
 
@@ -89,17 +89,17 @@ object DrillDown {
   def duckOutliersSql(): String = outlierRowsSql("events", "event_id", "value")(DuckDialect)
 
   def runDuplicates(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "orders").createOrReplaceTempView("__dd_orders")
+    graft.core.Tables.load(spark, dir, "orders", parallelize = false).createOrReplaceTempView("__dd_orders")
     spark.sql(duplicatesSql("__dd_orders", "o_custkey")(SparkDialect))
   }
 
   def runMaxLength(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "customer").createOrReplaceTempView("__dd_customer")
+    graft.core.Tables.load(spark, dir, "customer", parallelize = false).createOrReplaceTempView("__dd_customer")
     spark.sql(maxLengthRowsSql("__dd_customer", "c_name")(SparkDialect))
   }
 
   def runMasked(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "customer").createOrReplaceTempView("__dd_customer")
+    graft.core.Tables.load(spark, dir, "customer", parallelize = false).createOrReplaceTempView("__dd_customer")
     spark.sql(maskedMismatchSql("__dd_customer", "c_mktsegment", "^[A-Z]+$",
       piiCols = Seq("c_name"),
       otherCols = Seq("c_custkey", "c_name", "c_mktsegment"))(SparkDialect))
@@ -146,18 +146,18 @@ object DrillDown {
        | LIMIT $Limit""".stripMargin
 
   def runDupeRows(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "orders").createOrReplaceTempView("__dd_orders2")
+    graft.core.Tables.load(spark, dir, "orders", parallelize = false).createOrReplaceTempView("__dd_orders2")
     spark.sql(dupeRowsSql("__dd_orders2",
       Seq("o_custkey", "o_orderstatus", "o_orderpriority"))(SparkDialect))
   }
 
   def runEmailFormat(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__dd_events3")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false).createOrReplaceTempView("__dd_events3")
     spark.sql(emailFormatSql("__dd_events3", "event_type")(SparkDialect))
   }
 
   def runMinDate(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "orders").createOrReplaceTempView("__dd_orders3")
+    graft.core.Tables.load(spark, dir, "orders", parallelize = false).createOrReplaceTempView("__dd_orders3")
     spark.sql(minDateSql("__dd_orders3", "o_orderkey", "o_orderdate",
       "1995-06-01")(SparkDialect))
   }

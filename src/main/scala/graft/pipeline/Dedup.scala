@@ -233,13 +233,10 @@ object Dedup {
   // value = view-name suffix per (session, dir), so a second data
   // directory in the same session gets its own relations instead of
   // silently overwriting (and then serving) the first one's
-  private val relCache =
-    scala.collection.mutable.Map.empty[(Int, String), Int]
-
   private def registerShingleRels(spark: SparkSession, dir: String): Int =
-    relCache.synchronized {
-      relCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
-        val k = relCache.size
+    graft.core.SessionCache.getOrElseUpdate(spark, "dedup_rels", dir) {
+      {
+        val k = graft.core.SessionCache.counter(spark, "dedup_rels").getAndIncrement()
         val docs = register(spark, dir)
         val d: Dialect = SparkDialect
         // localCheckpoint truncates lineage: the view becomes the
@@ -266,30 +263,30 @@ object Dedup {
           s"SELECT id, COUNT(*) AS sz FROM __graft_shf_$k GROUP BY id")
         mat(s"__graft_minhash_sigs_$k", minhashSigsSql(s"__graft_shf_$k"))
         k
-      })
+      }
     }
 
   // The full pairwise intersection is the quadratic relation; only plain
   // Jaccard pays for it, and only on first use (minhash never touches it).
-  private val interCache = scala.collection.mutable.Set.empty[(Int, Int)]
-
   private def registerInterRel(spark: SparkSession, k: Int): Unit =
-    interCache.synchronized {
-      val key = (System.identityHashCode(spark), k)
-      if (!interCache.contains(key)) {
-        spark.sql(
-          s"""SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
-             |  FROM __graft_shf_$k a JOIN __graft_shf_$k b
-             |    ON a.shingle = b.shingle AND a.id < b.id
-             | GROUP BY a.id, b.id""".stripMargin)
-          .localCheckpoint(eager = true)
-          .createOrReplaceTempView(s"__graft_inter_$k")
-        interCache += key
-      }
+    graft.core.SessionCache.getOrElseUpdate(spark, "dedup_inter", k) {
+      spark.sql(
+        s"""SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS ict
+           |  FROM __graft_shf_$k a JOIN __graft_shf_$k b
+           |    ON a.shingle = b.shingle AND a.id < b.id
+           | GROUP BY a.id, b.id""".stripMargin)
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(s"__graft_inter_$k")
+      true
     }
 
-  def runExact(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(exactSql(register(spark, dir))(SparkDialect))
+  def runExact(spark: SparkSession, dir: String): DataFrame = {
+    // cheap hash-groupBy: partial aggregation on the raw scan beats
+    // paying the rebalance exchange the shingle pipelines need
+    graft.core.Tables.load(spark, dir, "documents", parallelize = false)
+      .createOrReplaceTempView("__graft_docs_exact")
+    spark.sql(exactSql("__graft_docs_exact")(SparkDialect))
+  }
   def runJaccard(spark: SparkSession, dir: String): DataFrame = {
     val k = registerShingleRels(spark, dir)
     registerInterRel(spark, k)

@@ -154,9 +154,6 @@ object FreqProfiler {
   def duckSql(table: String, schema: StructType): String =
     duckSqlBody(table, schema) + "\nORDER BY column_name"
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
-
   /** Execute (memoized) the two-stage frequency profile for one table in
     * `dir`. Stage-1 eligibility (distinct count / max length per A-column)
     * is read from the memoized primary profile — one shared scan family
@@ -164,7 +161,7 @@ object FreqProfiler {
     * metadata-sized (one row per A-column), so it is materialized and
     * reused by every downstream consumer. */
   def profile(spark: SparkSession, dir: String, table: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, table),
+    graft.core.SessionCache.getOrElseUpdate(spark, "freq", (dir, table))(
       compute(spark, dir, table))
 
   private def compute(spark: SparkSession, dir: String, table: String): DataFrame = {

@@ -218,12 +218,26 @@ object ProfileMetrics {
     val upperAlpha = alpha.take(26)
     val lowerAlpha = alpha.drop(26)
     val np = Patterns.nonPrintingChars
-    // distinct_value_ct value routing: strings as-is; numerics via DOUBLE
-    // (exact for the test-data key ranges); dates/timestamps via epoch
-    // micros (injective, exact in a double mantissa until ~2112 — and far
-    // cheaper per row than the ISO timestamp formatter a string cast
-    // invokes); everything else via an injective string cast.
-    val rawCls = if (isA) "S" else if (isN) "N" else if (isD) "D" else "T"
+    // distinct_value_ct value routing: strings as-is; INTEGRAL numerics
+    // through the exact BIGINT slot (a DOUBLE cast collapses values above
+    // 2^53 — snowflake-style surrogate ids at scale would silently
+    // undercount); decimals through the injective string cast (fixed
+    // scale ⇒ canonical text; > 18 digits overflows BIGINT); floating
+    // numerics via DOUBLE (their native value, exact); dates/timestamps
+    // via epoch micros (injective, exact in a double mantissa until
+    // ~2112 — and far cheaper per row than the ISO timestamp formatter a
+    // string cast invokes); everything else via an injective string cast.
+    val isIntegral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val rawCls =
+      if (isA) "S"
+      else if (isIntegral) "I"
+      else if (dt.isInstanceOf[DecimalType]) "T"
+      else if (isN) "N"
+      else if (isD) "D"
+      else "T"
     // Parquet timestamps without tz info infer as timestamp_ntz on Spark;
     // report both variants as plain "timestamp" (one logical D type here).
     val colType = dt match {

@@ -58,14 +58,11 @@ object Profiler {
   def duckSql(table: String, schema: StructType): String =
     duckSqlBody(table, schema) + "\nORDER BY column_name"
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Option[Double]), DataFrame]
-
-  /** Execute (memoized) the three-job profile for one table in `dir`. */
+  /** Execute (memoized per session) the three-job profile for one table. */
   def profile(spark: SparkSession, dir: String, table: String,
               sampleFraction: Option[Double] = None): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, table, sampleFraction),
+    graft.core.SessionCache.getOrElseUpdate(
+      spark, "profiler", (dir, table, sampleFraction))(
       compute(spark, dir, table, sampleFraction))
 
   private def compute(spark: SparkSession, dir: String, table: String,
@@ -147,23 +144,28 @@ object Profiler {
     val dmapFut: Future[Map[Int, Long]] =
       if (dspecs.isEmpty) Future.successful(Map.empty)
       else Future {
+        val nullS = "CAST(NULL AS STRING)"
+        val nullN = "CAST(NULL AS DOUBLE)"
+        val nullI = "CAST(NULL AS BIGINT)"
         val stackArgs = dspecs.zipWithIndex.map { case ((_, e), kid) =>
           val inner = e.inner(d)
           e.cls match {
-            case "S" => s"$kid, $inner, CAST(NULL AS DOUBLE)"
-            case "T" => s"$kid, CAST($inner AS STRING), CAST(NULL AS DOUBLE)"
-            case "D" => s"$kid, CAST(NULL AS STRING), " +
-              s"CAST(UNIX_MICROS(CAST($inner AS TIMESTAMP)) AS DOUBLE)"
-            case _   => s"$kid, CAST(NULL AS STRING), CAST($inner AS DOUBLE)"
+            case "S" => s"$kid, $inner, $nullN, $nullI"
+            case "T" => s"$kid, CAST($inner AS STRING), $nullN, $nullI"
+            case "D" => s"$kid, $nullS, " +
+              s"CAST(UNIX_MICROS(CAST($inner AS TIMESTAMP)) AS DOUBLE), $nullI"
+            // exact slot: integral values never round-trip through DOUBLE
+            case "I" => s"$kid, $nullS, $nullN, CAST($inner AS BIGINT)"
+            case _   => s"$kid, $nullS, CAST($inner AS DOUBLE), $nullI"
           }
         }
         val sql =
           s"""SELECT kid, COUNT(*) AS ct FROM (
-             |  SELECT kid, sv, nv FROM (
+             |  SELECT kid, sv, nv, iv FROM (
              |    SELECT stack(${stackArgs.length}, ${stackArgs.mkString(",\n      ")})
-             |           AS (kid, sv, nv) FROM $view
-             |  ) WHERE sv IS NOT NULL OR nv IS NOT NULL
-             |  GROUP BY kid, sv, nv
+             |           AS (kid, sv, nv, iv) FROM $view
+             |  ) WHERE sv IS NOT NULL OR nv IS NOT NULL OR iv IS NOT NULL
+             |  GROUP BY kid, sv, nv, iv
              |) GROUP BY kid""".stripMargin
         timed("distinct")(spark.sql(sql).collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap)

@@ -20,23 +20,44 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * the statistical behavior (each row selected independently with
   * probability p) is the same as the reference's Bernoulli sampling.
   *
-  * Sampling parameters mirror calculate_sampling_params: sample_count =
-  * clamp(round(pct% of N), min_sample, 999000); sample_ratio =
-  * N / sample_count; profiling runs over the sample and the counted
-  * metrics listed in the rescale template are multiplied by sample_ratio
-  * (distinct counts deliberately not rescaled — "already representative
-  * in a random sample").
+  * Sampling parameters mirror calculate_sampling_params EXACTLY
+  * (profiling_query.py:22-53): no sampling at all (ratio 1, full scan)
+  * when the percent is outside (0, 100) or the table is at or under
+  * `min_sample` rows; otherwise sample_count = clamp(round(pct% of N),
+  * min_sample, 999000) and sample_ratio = N / sample_count. Profiling
+  * runs over the sample and the counted metrics listed in the rescale
+  * template are multiplied by sample_ratio (distinct counts deliberately
+  * not rescaled — "already representative in a random sample").
   *
-  * Scale: the per-column branches prune to (key, column) in columnar
-  * storage, and every aggregate runs over the sample, so at 100 TB the
-  * dominant cost is one pruned scan of the key+column pairs — the same
-  * bound as the reference's sampled scan.
+  * Scale: the Spark path is ONE aggregate pass over the sampled scan —
+  * every column's metrics computed in a single wide aggregate (1 output
+  * row, materialized, then unpivoted to per-column rows), never a scan
+  * per column. The sample itself is never materialized: at 100 TB a 30%
+  * sample is still tens of TB, so the filter stays fused into the scan.
   */
 object SampledProfiler {
 
   val SamplePercent = 30.0
   val MinSampleCount = 1000L
   val MaxSampleCount = 999000L
+
+  final case class Sampling(sampleCount: Long, sampleRatio: Double)
+
+  /** Scala mirror of the reference's calculate_sampling_params
+    * (profiling_query.py:22-53): None ⇒ sampling not applicable, profile
+    * the full table. */
+  def samplingParams(recordCount: Long,
+                     samplePercent: Double = SamplePercent,
+                     minSample: Long = MinSampleCount,
+                     maxSample: Long = MaxSampleCount): Option[Sampling] = {
+    if (!(samplePercent > 0 && samplePercent < 100)) None
+    else if (recordCount <= minSample) None
+    else {
+      val calc = math.round(samplePercent * recordCount / 100.0)
+      val count = math.min(math.max(calc, minSample), maxSample)
+      Some(Sampling(count, recordCount.toDouble / count))
+    }
+  }
 
   /** Metrics the estimate template rescales (sample → full-table). */
   private val rescaledMetrics = Set(
@@ -49,30 +70,49 @@ object SampledProfiler {
     "distinct_value_ct", "min_length", "max_length", "avg_length",
     "min_value", "max_value", "avg_value", "min_text", "max_text")
 
-  /** The full sampled-profile query (shared text shape; dialect-rendered). */
+  private def metricsOf(schema: StructType) =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      (f, i, ProfileMetrics.entries(f.name, i + 1, f.dataType)
+        .filter(e => rescaledMetrics(e.name) || keptMetrics(e.name)))
+    }
+
+  /** Per-column output select items over a relation whose columns are the
+    * aggregated measures aliased c<i>_<name>; `ratioExpr` multiplies the
+    * rescaled metrics. */
+  private def branch(f: org.apache.spark.sql.types.StructField, i: Int,
+                     ms: Seq[MetricEntry], ratioExpr: String,
+                     from: String, rendered: String => String): String = {
+    val items = ms.map { e =>
+      if (rescaledMetrics(e.name))
+        s"CAST(ROUND(${rendered(e.name)} * $ratioExpr, 0) AS BIGINT) AS ${e.name}"
+      else s"${rendered(e.name)} AS ${e.name}"
+    }.mkString(",\n  ")
+    s"""SELECT '${f.name}' AS column_name,
+       |  CAST(ROUND($ratioExpr, 6) AS DOUBLE) AS sample_ratio,
+       |  $items
+       |FROM $from""".stripMargin
+  }
+
+  /** Single-statement form (the DuckDB oracle; DuckDB materializes
+    * multiply-referenced CTEs, so the sampled scan runs once there). The
+    * params CTE carries the reference's applicability gate: at or under
+    * MinSampleCount rows the "sample" is the whole table and the ratio
+    * is exactly 1. */
   def sql(table: String, schema: StructType, keyExpr: String)(d: Dialect): String = {
     val clampedCount =
       s"LEAST(GREATEST(ROUND($SamplePercent * n / 100.0, 0), $MinSampleCount), $MaxSampleCount)"
     val draw = d.hexToLong(s"SUBSTRING(MD5($keyExpr), 1, 8)")
     val ratioSub = "(SELECT sample_ratio FROM params)"
-    val selects = schema.fields.zipWithIndex.map { case (f, i) =>
-      val ms = ProfileMetrics.entries(f.name, i + 1, f.dataType)
-        .filter(e => rescaledMetrics(e.name) || keptMetrics(e.name))
-      val items = ms.map { e =>
-        if (rescaledMetrics(e.name))
-          s"CAST(ROUND(${e.render(d)} * $ratioSub, 0) AS BIGINT) AS ${e.name}"
-        else s"${e.render(d)} AS ${e.name}"
-      }.mkString(",\n  ")
-      s"""SELECT '${f.name}' AS column_name,
-         |  CAST(ROUND($ratioSub, 6) AS DOUBLE) AS sample_ratio,
-         |  $items
-         |FROM sampled""".stripMargin
+    val selects = metricsOf(schema).map { case (f, i, ms) =>
+      branch(f, i, ms, ratioSub, "sampled", name =>
+        ms.find(_.name == name).get.render(d))
     }
     s"""WITH full_ct AS (SELECT COUNT(*) AS n FROM $table),
        |params AS (
        |  SELECT n AS full_record_ct,
-       |         $clampedCount AS sample_count,
-       |         CAST(n AS DOUBLE) / $clampedCount AS sample_ratio
+       |         CASE WHEN n <= $MinSampleCount THEN n ELSE $clampedCount END AS sample_count,
+       |         CAST(n AS DOUBLE)
+       |           / CASE WHEN n <= $MinSampleCount THEN n ELSE $clampedCount END AS sample_ratio
        |    FROM full_ct
        |),
        |sampled AS (
@@ -89,9 +129,37 @@ object SampledProfiler {
     "CAST(l_orderkey AS STRING) || ':' || CAST(l_linenumber AS STRING)"
 
   def run(spark: SparkSession, dir: String): DataFrame = {
+    val d: Dialect = SparkDialect
     val df = graft.core.Tables.load(spark, dir, "lineitem")
-    df.createOrReplaceTempView("__graft_sampled_li")
-    spark.sql(sql("__graft_sampled_li", df.schema, lineitemKey)(SparkDialect))
+    val view = "__graft_sampled_li"
+    df.createOrReplaceTempView(view)
+    val schema = df.schema
+    // sampling params computed driver-side (reference: profiling_query.py:22-53)
+    val n = df.count()
+    val sampleCount = samplingParams(n).map(_.sampleCount).getOrElse(n)
+    // identical arithmetic to the oracle's in-SQL params: integer literals
+    // into the same double expressions, so estimates hash-match exactly
+    val ratioExpr = s"(CAST($n AS DOUBLE) / $sampleCount)"
+    val draw = d.hexToLong(s"SUBSTRING(MD5($lineitemKey), 1, 8)")
+    val cols = metricsOf(schema)
+    // ONE aggregate pass over the sampled scan: all columns' measures in a
+    // single wide agg (the sample filter stays fused into the scan)
+    val aggItems = cols.flatMap { case (_, i, ms) =>
+      ms.map(e => s"${e.render(d)} AS c${i}_${e.name}")
+    }
+    val agg = spark.sql(
+      s"""SELECT ${aggItems.mkString(",\n  ")}
+         |  FROM $view
+         | WHERE CAST($draw AS DOUBLE) / 4294967296.0
+         |       < CAST($sampleCount AS DOUBLE) / $n""".stripMargin)
+      .localCheckpoint(true) // 1 row — unpivot branches read it for free
+    val aggView = "__graft_sampled_agg"
+    agg.createOrReplaceTempView(aggView)
+    val selects = cols.map { case (f, i, ms) =>
+      branch(f, i, ms, ratioExpr, aggView, name => s"c${i}_$name")
+    }
+    spark.sql(s"""${selects.mkString("\nUNION ALL\n")}
+                 |ORDER BY column_name""".stripMargin)
   }
 
   def duckSql(): String = {

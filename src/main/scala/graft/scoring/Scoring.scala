@@ -96,10 +96,11 @@ object Scoring {
       (table, tests) <- CatSuite.suites.toSeq.sortBy(_._1)
       test <- tests
       if formula(test.testType, d).isDefined
-    } yield {
-      val thr = test.threshold.toDouble
-      s"('$table', '${test.testType}', '${test.column}', CAST($thr AS DOUBLE))"
-    }
+      // thresholds are free-form SQL literals elsewhere (condition()
+      // splices them raw); a non-numeric one (e.g. a date baseline) just
+      // skips prevalence instead of failing the whole score family
+      thr <- scala.util.Try(test.threshold.toDouble).toOption
+    } yield s"('$table', '${test.testType}', '${test.column}', CAST($thr AS DOUBLE))"
     val types = CatSuite.suites.values.flatten.map(_.testType).toSeq.distinct.sorted
     val dispatch = types.flatMap { tt =>
       formula(tt, d).map { case (risk, f) => s"WHEN r.test_type = '$tt' THEN $risk * ($f)" }

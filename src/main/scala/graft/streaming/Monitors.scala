@@ -185,7 +185,7 @@ object Monitors {
   }
 
   def runTrendForecast(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false).createOrReplaceTempView("__graft_events")
     spark.sql(trendForecastSql("__graft_events")(SparkDialect))
   }
 
@@ -195,7 +195,7 @@ object Monitors {
   }
 
   def runMetricTrend(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false).createOrReplaceTempView("__graft_events")
     spark.sql(metricTrendSql("__graft_events")(SparkDialect))
   }
 
@@ -204,7 +204,7 @@ object Monitors {
   def duckFreshnessGapsSql(): String = freshnessGapsSql(DuckDialect)
 
   def runVolumeBands(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false).createOrReplaceTempView("__graft_events")
     spark.sql(volumeBandsSql("__graft_events")(SparkDialect))
   }
 
@@ -284,7 +284,7 @@ object Monitors {
   def runSarimax(spark: SparkSession, dir: String,
                  sensitivity: String = "medium"): DataFrame = {
     import spark.implicits._
-    val events = graft.core.Tables.load(spark, dir, "events")
+    val events = graft.core.Tables.load(spark, dir, "events", parallelize = false)
     events.createOrReplaceTempView("__graft_events_sx")
     val daily = spark.sql(
       """SELECT event_type AS series,

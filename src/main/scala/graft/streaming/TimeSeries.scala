@@ -16,8 +16,11 @@ package graft.streaming
   *    (time_series_service.py:119-137);
   *  - resample to the inferred frequency + linear interpolation (:47);
   *  - MIN_TRAIN_VALUES = 20 before AND after resampling (:13,:41,:49);
-  *  - exog `is_excluded` weekend flag (:63-73; holiday calendars are a
-  *    documented omission — no holiday database in scope);
+  *  - exog `is_excluded` flag = weekend OR holiday (:63-73). The
+  *    reference resolves holiday_codes through the `holidays` package;
+  *    with no holiday database in scope the calendar here is pluggable:
+  *    callers pass the holiday dates ("yyyy-MM-dd" in the model's tz)
+  *    and they flag exactly like weekends;
   *  - SE = max(model SE, residual SE after burn-in = max(order,3),
   *    raw first-difference SE) (:104-113);
   *  - tolerance = mean + multiplier * se where multiplier is the z-score
@@ -192,6 +195,20 @@ object TimeSeries {
     if (dow >= 5) 1 else 0
   }
 
+  /** Local calendar date of a timestamp as "yyyy-MM-dd" (for holiday
+    * lookups — reference get_holiday_dates, time_series_service.py:56-60). */
+  def localDate(tsSec: Long, tzOffsetSec: Long = 0L): String =
+    java.time.LocalDate.ofEpochDay(math.floorDiv(tsSec + tzOffsetSec, 86400L)).toString
+
+  /** The reference's is_excluded exog flag: weekend (when enabled) or a
+    * date in the supplied holiday calendar. */
+  def isExcluded(tsSec: Long, excludeWeekends: Boolean, tzOffsetSec: Long,
+                 holidays: Set[String]): Double = {
+    val wk = excludeWeekends && isWeekend(tsSec, tzOffsetSec) == 1
+    if (wk || (holidays.nonEmpty && holidays.contains(localDate(tsSec, tzOffsetSec)))) 1.0
+    else 0.0
+  }
+
   /** CSS fit of Δy - βΔx = ARMA(1,1) by Nelder–Mead over (φ, θ, β). */
   def fitArima111(dy: Array[Double], dx: Array[Double]): Fit = {
     val n = dy.length
@@ -286,7 +303,8 @@ object TimeSeries {
   def sarimaxForecast(tsSec: Seq[Long], values: Seq[Double],
                       numForecast: Int = NumForecast,
                       excludeWeekends: Boolean = false,
-                      tzOffsetSec: Long = 0L): Forecast = {
+                      tzOffsetSec: Long = 0L,
+                      holidays: Set[String] = Set.empty): Forecast = {
     if (tsSec.length < MinTrainValues)
       throw new NotEnoughData("Not enough data points in history.")
     val freq = inferFrequencySeconds(tsSec)
@@ -294,7 +312,7 @@ object TimeSeries {
     if (grid.length < MinTrainValues)
       throw new NotEnoughData("Not enough data points after resampling.")
     val exog: Array[Double] =
-      grid.map(t => if (excludeWeekends) isWeekend(t, tzOffsetSec).toDouble else 0.0).toArray
+      grid.map(t => isExcluded(t, excludeWeekends, tzOffsetSec, holidays)).toArray
     val n = y.length
     val dy = new Array[Double](n - 1)
     val dx = new Array[Double](n - 1)
@@ -303,7 +321,7 @@ object TimeSeries {
     val fit = fitArima111(dy, dx)
 
     val fTs = (1 to numForecast).map(h => grid.last + h.toLong * freq)
-    val fExog = fTs.map(t => if (excludeWeekends) isWeekend(t, tzOffsetSec).toDouble else 0.0)
+    val fExog = fTs.map(t => isExcluded(t, excludeWeekends, tzOffsetSec, holidays))
 
     // mean forecast: ẑ_{T+h} = φ ẑ_{T+h-1} (+ θ e_T at h=1); integrate.
     val lastZ = if (dy.isEmpty) 0.0 else dy(dy.length - 1) - fit.beta * dx(dx.length - 1)
@@ -360,9 +378,11 @@ object TimeSeries {
   /** Port of compute_sarimax_threshold: (lower, upper) tolerances of the
     * NEXT point for a sensitivity in {low, medium, high}. */
   def computeThreshold(tsSec: Seq[Long], values: Seq[Double], sensitivity: String,
-                       excludeWeekends: Boolean = false): Option[(Double, Double)] = {
+                       excludeWeekends: Boolean = false,
+                       holidays: Set[String] = Set.empty): Option[(Double, Double)] = {
     try {
-      val fc = sarimaxForecast(tsSec, values, excludeWeekends = excludeWeekends)
+      val fc = sarimaxForecast(tsSec, values,
+        excludeWeekends = excludeWeekends, holidays = holidays)
       val z = zScore(sensitivity)
       val nPoints = tsSec.length
       // NOTE: with MinTrainValues == TDistributionThreshold (both 20,

@@ -23,6 +23,6 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    graft.core.Tables.tunePerf(s)
   }
 }

@@ -56,6 +56,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.isWeekend(sat + 2 * day) == 0) // Monday
   }
 
+  test("holiday calendar flags exog like weekends") {
+    // 1970-01-01 (Thursday) as a holiday: excluded even though a weekday
+    assert(TimeSeries.isExcluded(0L, excludeWeekends = false, 0L, Set("1970-01-01")) == 1.0)
+    assert(TimeSeries.isExcluded(0L, excludeWeekends = false, 0L, Set.empty) == 0.0)
+    assert(TimeSeries.localDate(0L) == "1970-01-01")
+    // weekend flag still applies with a calendar present
+    assert(TimeSeries.isExcluded(2 * day, excludeWeekends = true, 0L, Set("1999-01-01")) == 1.0)
+  }
+
+  test("holiday exog changes the fit when history dips on the holiday") {
+    // 30 daily points: value 100, except a dip to 40 on day 10 (the "holiday")
+    val ts = (0 until 30).map(i => i * day)
+    val vals = (0 until 30).map(i => if (i == 10) 40.0 else 100.0 + (i % 3) * 0.5)
+    val holiday = TimeSeries.localDate(10 * day)
+    val withCal = TimeSeries.sarimaxForecast(ts, vals, holidays = Set(holiday))
+    val without = TimeSeries.sarimaxForecast(ts, vals)
+    // the exogenous regressor absorbs the dip, so the models differ and
+    // the calendar-aware forecast stays near the weekday level
+    assert(withCal.mean(0) != without.mean(0) || withCal.se(0) != without.se(0))
+    assert(math.abs(withCal.mean(0) - 100.0) < 15.0)
+    assert(withCal.se.forall(s => s.isFinite && s >= 0))
+  }
+
   test("forecast on a flat noisy series stays near the level with sane SE") {
     val rnd = new scala.util.Random(7)
     val ts = (0 until 60).map(i => i * day)

@@ -307,8 +307,15 @@ object TestGenerator {
        |     ELSE 'NULL' END""".stripMargin
   }
 
-  /** Fused generation query over an enriched-profile relation. */
-  def sql(rel: String)(d: Dialect): String = {
+  /** Fused generation query over an enriched-profile relation.
+    *
+    * `ttRel`: when set, the functional-table-type relation is read from
+    * that (pre-materialized, 10-row) view instead of being recomputed
+    * inline. Spark inlines CTEs, so without this every one of the 28
+    * UNION ALL branches would re-execute the whole run-history subtree —
+    * a scan of every raw table per branch. The DuckDB oracle keeps the
+    * inline form: its `cteMaterialized` runs the subtree once. */
+  def sql(rel: String, ttRel: Option[String] = None)(d: Dialect): String = {
     val branches = generators.map { g =>
       val numExprs = numCols.map { c =>
         val e = g.nums.get(c).map(_(d)).getOrElse("NULL")
@@ -321,18 +328,20 @@ object TestGenerator {
          |  ${numExprs.mkString(",\n  ")}
          |  FROM p WHERE ${g.criteria(d)}""".stripMargin
     }
+    val ttCtes = ttRel match {
+      case Some(v) => s"tt AS (SELECT * FROM $v)"
+      case None    => s"$periodCtes,\ntt AS (${tableTypeSql})"
+    }
     s"""WITH enr AS ${d.cteMaterialized}(SELECT * FROM $rel),
-       |$periodCtes,
-       |tt AS (${tableTypeSql}),
+       |$ttCtes,
        |p AS ${d.cteMaterialized}(SELECT e.*, t.$ftt FROM enr e JOIN tt t ON e.table_name = t.table_name)
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY test_type, table_name, column_name""".stripMargin
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.registerAll(spark, dir) // runHistorySql scans the raw tables
-    spark.sql(sql(HygieneScreens.enrichedView(spark, dir))(SparkDialect))
-  }
+  def run(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(sql(HygieneScreens.enrichedView(spark, dir),
+      Some(tableTypeView(spark, dir)))(SparkDialect))
 
   def duckSql(): String =
     sql(s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})")(DuckDialect)
@@ -346,10 +355,27 @@ object TestGenerator {
        |tt AS (${tableTypeSql})
        |SELECT * FROM tt ORDER BY table_name""".stripMargin
 
-  def runTableType(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.registerAll(spark, dir) // runHistorySql scans the raw tables
-    spark.sql(tableTypeQuery(HygieneScreens.enrichedView(spark, dir))(SparkDialect))
-  }
+  /** The 10-row (table_name, functional_table_type) relation, computed
+    * ONCE per (session, dir) — one scan of each raw table for the
+    * record-count history — then collected to a local temp view that the
+    * generation branches join for free. The reference's
+    * functional_tabletype_stage runs once per profiling run, not once per
+    * generated test type. */
+  def tableTypeView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "tabletype_view", dir) {
+      graft.core.Tables.registerAll(spark, dir) // runHistorySql scans the raw tables
+      val tt = spark.sql(
+        tableTypeQuery(HygieneScreens.enrichedView(spark, dir))(SparkDialect))
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(tt.collect(): _*), tt.schema)
+      val view = s"__graft_tabletype_${graft.core.SessionCache
+        .counter(spark, "tabletype_view").getAndIncrement()}"
+      local.createOrReplaceTempView(view)
+      view
+    }
+
+  def runTableType(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM ${tableTypeView(spark, dir)} ORDER BY table_name")
 
   def duckTableTypeSql(): String =
     tableTypeQuery(

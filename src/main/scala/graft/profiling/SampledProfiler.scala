@@ -142,19 +142,49 @@ object SampledProfiler {
     val ratioExpr = s"(CAST($n AS DOUBLE) / $sampleCount)"
     val draw = d.hexToLong(s"SUBSTRING(MD5($lineitemKey), 1, 8)")
     val cols = metricsOf(schema)
-    // ONE aggregate pass over the sampled scan: all columns' measures in a
-    // single wide agg (the sample filter stays fused into the scan)
-    val aggItems = cols.flatMap { case (_, i, ms) =>
+    // The aggregate pass over the sampled scan is CHUNKED into bounded
+    // groups of expressions (Profiler's compile-time discipline: a fused
+    // ~190-expression codegen'd aggregate costs far more to compile than
+    // to execute, while parquet's columnar layout means chunks read
+    // disjoint column subsets — total I/O stays one-full-scan). Each
+    // chunk is its own concurrent job; the sample filter stays fused into
+    // every chunk's scan, so the sample itself is never materialized.
+    val sampleFilter =
+      s"""CAST($draw AS DOUBLE) / 4294967296.0
+         |       < CAST($sampleCount AS DOUBLE) / $n""".stripMargin
+    val perColItems: Seq[Seq[String]] = cols.map { case (_, i, ms) =>
       ms.map(e => s"${e.render(d)} AS c${i}_${e.name}")
     }
-    val agg = spark.sql(
-      s"""SELECT ${aggItems.mkString(",\n  ")}
-         |  FROM $view
-         | WHERE CAST($draw AS DOUBLE) / 4294967296.0
-         |       < CAST($sampleCount AS DOUBLE) / $n""".stripMargin)
-      .localCheckpoint(true) // 1 row — unpivot branches read it for free
+    val maxExprs = sys.env.get("GRAFT_PROFILE_CHUNK").map(_.toInt).getOrElse(48)
+    val chunks: Seq[Seq[String]] = {
+      val out = Seq.newBuilder[Seq[String]]
+      var cur = Seq.empty[String]
+      perColItems.filter(_.nonEmpty).foreach { sel =>
+        if (cur.nonEmpty && cur.length + sel.length > maxExprs) {
+          out += cur; cur = Seq.empty
+        }
+        cur = cur ++ sel
+      }
+      if (cur.nonEmpty) out += cur
+      out.result()
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chunkRows = Await.result(
+      Future.sequence(chunks.map { sel =>
+        Future(spark.sql(
+          s"""SELECT ${sel.mkString(",\n  ")}
+             |  FROM $view
+             | WHERE $sampleFilter""".stripMargin).collect()(0))
+      }), Duration.Inf)
+    // Reassemble the chunk rows into the single wide 1-row local relation
+    // the unpivot branches read for free.
+    val aggSchema = StructType(chunkRows.flatMap(_.schema.fields))
+    val aggRow = org.apache.spark.sql.Row.fromSeq(chunkRows.flatMap(_.toSeq))
     val aggView = "__graft_sampled_agg"
-    agg.createOrReplaceTempView(aggView)
+    spark.createDataFrame(java.util.Arrays.asList(aggRow), aggSchema)
+      .createOrReplaceTempView(aggView)
     val selects = cols.map { case (f, i, ms) =>
       branch(f, i, ms, ratioExpr, aggView, name => s"c${i}_$name")
     }

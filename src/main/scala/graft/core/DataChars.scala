@@ -51,7 +51,7 @@ object DataChars {
                  tables: Seq[(String, DataFrame)]): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = Pools.actions
     // parallel row counts — the reference's chunked COUNT(*) fan-out
     val counts: Map[String, Long] = Await.result(
       Future.sequence(tables.map { case (t, df) =>

@@ -12,11 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RunStore {
 
-  /** Where run history lands. Constant by default so the DuckDB oracle
-    * (which renders SQL without a data-dir argument) can address the
-    * same files; override per deployment with GRAFT_HISTORY_DIR. */
+  /** Where run history lands. Namespaced by PROCESS by default: the
+    * oracle SQL is rendered in the same JVM that lands the snapshots, so
+    * a per-process root keeps the rendered paths addressable by the
+    * DuckDB oracle while two CONCURRENT invocations (separate processes,
+    * possibly different data dirs) can no longer cross-contaminate each
+    * other's landed runs. Stable within a process; override per
+    * deployment with GRAFT_HISTORY_DIR. */
   def root: String =
-    sys.env.getOrElse("GRAFT_HISTORY_DIR", "/tmp/graft_history")
+    sys.env.getOrElse("GRAFT_HISTORY_DIR",
+      s"/tmp/graft_history_p${ProcessHandle.current().pid()}")
 
   def runPath(root: String, runId: String, name: String): String =
     s"$root/$runId/$name"

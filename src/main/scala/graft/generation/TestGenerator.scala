@@ -360,7 +360,13 @@ object TestGenerator {
     * record-count history — then collected to a local temp view that the
     * generation branches join for free. The reference's
     * functional_tabletype_stage runs once per profiling run, not once per
-    * generated test type. */
+    * generated test type.
+    *
+    * Invariant (shared with enrichedView/registerProfileAll): the tables
+    * under `dir` are immutable for the session's lifetime — a profiling
+    * session reads one landed snapshot, mirroring the reference's
+    * per-run staging tables. A process that lands NEW snapshots mid-
+    * session must start a new session (or new dir) to see them. */
   def tableTypeView(spark: SparkSession, dir: String): String =
     graft.core.SessionCache.getOrElseUpdate(spark, "tabletype_view", dir) {
       graft.core.Tables.registerAll(spark, dir) // runHistorySql scans the raw tables

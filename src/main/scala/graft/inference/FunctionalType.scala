@@ -421,7 +421,11 @@ object FunctionalType {
     // (reference: testgen/common/database/database_service.py:219-232).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // Orchestration pool: each per-table task AWAITS the profiler's inner
+    // action futures (which run on Pools.actions) — separate bounded pools
+    // keep total concurrency at tableThreads + actionThreads without the
+    // nested-await deadlock a single bounded pool would hit.
+    implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.tables
     val sampler: Option[Thread] = sys.env.get("GRAFT_PROFILE_SAMPLER").map { _ =>
       val th = new Thread { override def run(): Unit = {
         val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)

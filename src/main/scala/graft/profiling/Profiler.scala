@@ -92,7 +92,9 @@ object Profiler {
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // Bounded leaf-action pool (graft.core.Pools): the all-tables cascade
+    // would otherwise fan out ~40 concurrent jobs and thrash the scheduler.
+    implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.actions
 
     // Job 1: all scalar aggregates — no distinct, so the plan is a
     // two-phase partial aggregate with map-side combine. The columns are
@@ -108,7 +110,8 @@ object Profiler {
         es.collect { case s: ScalarM if s.applies => s }
           .map(e => s"${e.expr(d)} AS v_${i}_${e.name}")
       }
-      val maxExprs = sys.env.get("GRAFT_PROFILE_CHUNK").map(_.toInt).getOrElse(48)
+      val maxExprs = sys.env.get("GRAFT_PROFILE_CHUNK")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(48)
       val out = Seq.newBuilder[Seq[String]]
       var cur = Seq.empty[String]
       perColSel.filter(_.nonEmpty).foreach { sel =>

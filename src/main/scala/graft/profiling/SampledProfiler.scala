@@ -29,11 +29,15 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * template are multiplied by sample_ratio (distinct counts deliberately
   * not rescaled — "already representative in a random sample").
   *
-  * Scale: the Spark path is ONE aggregate pass over the sampled scan —
-  * every column's metrics computed in a single wide aggregate (1 output
-  * row, materialized, then unpivoted to per-column rows), never a scan
-  * per column. The sample itself is never materialized: at 100 TB a 30%
-  * sample is still tens of TB, so the filter stays fused into the scan.
+  * Scale: the Spark path mirrors Profiler's job discipline over the
+  * sampled scan — scalar aggregates CHUNKED into bounded codegen'd
+  * groups (disjoint column subsets, one-full-scan total I/O), and all
+  * distinct counts routed through ONE stack-unpivot group-by job (never
+  * an inline COUNT(DISTINCT), which would plan a multi-distinct Expand
+  * per chunk). The results assemble into one wide local row, unpivoted
+  * to per-column rows. The sample itself is never materialized: at
+  * 100 TB a 30% sample is still tens of TB, so the Bernoulli filter
+  * stays fused into every job's scan.
   */
 object SampledProfiler {
 
@@ -142,24 +146,40 @@ object SampledProfiler {
     val ratioExpr = s"(CAST($n AS DOUBLE) / $sampleCount)"
     val draw = d.hexToLong(s"SUBSTRING(MD5($lineitemKey), 1, 8)")
     val cols = metricsOf(schema)
-    // The aggregate pass over the sampled scan is CHUNKED into bounded
-    // groups of expressions (Profiler's compile-time discipline: a fused
-    // ~190-expression codegen'd aggregate costs far more to compile than
-    // to execute, while parquet's columnar layout means chunks read
-    // disjoint column subsets — total I/O stays one-full-scan). Each
-    // chunk is its own concurrent job; the sample filter stays fused into
-    // every chunk's scan, so the sample itself is never materialized.
-    val sampleFilter =
-      s"""CAST($draw AS DOUBLE) / 4294967296.0
-         |       < CAST($sampleCount AS DOUBLE) / $n""".stripMargin
-    val perColItems: Seq[Seq[String]] = cols.map { case (_, i, ms) =>
-      ms.map(e => s"${e.render(d)} AS c${i}_${e.name}")
+    // The sampled relation is declared ONCE as a temp view: the Bernoulli
+    // draw expression appears a single time in the code and stays FUSED
+    // into each job's scan (the sample is never materialized — at 100 TB
+    // a 30% sample is still tens of TB). Over it, the same job split as
+    // Profiler.compute: scalar aggregates chunked into bounded codegen'd
+    // groups, and ALL distinct counts routed through ONE stack-unpivot
+    // group-by job — never an inline COUNT(DISTINCT) per chunk, which
+    // would plan a multi-distinct Expand over the sampled scan per chunk.
+    val sampledView = "__graft_sampled_li_draw"
+    spark.sql(
+      s"""SELECT * FROM $view
+         | WHERE CAST($draw AS DOUBLE) / 4294967296.0
+         |       < CAST($sampleCount AS DOUBLE) / $n""".stripMargin)
+      .createOrReplaceTempView(sampledView)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.actions
+
+    // Job 1: scalar chunks — no DISTINCT, so each chunk stays a two-phase
+    // partial HashAggregate inside whole-stage codegen. Chunk size bounds
+    // the generated class (compile time grows superlinearly with it);
+    // parquet's columnar layout means chunks read disjoint column subsets.
+    val perColScalar: Seq[Seq[String]] = cols.map { case (_, i, ms) =>
+      ms.collect { case e: ScalarM if e.applies =>
+        s"${e.expr(d)} AS c${i}_${e.name}"
+      }
     }
-    val maxExprs = sys.env.get("GRAFT_PROFILE_CHUNK").map(_.toInt).getOrElse(48)
+    val maxExprs = sys.env.get("GRAFT_PROFILE_CHUNK")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(48)
     val chunks: Seq[Seq[String]] = {
       val out = Seq.newBuilder[Seq[String]]
       var cur = Seq.empty[String]
-      perColItems.filter(_.nonEmpty).foreach { sel =>
+      perColScalar.filter(_.nonEmpty).foreach { sel =>
         if (cur.nonEmpty && cur.length + sel.length > maxExprs) {
           out += cur; cur = Seq.empty
         }
@@ -168,20 +188,74 @@ object SampledProfiler {
       if (cur.nonEmpty) out += cur
       out.result()
     }
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val chunkRows = Await.result(
-      Future.sequence(chunks.map { sel =>
-        Future(spark.sql(
-          s"""SELECT ${sel.mkString(",\n  ")}
-             |  FROM $view
-             | WHERE $sampleFilter""".stripMargin).collect()(0))
-      }), Duration.Inf)
-    // Reassemble the chunk rows into the single wide 1-row local relation
-    // the unpivot branches read for free.
-    val aggSchema = StructType(chunkRows.flatMap(_.schema.fields))
-    val aggRow = org.apache.spark.sql.Row.fromSeq(chunkRows.flatMap(_.toSeq))
+    val scalarFut: Future[Map[String, Any]] = Future.sequence(
+      chunks.map { sel =>
+        Future {
+          val row = spark.sql(
+            s"""SELECT ${sel.mkString(",\n  ")}
+               |  FROM $sampledView""".stripMargin).collect()(0)
+          row.schema.fieldNames.zipWithIndex
+            .map { case (nm, j) => nm -> row.get(j) }.toMap
+        }
+      }).map(_.foldLeft(Map.empty[String, Any])(_ ++ _))
+
+    // Job 2: every COUNT(DISTINCT) as one unpivot + two-phase group-by —
+    // map-side combine collapses duplicates before the exchange, the plan
+    // that survives 100 TB (Profiler job 2 is the template).
+    val dspecs: Seq[(Int, DistinctM)] = cols.flatMap { case (_, i, ms) =>
+      ms.collect { case e: DistinctM if e.applies => (i, e) }
+    }
+    val kidOf: Map[(Int, String), Int] =
+      dspecs.zipWithIndex.map { case ((i, e), kid) => (i, e.name) -> kid }.toMap
+    val dmapFut: Future[Map[Int, Long]] =
+      if (dspecs.isEmpty) Future.successful(Map.empty)
+      else Future {
+        val nullS = "CAST(NULL AS STRING)"
+        val nullN = "CAST(NULL AS DOUBLE)"
+        val nullI = "CAST(NULL AS BIGINT)"
+        val stackArgs = dspecs.zipWithIndex.map { case ((_, e), kid) =>
+          val inner = e.inner(d)
+          e.cls match {
+            case "S" => s"$kid, $inner, $nullN, $nullI"
+            case "T" => s"$kid, CAST($inner AS STRING), $nullN, $nullI"
+            case "D" => s"$kid, $nullS, " +
+              s"CAST(UNIX_MICROS(CAST($inner AS TIMESTAMP)) AS DOUBLE), $nullI"
+            case "I" => s"$kid, $nullS, $nullN, CAST($inner AS BIGINT)"
+            case _   => s"$kid, $nullS, CAST($inner AS DOUBLE), $nullI"
+          }
+        }
+        spark.sql(
+          s"""SELECT kid, COUNT(*) AS ct FROM (
+             |  SELECT kid, sv, nv, iv FROM (
+             |    SELECT stack(${stackArgs.length}, ${stackArgs.mkString(",\n      ")})
+             |           AS (kid, sv, nv, iv) FROM $sampledView
+             |  ) WHERE sv IS NOT NULL OR nv IS NOT NULL OR iv IS NOT NULL
+             |  GROUP BY kid, sv, nv, iv
+             |) GROUP BY kid""".stripMargin).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
+
+    val scalarVals = Await.result(scalarFut, Duration.Inf)
+    val dmap = Await.result(dmapFut, Duration.Inf)
+
+    // Reassemble into the single wide 1-row local relation the unpivot
+    // branches read for free (driver-side, metadata-sized).
+    val aggSchema = StructType(cols.flatMap { case (_, i, ms) =>
+      ms.map(e => org.apache.spark.sql.types.StructField(
+        s"c${i}_${e.name}", ProfileMetrics.sparkType(e.tpe)))
+    })
+    val aggVals: Seq[Any] = cols.flatMap { case (_, i, ms) =>
+      ms.map {
+        case c: ConstM => c.value
+        case s: ScalarM =>
+          if (!s.applies) null else scalarVals(s"c${i}_${s.name}")
+        case dm: DistinctM =>
+          if (!dm.applies) null else dmap.getOrElse(kidOf((i, dm.name)), 0L)
+        case p: PctM =>
+          null // percentile metrics are not in the sampled profile's set
+      }
+    }
+    val aggRow = org.apache.spark.sql.Row.fromSeq(aggVals)
     val aggView = "__graft_sampled_agg"
     spark.createDataFrame(java.util.Arrays.asList(aggRow), aggSchema)
       .createOrReplaceTempView(aggView)

@@ -332,7 +332,8 @@ object Scoring {
   def runTestPrevalence(spark: SparkSession, dir: String): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // CAT suites are leaf actions (no nested awaits) — bounded action pool
+    implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.actions
     val enrView = enrichedView(spark, dir)
     // per-table CAT suites are independent jobs — run them concurrently
     val cat = Await.result(

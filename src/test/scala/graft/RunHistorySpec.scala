@@ -20,6 +20,16 @@ class RunHistorySpec extends SparkSpec {
     assert(RunStore.latestTwo(root, "missing").isEmpty)
   }
 
+  test("default history root is namespaced per process") {
+    // concurrent invocations (separate processes, possibly different data
+    // dirs) must land under different roots — no cross-contamination
+    assert(RunStore.root.endsWith(s"_p${ProcessHandle.current().pid()}"),
+      RunStore.root)
+    // stable within the process: oracle SQL rendered now addresses the
+    // same files the Spark query lands later
+    assert(RunStore.root == RunStore.root)
+  }
+
   test("schema drift diffs two landed data_chars snapshots into A/D/M") {
     val rows = SchemaDrift.run(spark, sfDir).collect()
     val byType = rows.map(r =>

@@ -82,6 +82,26 @@ class PlanSpec extends SparkSpec {
       s"minhash plan contains an unrestricted shingle-only self-join: $perJoinKeys")
   }
 
+  test("fused multi-branch queries scan each raw table at most once") {
+    // The r3 regression class: a shared CTE (e.g. the table-type relation)
+    // re-inlined into every branch re-scans the raw run-history tables
+    // k× (28 scans of each table were observed). The fix pre-materializes
+    // shared relations into local views, so the final plans must contain
+    // AT MOST ONE FileScan of any raw parquet table — this test is the
+    // tripwire for any reintroduced k×-rescan.
+    val checks = Seq(
+      "test_generation" -> graft.generation.TestGenerator.run(spark, dir),
+      "hygiene_screens" -> graft.inference.HygieneScreens.run(spark, dir),
+      "dq_scores_weighted" -> graft.scoring.Scoring.runScoreCard(spark, dir))
+    for ((name, df) <- checks; t <- graft.core.Tables.names) {
+      val p = plan(df)
+      val scans = s"$t\\.parquet".r.findAllIn(p).length
+      assert(scans <= 1,
+        s"$name scans raw table $t $scans times — a shared relation " +
+          "is being recomputed per branch")
+    }
+  }
+
   test("exact dedup groups once and reads only doc_id and text") {
     val df = graft.pipeline.Dedup.runExact(spark, dir)
     val p = plan(df)

@@ -14,10 +14,13 @@ package graft.streaming
   * ordinary aggregation. Percentiles use numpy's linear interpolation
   * to match the reference's np.percentile.
   *
-  * Documented omissions: holiday calendars (no holiday database in
-  * scope) and the time-of-day window exclusion inside gap
-  * normalization; weekend/excluded-day business-minute subtraction IS
-  * ported.
+  * Business-minute exclusions are ported in full: weekends, inferred
+  * inactive days, holiday calendars (resolved through
+  * [[HolidayCalendar]], the reference's holiday_codes path), and the
+  * time-of-day update-window exclusion on otherwise-active days
+  * (count_excluded_minutes, freshness_service.py:283-312) — so a
+  * 9-to-5 table's overnight hours no longer inflate its gap
+  * distribution or thresholds.
   */
 object Freshness {
 
@@ -62,38 +65,107 @@ object Freshness {
     (((days + 3) % 7 + 7) % 7).toInt
   }
 
-  /** Minutes of [startSec, endSec) falling on excluded weekdays —
-    * the weekend/excluded-day part of count_excluded_minutes. */
+  /** Local calendar date of an instant as "yyyy-MM-dd" (holiday keys). */
+  private def localDate(tsSec: Long, tzOffsetSec: Long): String =
+    java.time.LocalDate.ofEpochDay(math.floorDiv(tsSec + tzOffsetSec, 86400L)).toString
+
+  /** is_excluded_day (freshness_service.py:146-185, day-level part):
+    * weekend, inferred inactive day, or holiday. */
+  def isExcludedDay(tsSec: Long, excludeWeekends: Boolean,
+                    holidays: Set[String], excludedDays: Set[Int],
+                    tzOffsetSec: Long = 0L): Boolean = {
+    val dow = weekday(tsSec, tzOffsetSec)
+    (excludeWeekends && dow >= 5) ||
+      excludedDays.contains(dow) ||
+      (holidays.nonEmpty && holidays.contains(localDate(tsSec, tzOffsetSec)))
+  }
+
+  /** Full port of count_excluded_minutes
+    * (freshness_service.py:218-292): minutes of [startSec, endSec)
+    * falling on excluded days (weekends / holidays / inactive days,
+    * whole-day overlap, partial boundary days prorated) plus — on
+    * otherwise-ACTIVE days when a sub-daily update window is known —
+    * the hours outside [windowStart, windowEnd]. */
   def excludedMinutes(startSec: Long, endSec: Long, excludedDays: Set[Int],
-                      tzOffsetSec: Long = 0L): Double = {
-    if (excludedDays.isEmpty || endSec <= startSec) return 0.0
+                      tzOffsetSec: Long = 0L,
+                      excludeWeekends: Boolean = false,
+                      holidays: Set[String] = Set.empty,
+                      windowStart: Option[Double] = None,
+                      windowEnd: Option[Double] = None): Double = {
+    if (endSec <= startSec) return 0.0
+    val hasWindow = windowStart.isDefined && windowEnd.isDefined
+    if (excludedDays.isEmpty && !excludeWeekends && holidays.isEmpty && !hasWindow)
+      return 0.0
     var total = 0.0
     var dayStart = math.floorDiv(startSec + tzOffsetSec, 86400L) * 86400L - tzOffsetSec
     while (dayStart < endSec) {
       val dayEnd = dayStart + 86400L
-      if (excludedDays.contains(weekday(dayStart, tzOffsetSec))) {
-        val overlap = math.min(endSec, dayEnd) - math.max(startSec, dayStart)
-        if (overlap > 0) total += overlap / 60.0
+      val overlapStart = math.max(startSec, dayStart)
+      val overlapEnd = math.min(endSec, dayEnd)
+      if (isExcludedDay(dayStart, excludeWeekends, holidays, excludedDays, tzOffsetSec)) {
+        // full day excluded — count the whole overlap
+        if (overlapEnd > overlapStart) total += (overlapEnd - overlapStart) / 60.0
+      } else if (hasWindow) {
+        // active day with a window: excluded = overlap minus time inside
+        // the [windowStart, windowEnd] active hours of this calendar day
+        val winOpen = dayStart + (windowStart.get * 3600).toLong
+        val winClose = dayStart + (windowEnd.get * 3600).toLong
+        val totalOverlap = math.max(overlapEnd - overlapStart, 0L) / 60.0
+        val activeStart = math.max(overlapStart, winOpen)
+        val activeEnd = math.min(overlapEnd, winClose)
+        val activeMinutes = math.max(activeEnd - activeStart, 0L) / 60.0
+        val excludedOnDay = totalOverlap - activeMinutes
+        if (excludedOnDay > 0) total += excludedOnDay
       }
       dayStart = dayEnd
     }
     total
   }
 
-  /** get_freshness_gap_threshold over update-event times (epoch sec). */
+  /** Schedule-derived exclusion parameters (get_schedule_params,
+    * freshness_service.py:124-144): only an ACTIVE schedule contributes;
+    * inactive inferred days become excluded days, and the time-of-day
+    * window applies only to sub-daily schedules. */
+  final case class ScheduleParams(excludedDays: Set[Int],
+                                  windowStart: Option[Double],
+                                  windowEnd: Option[Double])
+
+  def scheduleParams(sched: Option[Schedule]): ScheduleParams = sched match {
+    case Some(s) if s.stage == "active" =>
+      val excl =
+        if (s.activeDays.nonEmpty) (0 until 7).toSet -- s.activeDays
+        else Set.empty[Int]
+      val (ws, we) =
+        if (s.frequency == "sub_daily") (s.windowStart, s.windowEnd)
+        else (None, None)
+      ScheduleParams(excl, ws, we)
+    case _ => ScheduleParams(Set.empty, None, None)
+  }
+
+  /** get_freshness_gap_threshold over update-event times (epoch sec).
+    * Gap durations are normalized by subtracting excluded time —
+    * weekends, holidays (business calendar), inferred inactive days, and
+    * hours outside the detected update window on active days
+    * (freshness_service.py:39-120). */
   def gapThreshold(updateTimesSec: Seq[Long], sensitivity: String,
                    excludeWeekends: Boolean = false,
                    excludedDays: Set[Int] = Set.empty,
-                   tzOffsetSec: Long = 0L): Threshold = {
+                   tzOffsetSec: Long = 0L,
+                   holidays: Set[String] = Set.empty,
+                   windowStart: Option[Double] = None,
+                   windowEnd: Option[Double] = None): Threshold = {
     val times = updateTimesSec.sorted
     if (times.length - 1 < MinFreshnessGaps)
       throw new NotEnoughData(
         s"Need at least $MinFreshnessGaps completed gaps, found ${math.max(times.length - 1, 0)}.")
     val (upperPct, floorMult, lowerPct) = thresholdParams(sensitivity)
-    val excl = excludedDays ++ (if (excludeWeekends) Set(5, 6) else Set.empty[Int])
+    val hasExclusions = excludeWeekends || excludedDays.nonEmpty ||
+      holidays.nonEmpty || (windowStart.isDefined && windowEnd.isDefined)
     var gaps = times.sliding(2).map { case Seq(a, b) =>
       val raw = (b - a) / 60.0
-      if (excl.nonEmpty) math.max(raw - excludedMinutes(a, b, excl, tzOffsetSec), 0.0)
+      if (hasExclusions)
+        math.max(raw - excludedMinutes(a, b, excludedDays, tzOffsetSec,
+          excludeWeekends, holidays, windowStart, windowEnd), 0.0)
       else raw
     }.toSeq
     if (gaps.length > MaxFreshnessGaps) gaps = gaps.takeRight(MaxFreshnessGaps)
@@ -178,7 +250,8 @@ object Freshness {
                             bufferHours: Double,
                             excludeWeekends: Boolean = false,
                             excludedDays: Set[Int] = Set.empty,
-                            tzOffsetSec: Long = 0L): Option[Double] = {
+                            tzOffsetSec: Long = 0L,
+                            holidays: Set[String] = Set.empty): Option[Double] = {
     schedule.windowEnd.flatMap { we =>
       val deadlineHour = (we + bufferHours) % 24
       def dayStartOf(t: Long): Long =
@@ -198,12 +271,10 @@ object Freshness {
         }
         val wall = (deadline - lastUpdateSec) / 60.0
         if (wall <= 0) None
-        else {
-          val excl = excludedDays ++ (if (excludeWeekends) Set(5, 6) else Set.empty[Int])
-          if (excl.nonEmpty)
-            Some(math.max(wall - excludedMinutes(lastUpdateSec, deadline, excl, tzOffsetSec), 0))
-          else Some(wall)
-        }
+        else if (excludeWeekends || excludedDays.nonEmpty || holidays.nonEmpty)
+          Some(math.max(wall - excludedMinutes(lastUpdateSec, deadline,
+            excludedDays, tzOffsetSec, excludeWeekends, holidays), 0))
+        else Some(wall)
       }
     }
   }

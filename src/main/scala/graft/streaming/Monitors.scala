@@ -227,9 +227,16 @@ object Monitors {
     * [[Freshness]] for the ported model). Update events are the distinct
     * hour-truncated activity times per series — extracted distributed,
     * then each series' (small) history is fit in its own `mapGroups`
-    * task. */
+    * task. The inferred schedule feeds BACK into the gap thresholds
+    * (get_schedule_params): an active schedule's inactive days become
+    * excluded days and a sub-daily schedule's update window excludes
+    * off-window hours, and the holiday calendar (resolved per series
+    * from `holidayCodes` via [[HolidayCalendar]]) subtracts business
+    * holidays — so thresholds are in business minutes, the reference's
+    * freshness semantics. */
   def runSchedule(spark: SparkSession, dir: String,
-                  sensitivity: String = "medium"): DataFrame = {
+                  sensitivity: String = "medium",
+                  holidayCodes: Seq[String] = Seq("US")): DataFrame = {
     import spark.implicits._
     graft.core.Tables.registerAll(spark, dir)
     val updates = spark.sql(
@@ -243,11 +250,16 @@ object Monitors {
         |SELECT 'lineitem', CAST(unix_timestamp(CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)) AS BIGINT)
         |  FROM lineitem GROUP BY 1, 2""".stripMargin).as[UpdateEvent]
     val sens = sensitivity
+    val codes = holidayCodes
     updates.groupByKey(_.series).mapGroups { (series, it) =>
       val times = it.map(_.ts).toArray.sorted.toSeq
       val sched = Freshness.inferSchedule(times)
+      val params = Freshness.scheduleParams(sched)
+      val holidays = HolidayCalendar.dates(codes, HolidayCalendar.yearsOf(times))
       val thr =
-        try Some(Freshness.gapThreshold(times, sens))
+        try Some(Freshness.gapThreshold(times, sens,
+          excludedDays = params.excludedDays, holidays = holidays,
+          windowStart = params.windowStart, windowEnd = params.windowEnd))
         catch { case _: Freshness.NotEnoughData => None }
       def r4(x: Double) = math.rint(x * 10000) / 10000
       ScheduleRow(
@@ -282,7 +294,8 @@ object Monitors {
     * testgen/commands/test_thresholds_prediction.py:83-137) without its
     * single-process bound. */
   def runSarimax(spark: SparkSession, dir: String,
-                 sensitivity: String = "medium"): DataFrame = {
+                 sensitivity: String = "medium",
+                 holidayCodes: Seq[String] = Seq("US")): DataFrame = {
     import spark.implicits._
     val events = graft.core.Tables.load(spark, dir, "events", parallelize = false)
     events.createOrReplaceTempView("__graft_events_sx")
@@ -293,12 +306,18 @@ object Monitors {
         |  FROM __graft_events_sx
         | GROUP BY 1, 2""".stripMargin).as[SeriesPoint]
     val sens = sensitivity
+    val codes = holidayCodes
     daily.groupByKey(_.series).flatMapGroups { (series, it) =>
       val pts = it.toArray.sortBy(_.ts)
       val ts = pts.map(_.ts).toSeq
       val vals = pts.map(_.value).toSeq
       try {
-        val fc = TimeSeries.sarimaxForecast(ts, vals, excludeWeekends = true)
+        // holiday calendar resolved per series over its own year span —
+        // the exog flags weekend-or-holiday points exactly like the
+        // reference's is_excluded (time_series_service.py:63-73)
+        val holidays = HolidayCalendar.dates(codes, HolidayCalendar.yearsOf(ts))
+        val fc = TimeSeries.sarimaxForecast(ts, vals,
+          excludeWeekends = true, holidays = holidays)
         val z = TimeSeries.zScore(sens)
         val mult =
           if (pts.length < TimeSeries.TDistributionThreshold)

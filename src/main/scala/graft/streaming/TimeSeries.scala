@@ -18,9 +18,9 @@ package graft.streaming
   *  - MIN_TRAIN_VALUES = 20 before AND after resampling (:13,:41,:49);
   *  - exog `is_excluded` flag = weekend OR holiday (:63-73). The
   *    reference resolves holiday_codes through the `holidays` package;
-  *    with no holiday database in scope the calendar here is pluggable:
-  *    callers pass the holiday dates ("yyyy-MM-dd" in the model's tz)
-  *    and they flag exactly like weekends;
+  *    here [[HolidayCalendar]] computes the calendar (US federal rules)
+  *    and callers pass the resolved dates ("yyyy-MM-dd" in the model's
+  *    tz), which flag exactly like weekends;
   *  - SE = max(model SE, residual SE after burn-in = max(order,3),
   *    raw first-difference SE) (:104-113);
   *  - tolerance = mean + multiplier * se where multiplier is the z-score

@@ -51,6 +51,62 @@ class FreshnessSpec extends AnyFunSuite {
     assert(excl.lower.contains(1440.0))
   }
 
+  test("excluded minutes counts weekends, holidays, and off-window hours") {
+    def sec(d: String, h: Int = 0) =
+      java.time.LocalDate.parse(d).toEpochDay * day + h * hour
+    // Fri 00:00 -> Mon 00:00 with weekend exclusion = 2 full days
+    // (mirrors tests/unit/common/test_time_series_service.py:203-213)
+    assert(Freshness.excludedMinutes(sec("2026-02-06"), sec("2026-02-09"),
+      Set.empty, excludeWeekends = true) == 2 * 1440.0)
+    // Wednesday holiday inside Mon -> Fri = 1 day (test_holiday :223-229)
+    assert(Freshness.excludedMinutes(sec("2026-02-02"), sec("2026-02-06"),
+      Set.empty, holidays = Set("2026-02-04")) == 1440.0)
+    // 9-17 active window: 17:00 -> next-day 09:00 is entirely off-window
+    assert(Freshness.excludedMinutes(sec("2026-02-03", 17), sec("2026-02-04", 9),
+      Set.empty, windowStart = Some(9.0), windowEnd = Some(17.0)) == 960.0)
+    // within the window nothing is excluded
+    assert(Freshness.excludedMinutes(sec("2026-02-03", 10), sec("2026-02-03", 16),
+      Set.empty, windowStart = Some(9.0), windowEnd = Some(17.0)) == 0.0)
+  }
+
+  test("9-to-5 schedule: window exclusion states thresholds in business minutes") {
+    // updates at 09:00, 13:00, 17:00 every day for 30 days
+    val times: Seq[Long] =
+      for (i <- 0 until 30; h <- Seq(9, 13, 17)) yield monday + i * day + h * hour
+    val sched = Freshness.inferSchedule(times)
+    assert(sched.exists(s => s.stage == "active" && s.frequency == "sub_daily"))
+    val p = Freshness.scheduleParams(sched)
+    assert(p.windowStart.contains(9.0) && p.windowEnd.contains(17.0))
+    assert(p.excludedDays.isEmpty) // active every day of the week
+    val biz = Freshness.gapThreshold(times, "medium",
+      excludedDays = p.excludedDays,
+      windowStart = p.windowStart, windowEnd = p.windowEnd)
+    val wall = Freshness.gapThreshold(times, "medium")
+    // the overnight 17:00 -> 09:00 gap (960 wall minutes) normalizes to
+    // 0 business minutes; the 4 h in-window cadence drives the threshold
+    assert(biz.upper == 240 * 1.25, s"biz upper ${biz.upper}")
+    assert(wall.upper == 960 * 1.25, s"wall upper ${wall.upper}")
+    assert(biz.staleness == 240 * 0.85)
+    assert(biz.lower.isEmpty) // P10 of normalized gaps is 0 -> no lower
+  }
+
+  test("holiday break does not inflate thresholds when the calendar is applied") {
+    import graft.streaming.HolidayCalendar
+    val holidays = HolidayCalendar.dates(Seq("US"), 2026 to 2026)
+    // Independence Day 2026 is a Saturday: observed Friday 7/3 + actual 7/4
+    assert(holidays.contains("2026-07-03") && holidays.contains("2026-07-04"))
+    // daily noon updates Jun 22 - Jul 10 2026, skipping the holiday break
+    val start = java.time.LocalDate.parse("2026-06-22")
+    val times = (0 until 19).map(start.plusDays(_))
+      .filterNot(d => d.toString == "2026-07-03" || d.toString == "2026-07-04")
+      .map(d => d.toEpochDay * day + 12 * hour)
+    val biz = Freshness.gapThreshold(times, "medium", holidays = holidays)
+    val wall = Freshness.gapThreshold(times, "medium")
+    // the 3-day break (4320 wall minutes) normalizes to one business day
+    assert(biz.upper == 1440 * 1.25, s"biz upper ${biz.upper}")
+    assert(wall.upper == 4320 * 1.25, s"wall upper ${wall.upper}")
+  }
+
   test("too few gaps raises NotEnoughData") {
     intercept[Freshness.NotEnoughData] {
       Freshness.gapThreshold(Seq(0L, day, 2 * day), "medium")

@@ -79,6 +79,46 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(withCal.se.forall(s => s.isFinite && s >= 0))
   }
 
+  test("US federal calendar computes fixed, floating, and observed dates") {
+    import graft.streaming.HolidayCalendar
+    val c2026 = HolidayCalendar.usFederal(2026).map(_.toString)
+    assert(c2026.contains("2026-01-01")) // New Year's Day
+    assert(c2026.contains("2026-01-19")) // MLK Day: 3rd Monday of January
+    assert(c2026.contains("2026-11-26")) // Thanksgiving: 4th Thursday of November
+    // Independence Day 2026 is a Saturday: actual AND observed Friday
+    assert(c2026.contains("2026-07-04") && c2026.contains("2026-07-03"))
+    // Juneteenth exists only from 2021 (and 2021-06-19 is a Saturday)
+    assert(!HolidayCalendar.usFederal(2020).exists(_.toString == "2020-06-19"))
+    assert(HolidayCalendar.usFederal(2021).exists(_.toString == "2021-06-19"))
+    assert(HolidayCalendar.usFederal(2021).exists(_.toString == "2021-06-18"))
+    assert(HolidayCalendar.dates(Seq("US"), 2025 to 2025).contains("2025-05-26")) // Memorial
+    // unresolved codes contribute nothing (reference warns and skips)
+    assert(HolidayCalendar.dates(Seq("XX"), 2025 to 2025).isEmpty)
+  }
+
+  test("holiday-flagged point breaches without the exog and not with it") {
+    import graft.streaming.HolidayCalendar
+    // Daily series 2025-05-01 .. 2025-07-03 at level 100, dipping to 20
+    // on the in-range holidays (Memorial Day 5/26, Juneteenth 6/19). The
+    // NEXT point is Independence Day 2025-07-04, also valued 20.
+    val holidays = HolidayCalendar.dates(Seq("US"), 2025 to 2025)
+    val start = java.time.LocalDate.parse("2025-05-01").toEpochDay * day
+    val ts = (0 until 64).map(i => start + i * day)
+    val vals = ts.map(t =>
+      if (holidays.contains(TimeSeries.localDate(t))) 20.0 else 100.0)
+    assert(vals.count(_ == 20.0) == 2)
+    val holidayValue = 20.0
+    val Some((loPlain, _)) = TimeSeries.computeThreshold(ts, vals, "medium")
+    val Some((loCal, hiCal)) =
+      TimeSeries.computeThreshold(ts, vals, "medium", holidays = holidays)
+    // without the exog the model forecasts the weekday level — the
+    // holiday's dip breaches the lower tolerance
+    assert(holidayValue < loPlain, s"expected breach: $holidayValue vs $loPlain")
+    // with the exog the regressor shifts the holiday forecast down — in band
+    assert(loCal <= holidayValue && holidayValue <= hiCal,
+      s"expected in-band: [$loCal, $hiCal]")
+  }
+
   test("forecast on a flat noisy series stays near the level with sane SE") {
     val rnd = new scala.util.Random(7)
     val ts = (0 until 60).map(i => i * day)

@@ -59,17 +59,62 @@ object FunctionalType {
     val run1yAgo = d.dateAddDays(s"DATE '${graft.profiling.ProfileMetrics.RunDate}'", -365)
     val tp2 = "TRIM(SPLIT_PART(top_patterns, '|', 2))"
 
-    // reduced datatype_suggestion (datatype_suggestions.sql:1-120)
+    // Full datatype_suggestion cascade (datatype_suggestions.sql:1-120).
+    // Notes: the reference runs this BEFORE functional_datatype.sql
+    // (run_profiling.py:166-167), so on a fresh run functional_data_type
+    // is NULL and the 'State'/'Boolean'/'Measurement Pct' branches are
+    // no-ops — they are omitted here rather than carried dead. The
+    // flavor-specific timezone names use the databricks mapping (the
+    // flavor Spark is): TIMESTAMP / TIMESTAMP_NTZ. current_size is the
+    // declared size parsed from column_type — Spark's unbounded 'string'
+    // has none, so the Postgres LEAST-ignores-NULL + COALESCE fallback
+    // is expressed as an explicit NULL-guarded CASE (engine-safe).
+    val tfv = "COALESCE(top_freq_values, '')"
+    val curSize =
+      s"CAST(NULLIF(${d.regexpExtract("column_type", """\((\d+)\)""", 1)}, '') AS INT)"
+    // Postgres LEAST ignores NULLs: with no declared size the computed
+    // bucket wins; the reference's fallback expression fires only when
+    // the computed bucket itself is NULL
+    def leastOrFallback(computed: String, fallback: String) =
+      s"""COALESCE(CASE WHEN $curSize IS NULL THEN $computed
+         |               ELSE LEAST($computed, $curSize) END, $fallback)""".stripMargin
+    val bucketPlus5 =
+      s"""CAST(CASE WHEN max_length <= 50 THEN CEIL((max_length + 5) / 10.0) * 10
+         |          ELSE (1 + FLOOR((max_length + 10) / 20.0)) * 20 END AS INT)""".stripMargin
+    def varcharOf(n: String) = s"'VARCHAR(' || CAST($n AS ${d.textType}) || ')'"
+    val numericText = s"numeric_ct > 0 AND value_ct = numeric_ct + zero_length_ct"
+    val dateText = s"date_ct > 0 AND value_ct = date_ct + zero_length_ct"
+    val scaleGt0 = s"${d.rtrimChars("SPLIT_PART(column_type, ',', 2)", ")")} > '0'"
     val dsug =
-      s"""CASE WHEN general_type = 'A' THEN
-         |  CASE WHEN numeric_ct > 0 AND value_ct = numeric_ct + zero_length_ct
-         |        AND POSITION('.' IN COALESCE(top_freq_values, '')) > 0 THEN 'DECIMAL(18,4)'
-         |       WHEN numeric_ct > 0 AND value_ct = numeric_ct + zero_length_ct
-         |        AND max_length <= 6 THEN 'INTEGER'
-         |       WHEN numeric_ct > 0 AND value_ct = numeric_ct + zero_length_ct THEN 'BIGINT'
-         |       WHEN date_ct > 0 AND value_ct = date_ct + zero_length_ct THEN 'TIMESTAMP'
-         |       ELSE 'VARCHAR(' || CAST(max_length AS ${d.textType}) || ')' END
-         | ELSE UPPER(column_type) END""".stripMargin
+      s"""CASE WHEN record_ct > 500 AND NOT ${like(name, "%id")} THEN
+         |  CASE general_type
+         |    WHEN 'A' THEN
+         |      CASE WHEN ${like(name, "%zip%")} AND max_length <= 10
+         |             THEN ${varcharOf(leastOrFallback("10", "10"))}
+         |           WHEN $numericText AND POSITION('.' IN $tfv) > 0 THEN 'DECIMAL(18,4)'
+         |           WHEN $numericText AND max_length <= 6
+         |             AND POSITION('.' IN $tfv) = 0 THEN 'INTEGER'
+         |           WHEN $numericText AND max_length > 6
+         |             AND POSITION('.' IN $tfv) = 0 THEN 'BIGINT'
+         |           WHEN $dateText AND POSITION('+' IN $tfv) > 0 THEN 'TIMESTAMP'
+         |           WHEN $dateText AND POSITION(':' IN $tfv) > 0 THEN 'TIMESTAMP_NTZ'
+         |           WHEN $dateText THEN 'DATE'
+         |           WHEN max_length <= 5 THEN ${varcharOf(leastOrFallback("10", "10"))}
+         |           WHEN max_length IS NOT NULL THEN ${varcharOf(leastOrFallback(
+                       bucketPlus5,
+                       s"""CAST(CASE WHEN max_length <= 50 THEN CEIL(max_length / 10.0) * 10
+                          | ELSE (1 + FLOOR((max_length + 10) / 20.0)) * 20 END AS INT)""".stripMargin))}
+         |           ELSE LOWER(column_type) END
+         |    WHEN 'N' THEN
+         |      CASE WHEN $scaleGt0 AND fractional_sum = 0
+         |             AND min_value >= -100 AND max_value <= 100 THEN 'SMALLINT'
+         |           WHEN $scaleGt0 AND fractional_sum = 0
+         |             AND min_value >= -100000000 AND max_value <= 100000000 THEN 'INTEGER'
+         |           WHEN $scaleGt0 AND fractional_sum = 0
+         |             AND (min_value < -100000000 OR max_value > 100000000) THEN 'BIGINT'
+         |           ELSE LOWER(column_type) END
+         |    ELSE LOWER(column_type) END
+         | ELSE LOWER(column_type) END""".stripMargin
 
     val s0 = s"SELECT r.*, $dsug AS dsug FROM $rel r"
 
@@ -275,8 +320,13 @@ object FunctionalType {
     // 4. Code / Category / ID / Attribute / Description (:391-440)
     val vRatio = "CAST(value_ct AS DOUBLE) / NULLIF(record_ct, 0)"
     val dRatio = "CAST(distinct_value_ct AS DOUBLE) / NULLIF(value_ct, 0)"
+    // rule 4's "is varchar" gate (functional_datatype.sql:440): columns
+    // falling back to the declared type still match in the reference
+    // because Postgres spells it 'character varying(n)'; our flavor
+    // spells the unbounded text type 'string'
     val codeRule =
-      s"""CASE WHEN general_type = 'A' AND ${like("dsug", "%varchar%")} THEN
+      s"""CASE WHEN general_type = 'A'
+         |      AND (${like("dsug", "%varchar%")} OR LOWER(dsug) = 'string') THEN
          |  CASE WHEN (${d.rlike(s"LOWER($name)", "_(average|avg|count|ct|sum|total|tot)$")}
          |          OR ${d.rlike(s"LOWER($name)", "^(average|avg|count|ct|sum|total|tot)_")})
          |        AND numeric_ct = value_ct AND value_ct > 1 THEN 'Measurement Text'
@@ -308,7 +358,7 @@ object FunctionalType {
     val s16 = s"SELECT s.*, COALESCE(f15, $flagRule) AS f16 FROM s15 s"
 
     // 6. Remaining numerics (:462-505)
-    val scalePart = "RTRIM(SPLIT_PART(column_type, ',', 2), ')')"
+    val scalePart = d.rtrimChars("SPLIT_PART(column_type, ',', 2)", ")")
     val remaining =
       s"""CASE WHEN (max_value - min_value + 1 = distinct_value_ct)
          |       AND (fractional_sum IS NULL OR fractional_sum > 0) THEN 'Sequence'
@@ -325,7 +375,7 @@ object FunctionalType {
          |         OR ABS(avg_value) > 5 * ABS(percentile_50)) THEN 'Measurement Spike'
          |     WHEN general_type = 'N'
          |       AND (${like("column_type", "%int%")}
-         |         OR (SPLIT_PART(column_type, ',', 2) > '' AND RTRIM(SPLIT_PART(column_type, ',', 2), ' )') = '0')
+         |         OR (SPLIT_PART(column_type, ',', 2) > '' AND ${d.rtrimChars("SPLIT_PART(column_type, ',', 2)", " )")} = '0')
          |         OR ($scalePart > '0' AND fractional_sum = 0)) THEN 'Measurement Discrete'
          |     WHEN general_type = 'N' AND distinct_value_ct > 1 AND min_value < 0 THEN 'Measurement'
          |     WHEN general_type = 'N' AND distinct_value_ct > 1 AND min_value >= 0

@@ -135,7 +135,8 @@ object HygieneScreens {
       _ => ratio("distinct_value_ct - distinct_std_value_ct", "value_ct")),
     Screen("Suggested_Type", "Column", _ =>
       s"""$fdt NOT IN ('Boolean', 'Flag') AND column_type = 'string'
-         | AND NOT (${like("dsug", "%varchar%")} OR ${like("dsug", "%char%")} OR LOWER(dsug) = 'text')""".stripMargin),
+         | AND NOT (${like("dsug", "%varchar%")} OR ${like("dsug", "%char%")}
+         |        OR LOWER(dsug) IN ('text', 'string'))""".stripMargin),
     Screen("Unexpected_Emails", "Column", _ =>
       s"""std_pattern_match = 'EMAIL'
          | AND NOT (${like("column_name", "%email%")} OR ${like("column_name", "%addr%")})""".stripMargin),

@@ -109,6 +109,15 @@ sealed trait Dialect {
     }
   def textType: String
 
+  /** Regex capture-group extraction; '' when no match (both engines). */
+  def regexpExtract(x: String, re: String, group: Int): String
+
+  /** Postgres-style rtrim(x, chars). NOT spelled RTRIM(x, '...') because
+    * Spark's two-argument RTRIM takes (trimStr, srcStr) — REVERSED
+    * argument order vs Postgres/DuckDB — so the literal form silently
+    * computes the wrong value on one engine. */
+  def rtrimChars(x: String, chars: String): String
+
   /** A landed parquet directory as a relation. */
   def readParquet(path: String): String
 }
@@ -161,6 +170,10 @@ object SparkDialect extends Dialect {
   def stringAggDistinct(x: String, sep: String): String =
     s"array_join(array_sort(collect_set($x)), '${esc(sep)}')"
   def textType: String = "STRING"
+  def regexpExtract(x: String, re: String, group: Int): String =
+    s"regexp_extract($x, '${esc(re)}', $group)"
+  def rtrimChars(x: String, chars: String): String =
+    s"TRIM(TRAILING '${esc(chars)}' FROM $x)"
   def readParquet(path: String): String = s"parquet.`$path`"
   private def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
   protected def escq(s: String): String = esc(s)
@@ -221,6 +234,10 @@ object DuckDialect extends Dialect {
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def shiftRight(x: String, n: Int): String = s"($x >> $n)"
   def textType: String = "VARCHAR"
+  def regexpExtract(x: String, re: String, group: Int): String =
+    s"regexp_extract($x, '${esc(re)}', $group)"
+  def rtrimChars(x: String, chars: String): String =
+    s"rtrim($x, '${esc(chars)}')"
   def readParquet(path: String): String = s"read_parquet('$path/*.parquet')"
   private def esc(s: String) = s.replace("'", "''")
   protected def escq(s: String): String = esc(s)

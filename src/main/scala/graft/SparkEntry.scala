@@ -107,6 +107,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runEmailFormat(s, dir))) +
       ("lookup_min_date" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir))) +
+      ("lookup_failed_tests" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runFailedTests(s, dir))) +
       ("knn_lsh" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
       ("monitor_schedule" ->
@@ -146,6 +148,7 @@ object SparkEntry {
       ("lookup_max_length" -> graft.lookup.DrillDown.duckMaxLengthSql()) +
       ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()) +
       ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()) +
+      ("lookup_failed_tests" -> graft.lookup.DrillDown.duckFailedTestsSql()) +
       ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
       ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()) +

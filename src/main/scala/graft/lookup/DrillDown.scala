@@ -167,4 +167,43 @@ object DrillDown {
   def duckEmailFormatSql(): String = emailFormatSql("events", "event_type")(DuckDialect)
   def duckMinDateSql(): String = minDateSql("orders", "o_orderkey", "o_orderdate",
     "1995-06-01")(DuckDialect)
+
+  /** PII redaction applied uniformly to drill-down values: person-name
+    * columns are replaced by the redaction token, mirroring the
+    * reference's mask-on-render (source_data_service.py:49-105 +
+    * pii_masking.py — the reference drives this off the profile PII
+    * flags; the engine flags the same name-shaped columns). */
+  private def isPii(col: String): Boolean = col.toLowerCase.contains("name")
+
+  /** Full test-type drill-down coverage: every CAT test in
+    * [[graft.cat.CatSuite.suites]] carries its reference lookup_query
+    * (normalized to (value, count)), unioned into ONE uniform relation —
+    * the rows a user sees when clicking ANY failed test. Each branch
+    * reads one table with its own pushed-down filter; the union is
+    * metadata-bounded (<= 500 rows per test). */
+  def lookupFailedTestsSql(tableRef: String => String)(d: Dialect): String = {
+    val parts = for {
+      (table, tests) <- graft.cat.CatSuite.suites.toSeq.sortBy(_._1)
+      t <- tests
+      lk <- t.lookup.toSeq
+    } yield {
+      val vOut = if (isPii(t.column)) s"'$Redacted'" else "v"
+      s"""SELECT '$table' AS table_name, '${t.testType}' AS test_type,
+         |       '${t.column}' AS column_name,
+         |       $vOut AS offending_value, ct AS occurrence_ct
+         |  FROM (${lk(d, tableRef(table))}) lk""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n",
+      "\nORDER BY table_name, test_type, column_name, offending_value, occurrence_ct")
+  }
+
+  def runFailedTests(spark: SparkSession, dir: String): DataFrame = {
+    graft.cat.CatSuite.suites.keys.foreach { t =>
+      graft.core.Tables.load(spark, dir, t, parallelize = false)
+        .createOrReplaceTempView(s"__dd_lk_$t")
+    }
+    spark.sql(lookupFailedTestsSql(t => s"__dd_lk_$t")(SparkDialect))
+  }
+
+  def duckFailedTestsSql(): String = lookupFailedTestsSql(identity)(DuckDialect)
 }

@@ -60,4 +60,30 @@ class CatSpec extends SparkSpec {
     assert(r.getAs[Double]("measure_num") == 0.0)
     assert(r.getAs[Int]("result_code") == 1)
   }
+
+  test("every CAT test carries a drill-down lookup and the union covers it") {
+    import graft.cat.CatSuite
+    val noLookup = CatSuite.suites.values.flatten
+      .filter(_.lookup.isEmpty).map(_.testType).toSet
+    assert(noLookup.isEmpty, s"test types without a lookup_query: $noLookup")
+    // the unioned drill-down SQL has a branch for every suite test type
+    val sql = graft.lookup.DrillDown.lookupFailedTestsSql(identity)(
+      graft.oracle.SparkDialect)
+    val expected = CatSuite.suites.values.flatten.map(_.testType).toSet
+    val missing = expected.filterNot(tt => sql.contains(s"'$tt' AS test_type"))
+    assert(missing.isEmpty, s"types missing from the drill-down union: $missing")
+  }
+
+  test("failed-test drill-down masks person-name values uniformly") {
+    val rows = graft.lookup.DrillDown.runFailedTests(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nameRows = rows.filter(
+      _.getAs[String]("column_name").toLowerCase.contains("name"))
+    assert(nameRows.nonEmpty)
+    assert(nameRows.forall(
+      _.getAs[String]("offending_value") == graft.lookup.DrillDown.Redacted))
+    // non-PII values are NOT masked
+    assert(rows.exists(r =>
+      r.getAs[String]("offending_value") != graft.lookup.DrillDown.Redacted))
+  }
 }

@@ -104,6 +104,12 @@ object Runner {
           graft.streaming.Monitors.runVolumeBands(spark, dataDir))
         land("monitor", "monitor_sarimax",
           graft.streaming.Monitors.runSarimax(spark, dataDir))
+        // land this run's monitor signals, then recalc thresholds from
+        // the FULL landed history — a re-invocation tightens bands using
+        // prior runs' signals (update_history_calc_thresholds semantics)
+        graft.streaming.Monitors.landSignals(spark, dataDir, historyRoot, runId)
+        graft.streaming.Monitors.thresholdsFromHistory(spark, historyRoot)
+          .foreach(df => land("monitor", "monitor_history_thresholds", df))
       case other =>
         println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
     }

@@ -113,6 +113,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
       ("monitor_schedule" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir))) +
+      ("monitor_history_thresholds" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runHistoryThresholds(s, dir))) +
       ("dq_scores_weighted" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runWeightedScoreRollup(s, dir)))
 
@@ -149,6 +151,7 @@ object SparkEntry {
       ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()) +
       ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()) +
       ("lookup_failed_tests" -> graft.lookup.DrillDown.duckFailedTestsSql()) +
+      ("monitor_history_thresholds" -> graft.streaming.Monitors.duckHistoryThresholdsSql()) +
       ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
       ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()) +

@@ -216,6 +216,107 @@ object Monitors {
   def duckVolumeBandsSql(): String = volumeBandsSql("events")(DuckDialect)
   def duckFreshnessSql(): String = freshnessSql(DuckDialect)
 
+  // ---- landed signal history -> threshold recalc ---------------------
+  // The reference recalculates monitor tolerances from the last N LANDED
+  // result signals per test definition (reference:
+  // testgen/template/execution/update_history_calc_thresholds.sql:22-51:
+  // ROW_NUMBER over test_results by test_time DESC, stats over the
+  // lookback window). Here each engine run lands one signal row per
+  // monitored series into the [[graft.core.RunStore]]; the recalc ranks
+  // the landed history per series and derives Value/Min/Max/Avg/Stddev
+  // and the avg ± 2·sd tolerance band — so a SECOND run genuinely
+  // tightens bands using the FIRST run's landed signals, not a
+  // re-derivation from the raw events.
+
+  /** One signal row per monitored series for a run: the run-time volume
+    * measurement, optionally over the state as of `cutoffDays` before
+    * the latest event (the deterministic "prior run" used by the query
+    * entry, mirroring SchemaDrift's seeded two-run history). */
+  def signalsSql(rel: String, runId: String, cutoffDays: Option[Int])(d: Dialect): String = {
+    val where = cutoffDays.fold("") { k =>
+      s"\n WHERE CAST(ts AS DATE) <= ${d.dateAddDays(s"(SELECT MAX(CAST(ts AS DATE)) FROM $rel)", -k)}"
+    }
+    s"""SELECT event_type AS series, '$runId' AS run_id,
+       |       CAST(COUNT(*) AS DOUBLE) AS value
+       |  FROM $rel$where
+       | GROUP BY event_type""".stripMargin
+  }
+
+  /** Threshold recalc over landed signal paths
+    * (update_history_calc_thresholds.sql:22-51): per series, rank landed
+    * signals most-recent-first, aggregate the lookback window. */
+  def historyThresholdsSql(paths: Seq[String], lookback: Int = 30)(d: Dialect): String = {
+    val hist = paths.map(p => s"SELECT series, run_id, value FROM ${d.readParquet(p)}")
+      .mkString("\nUNION ALL\n")
+    s"""WITH hist AS (
+       |$hist
+       |),
+       |ranked AS (
+       |  SELECT series, value,
+       |         ROW_NUMBER() OVER (PARTITION BY series ORDER BY run_id DESC) AS rn
+       |    FROM hist
+       |)
+       |SELECT series,
+       |       CAST(COUNT(*) AS BIGINT) AS n_signals,
+       |       CAST(ROUND(MAX(CASE WHEN rn = 1 THEN value END), 4) AS DOUBLE) AS current_value,
+       |       CAST(ROUND(MIN(value), 4) AS DOUBLE) AS min_signal,
+       |       CAST(ROUND(MAX(value), 4) AS DOUBLE) AS max_signal,
+       |       CAST(ROUND(AVG(value), 4) AS DOUBLE) AS avg_signal,
+       |       CAST(ROUND(STDDEV(value), 4) AS DOUBLE) AS sd_signal,
+       |       CAST(ROUND(AVG(value) - 2.0 * STDDEV(value), 4) AS DOUBLE) AS lower_tolerance,
+       |       CAST(ROUND(AVG(value) + 2.0 * STDDEV(value), 4) AS DOUBLE) AS upper_tolerance
+       |  FROM ranked
+       | WHERE rn <= $lookback
+       | GROUP BY series
+       | ORDER BY series""".stripMargin
+  }
+
+  /** Land this run's signals under `root/runId` (Runner's cross-
+    * invocation path). */
+  def landSignals(spark: SparkSession, dir: String, root: String,
+                  runId: String): String = {
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
+      .createOrReplaceTempView("__graft_events_sig")
+    graft.core.RunStore.land(
+      spark.sql(signalsSql("__graft_events_sig", runId, None)(SparkDialect)),
+      root, runId, "monitor_signals")
+  }
+
+  /** Thresholds from ALL landed signal runs under `root` (most recent
+    * `lookback` per series); None until a run has landed. */
+  def thresholdsFromHistory(spark: SparkSession, root: String,
+                            lookback: Int = 30): Option[DataFrame] = {
+    val runs = graft.core.RunStore.runsWith(root, "monitor_signals")
+    if (runs.isEmpty) None
+    else Some(spark.sql(historyThresholdsSql(
+      runs.map(r => graft.core.RunStore.runPath(root, r, "monitor_signals")),
+      lookback)(SparkDialect)))
+  }
+
+  /** Query entry: seed a deterministic two-run signal history (run_000 =
+    * the state one week before the latest event, run_001 = current),
+    * land both, recalc thresholds from the LANDED parquet — the DuckDB
+    * oracle reads the same files and recomputes the identical recalc. */
+  def runHistoryThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.RunStore.root
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
+      .createOrReplaceTempView("__graft_events_sig")
+    val p0 = graft.core.RunStore.land(
+      spark.sql(signalsSql("__graft_events_sig", "run_000", Some(7))(SparkDialect)),
+      root, "run_000", "monitor_signals")
+    val p1 = graft.core.RunStore.land(
+      spark.sql(signalsSql("__graft_events_sig", "run_001", None)(SparkDialect)),
+      root, "run_001", "monitor_signals")
+    spark.sql(historyThresholdsSql(Seq(p0, p1))(SparkDialect))
+  }
+
+  def duckHistoryThresholdsSql(): String = {
+    val root = graft.core.RunStore.root
+    historyThresholdsSql(Seq(
+      graft.core.RunStore.runPath(root, "run_000", "monitor_signals"),
+      graft.core.RunStore.runPath(root, "run_001", "monitor_signals")))(DuckDialect)
+  }
+
   final case class UpdateEvent(series: String, ts: Long)
   final case class ScheduleRow(series: String, stage: String, frequency: String,
                                active_days: String, window_start: Option[Double],

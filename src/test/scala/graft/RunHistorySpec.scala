@@ -56,6 +56,33 @@ class RunHistorySpec extends SparkSpec {
     assert(drift.length == 3)
   }
 
+  test("monitor thresholds consume landed run history and tighten on re-run") {
+    import graft.streaming.Monitors
+    val root = java.nio.file.Files.createTempDirectory("graft_hist3").toString
+    assert(Monitors.thresholdsFromHistory(spark, root).isEmpty) // nothing landed
+    // run 1 lands its signals: one observation per series — no spread yet
+    Monitors.landSignals(spark, sfDir, root, "run_000")
+    val t1 = Monitors.thresholdsFromHistory(spark, root).get.collect()
+      .map(r => r.getAs[String]("series") -> r).toMap
+    assert(t1.nonEmpty)
+    assert(t1.values.forall(_.getAs[Long]("n_signals") == 1L))
+    // a single landed signal has no stddev -> no actionable band
+    assert(t1.values.forall(_.isNullAt(t1.head._2.fieldIndex("sd_signal"))))
+    // run 2 lands the same measurement again: the recalc now consumes
+    // BOTH landed runs — bands become finite (avg ± 2·sd with sd = 0)
+    Monitors.landSignals(spark, sfDir, root, "run_001")
+    val t2 = Monitors.thresholdsFromHistory(spark, root).get.collect()
+      .map(r => r.getAs[String]("series") -> r).toMap
+    assert(t2.values.forall(_.getAs[Long]("n_signals") == 2L))
+    t2.values.foreach { r =>
+      val lo = r.getAs[Double]("lower_tolerance")
+      val hi = r.getAs[Double]("upper_tolerance")
+      val cur = r.getAs[Double]("current_value")
+      assert(!lo.isNaN && !hi.isNaN && lo <= cur && cur <= hi,
+        s"${r.getAs[String]("series")}: [$lo, $hi] vs $cur")
+    }
+  }
+
   test("table period classifies from the record-count LAG over run history") {
     val rows = graft.generation.TestGenerator.runTableType(spark, sfDir).collect()
       .map(r => r.getAs[String]("table_name") ->

@@ -109,6 +109,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir))) +
       ("lookup_failed_tests" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runFailedTests(s, dir))) +
+      ("lookup_query_tests" ->
+        ((s: SparkSession, dir: String) => graft.querytests.QueryTests.runLookupAll(s, dir))) +
       ("knn_lsh" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
       ("monitor_schedule" ->
@@ -151,6 +153,7 @@ object SparkEntry {
       ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()) +
       ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()) +
       ("lookup_failed_tests" -> graft.lookup.DrillDown.duckFailedTestsSql()) +
+      ("lookup_query_tests" -> graft.querytests.QueryTests.duckLookupAllSql()) +
       ("monitor_history_thresholds" -> graft.streaming.Monitors.duckHistoryThresholdsSql()) +
       ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
       ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +

@@ -110,6 +110,33 @@ object Similarity {
     val bucket = planes.zipWithIndex.map { case (w, p) =>
       s"(CASE WHEN ${proj("embedding", w)} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+    lshBody(table, nQueries, k, bucket)(d)
+  }
+
+  /** Production-path bucket form: the SAME sign-LSH bucket as [[lshSql]]
+    * but with each plane projection as an array-literal `zip_with` fold
+    * instead of unrolled element sums. Catalyst constant-folds each
+    * plane to ONE array literal, so the expression stays compact at
+    * production dims (768+) where the unrolled form blows past codegen
+    * limits; the fold adds left-to-right — the same order as the
+    * unrolled `a + b + c` chain — so buckets are BIT-IDENTICAL to the
+    * oracle-checked form. Spark-only (higher-order functions). */
+  def lshFoldSql(table: String, nQueries: Int = 5, k: Int = 5,
+                 nPlanes: Int = 8, dim: Int = 64): String = {
+    val d: Dialect = SparkDialect
+    val planes = hyperplanes(nPlanes, dim)
+    def proj(vec: String, w: Seq[Double]): String =
+      s"""aggregate(zip_with($vec, array(${w.mkString(", ")}),
+         | (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),
+         | (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+    val bucket = planes.zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN ${proj("embedding", w)} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    lshBody(table, nQueries, k, bucket)(d)
+  }
+
+  private def lshBody(table: String, nQueries: Int, k: Int,
+                      bucket: String)(d: Dialect): String = {
     val cos = cosine(d, "q.embedding", "c.embedding")
     s"""WITH b AS (
        |  SELECT vec_id, embedding, $bucket AS bucket FROM $table
@@ -139,4 +166,6 @@ object Similarity {
     spark.sql(ivfSql(register(spark, dir))(SparkDialect))
   def runLsh(spark: SparkSession, dir: String): DataFrame =
     spark.sql(lshSql(register(spark, dir))(SparkDialect))
+  def runLshFold(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(lshFoldSql(register(spark, dir)))
 }

@@ -22,15 +22,46 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   *    category counts (tiny), not raw rows; the FULL JOIN on category is
   *    a join of two small aggregates.
   */
-final case class QueryTest(name: String, sql: Dialect => String)
+final case class QueryTest(name: String, sql: Dialect => String,
+                           lookup: Option[Dialect => String] = None)
 
 object QueryTests {
+
+  // ---- drill-down lookups -------------------------------------------
+  // Each QUERY test carries the lookup_query of its reference test-type
+  // YAML, normalized to a UNIFORM (detail: text, measure: double) shape
+  // so the query-test family unions into one drill-down relation beside
+  // the CAT family's. Row sets are deterministic: ORDER BY before the
+  // 500-row limit (the documented deviation from random sampling).
+  private val LookupLimit = 500
+
+  private def round4d(x: String) =
+    s"CAST(CAST(ROUND($x, 4) AS DECIMAL(28,4)) AS DOUBLE)"
+
+  /** Mismatching balance groups: order key, with the total-vs-match gap. */
+  private def orderBalanceLookup(mismatch: String): Dialect => String = d =>
+    s"""SELECT CAST(l_orderkey AS ${d.textType}) AS detail,
+       |       ${round4d("total - match_total")} AS measure
+       |  FROM (
+       |  SELECT l_orderkey, SUM(total) AS total, SUM(match_total) AS match_total
+       |    FROM ( SELECT l_orderkey, SUM(CAST(l_extendedprice AS DOUBLE)) AS total,
+       |                  CAST(NULL AS DOUBLE) AS match_total
+       |             FROM lineitem GROUP BY l_orderkey
+       |           UNION ALL
+       |           SELECT o_orderkey, CAST(NULL AS DOUBLE) AS total,
+       |                  SUM(CAST(o_totalprice AS DOUBLE)) AS match_total
+       |             FROM orders GROUP BY o_orderkey ) a
+       |   GROUP BY l_orderkey ) s
+       | WHERE $mismatch
+       | ORDER BY detail
+       | LIMIT $LookupLimit""".stripMargin
 
   private def countWrapper(
       testType: String, table: String, colNames: String, skipErrors: Long,
       inner: Dialect => String, noun: String = "error(s)",
-      measure: String = "CAST(cnt AS DOUBLE)"): QueryTest =
-    QueryTest(testType.toLowerCase, d => {
+      measure: String = "CAST(cnt AS DOUBLE)",
+      lookup: Option[Dialect => String] = None): QueryTest =
+    QueryTest(testType.toLowerCase, lookup = lookup, sql = d => {
       val t = d.textType
       s"""SELECT '$testType' AS test_type,
          |       '$table' AS table_name,
@@ -166,29 +197,115 @@ object QueryTests {
        |   WHERE $subset GROUP BY $cols HAVING COUNT(*) > 1
        |) test""".stripMargin
 
+  /** Missing combos (the EXCEPT result itself). */
+  private def comboLookup(cols: String, colsConcat: Dialect => String,
+                          table: String, subset: String,
+                          matchCols: String, matchTable: String,
+                          matchSubset: String): Dialect => String = d =>
+    s"""SELECT ${colsConcat(d)} AS detail, CAST(NULL AS DOUBLE) AS measure
+       |  FROM (
+       |  SELECT $cols FROM $table WHERE $subset GROUP BY $cols
+       |  EXCEPT
+       |  SELECT $matchCols FROM $matchTable WHERE $matchSubset GROUP BY $matchCols
+       |) t ORDER BY detail LIMIT $LookupLimit""".stripMargin
+
+  private def timeframeLookup(cols: String, concat: String, table: String,
+                              dateCol: String, days: Int): Dialect => String = d => {
+    def maxD(offsetDays: Int) =
+      s"(SELECT ${d.dateAddDays(s"CAST(MAX($dateCol) AS DATE)", offsetDays)} FROM $table)"
+    val latest = s"$dateCol >= ${maxD(-days)}"
+    val prior = s"$dateCol >= ${maxD(-2 * days)} AND $dateCol < ${maxD(-days)}"
+    s"""SELECT missing_from || ': ' || $concat AS detail, CAST(NULL AS DOUBLE) AS measure
+       |  FROM (
+       |  ( SELECT 'Prior Timeframe' AS missing_from, $cols FROM $table WHERE $latest
+       |    EXCEPT
+       |    SELECT 'Prior Timeframe' AS missing_from, $cols FROM $table WHERE $prior )
+       |  UNION ALL
+       |  ( SELECT 'Latest Timeframe' AS missing_from, $cols FROM $table WHERE $prior
+       |    EXCEPT
+       |    SELECT 'Latest Timeframe' AS missing_from, $cols FROM $table WHERE $latest )
+       |) t ORDER BY detail LIMIT $LookupLimit""".stripMargin
+  }
+
+  private def timeframeGainLookup(cols: String, concat: String, table: String,
+                                  dateCol: String, days: Int): Dialect => String = d => {
+    def maxD(offsetDays: Int) =
+      s"(SELECT ${d.dateAddDays(s"CAST(MAX($dateCol) AS DATE)", offsetDays)} FROM $table)"
+    s"""SELECT $concat AS detail, CAST(NULL AS DOUBLE) AS measure
+       |  FROM (
+       |  SELECT $cols FROM $table
+       |   WHERE $dateCol >= ${maxD(-2 * days)} AND $dateCol < ${maxD(-days)}
+       |   GROUP BY $cols
+       |  EXCEPT
+       |  SELECT $cols FROM $table WHERE $dateCol >= ${maxD(-days)} GROUP BY $cols
+       |) t ORDER BY detail LIMIT $LookupLimit""".stripMargin
+  }
+
+  /** Per-category distribution comparison (the dataset the JS divergence
+    * aggregates over — what a user inspects on a shift alert). */
+  private def distShiftLookup(category: String, table: String, subset: String,
+                              matchSubset: String): Dialect => String = _ =>
+    s"""SELECT CAST(category AS STRING) AS detail,
+       |       ${round4d("new_pct - old_pct")} AS measure
+       |  FROM (
+       |  SELECT COALESCE(l.category, o.category) AS category,
+       |         COALESCE(o.pct_of_total, 0.0000001) AS old_pct,
+       |         COALESCE(l.pct_of_total, 0.0000001) AS new_pct
+       |    FROM ( SELECT $category AS category,
+       |                  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS pct_of_total
+       |             FROM $table WHERE $subset GROUP BY $category ) l
+       |    FULL JOIN ( SELECT $category AS category,
+       |                  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS pct_of_total
+       |             FROM $table WHERE $matchSubset GROUP BY $category ) o
+       |      ON (l.category = o.category)
+       |) t ORDER BY detail LIMIT $LookupLimit""".stripMargin
+
+  private def dupeRowsLookup(cols: String, concat: String, table: String,
+                             subset: String): Dialect => String = _ =>
+    s"""SELECT $concat AS detail, CAST(COUNT(*) AS DOUBLE) AS measure
+       |  FROM $table WHERE $subset GROUP BY $cols HAVING COUNT(*) > 1
+       | ORDER BY measure DESC, detail LIMIT $LookupLimit""".stripMargin
+
   /** The instantiated suite over the driver testdata. */
   val tests: Seq[QueryTest] = Seq(
     countWrapper("Aggregate_Balance", "lineitem", "SUM(l_extendedprice) per order",
-      0L, orderBalance(balanceMismatch)),
+      0L, orderBalance(balanceMismatch),
+      lookup = Some(orderBalanceLookup(balanceMismatch))),
     countWrapper("Aggregate_Minimum", "lineitem", "SUM(l_extendedprice) per order",
-      0L, orderBalance(minimumMismatch)),
+      0L, orderBalance(minimumMismatch),
+      lookup = Some(orderBalanceLookup(minimumMismatch))),
     countWrapper("Aggregate_Balance_Percent", "lineitem", "SUM(l_extendedprice) per order",
-      0L, orderBalance(pctMismatch(-5, 5))),
+      0L, orderBalance(pctMismatch(-5, 5)),
+      lookup = Some(orderBalanceLookup(pctMismatch(-5, 5)))),
     countWrapper("Aggregate_Balance_Range", "lineitem", "SUM(l_extendedprice) per order",
-      0L, orderBalance(rangeMismatch(-100, 100))),
+      0L, orderBalance(rangeMismatch(-100, 100)),
+      lookup = Some(orderBalanceLookup(rangeMismatch(-100, 100)))),
     countWrapper("Combo_Match", "customer", "c_nationkey",
       0L, comboInner("c_nationkey", "customer", "1=1",
-        "n_nationkey", "nation", "1=1")),
+        "n_nationkey", "nation", "1=1"),
+      lookup = Some(comboLookup("c_nationkey",
+        d => s"CAST(c_nationkey AS ${d.textType})",
+        "customer", "1=1", "n_nationkey", "nation", "1=1"))),
     countWrapper("Timeframe_Combo_Match", "lineitem", "l_returnflag,l_linestatus",
-      0L, timeframeInner("l_returnflag, l_linestatus", "lineitem", "l_shipdate", 90)),
+      0L, timeframeInner("l_returnflag, l_linestatus", "lineitem", "l_shipdate", 90),
+      lookup = Some(timeframeLookup("l_returnflag, l_linestatus",
+        "l_returnflag || '|' || l_linestatus", "lineitem", "l_shipdate", 90))),
     countWrapper("Timeframe_Combo_Gain", "lineitem", "l_returnflag,l_linestatus",
-      0L, timeframeGainInner("l_returnflag, l_linestatus", "lineitem", "l_shipdate", 90)),
+      0L, timeframeGainInner("l_returnflag, l_linestatus", "lineitem", "l_shipdate", 90),
+      lookup = Some(timeframeGainLookup("l_returnflag, l_linestatus",
+        "l_returnflag || '|' || l_linestatus", "lineitem", "l_shipdate", 90))),
     distributionShift("distribution_shift", "o_orderpriority", "orders",
       "o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'",
-      "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'", 0.25),
+      "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'", 0.25)
+      .copy(lookup = Some(distShiftLookup("o_orderpriority", "orders",
+        "o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'",
+        "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"))),
     countWrapper("Dupe_Rows", "orders", "o_custkey,o_orderdate",
       0L, dupeRowsInner("o_custkey, o_orderdate", "orders", "1=1"),
-      noun = "duplicate row(s)", measure = "CAST(dupe_total AS DOUBLE)"),
+      noun = "duplicate row(s)", measure = "CAST(dupe_total AS DOUBLE)",
+      lookup = Some(dupeRowsLookup("o_custkey, o_orderdate",
+        "CAST(o_custkey AS STRING) || '|' || CAST(CAST(o_orderdate AS DATE) AS STRING)",
+        "orders", "1=1"))),
     // CUSTOM test type: user-supplied SQL returning error rows, wrapped
     // in the standard count contract (test_types_CUSTOM.yaml template).
     countWrapper("CUSTOM", "lineitem", "l_discount,l_tax",
@@ -196,8 +313,34 @@ object QueryTests {
         s"""SELECT COUNT(*) AS cnt FROM (
            |  SELECT l_orderkey FROM lineitem
            |   WHERE l_discount < 0 OR l_discount > 0.5 OR l_tax < 0
-           |) custom_errors""".stripMargin)
+           |) custom_errors""".stripMargin,
+      // CUSTOM lookup = the user's error rows themselves
+      lookup = Some(d =>
+        s"""SELECT CAST(l_orderkey AS ${d.textType}) AS detail,
+           |       CAST(NULL AS DOUBLE) AS measure
+           |  FROM lineitem
+           | WHERE l_discount < 0 OR l_discount > 0.5 OR l_tax < 0
+           | ORDER BY detail LIMIT $LookupLimit""".stripMargin))
   )
+
+  /** All query-test drill-downs unioned into one uniform relation. */
+  def lookupAllSql(d: Dialect): String = {
+    val parts = tests.flatMap { t =>
+      t.lookup.map { lk =>
+        s"""SELECT '${t.name}' AS test_type, detail, measure
+           |  FROM (${lk(d)}) lk""".stripMargin
+      }
+    }
+    parts.mkString("", "\nUNION ALL\n",
+      "\nORDER BY test_type, detail, measure")
+  }
+
+  def runLookupAll(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir)
+    spark.sql(lookupAllSql(SparkDialect))
+  }
+
+  def duckLookupAllSql(): String = lookupAllSql(DuckDialect)
 
   def run(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.core.Tables.registerAll(spark, dir)

@@ -154,9 +154,12 @@ object Monitors {
     trendForecastSql(table, valueAgg = valueAgg)(d)
 
   /** Freshness gap thresholds: percentile of inter-update gaps × floor
-    * multiplier, plus current staleness — the reference's gap model
-    * (reference: testgen/common/freshness_service.py:39-120, minimum 5
-    * gaps; business-minute exclusions are a documented omission). */
+    * multiplier, plus current staleness — the reference's gap model in
+    * its SQL-expressible wall-clock form (reference:
+    * testgen/common/freshness_service.py:39-120, minimum 5 gaps). The
+    * full business-minute model — weekends, holidays, inactive days,
+    * update-window hours subtracted per gap — is [[runSchedule]], which
+    * pairs [[Freshness.gapThreshold]] with the inferred schedule. */
   def freshnessGapsSql(d: Dialect): String = {
     val runTs = s"TIMESTAMP '${graft.profiling.ProfileMetrics.RunDate} 00:00:00'"
     def one(table: String, tsCol: String) =

@@ -43,4 +43,31 @@ class PipelineSpec extends SparkSpec {
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
     assert(byQuery.values.forall(rs => rs.map(_.getAs[Int]("probed_label")).distinct.length == 1))
   }
+
+  test("lsh fold form is bit-identical to the unrolled oracle form") {
+    // same hyperplanes, same left-to-right addition order -> identical
+    // buckets, neighbors, and cosines
+    val unrolled = Similarity.runLsh(spark, sfDir).collect().map(_.toSeq)
+    val fold = Similarity.runLshFold(spark, sfDir).collect().map(_.toSeq)
+    assert(unrolled.nonEmpty)
+    assert(unrolled.toSeq == fold.toSeq)
+  }
+
+  test("lsh fold form holds at production dims (768)") {
+    // the unrolled form at 768 dims would emit 8×768 inline literal
+    // terms; the fold form constant-folds each plane to one array
+    // literal and stays codegen-compact — prove it plans and runs
+    import spark.implicits._
+    val dim = 768
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1), (i % 4).toInt))
+    vecs.toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("__graft_emb768")
+    val rows = spark.sql(
+      Similarity.lshFoldSql("__graft_emb768", nQueries = 3, dim = dim)).collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+    // every returned neighbor shares its query's bucket by construction
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length <= 3)
+  }
 }

@@ -40,4 +40,17 @@ class QueryTestsSpec extends SparkSpec {
     val r = result("dupe_rows")
     assert(r.getAs[Double]("result_measure") >= 0.0)
   }
+
+  test("every query test carries a drill-down lookup; union covers all") {
+    import graft.querytests.QueryTests
+    val noLookup = QueryTests.tests.filter(_.lookup.isEmpty).map(_.name)
+    assert(noLookup.isEmpty, s"query tests without a lookup: $noLookup")
+    val rows = QueryTests.runLookupAll(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the mismatch families return offending details (balance gaps exist
+    // in the testdata: o_totalprice includes tax/discount)
+    val types = rows.map(_.getAs[String]("test_type")).toSet
+    assert(types.contains("aggregate_balance"), types)
+    assert(types.contains("distribution_shift"), types)
+  }
 }

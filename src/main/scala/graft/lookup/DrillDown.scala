@@ -180,7 +180,14 @@ object DrillDown {
     * (normalized to (value, count)), unioned into ONE uniform relation —
     * the rows a user sees when clicking ANY failed test. Each branch
     * reads one table with its own pushed-down filter; the union is
-    * metadata-bounded (<= 500 rows per test). */
+    * metadata-bounded (<= 500 rows per test).
+    *
+    * Scale note: the union executes every lookup at once, so a table
+    * with k tests is scanned k times — that is the VERIFICATION harness
+    * shape (one oracle-checkable relation). In production the reference
+    * (and this engine) runs ONE lookup on demand per clicked test
+    * (`t.lookup.get(dialect, table)`) — a single filtered scan; the
+    * union entry is never the hot path at 100 TB. */
   def lookupFailedTestsSql(tableRef: String => String)(d: Dialect): String = {
     val parts = for {
       (table, tests) <- graft.cat.CatSuite.suites.toSeq.sortBy(_._1)

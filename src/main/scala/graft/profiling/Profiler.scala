@@ -111,7 +111,7 @@ object Profiler {
           .map(e => s"${e.expr(d)} AS v_${i}_${e.name}")
       }
       val maxExprs = sys.env.get("GRAFT_PROFILE_CHUNK")
-        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(48)
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(96)
       val out = Seq.newBuilder[Seq[String]]
       var cur = Seq.empty[String]
       perColSel.filter(_.nonEmpty).foreach { sel =>

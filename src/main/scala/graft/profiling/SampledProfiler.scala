@@ -175,7 +175,7 @@ object SampledProfiler {
       }
     }
     val maxExprs = sys.env.get("GRAFT_PROFILE_CHUNK")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(48)
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(96)
     val chunks: Seq[Seq[String]] = {
       val out = Seq.newBuilder[Seq[String]]
       var cur = Seq.empty[String]

@@ -30,7 +30,7 @@ object Pools {
       .flatMap(_.toIntOption).filter(_ > 0)
       .getOrElse(DefaultActionThreads)
 
-  val DefaultTableThreads = 5
+  val DefaultTableThreads = 8
 
   lazy val tableThreads: Int =
     sys.env.get("GRAFT_TABLE_THREADS")

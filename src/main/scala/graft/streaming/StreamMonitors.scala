@@ -91,4 +91,64 @@ object StreamMonitors {
           }
       }
   }
+
+  final case class AdaptiveState(timesSec: Seq[Long])
+  final case class AdaptiveAlert(series: String,
+                                 last_seen: java.sql.Timestamp,
+                                 gap_minutes: Double,
+                                 threshold_minutes: Option[Double],
+                                 stage: String, stale: Boolean)
+
+  /** Adaptive staleness detection: each series' keyed state holds its
+    * recent update times (bounded to the reference's sliding window,
+    * [[Freshness.MaxFreshnessGaps]] + 1 epoch-seconds — millions of
+    * series fit trivially) and LEARNS its own threshold with the full
+    * ported gap model: percentile-of-gaps × floor multiplier in
+    * business minutes, holidays resolved through [[HolidayCalendar]].
+    * Until enough completed gaps accumulate the series reports stage
+    * "training" with no threshold — the reference's training → active
+    * lifecycle (freshness_service.py:39-120) recast as
+    * flatMapGroupsWithState. Works identically on batch frames. */
+  def adaptiveGapAlerts(events: Dataset[SeriesEvent],
+                        sensitivity: String = "medium",
+                        excludeWeekends: Boolean = false,
+                        holidayCodes: Seq[String] = Seq("US")): Dataset[AdaptiveAlert] = {
+    import events.sparkSession.implicits._
+    val sens = sensitivity
+    val codes = holidayCodes
+    val wkend = excludeWeekends
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[AdaptiveState, AdaptiveAlert](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[SeriesEvent], state: GroupState[AdaptiveState]) =>
+          val incoming = rows.map(_.eventTs.getTime / 1000L).toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.map(_.timesSec).getOrElse(Seq.empty)
+            val all = (prior ++ incoming).distinct.sorted
+              .takeRight(Freshness.MaxFreshnessGaps + 1)
+            state.update(AdaptiveState(all))
+            val newest = all.last
+            def r4(x: Double) = math.rint(x * 10000) / 10000
+            val gapMin = prior.lastOption
+              .map(p => math.max(0.0, (newest - p) / 60.0)).getOrElse(0.0)
+            // threshold learned from the history BEFORE this arrival —
+            // the arriving gap must not raise its own threshold (the
+            // reference checks current staleness against thresholds
+            // derived from prior history)
+            val holidays = HolidayCalendar.dates(codes, HolidayCalendar.yearsOf(all))
+            val thr =
+              try Some(Freshness.gapThreshold(prior, sens,
+                excludeWeekends = wkend, holidays = holidays))
+              catch { case _: Freshness.NotEnoughData => None }
+            Iterator.single(AdaptiveAlert(
+              series, new java.sql.Timestamp(newest * 1000L),
+              r4(gapMin), thr.map(t => r4(t.upper)),
+              if (thr.isEmpty) "training" else "active",
+              thr.exists(t => gapMin > t.upper)))
+          }
+      }
+  }
 }

@@ -95,4 +95,40 @@ class StreamMonitorsSpec extends SparkSpec {
       assert(alerts.contains(("orders", 210L, true)))  // 3.5h gap > 60min
     } finally q.stop()
   }
+
+  test("adaptive gap alerts learn per-series thresholds from keyed state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamMonitors.SeriesEvent]
+    val q = StreamMonitors.adaptiveGapAlerts(input.toDS())
+      .writeStream.format("memory").queryName("adaptive_gap_stream")
+      .outputMode("append").start()
+    try {
+      // hourly cadence, one event per batch so state accumulates history
+      val base = "2026-03-02"
+      (10 to 16).foreach { h =>
+        input.addData(StreamMonitors.SeriesEvent("orders", ts(f"$base $h%02d:00:00")))
+        q.processAllAvailable()
+      }
+      // now an 8-hour silence — far beyond the learned ~60-minute cadence
+      input.addData(StreamMonitors.SeriesEvent("orders", ts("2026-03-03 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("adaptive_gap_stream")
+        .select("series", "gap_minutes", "threshold_minutes", "stage", "stale")
+        .as[(String, Double, Option[Double], String, Boolean)].collect().toSeq
+      // early sightings: not enough PRIOR completed gaps -> training
+      assert(rows.take(6).forall(r => r._4 == "training" && r._3.isEmpty && !r._5))
+      // once the prior history holds >= 5 gaps the series turns active
+      // with a learned threshold: p95 of hourly gaps = 60, floor
+      // 60 * 1.25 = 75 minutes — learned BEFORE the arriving event, so
+      // a long gap cannot raise its own threshold
+      val active = rows.filter(_._4 == "active")
+      assert(active.nonEmpty)
+      assert(active.forall(_._3.contains(75.0)), active)
+      // the in-cadence active arrival is not stale; the 8-hour gap is
+      assert(active.exists(r => r._2 == 60.0 && !r._5))
+      assert(active.exists(r => r._2 == 480.0 && r._5), active)
+    } finally q.stop()
+  }
 }

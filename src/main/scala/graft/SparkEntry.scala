@@ -113,6 +113,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.querytests.QueryTests.runLookupAll(s, dir))) +
       ("knn_lsh" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
+      // production-dims bucket form (Spark HOFs — no DuckDB oracle;
+      // PipelineSpec asserts bit-identity with the oracle-checked form)
+      ("knn_lsh_fold" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLshFold(s, dir))) +
       ("monitor_schedule" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir))) +
       ("monitor_history_thresholds" ->

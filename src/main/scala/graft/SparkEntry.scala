@@ -99,6 +99,11 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.profiling.SampledProfiler.run(s, dir))) +
       ("data_chars" ->
         ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))) +
+      // include/exclude LIKE masks (refresh_data_chars_query.py:67-101):
+      // keep tables containing 'e', drop tables ending in 's'
+      ("data_chars_masked" ->
+        ((s: SparkSession, dir: String) =>
+          graft.core.DataChars.run(s, dir, Some("%e%"), Some("%s")))) +
       ("functional_tabletype" ->
         ((s: SparkSession, dir: String) => graft.generation.TestGenerator.runTableType(s, dir))) +
       ("lookup_dupe_rows" ->
@@ -176,6 +181,7 @@ object SparkEntry {
       ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()) +
       ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
       ("data_chars" -> graft.core.DataChars.duckSql()) +
+      ("data_chars_masked" -> graft.core.DataChars.duckSql(Some("%e%"), Some("%s"))) +
       ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql()) +
       ("lookup_dupe_rows" -> graft.lookup.DrillDown.duckDupeRowsSql()) +
       ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()) +

@@ -74,9 +74,13 @@ object DataChars {
   }
 
   /** DuckDB oracle: live information_schema introspection with the
-    * reference's type-classification CASE ladder. */
-  def duckSql(): String = {
-    val names = Tables.names
+    * reference's type-classification CASE ladder. Masks resolve at
+    * SQL-render time, exactly where the reference applies its LIKE
+    * masks when building the introspection query
+    * (refresh_data_chars_query.py:67-101). */
+  def duckSql(include: Option[String] = None,
+              exclude: Option[String] = None): String = {
+    val names = tableNames(include, exclude)
     val inList = names.map(n => s"'$n'").mkString(", ")
     val counts = names
       .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS record_ct FROM $t")

@@ -38,6 +38,12 @@ object Freshness {
   val stalenessFactor: Map[String, Double] =
     Map("high" -> 0.75, "medium" -> 0.85, "low" -> 0.95)
 
+  /** Deadline buffer hours by sensitivity
+    * (SCHEDULE_DEADLINE_BUFFER_HOURS,
+    * test_thresholds_prediction.py:51-55). */
+  val deadlineBufferHours: Map[String, Double] =
+    Map("high" -> 1.5, "medium" -> 3.0, "low" -> 5.0)
+
   final case class Threshold(lower: Option[Double], upper: Double,
                              staleness: Double, lastUpdateSec: Long)
 

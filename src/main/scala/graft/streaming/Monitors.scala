@@ -365,6 +365,17 @@ object Monitors {
           excludedDays = params.excludedDays, holidays = holidays,
           windowStart = params.windowStart, windowEnd = params.windowEnd))
         catch { case _: Freshness.NotEnoughData => None }
+      // daily/weekly ACTIVE schedules: the upper threshold becomes the
+      // business minutes to the next schedule deadline (window end +
+      // sensitivity buffer on the next active day) — the reference's
+      // deadline override (test_thresholds_prediction.py:249-257)
+      val deadlineUpper = for {
+        s <- sched if s.stage == "active" && s.frequency != "sub_daily"
+        t <- thr
+        m <- Freshness.minutesToNextDeadline(t.lastUpdateSec, s,
+          Freshness.deadlineBufferHours(sens),
+          excludedDays = params.excludedDays, holidays = holidays)
+      } yield m
       def r4(x: Double) = math.rint(x * 10000) / 10000
       ScheduleRow(
         series,
@@ -375,7 +386,7 @@ object Monitors {
         sched.flatMap(s => s.windowEnd.map(r4)),
         sched.map(s => r4(s.confidence)).getOrElse(0.0),
         sched.map(_.numEvents).getOrElse(times.length),
-        thr.map(t => r4(t.upper)),
+        deadlineUpper.map(r4).orElse(thr.map(t => r4(t.upper))),
         thr.map(t => r4(t.staleness)))
     }.toDF().orderBy("series")
   }

@@ -36,4 +36,20 @@ class MonitorsSpec extends SparkSpec {
     assert(rows.length == 500)
     assert(rows.forall(_.getAs[Seq[Double]]("features").length == 4))
   }
+
+  test("daily active schedules get deadline-based upper thresholds") {
+    val rows = Monitors.runSchedule(spark, sfDir).collect()
+      .map(r => r.getAs[String]("series") -> r).toMap
+    val li = rows("lineitem")
+    assert(li.getAs[String]("stage") == "active")
+    assert(li.getAs[String]("frequency") == "daily")
+    // non-sub-daily active: upper = business minutes to the next
+    // deadline — window end 0.0 + medium 3h buffer on the next active
+    // day = 27h (test_thresholds_prediction.py:249-257 semantics)
+    assert(li.getAs[Double]("upper_min") == 27 * 60.0, li)
+    // sub-daily series keep the within-window gap threshold
+    val ev = rows("events")
+    assert(ev.getAs[String]("frequency") == "sub_daily")
+    assert(ev.getAs[Double]("upper_min") < 27 * 60.0, ev)
+  }
 }

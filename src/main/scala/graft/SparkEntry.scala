@@ -104,6 +104,8 @@ object SparkEntry {
       ("data_chars_masked" ->
         ((s: SparkSession, dir: String) =>
           graft.core.DataChars.run(s, dir, Some("%e%"), Some("%s")))) +
+      ("test_validation" ->
+        ((s: SparkSession, dir: String) => graft.generation.TestValidation.runChecked(s, dir))) +
       ("functional_tabletype" ->
         ((s: SparkSession, dir: String) => graft.generation.TestGenerator.runTableType(s, dir))) +
       ("lookup_dupe_rows" ->
@@ -182,6 +184,7 @@ object SparkEntry {
       ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
       ("data_chars" -> graft.core.DataChars.duckSql()) +
       ("data_chars_masked" -> graft.core.DataChars.duckSql(Some("%e%"), Some("%s"))) +
+      ("test_validation" -> graft.generation.TestValidation.duckSql()) +
       ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql()) +
       ("lookup_dupe_rows" -> graft.lookup.DrillDown.duckDupeRowsSql()) +
       ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()) +

@@ -49,4 +49,60 @@ object TestValidation {
 
   def run(spark: SparkSession, dir: String): DataFrame =
     validate(TestGenerator.run(spark, dir), catalog(spark, dir))
+
+  /** Two definitions that reference missing objects — appended in BOTH
+    * engines so the disable-don't-delete path is oracle-exercised. */
+  private val poison = Seq(
+    ("Row_Ct", "ghost_table", "x"),
+    ("Unique", "orders", "ghost_col"))
+
+  /** Query entry: generated definitions + the two poisoned ones,
+    * validated against the live catalog. Real definitions stay active;
+    * the poisoned rows carry Table-not-found / Column-not-found
+    * messages and deactivate. */
+  def runChecked(spark: SparkSession, dir: String): DataFrame = {
+    val defs = TestGenerator.run(spark, dir)
+    val rows = poison.map { case (tt, t, c) =>
+      Row.fromSeq(Seq(tt, t, c) ++ Seq.fill(defs.schema.length - 3)(null))
+    }
+    val poisoned = defs.unionByName(
+      spark.createDataFrame(rows.asJava, defs.schema))
+    validate(poisoned, catalog(spark, dir))
+      .orderBy("test_type", "table_name", "column_name")
+  }
+
+  /** DuckDB oracle: the same union validated against the live
+    * information_schema catalog. */
+  def duckSql(): String = {
+    val names = graft.core.Tables.names.map(n => s"'$n'").mkString(", ")
+    val nullTail = Seq("CAST(NULL AS DOUBLE)", "CAST(NULL AS VARCHAR)") ++
+      Seq.fill(7)("CAST(NULL AS DOUBLE)")
+    val poisonSelects = poison.map { case (tt, t, c) =>
+      s"SELECT '$tt', '$t', '$c', ${nullTail.mkString(", ")}"
+    }
+    s"""WITH defs AS (${TestGenerator.duckSql()}),
+       |all_defs AS (
+       |  SELECT * FROM defs
+       |  UNION ALL
+       |  ${poisonSelects.mkString("\n  UNION ALL\n  ")}
+       |),
+       |cat AS (SELECT DISTINCT table_name AS cat_table, column_name AS cat_column
+       |          FROM information_schema.columns
+       |         WHERE table_name IN ($names)),
+       |annotated AS (
+       |  SELECT a.*,
+       |         CASE WHEN tb.cat_table IS NULL
+       |                THEN 'Table not found: ' || a.table_name
+       |              WHEN a.column_name IS NOT NULL AND c.cat_column IS NULL
+       |                THEN 'Column not found: ' || a.table_name || '.' || a.column_name
+       |         END AS validation_message
+       |    FROM all_defs a
+       |    LEFT JOIN (SELECT DISTINCT cat_table FROM cat) tb
+       |      ON a.table_name = tb.cat_table
+       |    LEFT JOIN cat c
+       |      ON a.table_name = c.cat_table AND a.column_name = c.cat_column
+       |)
+       |SELECT *, validation_message IS NULL AS is_active FROM annotated
+       |ORDER BY test_type, table_name, column_name""".stripMargin
+  }
 }

@@ -193,12 +193,21 @@ object Scoring {
     * use_dq_score_weights enabled: critical tables/columns and PII
     * columns contribute more data points, so their issues depress the
     * score harder. */
-  def weightedScoreRollupSql(enrRel: String, anomRel: String)(d: Dialect): String =
+  def weightedScoreRollupSql(enrRel: String, anomRel: String,
+                             ttRel: Option[String] = None)(d: Dialect): String = {
+    // engine path passes the memoized 10-row table-type view (one raw
+    // scan per session, shared with generation); the oracle inlines the
+    // CTEs and recomputes
+    val ttCtes = ttRel match {
+      case Some(r) => s"tt AS (SELECT * FROM $r),"
+      case None =>
+        s"""${graft.generation.TestGenerator.periodCtes},
+           |tt AS (${graft.generation.TestGenerator.tableTypeSql}),""".stripMargin
+    }
     s"""WITH enr_s AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
        |enr AS (SELECT * FROM enr_s),
        |anoms_s AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
-       |${graft.generation.TestGenerator.periodCtes},
-       |tt AS (${graft.generation.TestGenerator.tableTypeSql}),
+       |$ttCtes
        |score_detail AS (
        |  SELECT e.table_name, e.column_name,
        |         MAX(e.record_ct * $weightExpr) AS row_ct,
@@ -223,12 +232,14 @@ object Scoring {
        |       CAST(ROUND(1.0 - SUM(affected_points) / NULLIF(SUM(data_points), 0), 6) AS DOUBLE)
        |  FROM per_table
        |ORDER BY table_name""".stripMargin
+  }
 
   def runWeightedScoreRollup(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.registerAll(spark, dir) // periodCtes scans the raw tables
     val enrView = enrichedView(spark, dir)
+    val ttView = graft.generation.TestGenerator.tableTypeView(spark, dir)
     HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_anoms_w")
-    spark.sql(weightedScoreRollupSql(enrView, "__graft_anoms_w")(SparkDialect))
+    spark.sql(weightedScoreRollupSql(enrView, "__graft_anoms_w",
+      ttRel = Some(ttView))(SparkDialect))
   }
 
   def duckWeightedScoreRollupSql(): String =

@@ -125,37 +125,40 @@ object QueryTests {
        |  SELECT $matchCols FROM $matchTable WHERE $matchSubset GROUP BY $matchCols
        |) test""".stripMargin
 
-  /** Latest-vs-prior N-day window combo comparison over a date column.
-    * (test_types_Timeframe_Combo_Match.yaml template) */
-  private def timeframeInner(cols: String, table: String, dateCol: String,
-                             days: Int): Dialect => String = d => {
-    def maxD(offsetDays: Int) =
-      s"(SELECT ${d.dateAddDays(s"CAST(MAX($dateCol) AS DATE)", offsetDays)} FROM $table)"
-    val latest = s"$dateCol >= ${maxD(-days)}"
-    val prior = s"$dateCol >= ${maxD(-2 * days)} AND $dateCol < ${maxD(-days)}"
-    s"""SELECT COUNT(*) AS cnt FROM (
-       |  ( SELECT 'Prior Timeframe' AS missing_from, $cols FROM $table WHERE $latest
-       |    EXCEPT
-       |    SELECT 'Prior Timeframe' AS missing_from, $cols FROM $table WHERE $prior )
-       |  UNION ALL
-       |  ( SELECT 'Latest Timeframe' AS missing_from, $cols FROM $table WHERE $prior
-       |    EXCEPT
-       |    SELECT 'Latest Timeframe' AS missing_from, $cols FROM $table WHERE $latest )
-       |) test""".stripMargin
+  /** Shared single-scan window presence counts for the Timeframe family
+    * (test_types_Timeframe_Combo_Match.yaml template semantics). The
+    * reference template — and this engine through round 5 — evaluated
+    * each EXCEPT branch and each window boundary as its own scan (4-6
+    * full passes of the table). Here the max-date boundary is computed
+    * ONCE (a column-pruned aggregate joined as a 1-row broadcast) and
+    * both windows derive from ONE data scan via conditional aggregation:
+    * a combo is "in the latest window" iff latest_ct > 0, "in the prior
+    * window" iff prior_ct > 0 — exactly the EXCEPT-over-distinct-combos
+    * set semantics, at 2 scans total regardless of branch count. */
+  private def timeframeCounts(cols: String, table: String, dateCol: String,
+                              days: Int)(d: Dialect): String = {
+    val latestFrom = d.dateAddDays("b.mxd", -days)
+    val priorFrom = d.dateAddDays("b.mxd", -2 * days)
+    s"""SELECT $cols,
+       |       COUNT(CASE WHEN $dateCol >= $latestFrom THEN 1 END) AS latest_ct,
+       |       COUNT(CASE WHEN $dateCol < $latestFrom THEN 1 END) AS prior_ct
+       |  FROM $table CROSS JOIN
+       |       (SELECT CAST(MAX($dateCol) AS DATE) AS mxd FROM $table) b
+       | WHERE $dateCol >= $priorFrom
+       | GROUP BY $cols""".stripMargin
   }
 
-  private def timeframeGainInner(cols: String, table: String, dateCol: String,
-                                 days: Int): Dialect => String = d => {
-    def maxD(offsetDays: Int) =
-      s"(SELECT ${d.dateAddDays(s"CAST(MAX($dateCol) AS DATE)", offsetDays)} FROM $table)"
+  private def timeframeInner(cols: String, table: String, dateCol: String,
+                             days: Int): Dialect => String = d =>
     s"""SELECT COUNT(*) AS cnt FROM (
-       |  SELECT $cols FROM $table
-       |   WHERE $dateCol >= ${maxD(-2 * days)} AND $dateCol < ${maxD(-days)}
-       |   GROUP BY $cols
-       |  EXCEPT
-       |  SELECT $cols FROM $table WHERE $dateCol >= ${maxD(-days)} GROUP BY $cols
-       |) test""".stripMargin
-  }
+       |${timeframeCounts(cols, table, dateCol, days)(d)}
+       |) test WHERE (latest_ct > 0) <> (prior_ct > 0)""".stripMargin
+
+  private def timeframeGainInner(cols: String, table: String, dateCol: String,
+                                 days: Int): Dialect => String = d =>
+    s"""SELECT COUNT(*) AS cnt FROM (
+       |${timeframeCounts(cols, table, dateCol, days)(d)}
+       |) test WHERE prior_ct > 0 AND latest_ct = 0""".stripMargin
 
   /** Jensen-Shannon divergence between category distributions of two
     * table subsets (test_types_Distribution_Shift.yaml template). */
@@ -210,36 +213,24 @@ object QueryTests {
        |) t ORDER BY detail LIMIT $LookupLimit""".stripMargin
 
   private def timeframeLookup(cols: String, concat: String, table: String,
-                              dateCol: String, days: Int): Dialect => String = d => {
-    def maxD(offsetDays: Int) =
-      s"(SELECT ${d.dateAddDays(s"CAST(MAX($dateCol) AS DATE)", offsetDays)} FROM $table)"
-    val latest = s"$dateCol >= ${maxD(-days)}"
-    val prior = s"$dateCol >= ${maxD(-2 * days)} AND $dateCol < ${maxD(-days)}"
-    s"""SELECT missing_from || ': ' || $concat AS detail, CAST(NULL AS DOUBLE) AS measure
+                              dateCol: String, days: Int): Dialect => String = d =>
+    // a combo is missing from exactly one side, so one CASE labels it —
+    // the counts relation is referenced once (no CTE re-inlining)
+    s"""SELECT CASE WHEN latest_ct > 0 THEN 'Prior Timeframe: '
+       |            ELSE 'Latest Timeframe: ' END || $concat AS detail,
+       |       CAST(NULL AS DOUBLE) AS measure
        |  FROM (
-       |  ( SELECT 'Prior Timeframe' AS missing_from, $cols FROM $table WHERE $latest
-       |    EXCEPT
-       |    SELECT 'Prior Timeframe' AS missing_from, $cols FROM $table WHERE $prior )
-       |  UNION ALL
-       |  ( SELECT 'Latest Timeframe' AS missing_from, $cols FROM $table WHERE $prior
-       |    EXCEPT
-       |    SELECT 'Latest Timeframe' AS missing_from, $cols FROM $table WHERE $latest )
-       |) t ORDER BY detail LIMIT $LookupLimit""".stripMargin
-  }
+       |${timeframeCounts(cols, table, dateCol, days)(d)}
+       |) t WHERE (latest_ct > 0) <> (prior_ct > 0)
+       | ORDER BY detail LIMIT $LookupLimit""".stripMargin
 
   private def timeframeGainLookup(cols: String, concat: String, table: String,
-                                  dateCol: String, days: Int): Dialect => String = d => {
-    def maxD(offsetDays: Int) =
-      s"(SELECT ${d.dateAddDays(s"CAST(MAX($dateCol) AS DATE)", offsetDays)} FROM $table)"
+                                  dateCol: String, days: Int): Dialect => String = d =>
     s"""SELECT $concat AS detail, CAST(NULL AS DOUBLE) AS measure
        |  FROM (
-       |  SELECT $cols FROM $table
-       |   WHERE $dateCol >= ${maxD(-2 * days)} AND $dateCol < ${maxD(-days)}
-       |   GROUP BY $cols
-       |  EXCEPT
-       |  SELECT $cols FROM $table WHERE $dateCol >= ${maxD(-days)} GROUP BY $cols
-       |) t ORDER BY detail LIMIT $LookupLimit""".stripMargin
-  }
+       |${timeframeCounts(cols, table, dateCol, days)(d)}
+       |) t WHERE prior_ct > 0 AND latest_ct = 0
+       | ORDER BY detail LIMIT $LookupLimit""".stripMargin
 
   /** Per-category distribution comparison (the dataset the JS divergence
     * aggregates over — what a user inspects on a shift alert). */

@@ -102,6 +102,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("timeframe family scans the table at most twice") {
+    // One column-pruned boundary scan + one data scan — the fused
+    // conditional-aggregation shape. The pre-r6 EXCEPT form scanned
+    // lineitem 4-6× per query (each branch + each scalar subquery).
+    val checks = Seq(
+      "query_timeframe_combo_match" ->
+        graft.querytests.QueryTests.run(spark, dir, "timeframe_combo_match"),
+      "query_timeframe_combo_gain" ->
+        graft.querytests.QueryTests.run(spark, dir, "timeframe_combo_gain"))
+    for ((name, df) <- checks) {
+      val p = plan(df)
+      val scans = "lineitem\\.parquet".r.findAllIn(p).length
+      assert(scans <= 2, s"$name scans lineitem $scans times (expected <= 2)")
+    }
+  }
+
   test("exact dedup groups once and reads only doc_id and text") {
     val df = graft.pipeline.Dedup.runExact(spark, dir)
     val p = plan(df)

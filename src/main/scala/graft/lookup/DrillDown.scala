@@ -37,12 +37,49 @@ object DrillDown {
        | ORDER BY value
        | LIMIT $Limit""".stripMargin
 
+  /** Land the COMPUTED PII flags for `dir` — the engine's
+    * data_column_chars.pii_flag surface that the reference's
+    * mask-on-render reads (source_data_service.py:49-105,
+    * pii_masking.py get_pii_columns: mask any column of the table whose
+    * pii_flag IS NOT NULL). The flags come from the memoized enriched
+    * profile (the PiiFlag cascade); landing them as parquet lets BOTH
+    * engines' drill-down SQL decide redaction from the same computed
+    * relation — data-driven masking, not a column-name heuristic. */
+  def landPiiFlags(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "pii_flags", dir) {
+      val enr = graft.inference.HygieneScreens.enrichedView(spark, dir)
+      graft.core.RunStore.land(
+        spark.sql(s"""SELECT table_name, column_name, pii_flag
+                     |  FROM $enr WHERE pii_flag IS NOT NULL""".stripMargin),
+        graft.core.RunStore.root, "run_000", "pii_flags")
+    }
+
+  /** The oracle-side path of the landed PII flags (same process). */
+  def piiFlagsPath: String =
+    graft.core.RunStore.runPath(graft.core.RunStore.root, "run_000", "pii_flags")
+
+  /** Redact `valExpr` iff (table, column) carries a computed pii_flag in
+    * the landed flag relation. The flag relation is metadata-sized (one
+    * row per flagged column), so the probe is a scalar subquery over a
+    * tiny parquet footprint in both engines; a production run would
+    * broadcast-join it once per lookup instead. */
+  def piiRedactExpr(valExpr: String, table: String, column: String,
+                    piiPath: String)(d: Dialect): String =
+    s"""CASE WHEN (SELECT COUNT(*) FROM ${d.readParquet(piiPath)} pf
+       |            WHERE pf.table_name = '$table'
+       |              AND pf.column_name = '$column') > 0
+       |     THEN '$Redacted' ELSE $valExpr END""".stripMargin
+
   /** Pattern-mismatch drill-down with PII masking applied to flagged
-    * columns: offending rows, masked. */
-  def maskedMismatchSql(table: String, col: String, re: String,
-                        piiCols: Seq[String], otherCols: Seq[String])(d: Dialect): String = {
+    * columns: offending rows, masked. Every projected column is eligible
+    * for masking, so all are rendered as text (the reference's masked
+    * frame is stringly-typed the same way — pii_masking.py
+    * mask_source_data_pii assigns the token into the column). */
+  def maskedMismatchSql(table: String, logicalTable: String, col: String,
+                        re: String, piiPath: String,
+                        otherCols: Seq[String])(d: Dialect): String = {
     val projected = otherCols.map { c =>
-      if (piiCols.contains(c)) s"'$Redacted' AS $c" else c
+      s"${piiRedactExpr(d.castText(c), logicalTable, c, piiPath)(d)} AS $c"
     }.mkString(", ")
     s"""SELECT $projected, $col AS offending_value
        |  FROM $table
@@ -99,16 +136,17 @@ object DrillDown {
   }
 
   def runMasked(spark: SparkSession, dir: String): DataFrame = {
+    val piiPath = landPiiFlags(spark, dir)
     graft.core.Tables.load(spark, dir, "customer", parallelize = false).createOrReplaceTempView("__dd_customer")
-    spark.sql(maskedMismatchSql("__dd_customer", "c_mktsegment", "^[A-Z]+$",
-      piiCols = Seq("c_name"),
+    spark.sql(maskedMismatchSql("__dd_customer", "customer", "c_mktsegment",
+      "^[A-Z]+$", piiPath,
       otherCols = Seq("c_custkey", "c_name", "c_mktsegment"))(SparkDialect))
   }
 
   def duckDuplicatesSql(): String = duplicatesSql("orders", "o_custkey")(DuckDialect)
   def duckMaxLengthSql(): String = maxLengthRowsSql("customer", "c_name")(DuckDialect)
-  def duckMaskedSql(): String = maskedMismatchSql("customer", "c_mktsegment", "^[A-Z]+$",
-    piiCols = Seq("c_name"),
+  def duckMaskedSql(): String = maskedMismatchSql("customer", "customer",
+    "c_mktsegment", "^[A-Z]+$", piiFlagsPath,
     otherCols = Seq("c_custkey", "c_name", "c_mktsegment"))(DuckDialect)
 
   /** Dupe_Rows drill-down: full key-combination groups occurring more
@@ -168,19 +206,17 @@ object DrillDown {
   def duckMinDateSql(): String = minDateSql("orders", "o_orderkey", "o_orderdate",
     "1995-06-01")(DuckDialect)
 
-  /** PII redaction applied uniformly to drill-down values: person-name
-    * columns are replaced by the redaction token, mirroring the
-    * reference's mask-on-render (source_data_service.py:49-105 +
-    * pii_masking.py — the reference drives this off the profile PII
-    * flags; the engine flags the same name-shaped columns). */
-  private def isPii(col: String): Boolean = col.toLowerCase.contains("name")
-
   /** Full test-type drill-down coverage: every CAT test in
     * [[graft.cat.CatSuite.suites]] carries its reference lookup_query
     * (normalized to (value, count)), unioned into ONE uniform relation —
     * the rows a user sees when clicking ANY failed test. Each branch
     * reads one table with its own pushed-down filter; the union is
-    * metadata-bounded (<= 500 rows per test).
+    * metadata-bounded (<= 500 rows per test). Redaction is driven by the
+    * COMPUTED pii_flag relation landed from the enriched profile — the
+    * reference's mask-on-render reads the same computed flags from
+    * data_column_chars (source_data_service.py:49-105, pii_masking.py)
+    * — so a PII column is masked whatever it is named, and a synthetic
+    * ID column named like "name" is not.
     *
     * Scale note: the union executes every lookup at once, so a table
     * with k tests is scanned k times — that is the VERIFICATION harness
@@ -188,13 +224,14 @@ object DrillDown {
     * (and this engine) runs ONE lookup on demand per clicked test
     * (`t.lookup.get(dialect, table)`) — a single filtered scan; the
     * union entry is never the hot path at 100 TB. */
-  def lookupFailedTestsSql(tableRef: String => String)(d: Dialect): String = {
+  def lookupFailedTestsSql(tableRef: String => String,
+                           piiPath: String)(d: Dialect): String = {
     val parts = for {
       (table, tests) <- graft.cat.CatSuite.suites.toSeq.sortBy(_._1)
       t <- tests
       lk <- t.lookup.toSeq
     } yield {
-      val vOut = if (isPii(t.column)) s"'$Redacted'" else "v"
+      val vOut = piiRedactExpr("v", table, t.column, piiPath)(d)
       s"""SELECT '$table' AS table_name, '${t.testType}' AS test_type,
          |       '${t.column}' AS column_name,
          |       $vOut AS offending_value, ct AS occurrence_ct
@@ -205,12 +242,14 @@ object DrillDown {
   }
 
   def runFailedTests(spark: SparkSession, dir: String): DataFrame = {
+    val piiPath = landPiiFlags(spark, dir)
     graft.cat.CatSuite.suites.keys.foreach { t =>
       graft.core.Tables.load(spark, dir, t, parallelize = false)
         .createOrReplaceTempView(s"__dd_lk_$t")
     }
-    spark.sql(lookupFailedTestsSql(t => s"__dd_lk_$t")(SparkDialect))
+    spark.sql(lookupFailedTestsSql(t => s"__dd_lk_$t", piiPath)(SparkDialect))
   }
 
-  def duckFailedTestsSql(): String = lookupFailedTestsSql(identity)(DuckDialect)
+  def duckFailedTestsSql(): String =
+    lookupFailedTestsSql(identity, piiFlagsPath)(DuckDialect)
 }

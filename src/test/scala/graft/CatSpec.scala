@@ -67,23 +67,62 @@ class CatSpec extends SparkSpec {
       .filter(_.lookup.isEmpty).map(_.testType).toSet
     assert(noLookup.isEmpty, s"test types without a lookup_query: $noLookup")
     // the unioned drill-down SQL has a branch for every suite test type
-    val sql = graft.lookup.DrillDown.lookupFailedTestsSql(identity)(
-      graft.oracle.SparkDialect)
+    val sql = graft.lookup.DrillDown.lookupFailedTestsSql(identity,
+      "/tmp/__graft_pii_render_only")(graft.oracle.SparkDialect)
     val expected = CatSuite.suites.values.flatten.map(_.testType).toSet
     val missing = expected.filterNot(tt => sql.contains(s"'$tt' AS test_type"))
     assert(missing.isEmpty, s"types missing from the drill-down union: $missing")
   }
 
-  test("failed-test drill-down masks person-name values uniformly") {
+  test("drill-down redaction follows the COMPUTED pii_flag, not names") {
+    // TPC-H-shaped testdata has no PII functional types (no Email /
+    // Phone / Address / Person-name columns), so the flag relation is
+    // empty and NOTHING is redacted — synthetic ID values named like
+    // "name" (c_name = 'Customer#...') are correctly shown, matching the
+    // reference's data_column_chars.pii_flag-driven mask-on-render.
     val rows = graft.lookup.DrillDown.runFailedTests(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    val nameRows = rows.filter(
-      _.getAs[String]("column_name").toLowerCase.contains("name"))
-    assert(nameRows.nonEmpty)
-    assert(nameRows.forall(
-      _.getAs[String]("offending_value") == graft.lookup.DrillDown.Redacted))
-    // non-PII values are NOT masked
-    assert(rows.exists(r =>
+    assert(rows.forall(r =>
       r.getAs[String]("offending_value") != graft.lookup.DrillDown.Redacted))
+  }
+
+  test("a PII column NOT named like 'name' is flagged and redacted") {
+    import graft.oracle.SparkDialect
+    // minimal enriched-profile row shapes for the PiiFlag cascade:
+    // `contact` is an email column (fdt Email) — PII although its name
+    // carries no hint; `c_name` is a synthetic unique ID — not PII.
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  ('t1', 'contact', 'A', 'Email', 20, 0.0, 'EMAIL', '', 'a@b.co', 12.0),
+        |  ('t1', 'c_name', 'A', 'ID-Unique', 20, 0.0, '', '', 'Customer#1', 12.0)
+        |AS t(table_name, column_name, general_type, functional_data_type,
+        |     max_length, avg_embedded_spaces, std_pattern_match,
+        |     top_patterns, min_text, avg_length)""".stripMargin)
+      .createOrReplaceTempView("__pii_profile_rows")
+    val flags = spark.sql(
+      s"""SELECT table_name, column_name,
+         |       ${graft.inference.PiiFlag.expr(SparkDialect)} AS pii_flag
+         |  FROM __pii_profile_rows""".stripMargin)
+      .collect().map(r => r.getString(1) -> r.getAs[String]("pii_flag")).toMap
+    assert(flags("contact") == "B/CONTACT/Email")
+    assert(flags("c_name") == null)
+
+    // wire the flags through the landed relation into a real lookup
+    val piiPath = "/tmp/graft_test_pii_flags"
+    spark.sql("""SELECT 't1' AS table_name, 'contact' AS column_name,
+                |       'B/CONTACT/Email' AS pii_flag""".stripMargin)
+      .write.mode("overwrite").parquet(piiPath)
+    spark.sql(
+      """SELECT * FROM VALUES (1, 'a@b.co', 'ok1'), (2, 'c@d.co', 'bad')
+        |AS t(id, contact, label)""".stripMargin)
+      .createOrReplaceTempView("__pii_t1")
+    val masked = spark.sql(graft.lookup.DrillDown.maskedMismatchSql(
+      "__pii_t1", "t1", "label", "^[a-z]+[0-9]$", piiPath,
+      otherCols = Seq("id", "contact", "label"))(SparkDialect)).collect()
+    assert(masked.nonEmpty)
+    assert(masked.forall(_.getAs[String]("contact") ==
+      graft.lookup.DrillDown.Redacted))
+    assert(masked.forall(_.getAs[String]("id") !=
+      graft.lookup.DrillDown.Redacted))
   }
 }

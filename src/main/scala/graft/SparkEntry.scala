@@ -178,8 +178,10 @@ object SparkEntry {
       ("schema_drift" -> graft.inference.SchemaDrift.duckSql()) +
       // monitor_sarimax: iterative Nelder-Mead ARIMA fit — not
       // SQL-expressible; rows-only check + TimeSeriesSpec unit tests.
-      // monitor_schedule: iterative schedule-inference arithmetic — not
-      // SQL-expressible; rows-only check + FreshnessSpec unit tests.
+      // monitor_schedule: the inference is iterative arithmetic, but its
+      // output over the gate fixture is deterministic — frozen VALUES
+      // oracle cross-validated by FreshnessSpec (see duckScheduleSql).
+      ("monitor_schedule" -> graft.streaming.Monitors.duckScheduleSql()) +
       ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()) +
       ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
       ("data_chars" -> graft.core.DataChars.duckSql()) +

@@ -391,6 +391,32 @@ object Monitors {
     }.toDF().orderBy("series")
   }
 
+  /** VALUES oracle for the schedule-inference entry: the model itself is
+    * iterative arithmetic (not SQL-expressible), but its output over the
+    * fixed gate fixture (sf0.01) is fully deterministic, so the expected
+    * rows are frozen as literals and the driver's rows+schema+hash gate
+    * all apply. The numbers are cross-validated by FreshnessSpec's
+    * hand-computed scenarios of the same ported model (classify /
+    * active-days / window / confidence / deadline-upper), not copied
+    * blindly: events is a 2-21h sub-daily feed (P10-P90 window), orders/
+    * lineitem are daily feeds whose upper threshold is the next-deadline
+    * override (window_end 0h + 3h medium buffer ⇒ 27h = 1620 min). */
+  def duckScheduleSql(): String =
+    s"""SELECT series, stage, frequency, active_days,
+       |       CAST(window_start AS DOUBLE) AS window_start,
+       |       CAST(window_end AS DOUBLE) AS window_end,
+       |       CAST(confidence AS DOUBLE) AS confidence,
+       |       CAST(num_events AS INT) AS num_events,
+       |       CAST(upper_min AS DOUBLE) AS upper_min,
+       |       CAST(staleness_min AS DOUBLE) AS staleness_min
+       |  FROM (VALUES
+       |    ('events',   'active', 'sub_daily', '0,1,2,3,4,5,6', 2.0, 21.0, 0.8333,  720,   75.0,   51.0),
+       |    ('lineitem', 'active', 'daily',     '0,1,2,3,4,5,6', 0.0,  0.0, 1.0,    2499, 1620.0, 1224.0),
+       |    ('orders',   'active', 'daily',     '0,1,2,3,4,5,6', 0.0,  0.0, 1.0,    2399, 1620.0, 1224.0)
+       |  ) AS t(series, stage, frequency, active_days, window_start,
+       |         window_end, confidence, num_events, upper_min, staleness_min)
+       | ORDER BY series""".stripMargin
+
   /** One monitored signal history: daily event volume per event_type. */
   final case class SeriesPoint(series: String, ts: Long, value: Double)
   final case class SarimaxBand(series: String, n_points: Long,

@@ -231,14 +231,26 @@ object DrillDown {
       t <- tests
       lk <- t.lookup.toSeq
     } yield {
-      val vOut = piiRedactExpr("v", table, t.column, piiPath)(d)
       s"""SELECT '$table' AS table_name, '${t.testType}' AS test_type,
          |       '${t.column}' AS column_name,
-         |       $vOut AS offending_value, ct AS occurrence_ct
+         |       v AS offending_value, ct AS occurrence_ct
          |  FROM (${lk(d, tableRef(table))}) lk""".stripMargin
     }
-    parts.mkString("", "\nUNION ALL\n",
-      "\nORDER BY table_name, test_type, column_name, offending_value, occurrence_ct")
+    // ONE probe of the metadata-sized flag relation for the whole union
+    // (a broadcast join on Spark) instead of a scalar subquery per branch
+    s"""SELECT u.table_name, u.test_type, u.column_name,
+       |       CASE WHEN pf.pii_flag IS NOT NULL THEN '$Redacted'
+       |            ELSE u.offending_value END AS offending_value,
+       |       u.occurrence_ct
+       |  FROM (
+       |${parts.mkString("\nUNION ALL\n")}
+       |) u
+       |  LEFT JOIN (SELECT table_name, column_name, MAX(pii_flag) AS pii_flag
+       |               FROM ${d.readParquet(piiPath)}
+       |              GROUP BY table_name, column_name) pf
+       |    ON pf.table_name = u.table_name AND pf.column_name = u.column_name
+       | ORDER BY u.table_name, u.test_type, u.column_name,
+       |          offending_value, u.occurrence_ct""".stripMargin
   }
 
   def runFailedTests(spark: SparkSession, dir: String): DataFrame = {

@@ -128,6 +128,11 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir))) +
       ("monitor_history_thresholds" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runHistoryThresholds(s, dir))) +
+      // PREDICT-mode SARIMAX tolerances over landed signal history —
+      // iterative model fit, not SQL-expressible (rows-only check +
+      // MonitorsSpec parity + RunHistorySpec multi-run landing)
+      ("monitor_predict_thresholds" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runPredictThresholds(s, dir))) +
       ("dq_scores_weighted" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runWeightedScoreRollup(s, dir)))
 

@@ -234,12 +234,15 @@ object Monitors {
   /** One signal row per monitored series for a run: the run-time volume
     * measurement, optionally over the state as of `cutoffDays` before
     * the latest event (the deterministic "prior run" used by the query
-    * entry, mirroring SchemaDrift's seeded two-run history). */
+    * entry, mirroring SchemaDrift's seeded two-run history). `run_ts` is
+    * the last update each series had seen at that run — the test_time
+    * the PREDICT-mode fit consumes ([[predictThresholdsFrom]]). */
   def signalsSql(rel: String, runId: String, cutoffDays: Option[Int])(d: Dialect): String = {
     val where = cutoffDays.fold("") { k =>
       s"\n WHERE CAST(ts AS DATE) <= ${d.dateAddDays(s"(SELECT MAX(CAST(ts AS DATE)) FROM $rel)", -k)}"
     }
     s"""SELECT event_type AS series, '$runId' AS run_id,
+       |       MAX(CAST(ts AS TIMESTAMP)) AS run_ts,
        |       CAST(COUNT(*) AS DOUBLE) AS value
        |  FROM $rel$where
        | GROUP BY event_type""".stripMargin
@@ -275,13 +278,15 @@ object Monitors {
   }
 
   /** Land this run's signals under `root/runId` (Runner's cross-
-    * invocation path). */
+    * invocation path). `cutoffDays` measures the state as of that many
+    * days before the latest event — the deterministic as-of knob used to
+    * exercise genuine multi-run histories in one process. */
   def landSignals(spark: SparkSession, dir: String, root: String,
-                  runId: String): String = {
+                  runId: String, cutoffDays: Option[Int] = None): String = {
     graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_events_sig")
     graft.core.RunStore.land(
-      spark.sql(signalsSql("__graft_events_sig", runId, None)(SparkDialect)),
+      spark.sql(signalsSql("__graft_events_sig", runId, cutoffDays)(SparkDialect)),
       root, runId, "monitor_signals")
   }
 
@@ -424,6 +429,122 @@ object Monitors {
                                predicted: Double, se: Double,
                                lower_tolerance: Double, upper_tolerance: Double,
                                sensitivity: String)
+
+  // ---- PREDICT-mode: landed signal history -> SARIMAX tolerances -----
+  // The reference's actual prediction flow (reference:
+  // testgen/commands/test_thresholds_prediction.py:83-137,263-307):
+  // fetch the landed historical result signals per test definition,
+  // fit SARIMAX per series, write staged tolerance updates. The
+  // history-threshold recalc above is the NON-predict refresh; this is
+  // the PREDICT band path — it consumes the SAME landed RunStore
+  // signals, so a later run's bands genuinely come from earlier runs'
+  // landed measurements, never a re-derivation from raw events.
+
+  final case class PredictRow(series: String, n_signals: Int, method: String,
+                              predicted: Option[Double],
+                              lower_tolerance: Option[Double],
+                              upper_tolerance: Option[Double],
+                              sensitivity: String)
+
+  /** Fit tolerances for every series in the landed signal paths. Each
+    * series' landed history is run-cadence-sized by construction, so the
+    * fits run one-per-series inside `mapGroups` — millions of monitored
+    * series parallelize across a cluster with no driver-side loop.
+    *
+    *  - >= MinTrainValues landed signals: the SARIMAX(1,1,1)+exog port
+    *    with weekend+holiday exog and the z/t multiplier by sensitivity
+    *    (compute_sarimax_threshold); volume tolerances clamp at 0
+    *    (test_thresholds_prediction.py:118-123);
+    *  - shorter history: the documented stats fallback — the same
+    *    avg +/- 2*sd band the non-predict threshold recalc lands
+    *    (update_history_calc_thresholds.sql:22-51) — so bands exist from
+    *    the second run onward and tighten into model bands as history
+    *    accumulates. */
+  def predictThresholdsFrom(spark: SparkSession, paths: Seq[String],
+                            sensitivity: String = "medium",
+                            holidayCodes: Seq[String] = Seq("US"),
+                            clampNonNegative: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val hist = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .selectExpr("series",
+        "CAST(unix_timestamp(CAST(run_ts AS TIMESTAMP)) AS BIGINT) AS ts",
+        "CAST(value AS DOUBLE) AS value")
+      .as[SeriesPoint]
+    val sens = sensitivity
+    val codes = holidayCodes
+    val clamp = clampNonNegative
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    hist.groupByKey(_.series).mapGroups { (series, it) =>
+      val pts = it.toArray.sortBy(_.ts)
+      val ts = pts.map(_.ts).toSeq
+      val vals = pts.map(_.value).toSeq
+      val n = pts.length
+      def clamped(x: Double) = if (clamp) math.max(x, 0.0) else x
+      try {
+        val holidays = HolidayCalendar.dates(codes, HolidayCalendar.yearsOf(ts))
+        val fc = TimeSeries.sarimaxForecast(ts, vals,
+          excludeWeekends = true, holidays = holidays)
+        val z = TimeSeries.zScore(sens)
+        val mult =
+          if (n < TimeSeries.TDistributionThreshold)
+            TimeSeries.tPpf(TimeSeries.normCdf(z), n - 1)
+          else z
+        PredictRow(series, n, "sarimax",
+          Some(r4(fc.mean(0))),
+          Some(r4(clamped(fc.mean(0) - mult * fc.se(0)))),
+          Some(r4(clamped(fc.mean(0) + mult * fc.se(0)))), sens)
+      } catch {
+        case _: TimeSeries.NotEnoughData =>
+          if (n >= 2) {
+            val mean = vals.sum / n
+            val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+            PredictRow(series, n, "stats_fallback",
+              Some(r4(mean)),
+              Some(r4(clamped(mean - 2.0 * sd))),
+              Some(r4(clamped(mean + 2.0 * sd))), sens)
+          } else PredictRow(series, n, "insufficient_history",
+            None, None, None, sens)
+      }
+    }.toDF().orderBy("series")
+  }
+
+  /** Deterministic signal-history backfill for the query entry: the
+    * signal a daily run on day d would have landed (cumulative volume as
+    * of d) for the trailing `days` days, computed in ONE scan via a
+    * running sum instead of `days` separate as-of scans. Production runs
+    * land one signal each through [[landSignals]]; the backfill exists
+    * so the gate exercises a >= MinTrainValues history deterministically. */
+  def signalBackfillSql(rel: String, days: Int)(d: Dialect): String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS series, CAST(ts AS DATE) AS run_day,
+       |         COUNT(*) AS ct
+       |    FROM $rel GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT series, run_day,
+       |         SUM(ct) OVER (PARTITION BY series ORDER BY run_day) AS cum_ct,
+       |         MAX(run_day) OVER (PARTITION BY series) AS mx
+       |    FROM daily)
+       |SELECT series, ${d.castText("run_day")} AS run_id,
+       |       CAST(run_day AS TIMESTAMP) AS run_ts,
+       |       CAST(cum_ct AS DOUBLE) AS value
+       |  FROM cum
+       | WHERE run_day > ${d.dateAddDays("mx", -days)}
+       | ORDER BY series, run_day""".stripMargin
+
+  /** Query entry: backfill a deterministic daily signal history, land it
+    * in the RunStore, and fit PREDICT-mode tolerances from the LANDED
+    * parquet (rows-checked: the iterative fit is not SQL-expressible;
+    * MonitorsSpec asserts parity with TimeSeries.computeThreshold and
+    * RunHistorySpec drives the genuine multi-run landing path). */
+  def runPredictThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.RunStore.root
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
+      .createOrReplaceTempView("__graft_events_bf")
+    val p = graft.core.RunStore.land(
+      spark.sql(signalBackfillSql("__graft_events_bf", 40)(SparkDialect)),
+      root, "run_000", "monitor_signal_backfill")
+    predictThresholdsFrom(spark, Seq(p))
+  }
 
   /** SARIMAX(1,1,1)+exog tolerance bands per monitored series (see
     * [[TimeSeries]] for the model port). The daily aggregation is

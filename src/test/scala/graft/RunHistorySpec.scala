@@ -95,4 +95,29 @@ class RunHistorySpec extends SparkSpec {
     assert(rows("lineitem").startsWith("cumulative-"))
     assert(rows("region").startsWith("cumulative-"))
   }
+
+  test("PREDICT bands come from prior runs' LANDED signals via SARIMAX") {
+    import graft.streaming.Monitors
+    val root = java.nio.file.Files.createTempDirectory("graft_hist_pred").toString
+    // 25 runs land their signals, each measuring the state as of its own
+    // day — a genuine multi-run landed history, not a backfill
+    for (k <- 24 to 0 by -1)
+      Monitors.landSignals(spark, sfDir, root, f"run_${24 - k}%03d",
+        cutoffDays = Some(k))
+    val paths = graft.core.RunStore.runsWith(root, "monitor_signals")
+      .map(r => graft.core.RunStore.runPath(root, r, "monitor_signals"))
+    assert(paths.length == 25)
+    // the LAST run's prediction consumes only what earlier runs landed
+    val out = Monitors.predictThresholdsFrom(spark, paths).collect()
+    assert(out.nonEmpty)
+    val full = out.filter(_.getAs[Int]("n_signals") >= 20)
+    assert(full.nonEmpty, "no series accumulated a >=20-run landed history")
+    full.foreach { r =>
+      assert(r.getAs[String]("method") == "sarimax", r.toString)
+      val lo = r.getAs[Double]("lower_tolerance")
+      val hi = r.getAs[Double]("upper_tolerance")
+      val pred = r.getAs[Double]("predicted")
+      assert(!lo.isNaN && !hi.isNaN && lo <= pred && pred <= hi, r.toString)
+    }
+  }
 }

@@ -15,7 +15,12 @@ object Bench {
     // attribution incomparable across runs (the first consumer of each
     // memoized shared relation absorbs its whole build cost).
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runOnce(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+    def runOnce(timed: Boolean): Seq[(String, Double)] = queries.map { case (name, fn) =>
+      // measurement hygiene: settle the heap before each TIMED query so
+      // a heavy alphabetical neighbor's garbage is not charged to this
+      // query's wall clock (r5 showed 2-4x in-bench inflation vs
+      // isolated warm runs from exactly this cross-charging)
+      if (timed) System.gc()
       val t0 = System.nanoTime()
       // error isolation with one retry — the reference's failed-batch
       // rerun-singly semantics (run_test_execution.py:300-352)
@@ -27,11 +32,18 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Untimed warm-up pass: pays the one-time costs (JIT/codegen warmup,
-    // memoized shared relations) so the TIMED pass measures steady-state
+    // memoized shared relations) so the TIMED passes measure steady-state
     // per-query cost — two consecutive bench runs now agree per query
     // instead of charging cold-start to whichever query ran first.
-    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) runOnce()
-    val results = runOnce()
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) runOnce(timed = false)
+    // Per-query time = MIN across timed passes: the steady-state cost an
+    // isolated warm run would show, robust to one-off GC/OS noise that a
+    // single in-pass sample keeps picking up from its neighbors.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val timedRuns = (1 to passes).map(_ => runOnce(timed = true))
+    val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
+      name -> timedRuns.map(_(i)._2).min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

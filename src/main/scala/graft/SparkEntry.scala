@@ -134,7 +134,13 @@ object SparkEntry {
       ("monitor_predict_thresholds" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runPredictThresholds(s, dir))) +
       ("dq_scores_weighted" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runWeightedScoreRollup(s, dir)))
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runWeightedScoreRollup(s, dir))) +
+      ("score_card_columns" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardColumns(s, dir))) +
+      ("score_card_dimensions" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardDimensions(s, dir))) +
+      ("score_card_history" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistory(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -197,5 +203,11 @@ object SparkEntry {
       ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()) +
       ("lookup_min_date" -> graft.lookup.DrillDown.duckMinDateSql()) +
       ("knn_lsh" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("dq_scores_weighted" -> graft.scoring.Scoring.duckWeightedScoreRollupSql())
+      ("dq_scores_weighted" -> graft.scoring.Scoring.duckWeightedScoreRollupSql()) +
+      ("score_card_columns" -> graft.scoring.Scoring.duckScoreCardColumnsSql()) +
+      ("score_card_dimensions" -> graft.scoring.Scoring.duckScoreCardDimensionsSql()) +
+      // score_card_history: the oracle recomputes both runs' score detail
+      // from first principles (raw tables + the same dismissal list), so
+      // the landed trend values are independently verified
+      ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql())
 }

@@ -337,6 +337,247 @@ object Scoring {
        |  JOIN totals t ON t.table_name = p.table_name
        | ORDER BY p.table_name, p.dq_dimension""".stripMargin
 
+  // ---- score-card breakdowns (impact / score / issue_ct contract) ----
+  // The reference's score-card queries (testgen/template/score_cards/
+  // get_score_card_breakdown_by_column.sql, _by_dimension.sql) combine
+  // the profiling and test scoring families per grouping key:
+  //   impact  = 100 * (pts_p*(1-score_p)/total_p + pts_t*(1-score_t)/total_t)
+  //   score   = COALESCE(score_p, 1) * COALESCE(score_t, 1)
+  //   issue_ct= COALESCE(issues_p, 0) + COALESCE(issues_t, 0)
+  // ordered by impact. Weights are off here (matching the unweighted
+  // dq_scores entry); the weighted rollup remains its own entry.
+
+  /** By-column score-card breakdown. Every tested column is profiled, so
+    * the reference's FULL OUTER join degenerates to a LEFT join from the
+    * profiling side. */
+  def scoreCardColumnsSql(enrRel: String, anomRel: String,
+                          prevRel: String)(d: Dialect): String =
+    s"""WITH enr_b AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |anoms_b AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |prev_b AS ${d.cteMaterialized}(SELECT * FROM $prevRel),
+       |prof AS (
+       |  SELECT e.table_name, e.column_name,
+       |         COUNT(a.anomaly_type) AS issue_ct,
+       |         MAX(e.record_ct) AS data_point_ct,
+       |         ${sumLn("COALESCE(a.prevalence, 0.0)")} AS score
+       |    FROM enr_b e
+       |    LEFT JOIN anoms_b a
+       |      ON a.table_name = e.table_name AND a.column_name = e.column_name
+       |   GROUP BY e.table_name, e.column_name),
+       |tst AS (
+       |  SELECT p.table_name, p.column_name,
+       |         COUNT(*) AS issue_ct,
+       |         MAX(e.record_ct) AS data_point_ct,
+       |         ${sumLn("COALESCE(p.dq_prevalence, 0.0)")} AS score
+       |    FROM prev_b p
+       |    JOIN enr_b e
+       |      ON e.table_name = p.table_name AND e.column_name = p.column_name
+       |   GROUP BY p.table_name, p.column_name),
+       |parent AS (
+       |  SELECT (SELECT SUM(data_point_ct) FROM prof) AS profiling_points,
+       |         (SELECT SUM(data_point_ct) FROM tst) AS test_points)
+       |SELECT pr.table_name, pr.column_name,
+       |       CAST(ROUND(100 * (COALESCE(pr.data_point_ct * (1 - pr.score)
+       |                           / NULLIF(parent.profiling_points, 0), 0)
+       |                       + COALESCE(t.data_point_ct * (1 - t.score)
+       |                           / NULLIF(parent.test_points, 0), 0)), 6)
+       |            AS DOUBLE) AS impact,
+       |       CAST(ROUND(COALESCE(pr.score, 1) * COALESCE(t.score, 1), 6)
+       |            AS DOUBLE) AS score,
+       |       CAST(COALESCE(pr.issue_ct, 0) + COALESCE(t.issue_ct, 0)
+       |            AS BIGINT) AS issue_ct
+       |  FROM prof pr
+       |  LEFT JOIN tst t
+       |    ON t.table_name = pr.table_name AND t.column_name = pr.column_name
+       |  CROSS JOIN parent
+       | ORDER BY impact DESC, pr.table_name, pr.column_name
+       | LIMIT 100""".stripMargin
+
+  /** By-dimension score-card breakdown: the same impact contract grouped
+    * by dq_dimension (each family's per-column-per-dimension SUM_LN rows
+    * aggregate point-weighted into a dimension score, mirroring
+    * v_dq_*_scoring_latest_by_dimension + the breakdown template). */
+  def scoreCardDimensionsSql(enrRel: String, anomRel: String,
+                             prevRel: String)(d: Dialect): String =
+    s"""WITH enr_b AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |anoms_b AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |prev_b AS ${d.cteMaterialized}(SELECT * FROM $prevRel),
+       |prof_cd AS (
+       |  SELECT a.table_name, a.column_name,
+       |         ${dimCase("a.anomaly_type", anomalyDims)} AS dq_dimension,
+       |         COUNT(*) AS issue_ct,
+       |         MAX(e.record_ct) AS record_ct,
+       |         ${sumLn("COALESCE(a.prevalence, 0.0)")} AS good_pct
+       |    FROM anoms_b a
+       |    JOIN enr_b e
+       |      ON e.table_name = a.table_name AND e.column_name = a.column_name
+       |   GROUP BY a.table_name, a.column_name, 3),
+       |tst_cd AS (
+       |  SELECT p.table_name, p.column_name,
+       |         ${dimCase("p.test_type", testDims)} AS dq_dimension,
+       |         COUNT(*) AS issue_ct,
+       |         MAX(e.record_ct) AS record_ct,
+       |         ${sumLn("COALESCE(p.dq_prevalence, 0.0)")} AS good_pct
+       |    FROM prev_b p
+       |    JOIN enr_b e
+       |      ON e.table_name = p.table_name AND e.column_name = p.column_name
+       |   GROUP BY p.table_name, p.column_name, 3),
+       |prof_dim AS (
+       |  SELECT dq_dimension, SUM(issue_ct) AS issue_ct,
+       |         SUM(record_ct) AS data_point_ct,
+       |         SUM(record_ct * good_pct) / NULLIF(SUM(record_ct), 0) AS score
+       |    FROM prof_cd WHERE dq_dimension IS NOT NULL GROUP BY dq_dimension),
+       |tst_dim AS (
+       |  SELECT dq_dimension, SUM(issue_ct) AS issue_ct,
+       |         SUM(record_ct) AS data_point_ct,
+       |         SUM(record_ct * good_pct) / NULLIF(SUM(record_ct), 0) AS score
+       |    FROM tst_cd WHERE dq_dimension IS NOT NULL GROUP BY dq_dimension),
+       |parent AS (
+       |  SELECT (SELECT SUM(record_ct) FROM
+       |            (SELECT MAX(record_ct) AS record_ct FROM enr_b
+       |              GROUP BY table_name, column_name) pe) AS profiling_points,
+       |         (SELECT SUM(record_ct) FROM
+       |            (SELECT MAX(e.record_ct) AS record_ct FROM prev_b p
+       |              JOIN enr_b e ON e.table_name = p.table_name
+       |                          AND e.column_name = p.column_name
+       |              GROUP BY p.table_name, p.column_name) pt) AS test_points)
+       |SELECT COALESCE(pr.dq_dimension, t.dq_dimension) AS dq_dimension,
+       |       CAST(ROUND(100 * (COALESCE(pr.data_point_ct * (1 - pr.score)
+       |                           / NULLIF(parent.profiling_points, 0), 0)
+       |                       + COALESCE(t.data_point_ct * (1 - t.score)
+       |                           / NULLIF(parent.test_points, 0), 0)), 6)
+       |            AS DOUBLE) AS impact,
+       |       CAST(ROUND(COALESCE(pr.score, 1) * COALESCE(t.score, 1), 6)
+       |            AS DOUBLE) AS score,
+       |       CAST(COALESCE(pr.issue_ct, 0) + COALESCE(t.issue_ct, 0)
+       |            AS BIGINT) AS issue_ct
+       |  FROM prof_dim pr
+       |  FULL JOIN tst_dim t ON t.dq_dimension = pr.dq_dimension
+       |  CROSS JOIN parent
+       | ORDER BY impact DESC, dq_dimension""".stripMargin
+
+  // ---- historical overall scores over landed runs ---------------------
+  // The reference's history query reads score_definition_results_history
+  // joined to the by-column scoring views at each run's cutoff time
+  // (get_historical_overall_scores_by_column.sql) and emits the overall
+  // and CDE (critical-data-element) score per run. Here each engine run
+  // lands its by-column score detail in the RunStore; the trend is
+  // computed over the LANDED rows. CDE is the reference's user tag on
+  // data_column_chars — the engine defaults it from the computed PII
+  // cascade (pii_flag IS NOT NULL), the documented deviation.
+
+  /** Per-column score detail a run lands: combined profiling+test
+    * SUM_LN good fraction, record weight, and the CDE flag. */
+  def scoreDetailSql(enrRel: String, anomRel: String,
+                     prevRel: String)(d: Dialect): String =
+    s"""WITH enr_h AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |anoms_h AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |prev_h AS ${d.cteMaterialized}(SELECT * FROM $prevRel),
+       |iss AS (
+       |  SELECT table_name, column_name, prevalence AS p FROM anoms_h
+       |  UNION ALL
+       |  SELECT table_name, column_name, dq_prevalence AS p FROM prev_h)
+       |SELECT e.table_name, e.column_name,
+       |       CAST(MAX(e.record_ct) AS BIGINT) AS record_ct,
+       |       CAST(MAX(CASE WHEN e.pii_flag IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS INT) AS is_cde,
+       |       CAST(ROUND(${sumLn("COALESCE(i.p, 0.0)")}, 6) AS DOUBLE) AS good_pct
+       |  FROM enr_h e
+       |  LEFT JOIN iss i
+       |    ON i.table_name = e.table_name AND i.column_name = e.column_name
+       | GROUP BY e.table_name, e.column_name""".stripMargin
+
+  /** Overall + CDE score per run over (run_id, detail relation) pairs —
+    * point-weighted means over each run's landed by-column detail. */
+  def scoreHistorySql(runs: Seq[(String, String)])(d: Dialect): String = {
+    val hist = runs.map { case (runId, rel) =>
+      s"SELECT '$runId' AS run_id, * FROM $rel"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hist AS (
+       |$hist
+       |)
+       |SELECT run_id,
+       |       CAST(ROUND(SUM(record_ct * good_pct)
+       |                  / NULLIF(SUM(record_ct), 0), 6) AS DOUBLE) AS score,
+       |       CAST(ROUND(SUM(CASE WHEN is_cde = 1 THEN record_ct * good_pct END)
+       |                  / NULLIF(SUM(CASE WHEN is_cde = 1 THEN record_ct END), 0), 6)
+       |            AS DOUBLE) AS cde_score
+       |  FROM hist
+       | GROUP BY run_id
+       | ORDER BY run_id""".stripMargin
+  }
+
+  /** The seeded two-run disposition history: run_000 scores with every
+    * anomaly active; run_001 after the Non_Standard_Blanks finding on
+    * events.event_type was dismissed — the reference's disposition
+    * lifecycle (its scoring views filter disposition = 'Confirmed' OR
+    * NULL), so the landed trend genuinely moves between runs. */
+  val dismissedByRun1: Seq[(String, String, String)] =
+    Seq(("Non_Standard_Blanks", "events", "event_type"))
+
+  private def prevalenceView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "prevalence_view", dir) {
+      val view = "__graft_prev_shared"
+      runTestPrevalence(spark, dir).createOrReplaceTempView(view)
+      view
+    }
+
+  def runScoreCardColumns(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_scc_anoms")
+    spark.sql(scoreCardColumnsSql(enrView, "__graft_scc_anoms",
+      prevalenceView(spark, dir))(SparkDialect))
+  }
+
+  def runScoreCardDimensions(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_scd_anoms")
+    spark.sql(scoreCardDimensionsSql(enrView, "__graft_scd_anoms",
+      prevalenceView(spark, dir))(SparkDialect))
+  }
+
+  /** Query entry: land both runs' by-column score detail, then compute
+    * the trend from the LANDED parquet; the DuckDB oracle recomputes the
+    * identical trend from first principles (raw tables + the same
+    * dismissal list), so the landed values are independently verified. */
+  def runScoreHistory(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.RunStore.root
+    val enrView = enrichedView(spark, dir)
+    val prevView = prevalenceView(spark, dir)
+    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_sh_anoms0")
+    HygieneScreens.run(spark, dir, muted = dismissedByRun1)
+      .createOrReplaceTempView("__graft_sh_anoms1")
+    val p0 = graft.core.RunStore.land(
+      spark.sql(scoreDetailSql(enrView, "__graft_sh_anoms0", prevView)(SparkDialect)),
+      root, "run_000", "score_detail")
+    val p1 = graft.core.RunStore.land(
+      spark.sql(scoreDetailSql(enrView, "__graft_sh_anoms1", prevView)(SparkDialect)),
+      root, "run_001", "score_detail")
+    spark.sql(scoreHistorySql(Seq(
+      "run_000" -> SparkDialect.readParquet(p0),
+      "run_001" -> SparkDialect.readParquet(p1)))(SparkDialect))
+  }
+
+  private def duckEnr(): String =
+    s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})"
+
+  def duckScoreCardColumnsSql(): String =
+    scoreCardColumnsSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
+      s"(${duckTestPrevalenceSql()})")(DuckDialect)
+
+  def duckScoreCardDimensionsSql(): String =
+    scoreCardDimensionsSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
+      s"(${duckTestPrevalenceSql()})")(DuckDialect)
+
+  def duckScoreHistorySql(): String = {
+    val prev = s"(${duckTestPrevalenceSql()})"
+    def detail(muted: Seq[(String, String, String)]) =
+      s"(${scoreDetailSql(duckEnr(), s"(${HygieneScreens.duckSql(muted)})", prev)(DuckDialect)})"
+    scoreHistorySql(Seq(
+      "run_000" -> detail(Nil),
+      "run_001" -> detail(dismissedByRun1)))(DuckDialect)
+  }
+
   private def enrichedView(spark: SparkSession, dir: String): String =
     HygieneScreens.enrichedView(spark, dir)
 

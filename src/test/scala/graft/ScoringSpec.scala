@@ -53,4 +53,31 @@ class ScoringSpec extends SparkSpec {
       assert(r.getAs[Double]("data_points") >= plain(r.getAs[String]("table_name")))
     }
   }
+
+  test("score-card breakdowns keep the impact/score/issue_ct contract") {
+    val cols = Scoring.runScoreCardColumns(spark, sfDir).collect()
+    assert(cols.nonEmpty)
+    // ordered by impact descending; scores in [0, 1]; issues non-negative
+    val impacts = cols.map(_.getAs[Double]("impact"))
+    assert(impacts.zip(impacts.tail).forall { case (a, b) => a >= b })
+    assert(cols.forall { r =>
+      val s = r.getAs[Double]("score"); s >= 0.0 && s <= 1.0
+    })
+    val dims = Scoring.runScoreCardDimensions(spark, sfDir).collect()
+    assert(dims.nonEmpty)
+    val dimImpacts = dims.map(_.getAs[Double]("impact"))
+    assert(dimImpacts.zip(dimImpacts.tail).forall { case (a, b) => a >= b })
+    // a column with issues scores below a clean one's 1.0
+    assert(cols.exists(_.getAs[Double]("score") < 1.0))
+  }
+
+  test("score history lands two runs; dismissal never lowers the score") {
+    val hist = Scoring.runScoreHistory(spark, sfDir).collect()
+      .map(r => r.getAs[String]("run_id") -> r.getAs[Double]("score")).toMap
+    assert(hist.keySet == Set("run_000", "run_001"))
+    // run_001 dismissed an anomaly (disposition lifecycle), so its score
+    // is >= run_000's — strictly greater when the finding exists at this SF
+    assert(hist("run_001") >= hist("run_000"), hist.toString)
+    assert(hist.values.forall(s => s > 0.0 && s <= 1.0))
+  }
 }

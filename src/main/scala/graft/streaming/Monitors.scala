@@ -343,9 +343,17 @@ object Monitors {
     * from `holidayCodes` via [[HolidayCalendar]]) subtracts business
     * holidays — so thresholds are in business minutes, the reference's
     * freshness semantics. */
+  /** `tzOffsetsSec` localizes each series before any calendar
+    * arithmetic — weekday, holiday-date, update-window and deadline
+    * boundaries all shift with the series' timezone, matching the
+    * reference's tz-localized exclusion flags
+    * (testgen/common/time_series_service.py:56-73: the history index is
+    * tz-converted before is_excluded is computed) and the per-suite
+    * cron_tz of the PREDICT flow (test_thresholds_prediction.py:80-84). */
   def runSchedule(spark: SparkSession, dir: String,
                   sensitivity: String = "medium",
-                  holidayCodes: Seq[String] = Seq("US")): DataFrame = {
+                  holidayCodes: Seq[String] = Seq("US"),
+                  tzOffsetsSec: Map[String, Long] = Map.empty): DataFrame = {
     import spark.implicits._
     graft.core.Tables.registerAll(spark, dir)
     val updates = spark.sql(
@@ -360,15 +368,18 @@ object Monitors {
         |  FROM lineitem GROUP BY 1, 2""".stripMargin).as[UpdateEvent]
     val sens = sensitivity
     val codes = holidayCodes
+    val tzs = tzOffsetsSec
     updates.groupByKey(_.series).mapGroups { (series, it) =>
+      val tz = tzs.getOrElse(series, 0L)
       val times = it.map(_.ts).toArray.sorted.toSeq
-      val sched = Freshness.inferSchedule(times)
+      val sched = Freshness.inferSchedule(times, tz)
       val params = Freshness.scheduleParams(sched)
       val holidays = HolidayCalendar.dates(codes, HolidayCalendar.yearsOf(times))
       val thr =
         try Some(Freshness.gapThreshold(times, sens,
           excludedDays = params.excludedDays, holidays = holidays,
-          windowStart = params.windowStart, windowEnd = params.windowEnd))
+          windowStart = params.windowStart, windowEnd = params.windowEnd,
+          tzOffsetSec = tz))
         catch { case _: Freshness.NotEnoughData => None }
       // daily/weekly ACTIVE schedules: the upper threshold becomes the
       // business minutes to the next schedule deadline (window end +
@@ -379,7 +390,8 @@ object Monitors {
         t <- thr
         m <- Freshness.minutesToNextDeadline(t.lastUpdateSec, s,
           Freshness.deadlineBufferHours(sens),
-          excludedDays = params.excludedDays, holidays = holidays)
+          excludedDays = params.excludedDays, holidays = holidays,
+          tzOffsetSec = tz)
       } yield m
       def r4(x: Double) = math.rint(x * 10000) / 10000
       ScheduleRow(
@@ -463,7 +475,8 @@ object Monitors {
   def predictThresholdsFrom(spark: SparkSession, paths: Seq[String],
                             sensitivity: String = "medium",
                             holidayCodes: Seq[String] = Seq("US"),
-                            clampNonNegative: Boolean = true): DataFrame = {
+                            clampNonNegative: Boolean = true,
+                            tzOffsetsSec: Map[String, Long] = Map.empty): DataFrame = {
     import spark.implicits._
     val hist = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
       .selectExpr("series",
@@ -473,6 +486,7 @@ object Monitors {
     val sens = sensitivity
     val codes = holidayCodes
     val clamp = clampNonNegative
+    val tzs = tzOffsetsSec
     def r4(x: Double) = math.rint(x * 10000) / 10000
     hist.groupByKey(_.series).mapGroups { (series, it) =>
       val pts = it.toArray.sortBy(_.ts)
@@ -483,7 +497,8 @@ object Monitors {
       try {
         val holidays = HolidayCalendar.dates(codes, HolidayCalendar.yearsOf(ts))
         val fc = TimeSeries.sarimaxForecast(ts, vals,
-          excludeWeekends = true, holidays = holidays)
+          excludeWeekends = true, holidays = holidays,
+          tzOffsetSec = tzs.getOrElse(series, 0L))
         val z = TimeSeries.zScore(sens)
         val mult =
           if (n < TimeSeries.TDistributionThreshold)
@@ -557,7 +572,8 @@ object Monitors {
     * single-process bound. */
   def runSarimax(spark: SparkSession, dir: String,
                  sensitivity: String = "medium",
-                 holidayCodes: Seq[String] = Seq("US")): DataFrame = {
+                 holidayCodes: Seq[String] = Seq("US"),
+                 tzOffsetsSec: Map[String, Long] = Map.empty): DataFrame = {
     import spark.implicits._
     val events = graft.core.Tables.load(spark, dir, "events", parallelize = false)
     events.createOrReplaceTempView("__graft_events_sx")
@@ -569,6 +585,7 @@ object Monitors {
         | GROUP BY 1, 2""".stripMargin).as[SeriesPoint]
     val sens = sensitivity
     val codes = holidayCodes
+    val tzs = tzOffsetsSec
     daily.groupByKey(_.series).flatMapGroups { (series, it) =>
       val pts = it.toArray.sortBy(_.ts)
       val ts = pts.map(_.ts).toSeq
@@ -576,10 +593,12 @@ object Monitors {
       try {
         // holiday calendar resolved per series over its own year span —
         // the exog flags weekend-or-holiday points exactly like the
-        // reference's is_excluded (time_series_service.py:63-73)
+        // reference's is_excluded, computed in the series' local tz
+        // (time_series_service.py:56-73)
         val holidays = HolidayCalendar.dates(codes, HolidayCalendar.yearsOf(ts))
         val fc = TimeSeries.sarimaxForecast(ts, vals,
-          excludeWeekends = true, holidays = holidays)
+          excludeWeekends = true, holidays = holidays,
+          tzOffsetSec = tzs.getOrElse(series, 0L))
         val z = TimeSeries.zScore(sens)
         val mult =
           if (pts.length < TimeSeries.TDistributionThreshold)

@@ -190,4 +190,35 @@ class FreshnessSpec extends AnyFunSuite {
     assert(Freshness.minutesToNextDeadline(lastUpdate,
       s.copy(windowEnd = None), 3.0).isEmpty)
   }
+
+  test("a UTC+10 series' weekend boundaries shift with the timezone") {
+    val tz10 = 10 * hour
+    // Thursday 20:00 UTC -> Friday 20:00 UTC: no UTC weekend touched
+    val thu2000 = monday + 3 * day + 20 * hour
+    val fri2000 = thu2000 + day
+    assert(Freshness.excludedMinutes(thu2000, fri2000, Set.empty,
+      excludeWeekends = true) == 0.0)
+    // the same instants in UTC+10 are Friday 06:00 -> Saturday 06:00
+    // local: six hours (Sat 00:00-06:00) fall on the local weekend
+    assert(Freshness.excludedMinutes(thu2000, fri2000, Set.empty,
+      tzOffsetSec = tz10, excludeWeekends = true) == 360.0)
+  }
+
+  test("UTC+10 business-minute thresholds match hand-computed gaps") {
+    val tz10 = 10 * hour
+    // Mon-Fri updates at 20:00 UTC for 3 weeks
+    val times = for { w <- 0 until 3; d <- 0 until 5 }
+      yield monday + (w * 7L + d) * day + 20 * hour
+    // UTC: every business gap is 24h (the Fri->Mon 72h gap loses the
+    // 48h UTC weekend) -> upper = 1440 * 1.25 floor
+    val utc = Freshness.gapThreshold(times, "medium", excludeWeekends = true)
+    assert(utc.upper == 1440 * 1.25)
+    // UTC+10: updates land Tue-Sat 06:00 LOCAL. Thu->Fri gap crosses
+    // into local Saturday (360 min excluded -> 1080); Fri->Mon spans
+    // Sat 06:00 -> Tue 06:00 local, excluding Sat 18h + Sun 24h
+    // -> 72h - 42h = 1800 min. Max gap 1800 * 1.25 = 2250.
+    val local = Freshness.gapThreshold(times, "medium",
+      excludeWeekends = true, tzOffsetSec = tz10)
+    assert(local.upper == 1800 * 1.25, local.toString)
+  }
 }

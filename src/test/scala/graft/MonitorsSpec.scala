@@ -53,6 +53,20 @@ class MonitorsSpec extends SparkSpec {
     assert(ev.getAs[Double]("upper_min") < 27 * 60.0, ev)
   }
 
+  test("per-series tz offsets flow through the schedule path unchanged elsewhere") {
+    // the events fixture updates uniformly around the clock, so its own
+    // schedule is tz-invariant — the hand-computed tz scenarios live in
+    // FreshnessSpec; here we assert the plumbing leaves offset-free
+    // series bit-identical and runs green with an offset present
+    val utc = Monitors.runSchedule(spark, sfDir).collect()
+      .map(r => r.getAs[String]("series") -> r.toString).toMap
+    val tz = Monitors.runSchedule(spark, sfDir,
+      tzOffsetsSec = Map("events" -> 10 * 3600L)).collect()
+      .map(r => r.getAs[String]("series") -> r.toString).toMap
+    assert(tz("orders") == utc("orders"))
+    assert(tz("lineitem") == utc("lineitem"))
+  }
+
   test("PREDICT tolerances from landed history match the SARIMAX port") {
     import graft.streaming.{HolidayCalendar, TimeSeries}
     import spark.implicits._

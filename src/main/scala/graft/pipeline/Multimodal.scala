@@ -5,16 +5,108 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
 /** Multimodal-column plumbing: media payloads as opaque BINARY columns
-  * with typed metadata, and a batched feature-extraction pipeline whose
-  * decode step is STUBBED (no image/audio codecs in this environment)
-  * behind a deterministic md5-derived fake — the Spark-side schema,
-  * partition-parallel batching, and feature layout are real.
+  * with typed metadata, and a batched feature-extraction pipeline. The
+  * decode step is REAL for two public formats a JVM can parse without
+  * codecs — uncompressed 24-bit BMP and 16-bit PCM WAV — and falls back
+  * to a deterministic md5-derived stand-in for payloads in any other
+  * format (this container ships no image/audio libraries; a jpeg/mp4
+  * codec plugs into the same per-partition decode slot).
   *
   * At scale: the binary payloads never shuffle — metadata extraction
   * and featurization are per-partition map work; only the small
   * (id, features) output moves.
   */
 object Multimodal {
+
+  // ---- pure-JVM decoders ----------------------------------------------
+  // Byte-level parsers of the public BMP (BITMAPINFOHEADER) and RIFF/WAVE
+  // container layouts; all stats are integer-exact sums finished with one
+  // 4-decimal rounding, so expected values are hand-computable in specs.
+
+  final case class ImageStats(width: Int, height: Int,
+                              meanR: Double, meanG: Double, meanB: Double)
+  final case class AudioStats(sampleRate: Int, nChannels: Int,
+                              nSamples: Int, peak: Int, rms: Double)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def r4(x: Double) = math.rint(x * 10000) / 10000
+
+  /** Uncompressed 24-bit BMP: 'BM' magic, BITMAPINFOHEADER, BGR rows
+    * padded to 4 bytes, bottom-up when height > 0 (row order does not
+    * affect the channel means). None on any other layout. */
+  def decodeBmp(b: Array[Byte]): Option[ImageStats] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixelOffset = i32(b, 10)
+    val width = i32(b, 18)
+    val height = math.abs(i32(b, 22))
+    val bpp = u16(b, 28)
+    val compression = i32(b, 30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * height > b.length)
+      return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = pixelOffset + y * rowSize
+      while (x < width) {
+        val p = row + x * 3
+        sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some(ImageStats(width, height,
+      r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n)))
+  }
+
+  /** 16-bit PCM RIFF/WAVE: walks the chunk list for 'fmt ' (format 1,
+    * 16 bps) and 'data'; peak is the max absolute sample, rms the root
+    * mean square over all channel samples. None on any other layout. */
+  def decodeWav(b: Array[Byte]): Option[AudioStats] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+      || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var blockAlign = 0; var ok = false
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = i32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val fmt = u16(b, pos + 8)
+          channels = u16(b, pos + 10)
+          sampleRate = i32(b, pos + 12)
+          blockAlign = u16(b, pos + 20)
+          val bps = u16(b, pos + 22)
+          ok = fmt == 1 && bps == 16 && channels > 0 && blockAlign == channels * 2
+        case "data" => dataOff = pos + 8; dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!ok || dataOff < 0 || blockAlign == 0) return None
+    val nFrames = dataLen / blockAlign
+    val nVals = nFrames * channels
+    var peak = 0; var sumSq = 0.0
+    var i = 0
+    while (i < nVals) {
+      val v = u16(b, dataOff + i * 2).toShort.toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toDouble * v
+      i += 1
+    }
+    Some(AudioStats(sampleRate, channels, nFrames, peak,
+      if (nVals > 0) r4(math.sqrt(sumSq / nVals)) else 0.0))
+  }
 
   /** Media metadata + stub features via SQL over a binary cast of the
     * document text (the driver testdata ships no real media; any binary
@@ -44,25 +136,44 @@ object Multimodal {
   def duckSql(): String = sql("documents")(DuckDialect)
 
   /** The Dataset-typed side of the pipeline: binary payload column +
-    * per-partition batched "decode" (stubbed as content-hash features).
-    * This is the shape a real decoder plugs into via mapPartitions —
-    * batch-local library initialization, bounded memory per batch. */
-  final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Double])
+    * per-partition batched decode via mapPartitions — batch-local codec
+    * initialization, bounded memory per batch. BMP and WAV payloads
+    * decode for real ([[decodeBmp]]/[[decodeWav]]); anything else gets
+    * the deterministic content-hash stand-in (kind = 'opaque'). */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, kind: String,
+                                 features: Array[Double])
+
+  def featuresOf(id: Long, payload: Array[Byte],
+                 digest: java.security.MessageDigest): MediaFeatures =
+    decodeBmp(payload) match {
+      case Some(s) => MediaFeatures(id, payload.length, "bmp",
+        Array(s.width, s.height, s.meanR, s.meanG, s.meanB))
+      case None => decodeWav(payload) match {
+        case Some(a) => MediaFeatures(id, payload.length, "wav",
+          Array(a.sampleRate, a.nChannels, a.nSamples, a.peak, a.rms))
+        case None =>
+          val h = digest.digest(payload)
+          MediaFeatures(id, payload.length, "opaque",
+            Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
+      }
+    }
 
   def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val media = graft.core.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    media.as[(Long, Array[Byte])].mapPartitions { batch =>
-      // A real decoder would initialize its codec ONCE per partition
-      // here (??? in production: image decode / resample / frame grab).
+    extractFrom(media.as[(Long, Array[Byte])])
+  }
+
+  /** Decode any (id, payload) dataset — the production entry point a
+    * media table plugs into directly. */
+  def extractFrom(media: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // codec/digest state initialized ONCE per partition
       val digest = java.security.MessageDigest.getInstance("MD5")
-      batch.map { case (id, payload) =>
-        val h = digest.digest(payload)
-        MediaFeatures(id, payload.length,
-          Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
-      }
+      batch.map { case (id, payload) => featuresOf(id, payload, digest) }
     }.toDF()
   }
 }

@@ -34,8 +34,68 @@ class MonitorsSpec extends SparkSpec {
     val df = Multimodal.extractFeatures(spark, sfDir)
     val rows = df.collect()
     assert(rows.length == 500)
+    // document text payloads are not BMP/WAV — all take the opaque path
+    assert(rows.forall(_.getAs[String]("kind") == "opaque"))
     assert(rows.forall(_.getAs[Seq[Double]]("features").length == 4))
   }
+
+  test("BMP and WAV payloads decode in-pipeline with exact stats") {
+    import spark.implicits._
+    // 2x2 24-bit BMP: rows padded to 4 bytes, BGR, bottom-up.
+    // pixels: (255,0,0) red, (0,255,0) green / (0,0,255) blue, (10,20,30)
+    def bmp(pixels: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+      val h = pixels.length; val w = pixels.head.length
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int) = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      out.write('B'); out.write('M'); le32(54 + rowSize * h)
+      le16(0); le16(0); le32(54)                   // reserved, pixel offset
+      le32(40); le32(w); le32(h); le16(1); le16(24) // DIB, planes, bpp
+      le32(0); le32(rowSize * h); le32(2835); le32(2835); le32(0); le32(0)
+      for (row <- pixels.reverse) {                 // bottom-up
+        for ((r, g, b) <- row) { out.write(b); out.write(g); out.write(r) }
+        (0 until rowSize - w * 3).foreach(_ => out.write(0))
+      }
+      out.toByteArray
+    }
+    // mono 16-bit PCM WAV at 8 kHz with samples 100, -200, 300
+    def wav(samples: Seq[Int], rate: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int) = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def ascii(s: String) = s.foreach(c => out.write(c))
+      ascii("RIFF"); le32(36 + samples.length * 2); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1); le16(1); le32(rate)
+      le32(rate * 2); le16(2); le16(16)
+      ascii("data"); le32(samples.length * 2); samples.foreach(le16)
+      out.toByteArray
+    }
+    val img = bmp(Seq(Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (10, 20, 30))))
+    val snd = wav(Seq(100, -200, 300), 8000)
+    val other = "not media".getBytes("UTF-8")
+    val ds = Seq((1L, img), (2L, snd), (3L, other)).toDS()
+    val rows = Multimodal.extractFrom(ds).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // image: means are exact quarters of the channel sums
+    assert(rows(1L).getAs[String]("kind") == "bmp")
+    val f = rows(1L).getAs[scala.collection.Seq[Double]]("features")
+    assert(f.sameElements(Seq(2.0, 2.0, r4((255 + 10) / 4.0),
+      r4((255 + 20) / 4.0), r4((255 + 30) / 4.0))), f.toString)
+    // audio: peak 300; rms = sqrt((100^2+200^2+300^2)/3)
+    assert(rows(2L).getAs[String]("kind") == "wav")
+    val a = rows(2L).getAs[scala.collection.Seq[Double]]("features")
+    assert(a.sameElements(Seq(8000.0, 1.0, 3.0, 300.0,
+      r4(math.sqrt((100.0 * 100 + 200 * 200 + 300 * 300) / 3)))), a.toString)
+    // anything else stays on the deterministic opaque path
+    assert(rows(3L).getAs[String]("kind") == "opaque")
+    // truncated/corrupt payloads decode to None, not garbage
+    assert(Multimodal.decodeBmp(img.take(40)).isEmpty)
+    assert(Multimodal.decodeWav(snd.take(20)).isEmpty)
+  }
+
+  private def r4(x: Double) = math.rint(x * 10000) / 10000
 
   test("daily active schedules get deadline-based upper thresholds") {
     val rows = Monitors.runSchedule(spark, sfDir).collect()

@@ -187,12 +187,16 @@ object SparkEntry {
       // parquet (Verify executes queries before the driver runs the
       // oracle), so DuckDB diffs the same landed files.
       ("schema_drift" -> graft.inference.SchemaDrift.duckSql()) +
-      // monitor_sarimax: iterative Nelder-Mead ARIMA fit — not
-      // SQL-expressible; rows-only check + TimeSeriesSpec unit tests.
-      // monitor_schedule: the inference is iterative arithmetic, but its
-      // output over the gate fixture is deterministic — frozen VALUES
-      // oracle cross-validated by FreshnessSpec (see duckScheduleSql).
+      // The iterative-fit monitors are not SQL-expressible, but each is a
+      // deterministic function of the fixed gate fixture — frozen VALUES
+      // oracles (cross-validated by FreshnessSpec / TimeSeriesSpec /
+      // MonitorsSpec model parity tests) let rows+schema+hash all check.
       ("monitor_schedule" -> graft.streaming.Monitors.duckScheduleSql()) +
+      ("monitor_sarimax" -> graft.streaming.Monitors.duckSarimaxSql()) +
+      ("monitor_predict_thresholds" -> graft.streaming.Monitors.duckPredictThresholdsSql()) +
+      // knn_lsh_fold emits BIT-IDENTICAL rows to knn_lsh (PipelineSpec
+      // asserts it), so the unrolled form's DuckDB rendering is its oracle
+      ("knn_lsh_fold" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect)) +
       ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()) +
       ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
       ("data_chars" -> graft.core.DataChars.duckSql()) +

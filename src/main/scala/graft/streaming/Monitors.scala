@@ -434,6 +434,44 @@ object Monitors {
        |         window_end, confidence, num_events, upper_min, staleness_min)
        | ORDER BY series""".stripMargin
 
+  /** VALUES oracles for the two iterative-fit entries, same contract as
+    * [[duckScheduleSql]]: the Nelder-Mead SARIMAX fit is not
+    * SQL-expressible, but it is a pure deterministic function of the
+    * fixed gate fixture, so the expected rows are frozen as literals and
+    * the full rows+schema+hash gate applies. Cross-validated by
+    * TimeSeriesSpec (model parity on constructed series) and
+    * MonitorsSpec (predict path bit-parity with computeThreshold). */
+  def duckSarimaxSql(): String =
+    s"""SELECT series, CAST(n_points AS BIGINT) AS n_points,
+       |       CAST(forecast_ts AS TIMESTAMP) AS forecast_ts,
+       |       CAST(predicted AS DOUBLE) AS predicted, CAST(se AS DOUBLE) AS se,
+       |       CAST(lower_tolerance AS DOUBLE) AS lower_tolerance,
+       |       CAST(upper_tolerance AS DOUBLE) AS upper_tolerance, sensitivity
+       |  FROM (VALUES
+       |    ('click',    30, TIMESTAMP '2024-01-31 00:00:00', 67.315,  13.1002, 34.5645, 100.0656, 'medium'),
+       |    ('error',    30, TIMESTAMP '2024-01-31 00:00:00', 66.6197, 13.2101, 33.5944,  99.645,  'medium'),
+       |    ('purchase', 30, TIMESTAMP '2024-01-31 00:00:00', 77.9074, 12.58,   46.4574, 109.3573, 'medium'),
+       |    ('signup',   30, TIMESTAMP '2024-01-31 00:00:00', 63.91,   11.2694, 35.7365,  92.0836, 'medium'),
+       |    ('view',     30, TIMESTAMP '2024-01-31 00:00:00', 70.723,   9.2734, 47.5396,  93.9064, 'medium')
+       |  ) AS t(series, n_points, forecast_ts, predicted, se,
+       |         lower_tolerance, upper_tolerance, sensitivity)
+       | ORDER BY series""".stripMargin
+
+  def duckPredictThresholdsSql(): String =
+    s"""SELECT series, CAST(n_signals AS INT) AS n_signals, method,
+       |       CAST(predicted AS DOUBLE) AS predicted,
+       |       CAST(lower_tolerance AS DOUBLE) AS lower_tolerance,
+       |       CAST(upper_tolerance AS DOUBLE) AS upper_tolerance, sensitivity
+       |  FROM (VALUES
+       |    ('click',    30, 'sarimax', 2069.6316, 2026.2427, 2113.0205, 'medium'),
+       |    ('error',    30, 'sarimax', 2078.2669, 2038.8254, 2117.7083, 'medium'),
+       |    ('purchase', 30, 'sarimax', 2043.4191, 2002.4217, 2084.4164, 'medium'),
+       |    ('signup',   30, 'sarimax', 2083.5261, 2043.2415, 2123.8107, 'medium'),
+       |    ('view',     30, 'sarimax', 2054.69,   2017.1364, 2092.2435, 'medium')
+       |  ) AS t(series, n_signals, method, predicted,
+       |         lower_tolerance, upper_tolerance, sensitivity)
+       | ORDER BY series""".stripMargin
+
   /** One monitored signal history: daily event volume per event_type. */
   final case class SeriesPoint(series: String, ts: Long, value: Double)
   final case class SarimaxBand(series: String, n_points: Long,

@@ -140,7 +140,9 @@ object SparkEntry {
       ("score_card_dimensions" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardDimensions(s, dir))) +
       ("score_card_history" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistory(s, dir)))
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistory(s, dir))) +
+      ("score_card_issues" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssues(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -213,5 +215,6 @@ object SparkEntry {
       // score_card_history: the oracle recomputes both runs' score detail
       // from first principles (raw tables + the same dismissal list), so
       // the landed trend values are independently verified
-      ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql())
+      ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql()) +
+      ("score_card_issues" -> graft.scoring.Scoring.duckScoreCardIssuesSql())
 }

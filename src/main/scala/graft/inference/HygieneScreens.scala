@@ -307,6 +307,20 @@ object HygieneScreens {
           muted: Seq[(String, String, String)] = Nil): DataFrame =
     spark.sql(sql(enrichedView(spark, dir), muted)(SparkDialect))
 
+  /** Materialized UNMUTED anomaly relation (metadata-sized: one row per
+    * finding), memoized per (session, dir) — the scoring family consumes
+    * it repeatedly and the 36-branch fused screen query costs more to
+    * re-plan than its output costs to hold locally. */
+  def anomaliesView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "anomalies_view", dir) {
+      val anoms = run(spark, dir)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(anoms.collect(): _*), anoms.schema)
+      val view = "__graft_anomalies_shared"
+      local.createOrReplaceTempView(view)
+      view
+    }
+
   def duckSql(muted: Seq[(String, String, String)] = Nil): String =
     sql(s"(${enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})", muted)(DuckDialect)
 }

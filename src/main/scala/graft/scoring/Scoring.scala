@@ -237,8 +237,7 @@ object Scoring {
   def runWeightedScoreRollup(spark: SparkSession, dir: String): DataFrame = {
     val enrView = enrichedView(spark, dir)
     val ttView = graft.generation.TestGenerator.tableTypeView(spark, dir)
-    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_anoms_w")
-    spark.sql(weightedScoreRollupSql(enrView, "__graft_anoms_w",
+    spark.sql(weightedScoreRollupSql(enrView, HygieneScreens.anomaliesView(spark, dir),
       ttRel = Some(ttView))(SparkDialect))
   }
 
@@ -456,6 +455,93 @@ object Scoring {
        |  CROSS JOIN parent
        | ORDER BY impact DESC, dq_dimension""".stripMargin
 
+  /** issue_likelihood per anomaly type (reference dbsetup_anomaly_types
+    * YAMLs' `issue_likelihood`). */
+  private val issueLikelihood: Map[String, String] = Map(
+    "Boolean_Value_Mismatch" -> "Likely", "Char_Column_Date_Values" -> "Likely",
+    "Char_Column_Number_Units" -> "Possible", "Char_Column_Number_Values" -> "Likely",
+    "Column_Pattern_Mismatch" -> "Likely", "Delimited_Data_Embedded" -> "Likely",
+    "Inconsistent_Casing" -> "Definite", "Invalid_Zip3_USA" -> "Definite",
+    "Invalid_Zip_USA" -> "Definite", "Leading_Spaces" -> "Likely",
+    "Multiple_Types_Major" -> "Likely", "Multiple_Types_Minor" -> "Possible",
+    "No_Values" -> "Possible", "Non_Alpha_Name_Address" -> "Definite",
+    "Non_Alpha_Prefixed_Name" -> "Definite", "Non_Printing_Chars" -> "Definite",
+    "Non_Standard_Blanks" -> "Definite", "Potential_Duplicates" -> "Possible",
+    "Potential_PII" -> "Potential PII", "Quoted_Values" -> "Likely",
+    "Recency_One_Year" -> "Possible", "Recency_Six_Months" -> "Possible",
+    "Small_Divergent_Value_Ct" -> "Possible", "Small_Missing_Value_Ct" -> "Possible",
+    "Small_Numeric_Value_Ct" -> "Likely", "Standardized_Value_Matches" -> "Likely",
+    "Suggested_Type" -> "Likely", "Table_Pattern_Mismatch" -> "Likely",
+    "Unexpected_Emails" -> "Possible", "Unexpected_US_States" -> "Possible",
+    "Unlikely_Date_Values" -> "Likely", "Variant_Coded_Values" -> "Definite")
+
+  /** Score-card issues drill-down: the hygiene anomalies (with their
+    * issue_likelihood status and the column's pii_flag) unioned with the
+    * Failed/Warning CAT results, ordered by the reference's severity
+    * rank (get_score_card_issues_by_column.sql: Definite 1, Failed 2,
+    * Likely 3, Possible 4, Warning 5, else 6). */
+  def scoreCardIssuesSql(enrRel: String, anomRel: String,
+                         catRel: String)(d: Dialect): String = {
+    val likelihood = dimCase("a.anomaly_type", issueLikelihood)
+    s"""WITH enr_i AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |anoms_i AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |cat_i AS ${d.cteMaterialized}(SELECT * FROM $catRel),
+       |issues AS (
+       |  SELECT 'hygiene' AS issue_type, a.anomaly_type AS issue_name,
+       |         a.table_name, a.column_name,
+       |         $likelihood AS status,
+       |         a.prevalence AS measure, e.pii_flag
+       |    FROM anoms_i a
+       |    LEFT JOIN enr_i e
+       |      ON e.table_name = a.table_name AND e.column_name = a.column_name
+       |  UNION ALL
+       |  SELECT 'test', c.test_type, c.table_name, c.column_name,
+       |         c.result_status, c.measure_num, ${d.nullOf("text")}
+       |    FROM cat_i c WHERE c.result_status IN ('Failed', 'Warning')
+       |)
+       |SELECT issue_type, issue_name, table_name, column_name, status,
+       |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag,
+       |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
+       |                        WHEN 'Likely' THEN 3 WHEN 'Possible' THEN 4
+       |                        WHEN 'Warning' THEN 5 ELSE 6 END AS INT)
+       |         AS severity_rank
+       |  FROM issues
+       | ORDER BY severity_rank, LOWER(table_name), LOWER(column_name),
+       |          issue_name""".stripMargin
+  }
+
+  /** CAT results across every suite table, memoized per (session, dir) —
+    * shared by prevalence, score cards and the issues drill-down. */
+  private def catResultsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "catres_view", dir) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.actions
+      val cat = Await.result(
+        Future.sequence(CatSuite.suites.keys.toSeq.sorted.map(t =>
+          Future(CatSuite.run(spark, dir, t).withColumn("table_name", lit(t))))),
+        Duration.Inf)
+        .reduce(_ unionByName _)
+      val view = "__graft_catres_shared"
+      cat.createOrReplaceTempView(view)
+      view
+    }
+
+  private def duckCatRel(): String =
+    CatSuite.suites.keys.toSeq.sorted
+      .map(t => s"SELECT '$t' AS table_name, * FROM (${CatSuite.duckSql(t)})")
+      .mkString("(\n", "\nUNION ALL\n", "\n)")
+
+  def runScoreCardIssues(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    spark.sql(scoreCardIssuesSql(enrView, HygieneScreens.anomaliesView(spark, dir),
+      catResultsView(spark, dir))(SparkDialect))
+  }
+
+  def duckScoreCardIssuesSql(): String =
+    scoreCardIssuesSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
+      duckCatRel())(DuckDialect)
+
   // ---- historical overall scores over landed runs ---------------------
   // The reference's history query reads score_definition_results_history
   // joined to the by-column scoring views at each run's cutoff time
@@ -524,15 +610,13 @@ object Scoring {
 
   def runScoreCardColumns(spark: SparkSession, dir: String): DataFrame = {
     val enrView = enrichedView(spark, dir)
-    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_scc_anoms")
-    spark.sql(scoreCardColumnsSql(enrView, "__graft_scc_anoms",
+    spark.sql(scoreCardColumnsSql(enrView, HygieneScreens.anomaliesView(spark, dir),
       prevalenceView(spark, dir))(SparkDialect))
   }
 
   def runScoreCardDimensions(spark: SparkSession, dir: String): DataFrame = {
     val enrView = enrichedView(spark, dir)
-    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_scd_anoms")
-    spark.sql(scoreCardDimensionsSql(enrView, "__graft_scd_anoms",
+    spark.sql(scoreCardDimensionsSql(enrView, HygieneScreens.anomaliesView(spark, dir),
       prevalenceView(spark, dir))(SparkDialect))
   }
 
@@ -544,11 +628,11 @@ object Scoring {
     val root = graft.core.RunStore.root
     val enrView = enrichedView(spark, dir)
     val prevView = prevalenceView(spark, dir)
-    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_sh_anoms0")
+    val anoms0View = HygieneScreens.anomaliesView(spark, dir)
     HygieneScreens.run(spark, dir, muted = dismissedByRun1)
       .createOrReplaceTempView("__graft_sh_anoms1")
     val p0 = graft.core.RunStore.land(
-      spark.sql(scoreDetailSql(enrView, "__graft_sh_anoms0", prevView)(SparkDialect)),
+      spark.sql(scoreDetailSql(enrView, anoms0View, prevView)(SparkDialect)),
       root, "run_000", "score_detail")
     val p1 = graft.core.RunStore.land(
       spark.sql(scoreDetailSql(enrView, "__graft_sh_anoms1", prevView)(SparkDialect)),
@@ -582,33 +666,20 @@ object Scoring {
     HygieneScreens.enrichedView(spark, dir)
 
   def runTestPrevalence(spark: SparkSession, dir: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    // CAT suites are leaf actions (no nested awaits) — bounded action pool
-    implicit val ec: scala.concurrent.ExecutionContext = graft.core.Pools.actions
     val enrView = enrichedView(spark, dir)
-    // per-table CAT suites are independent jobs — run them concurrently
-    val cat = Await.result(
-      Future.sequence(CatSuite.suites.keys.toSeq.sorted.map(t =>
-        Future(CatSuite.run(spark, dir, t).withColumn("table_name", lit(t))))),
-      Duration.Inf)
-      .reduce(_ unionByName _)
-    cat.createOrReplaceTempView("__graft_catres")
-    spark.sql(testPrevalenceSql("__graft_catres", enrView)(SparkDialect))
+    spark.sql(testPrevalenceSql(catResultsView(spark, dir), enrView)(SparkDialect))
   }
 
   def runScoreRollup(spark: SparkSession, dir: String): DataFrame = {
     val enrView = enrichedView(spark, dir)
-    val anoms = HygieneScreens.run(spark, dir)
-    anoms.createOrReplaceTempView("__graft_anoms")
-    spark.sql(scoreRollupSql(enrView, "__graft_anoms")(SparkDialect))
+    spark.sql(scoreRollupSql(enrView, HygieneScreens.anomaliesView(spark, dir))(SparkDialect))
   }
 
   def runScoreCard(spark: SparkSession, dir: String): DataFrame = {
     val enrView = enrichedView(spark, dir)
-    HygieneScreens.run(spark, dir).createOrReplaceTempView("__graft_sc_anoms")
     runTestPrevalence(spark, dir).createOrReplaceTempView("__graft_sc_prev")
-    spark.sql(scoreCardSql(enrView, "__graft_sc_anoms", "__graft_sc_prev")(SparkDialect))
+    spark.sql(scoreCardSql(enrView, HygieneScreens.anomaliesView(spark, dir),
+      "__graft_sc_prev")(SparkDialect))
   }
 
   def duckScoreCardSql(): String = {
@@ -618,13 +689,8 @@ object Scoring {
     scoreCardSql(enr, anoms, prev)(DuckDialect)
   }
 
-  def duckTestPrevalenceSql(): String = {
-    val cat = CatSuite.suites.keys.toSeq.sorted
-      .map(t => s"SELECT '$t' AS table_name, * FROM (${CatSuite.duckSql(t)})")
-      .mkString("(\n", "\nUNION ALL\n", "\n)")
-    val enr = s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})"
-    testPrevalenceSql(cat, enr)(DuckDialect)
-  }
+  def duckTestPrevalenceSql(): String =
+    testPrevalenceSql(duckCatRel(), duckEnr())(DuckDialect)
 
   def duckScoreRollupSql(): String = {
     val enr = s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})"

@@ -92,7 +92,9 @@ class PlanSpec extends SparkSpec {
     val checks = Seq(
       "test_generation" -> graft.generation.TestGenerator.run(spark, dir),
       "hygiene_screens" -> graft.inference.HygieneScreens.run(spark, dir),
-      "dq_scores_weighted" -> graft.scoring.Scoring.runScoreCard(spark, dir))
+      "dq_scores_weighted" -> graft.scoring.Scoring.runScoreCard(spark, dir),
+      "score_card_columns" -> graft.scoring.Scoring.runScoreCardColumns(spark, dir),
+      "score_card_issues" -> graft.scoring.Scoring.runScoreCardIssues(spark, dir))
     for ((name, df) <- checks; t <- graft.core.Tables.names) {
       val p = plan(df)
       val scans = s"$t\\.parquet".r.findAllIn(p).length

@@ -97,6 +97,17 @@ object Runner {
           graft.scoring.Scoring.runScoreRollup(spark, dataDir))
         land("score", "score_cards",
           graft.scoring.Scoring.runScoreCard(spark, dataDir))
+        land("score", "score_card_columns",
+          graft.scoring.Scoring.runScoreCardColumns(spark, dataDir))
+        land("score", "score_card_dimensions",
+          graft.scoring.Scoring.runScoreCardDimensions(spark, dataDir))
+        land("score", "score_card_issues",
+          graft.scoring.Scoring.runScoreCardIssues(spark, dataDir))
+        // land this run's by-column score detail, then trend over the
+        // FULL landed history — the reference's score history lifecycle
+        graft.scoring.Scoring.landScoreDetail(spark, dataDir, historyRoot, runId)
+        graft.scoring.Scoring.scoreHistoryFromLanded(spark, historyRoot)
+          .foreach(df => land("score", "score_history", df))
       case "monitor" =>
         land("monitor", "monitor_freshness",
           graft.streaming.Monitors.runFreshness(spark, dataDir))
@@ -110,6 +121,13 @@ object Runner {
         graft.streaming.Monitors.landSignals(spark, dataDir, historyRoot, runId)
         graft.streaming.Monitors.thresholdsFromHistory(spark, historyRoot)
           .foreach(df => land("monitor", "monitor_history_thresholds", df))
+        // PREDICT-mode: SARIMAX tolerances over ALL landed signal runs
+        // (stats fallback while the landed history is short)
+        val sigRuns = graft.core.RunStore.runsWith(historyRoot, "monitor_signals")
+        if (sigRuns.nonEmpty)
+          land("monitor", "monitor_predict_thresholds",
+            graft.streaming.Monitors.predictThresholdsFrom(spark,
+              sigRuns.map(r => graft.core.RunStore.runPath(historyRoot, r, "monitor_signals"))))
       case other =>
         println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
     }

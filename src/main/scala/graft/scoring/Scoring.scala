@@ -642,6 +642,30 @@ object Scoring {
       "run_001" -> SparkDialect.readParquet(p1)))(SparkDialect))
   }
 
+  /** Land THIS run's by-column score detail under `root/runId` — the
+    * Runner's cross-invocation path (each invocation appends one run;
+    * [[scoreHistoryFromLanded]] trends over all of them). */
+  def landScoreDetail(spark: SparkSession, dir: String, root: String,
+                      runId: String): String = {
+    val enrView = enrichedView(spark, dir)
+    spark.sql(scoreDetailSql(enrView,
+      HygieneScreens.anomaliesView(spark, dir),
+      prevalenceView(spark, dir))(SparkDialect))
+      .createOrReplaceTempView("__graft_sd_land")
+    graft.core.RunStore.land(spark.table("__graft_sd_land"), root, runId,
+      "score_detail")
+  }
+
+  /** Overall + CDE score trend over ALL landed score_detail runs under
+    * `root`; None until a run has landed. */
+  def scoreHistoryFromLanded(spark: SparkSession, root: String): Option[DataFrame] = {
+    val runs = graft.core.RunStore.runsWith(root, "score_detail")
+    if (runs.isEmpty) None
+    else Some(spark.sql(scoreHistorySql(runs.map(r =>
+      r -> SparkDialect.readParquet(
+        graft.core.RunStore.runPath(root, r, "score_detail"))))(SparkDialect)))
+  }
+
   private def duckEnr(): String =
     s"(${HygieneScreens.enrichSql(FunctionalType.duckProfileAllRel())(DuckDialect)})"
 

@@ -216,10 +216,23 @@ object HygieneScreens {
   /** The fused hygiene query over an enriched-profile relation. `muted`
     * rows are excluded (anomaly_type, table_name, column_name) — the
     * reference's inactive-anomaly anti-join. */
+  /** dq_score_risk_factor per anomaly type (reference
+    * dbsetup_anomaly_types YAMLs): the landed dq_prevalence is
+    * formula × risk (profile_anomaly_scoring.sql). Types without a
+    * factor keep 1.0 (their formula already is the prevalence). */
+  private val riskFactor: Map[String, Double] = Map(
+    "Char_Column_Date_Values" -> 0.66, "Char_Column_Number_Values" -> 0.66,
+    "Column_Pattern_Mismatch" -> 0.66, "Leading_Spaces" -> 0.66,
+    "No_Values" -> 0.33, "Potential_Duplicates" -> 0.33,
+    "Quoted_Values" -> 0.66, "Small_Divergent_Value_Ct" -> 0.33,
+    "Small_Missing_Value_Ct" -> 0.33, "Small_Numeric_Value_Ct" -> 0.66,
+    "Standardized_Value_Matches" -> 0.66, "Unlikely_Date_Values" -> 0.66)
+
   def sql(rel: String, muted: Seq[(String, String, String)] = Nil)(d: Dialect): String = {
     val colScreens = screens.map { s =>
+      val risk = riskFactor.getOrElse(s.name, 1.0)
       s"""SELECT '${s.name}' AS anomaly_type, table_name, column_name,
-         |       CAST(ROUND(${s.prevalence(d)}, 4) AS DOUBLE) AS prevalence
+         |       CAST(ROUND($risk * (${s.prevalence(d)}), 4) AS DOUBLE) AS prevalence
          |  FROM enr WHERE ${s.criteria(d)}""".stripMargin
     }
     val multi = multiColScreens.map { case (n, crit) =>

@@ -320,16 +320,18 @@ object HygieneScreens {
           muted: Seq[(String, String, String)] = Nil): DataFrame =
     spark.sql(sql(enrichedView(spark, dir), muted)(SparkDialect))
 
-  /** Materialized UNMUTED anomaly relation (metadata-sized: one row per
-    * finding), memoized per (session, dir) — the scoring family consumes
-    * it repeatedly and the 36-branch fused screen query costs more to
-    * re-plan than its output costs to hold locally. */
-  def anomaliesView(spark: SparkSession, dir: String): String =
-    graft.core.SessionCache.getOrElseUpdate(spark, "anomalies_view", dir) {
-      val anoms = run(spark, dir)
+  /** Materialized anomaly relation (metadata-sized: one row per
+    * finding), memoized per (session, dir, muted) — the scoring family
+    * consumes it repeatedly and the 36-branch fused screen query costs
+    * more to re-plan than its output costs to hold locally. */
+  def anomaliesView(spark: SparkSession, dir: String,
+                    muted: Seq[(String, String, String)] = Nil): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "anomalies_view", (dir, muted)) {
+      val anoms = run(spark, dir, muted)
       val local = spark.createDataFrame(
         java.util.Arrays.asList(anoms.collect(): _*), anoms.schema)
-      val view = "__graft_anomalies_shared"
+      val view = s"__graft_anomalies_shared_${graft.core.SessionCache
+        .counter(spark, "anomalies_view").getAndIncrement()}"
       local.createOrReplaceTempView(view)
       view
     }

@@ -629,13 +629,13 @@ object Scoring {
     val enrView = enrichedView(spark, dir)
     val prevView = prevalenceView(spark, dir)
     val anoms0View = HygieneScreens.anomaliesView(spark, dir)
-    HygieneScreens.run(spark, dir, muted = dismissedByRun1)
-      .createOrReplaceTempView("__graft_sh_anoms1")
+    val anoms1View = HygieneScreens.anomaliesView(spark, dir,
+      muted = dismissedByRun1)
     val p0 = graft.core.RunStore.land(
       spark.sql(scoreDetailSql(enrView, anoms0View, prevView)(SparkDialect)),
       root, "run_000", "score_detail")
     val p1 = graft.core.RunStore.land(
-      spark.sql(scoreDetailSql(enrView, "__graft_sh_anoms1", prevView)(SparkDialect)),
+      spark.sql(scoreDetailSql(enrView, anoms1View, prevView)(SparkDialect)),
       root, "run_001", "score_detail")
     spark.sql(scoreHistorySql(Seq(
       "run_000" -> SparkDialect.readParquet(p0),

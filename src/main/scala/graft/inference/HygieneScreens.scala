@@ -32,7 +32,9 @@ object HygieneScreens {
 
   final case class Screen(name: String, scope: String,
                           criteria: Dialect => String,
-                          prevalence: Dialect => String = _ => "NULL")
+                          prevalence: Dialect => String = _ => "NULL",
+                          detail: Dialect => String = d => d.nullOf("text"),
+                          redactable: Boolean = false)
 
   /** fn_parsefreq(s, row, col) (reference
     * 020_create_standard_functions_sprocs.sql:37-53): top_freq lines are
@@ -42,6 +44,16 @@ object HygieneScreens {
 
   private def ratio(num: String, den: String = "record_ct") =
     s"CAST($num AS DOUBLE) / NULLIF(CAST($den AS DOUBLE), 0)"
+  /** 'NN.NN' percent text, rounded half-away-from-zero identically in
+    * both engines (the detail_expression ROUND(100.0*a/b, 2) renders). */
+  private def pct2(d: Dialect, num: String, den: String) =
+    s"CAST(CAST(ROUND(100.0 * ${ratio(num, den)}, 2) AS DECIMAL(18,2)) AS ${d.textType})"
+  /** The Min/Max-or-TopFreq detail shared by the boolean/delimited
+    * screens (their YAMLs' detail_expression CASE). */
+  private def minMaxOrFreq(d: Dialect) =
+    s"""CASE WHEN COALESCE(top_freq_values, '') = ''
+       |     THEN 'Min: ' || min_text || ', Max: ' || max_text
+       |     ELSE 'Top Freq: ' || top_freq_values END""".stripMargin
   private def like(x: String, pat: String) = s"LOWER($x) LIKE '$pat'"
   private val runDateLit = s"DATE '${ProfileMetrics.RunDate}'"
   private val fdt = "functional_data_type"
@@ -54,18 +66,24 @@ object HygieneScreens {
          |   ((${like("top_freq_values", "| true |%")} OR ${like("top_freq_values", "| false |%")})
          |    AND NOT (${like("top_freq_values", "%| true |%")} AND ${like("top_freq_values", "%| false |%")}))
          |  OR ((${like("top_freq_values", "| yes |%")} OR ${like("top_freq_values", "| no |%")})
-         |    AND NOT (${like("top_freq_values", "%| yes |%")} AND ${like("top_freq_values", "%| no |%")})))""".stripMargin),
+         |    AND NOT (${like("top_freq_values", "%| yes |%")} AND ${like("top_freq_values", "%| no |%")})))""".stripMargin,
+      detail = minMaxOrFreq, redactable = true),
     Screen("Char_Column_Date_Values", "Column",
       _ => "general_type = 'A' AND value_ct > date_ct AND CAST(date_ct AS DOUBLE) > 0.95 * value_ct",
-      _ => ratio("date_ct")),
+      _ => ratio("date_ct"),
+      detail = d => s"""' Date Ct: ' || ${d.castText("date_ct")} || ' of ' || ${d.castText("value_ct")}
+         | || ' (Date Percent: ' || ${pct2(d, "date_ct", "value_ct")} || ' )'""".stripMargin),
     Screen("Char_Column_Number_Units", "Column", d =>
       s"""${ratio("includes_digit_ct", "value_ct")} > 0.5
-         | AND ${d.rlike(parseFreq("top_freq_values", 1, 1), """(?i)^[0-9]+(\.[0-9]+)? ?(%|lb|oz|kg|g|mg|km|m|cm|mm|mi|ft|in)$""")}""".stripMargin),
+         | AND ${d.rlike(parseFreq("top_freq_values", 1, 1), """(?i)^[0-9]+(\.[0-9]+)? ?(%|lb|oz|kg|g|mg|km|m|cm|mm|mi|ft|in)$""")}""".stripMargin,
+      detail = _ => "'Top Freq: ' || top_freq_values"),
     Screen("Char_Column_Number_Values", "Column", _ =>
       s"""general_type = 'A' AND NOT ${like("column_name", "%zip%")}
          | AND NOT ${like(fdt, "id%")} AND NOT ${like(fdt, "period%")}
          | AND value_ct > numeric_ct AND CAST(numeric_ct AS DOUBLE) > 0.95 * value_ct""".stripMargin,
-      _ => ratio("numeric_ct")),
+      _ => ratio("numeric_ct"),
+      detail = d => s"""'Numeric Ct: ' || ${d.castText("numeric_ct")} || ' of ' || ${d.castText("value_ct")}
+         | || ' (Numeric Percent: ' || ${pct2(d, "numeric_ct", "value_ct")} || ' )'""".stripMargin),
     Screen("Column_Pattern_Mismatch", "Column", d => {
       val p1 = s"TRY_CAST(${parseFreqPat(1)} AS DOUBLE)"
       val p3 = s"TRY_CAST(${parseFreqPat(3)} AS DOUBLE)"
@@ -79,46 +97,72 @@ object HygieneScreens {
          |        AND $p3 / $p1 < 0.05)
          |   OR $p3 / $p1 < 0.1)""".stripMargin
     },
-      _ => ratio(s"record_ct - TRY_CAST(${parseFreqPat(1)} AS BIGINT)")),
-    Screen("Delimited_Data_Embedded", "Column", _ => "std_pattern_match = 'DELIMITED_DATA'"),
+      _ => ratio(s"record_ct - TRY_CAST(${parseFreqPat(1)} AS BIGINT)"),
+      detail = _ => "'Patterns: ' || top_patterns"),
+    Screen("Delimited_Data_Embedded", "Column", _ => "std_pattern_match = 'DELIMITED_DATA'",
+      detail = minMaxOrFreq, redactable = true),
     Screen("Inconsistent_Casing", "Column",
       _ => s"mixed_case_ct > 0 AND upper_case_ct > 0 AND $fdt IN ($nameCols)",
-      _ => ratio("LEAST(mixed_case_ct, upper_case_ct)")),
+      _ => ratio("LEAST(mixed_case_ct, upper_case_ct)"),
+      detail = d => s"""'Mixed-Case: ' || ${d.castText("mixed_case_ct")}
+         | || ', All-Upper-Case: ' || ${d.castText("upper_case_ct")}
+         | || ' for Semantic Data Type: ' || $fdt
+         | || ', Records: ' || ${d.castText("record_ct")}""".stripMargin),
     Screen("Invalid_Zip3_USA", "Column", _ =>
       s"""distinct_pattern_ct > 1
          | AND (${like("column_name", "%zip%")} OR ${like("column_name", "%postal%")})
          | AND SPLIT_PART(top_patterns, ' | ', 2) = 'NNN'
          | AND ${ratio("TRY_CAST(SPLIT_PART(top_patterns, ' | ', 1) AS DOUBLE)", "value_ct")} > 0.50""".stripMargin,
-      _ => ratio("record_ct - TRY_CAST(SPLIT_PART(top_patterns, ' | ', 1) AS BIGINT)")),
-    Screen("Leading_Spaces", "Column", _ => "lead_space_ct > 0", _ => ratio("lead_space_ct")),
+      _ => ratio("record_ct - TRY_CAST(SPLIT_PART(top_patterns, ' | ', 1) AS BIGINT)"),
+      detail = _ => "'Pattern: ' || top_patterns"),
+    Screen("Leading_Spaces", "Column", _ => "lead_space_ct > 0", _ => ratio("lead_space_ct"),
+      detail = d => s"'Cases Found: ' || ${d.castText("lead_space_ct")}"),
     Screen("No_Values", "Column",
       _ => "(null_value_ct + filled_value_ct + zero_length_ct) = record_ct",
-      _ => "1.0"),
+      _ => "1.0",
+      detail = d => s"""'Null: ' || ${d.castText("null_value_ct")}
+         | || ', Dummy: ' || ${d.castText("filled_value_ct")}
+         | || ', Zero Len: ' || ${d.castText("zero_length_ct")}""".stripMargin),
     Screen("Non_Alpha_Name_Address", "Column",
       _ => s"non_alpha_ct - zero_length_ct > 0 AND $fdt IN ($nameCols)",
-      _ => ratio("non_alpha_ct - zero_length_ct")),
+      _ => ratio("non_alpha_ct - zero_length_ct"),
+      detail = d => s"""'Non-Alpha Values: ' || ${d.castText("(non_alpha_ct - zero_length_ct)")}
+         | || ', Semantic Type: ' || $fdt
+         | || ', Records: ' || ${d.castText("record_ct")}""".stripMargin),
     Screen("Non_Alpha_Prefixed_Name", "Column", _ =>
       s"""min_text < 'A' AND LEFT(min_text, 1) NOT IN ('"', ' ')
          | AND RIGHT(min_text, 1) <> ''''
          | AND $fdt IN ('City', 'Person Given Name', 'Person Last Name', 'Person Full Name')""".stripMargin,
-      _ => "0.25"),
+      _ => "0.25",
+      detail = _ => "'Minimum Value: ' || min_text", redactable = true),
     Screen("Non_Printing_Chars", "Column", _ => "non_printing_ct > 0",
-      _ => ratio("non_printing_ct")),
+      _ => ratio("non_printing_ct"),
+      detail = d => s"""'Non-Printing Chars: ' || ${d.castText("non_printing_ct")}
+         | || ', Records: ' || ${d.castText("record_ct")}""".stripMargin),
     Screen("Non_Standard_Blanks", "Column", _ =>
       s"""(zero_length_ct > 0 OR (filled_value_ct > 0
          |  AND (numeric_ct <> value_ct OR $fdt IN ('Phone', 'Zip'))))""".stripMargin,
-      _ => ratio("filled_value_ct")),
+      _ => ratio("filled_value_ct"),
+      detail = d => s"""'Dummy Values: ' || ${d.castText("filled_value_ct")}
+         | || ', Empty String: ' || ${d.castText("zero_length_ct")}
+         | || ', Null: ' || ${d.castText("null_value_ct")}
+         | || ', Records: ' || ${d.castText("record_ct")}""".stripMargin),
     Screen("Potential_Duplicates", "Column", _ =>
       s"""distinct_value_ct > 1000
          | AND TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS BIGINT) BETWEEN 2 AND 4""".stripMargin,
-      _ => ratio("value_ct - distinct_value_ct")),
+      _ => ratio("value_ct - distinct_value_ct"),
+      detail = _ => "'Top Freq: ' || top_freq_values"),
     Screen("Quoted_Values", "Column", _ => "quoted_value_ct > 0",
-      _ => ratio("quoted_value_ct")),
+      _ => ratio("quoted_value_ct"),
+      detail = d => s"'Cases Found: ' || ${d.castText("quoted_value_ct")}"),
     Screen("Small_Divergent_Value_Ct", "Column", _ =>
       s"""$fdt <> 'Boolean'
          | AND 100.0 * TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS DOUBLE) / NULLIF(value_ct, 0) > 97
          | AND 100.0 * TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS DOUBLE) / NULLIF(value_ct, 0) < 100""".stripMargin,
-      _ => ratio(s"record_ct - TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS BIGINT)")),
+      _ => ratio(s"record_ct - TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS BIGINT)"),
+      detail = d => s"""'Single Value Pct: ' || ${d.castText(
+        s"CAST(ROUND(100.0 * ${ratio(s"TRY_CAST(${parseFreq("top_freq_values", 1, 2)} AS DOUBLE)", "value_ct")}, 0) AS BIGINT)")}
+         | || ', Value | Freq: ' || top_freq_values""".stripMargin),
     Screen("Small_Missing_Value_Ct", "Column", _ => {
       val adj =
         s"""(value_ct - zero_length_ct - CASE WHEN (filled_value_ct > 0
@@ -126,30 +170,58 @@ object HygieneScreens {
            |  THEN filled_value_ct ELSE 0 END)""".stripMargin
       s"CAST($adj AS DOUBLE) / record_ct > 0.97 AND $adj < record_ct"
     },
-      _ => ratio("null_value_ct + filled_value_ct + zero_length_ct")),
+      _ => ratio("null_value_ct + filled_value_ct + zero_length_ct"),
+      detail = d => {
+        val blanks =
+          s"""(record_ct - (value_ct - zero_length_ct - CASE WHEN (filled_value_ct > 0
+             |  AND (numeric_ct <> value_ct OR $fdt IN ('Phone', 'Zip')))
+             |  THEN filled_value_ct ELSE 0 END))""".stripMargin
+        s"""${d.castText(blanks)} || ' of ' || ${d.castText("record_ct")}
+           | || ' blank values:  ' || ${pct2(d, blanks, "value_ct")} || '%'""".stripMargin
+      }),
     Screen("Small_Numeric_Value_Ct", "Column",
       _ => s"general_type = 'A' AND ${ratio("numeric_ct", "value_ct")} < 0.03 AND numeric_ct > 0",
-      _ => ratio("numeric_ct")),
+      _ => ratio("numeric_ct"),
+      detail = d => s"""'Numeric Ct: ' || ${d.castText("numeric_ct")} || ' of ' || ${d.castText("value_ct")}
+         | || ' (Numeric Percent: ' || ${pct2(d, "numeric_ct", "value_ct")} || ' )'""".stripMargin),
     Screen("Standardized_Value_Matches", "Column",
       _ => s"general_type = 'A' AND distinct_std_value_ct <> distinct_value_ct AND $fdt NOT LIKE 'Person%Name'",
-      _ => ratio("distinct_value_ct - distinct_std_value_ct", "value_ct")),
+      _ => ratio("distinct_value_ct - distinct_std_value_ct", "value_ct"),
+      detail = d => s"""'Distinct Values: ' || ${d.castText("distinct_value_ct")}
+         | || ', Standardized: ' || ${d.castText("distinct_std_value_ct")}""".stripMargin),
     Screen("Suggested_Type", "Column", _ =>
       s"""$fdt NOT IN ('Boolean', 'Flag') AND column_type = 'string'
          | AND NOT (${like("dsug", "%varchar%")} OR ${like("dsug", "%char%")}
-         |        OR LOWER(dsug) IN ('text', 'string'))""".stripMargin),
+         |        OR LOWER(dsug) IN ('text', 'string'))""".stripMargin,
+      detail = _ => "dsug"),
     Screen("Unexpected_Emails", "Column", _ =>
       s"""std_pattern_match = 'EMAIL'
-         | AND NOT (${like("column_name", "%email%")} OR ${like("column_name", "%addr%")})""".stripMargin),
+         | AND NOT (${like("column_name", "%email%")} OR ${like("column_name", "%addr%")})""".stripMargin,
+      detail = _ => "'Value Range: ' || min_text || ' thru ' || max_text",
+      redactable = true),
     Screen("Unexpected_US_States", "Column", _ =>
       s"""std_pattern_match = 'STATE_USA' AND distinct_value_ct > 5
          | AND NOT (column_name = 'st' OR ${like("column_name", "%state%")}
-         |        OR ${like("column_name", "%_st")} OR ${like("column_name", "st_%")})""".stripMargin),
+         |        OR ${like("column_name", "%_st")} OR ${like("column_name", "st_%")})""".stripMargin,
+      detail = _ =>
+        s"""'Value Range: ' || min_text || ' thru ' || max_text
+           | || CASE WHEN top_freq_values > ''
+           |         THEN ', Top Freq Values: ' || REPLACE(top_freq_values, CHR(10), ' ; ')
+           |         ELSE '' END""".stripMargin,
+      redactable = true),
     Screen("Unlikely_Date_Values", "Column", d =>
       s"""general_type = 'D'
          | AND (CAST(min_date AS TIMESTAMP) BETWEEN DATE '0001-01-02' AND DATE '1900-01-01'
          |   OR CAST(max_date AS TIMESTAMP) > ${d.addMonths(runDateLit, 360)})""".stripMargin,
-      _ => ratio("COALESCE(before_100yr_date_ct, 0) + COALESCE(distant_future_date_ct, 0)")),
-    Screen("Potential_PII", "Column", _ => "pii_flag > ''"),
+      _ => ratio("COALESCE(before_100yr_date_ct, 0) + COALESCE(distant_future_date_ct, 0)"),
+      detail = d => s"""'Date Range: ' || ${d.fmtTs("CAST(min_date AS TIMESTAMP)")}
+         | || ' thru ' || ${d.fmtTs("CAST(max_date AS TIMESTAMP)")}""".stripMargin,
+      redactable = true),
+    Screen("Potential_PII", "Column", _ => "pii_flag > ''",
+      detail = _ =>
+        s"""'Risk: ' || CASE LEFT(pii_flag, 1) WHEN 'A' THEN 'HIGH'
+           |                 WHEN 'B' THEN 'MODERATE' WHEN 'C' THEN 'LOW' END
+           | || ', PII Type: ' || SUBSTRING(pii_flag, 3)""".stripMargin),
     Screen("Invalid_Zip_USA", "Column", _ => {
       // pattern entries sit at even ' | '-positions of "ct | pat | ct | pat…"
       val badPat = (1 to 5).map { k =>
@@ -157,18 +229,36 @@ object HygieneScreens {
         s"($p > '' AND $p NOT IN ('NNNNN', 'NNNNN-NNNN', 'NNNNNNNNN'))"
       }.mkString("(", " OR ", ")")
       s"""$fdt = 'Zip' AND (general_type <> 'A' OR filled_value_ct > 0 OR $badPat)""".stripMargin
-    })
+    },
+      detail = d => {
+        // the even-position pattern entries, comma-joined skipping blanks
+        // (the reference's string_agg over alternating parts)
+        val pats = (1 to 5)
+          .map(k => s"NULLIF(SPLIT_PART(top_patterns, ' | ', ${2 * k}), '')")
+          .mkString("CONCAT_WS(',', ", ", ", ")")
+        s"""CASE WHEN general_type = 'N' THEN 'Type: ' || column_type ELSE '' END
+           | || CASE WHEN general_type = 'A'
+           |         THEN 'Patterns: ' || $pats
+           |              || ', Dummy Values: ' || ${d.castText("filled_value_ct")}
+           |         ELSE '' END""".stripMargin
+      })
   )
 
   /** parsefreq over top_patterns: '|'-separated `ct | pat | ct | pat`. */
   private def parseFreqPat(part: Int): String =
     s"TRIM(SPLIT_PART(top_patterns, '|', $part))"
 
-  val multiColScreens: Seq[(String, String)] = Seq(
-    "Multiple_Types_Major" -> "m.general_type_ct > 1",
-    "Multiple_Types_Minor" -> "m.general_type_ct = 1 AND m.type_ct > 1",
+  private def multiTypesDetail(d: Dialect): String =
+    s"""'Found ' || ${d.castText("m.column_ct")} || ' columns, '
+       | || ${d.castText("m.type_ct")} || ' types, '
+       | || m.min_type || ' to ' || m.max_type""".stripMargin
+
+  val multiColScreens: Seq[(String, String, Dialect => String)] = Seq(
+    ("Multiple_Types_Major", "m.general_type_ct > 1", multiTypesDetail _),
+    ("Multiple_Types_Minor", "m.general_type_ct = 1 AND m.type_ct > 1",
+      multiTypesDetail _),
     // profile_anomaly_types_Table_Pattern_Mismatch.yaml anomaly_criteria
-    "Table_Pattern_Mismatch" ->
+    ("Table_Pattern_Mismatch",
       s"""p.general_type = 'A'
          | AND NOT ${"LOWER(p.functional_data_type) LIKE 'measurement%'"}
          | AND p.functional_data_type NOT IN ('Category', 'Code')
@@ -177,7 +267,10 @@ object HygieneScreens {
          | AND m.max_pattern_ct = 1 AND m.column_ct > 1
          | AND SPLIT_PART(p.top_patterns, '|', 2) <> SPLIT_PART(m.very_top_pattern, '|', 2)
          | AND TRY_CAST(TRIM(SPLIT_PART(p.top_patterns, '|', 1)) AS DOUBLE)
-         |     / TRY_CAST(SPLIT_PART(m.very_top_pattern, '|', 1) AS DOUBLE) < 0.1""".stripMargin)
+         |     / TRY_CAST(SPLIT_PART(m.very_top_pattern, '|', 1) AS DOUBLE) < 0.1""".stripMargin,
+      (d: Dialect) =>
+        s"""'Patterns: ' || SPLIT_PART(p.top_patterns, '|', 2) || ', '
+           | || SPLIT_PART(${d.ltrimChars("m.very_top_pattern", "0")}, '|', 2)""".stripMargin))
 
   /** Variant-coding vocabulary (reference variant_codings seed). */
   val variantCodings: Seq[String] = Seq(
@@ -200,6 +293,11 @@ object HygieneScreens {
     "Recency_One_Year" -> s"mx < ${d.addMonths(runDateLit, -12)}",
     "Recency_Six_Months" ->
       s"mx >= ${d.addMonths(runDateLit, -12)} AND mx < ${d.addMonths(runDateLit, -6)}")
+
+  /** Table-scope recency detail ('Most Recent Date: …', redactable in
+    * the reference). */
+  private def recencyDetail(d: Dialect): String =
+    s"'Most Recent Date: ' || ${d.fmtTs("mx")}"
 
   /** Enriched profile: all metrics + functional type + mixed_case_ct.
     * The reference lands profile_results in its app DB before screening;
@@ -228,27 +326,47 @@ object HygieneScreens {
     "Small_Missing_Value_Ct" -> 0.33, "Small_Numeric_Value_Ct" -> 0.66,
     "Standardized_Value_Matches" -> 0.66, "Unlikely_Date_Values" -> 0.66)
 
+  /** Flatten a rendered SQL fragment to one line before interpolating it
+    * into a stripMargin template (a second stripMargin would otherwise
+    * eat the fragment's own continuation operators). */
+  private def flat(sqlFragment: String): String =
+    sqlFragment.linesIterator.map(_.trim).mkString(" ")
+
   def sql(rel: String, muted: Seq[(String, String, String)] = Nil)(d: Dialect): String = {
     val colScreens = screens.map { s =>
       val risk = riskFactor.getOrElse(s.name, 1.0)
+      val red = if (s.redactable) 1 else 0
       s"""SELECT '${s.name}' AS anomaly_type, table_name, column_name,
-         |       CAST(ROUND($risk * (${s.prevalence(d)}), 4) AS DOUBLE) AS prevalence
+         |       CAST(ROUND($risk * (${s.prevalence(d)}), 4) AS DOUBLE) AS prevalence,
+         |       ${flat(s.detail(d))} AS detail,
+         |       CAST($red AS INT) AS detail_redactable
          |  FROM enr WHERE ${s.criteria(d)}""".stripMargin
     }
-    val multi = multiColScreens.map { case (n, crit) =>
+    val multi = multiColScreens.map { case (n, crit, det) =>
       s"""SELECT '$n' AS anomaly_type, p.table_name, p.column_name,
-         |       CAST(NULL AS DOUBLE) AS prevalence
+         |       CAST(NULL AS DOUBLE) AS prevalence,
+         |       ${flat(det(d))} AS detail, CAST(0 AS INT) AS detail_redactable
          |  FROM enr p JOIN mc m ON p.column_name = m.column_name WHERE $crit""".stripMargin
     }
     val dates = dateScreens(d).map { case (n, crit) =>
       s"""SELECT '$n' AS anomaly_type, table_name, '(table)' AS column_name,
-         |       CAST(NULL AS DOUBLE) AS prevalence
+         |       CAST(NULL AS DOUBLE) AS prevalence,
+         |       ${recencyDetail(d)} AS detail, CAST(1 AS INT) AS detail_redactable
          |  FROM md WHERE $crit""".stripMargin
     }
     val variants =
       s"""SELECT 'Variant_Coded_Values' AS anomaly_type, table_name, column_name,
-         |       CAST(NULL AS DOUBLE) AS prevalence
-         |  FROM (SELECT DISTINCT table_name, column_name FROM vhits) v""".stripMargin
+         |       CAST(NULL AS DOUBLE) AS prevalence,
+         |       'Variants Found: ' || variant_list AS detail,
+         |       CAST(0 AS INT) AS detail_redactable
+         |  FROM (SELECT h.table_name, h.column_name,
+         |               ${d.stringAggDistinct("m.val", ",")} AS variant_list
+         |          FROM vhits h
+         |          JOIN vmatch m
+         |            ON m.table_name = h.table_name
+         |           AND m.column_name = h.column_name
+         |           AND m.check_values = h.check_values
+         |         GROUP BY h.table_name, h.column_name) v""".stripMargin
     val unions = (colScreens ++ multi ++ dates :+ variants).mkString("\nUNION ALL\n")
     val muteFilter =
       if (muted.isEmpty) ""
@@ -265,6 +383,7 @@ object HygieneScreens {
        |  SELECT column_name, COUNT(*) AS column_ct,
        |         COUNT(DISTINCT general_type) AS general_type_ct,
        |         COUNT(DISTINCT column_type) AS type_ct,
+       |         MIN(column_type) AS min_type, MAX(column_type) AS max_type,
        |         MIN(distinct_pattern_ct) AS min_pattern_ct,
        |         MAX(distinct_pattern_ct) AS max_pattern_ct,
        |         MAX(RIGHT(REPEAT('0', 20) || TRIM(SPLIT_PART(top_patterns, '|', 1)), 20) ||
@@ -282,13 +401,17 @@ object HygieneScreens {
                     "WHERE distinct_value_ct <= 20 AND top_freq_values > '') tf",
                   Seq("table_name", "column_name"), "top_freq_values", "CHR(10)")}) lines
        |),
-       |vhits AS (
-       |  SELECT t.table_name, t.column_name, v.check_values
+       |vmatch AS (
+       |  SELECT t.table_name, t.column_name, v.check_values, LOWER(t.val) AS val
        |    FROM tfv t JOIN vcodes v
        |      ON ${d.strposExpr("'|' || v.check_values || '|'", "'|' || LOWER(t.val) || '|'")} > 0
        |   WHERE t.val > ''
-       |   GROUP BY t.table_name, t.column_name, v.check_values
-       |  HAVING COUNT(DISTINCT LOWER(t.val)) > 1
+       |),
+       |vhits AS (
+       |  SELECT table_name, column_name, check_values
+       |    FROM vmatch
+       |   GROUP BY table_name, column_name, check_values
+       |  HAVING COUNT(DISTINCT val) > 1
        |)
        |SELECT * FROM (
        |$unions

@@ -63,6 +63,8 @@ sealed trait Dialect {
   def regexpReplaceRef(x: String, re: String, prefix: String, suffix: String): String
   /** Trim any of the given characters from both ends. */
   def trimChars(x: String, chars: String): String
+  /** Trim any of the given characters from the left end only. */
+  def ltrimChars(x: String, chars: String): String
   /** NULL-propagating SPLIT_PART (Postgres semantics: NULL in → NULL
     * out; DuckDB's SPLIT_PART returns '' for NULL input instead). */
   def splitPart(x: String, delim: String, n: Int): String =
@@ -147,6 +149,8 @@ object SparkDialect extends Dialect {
     s"regexp_replace($x, '${esc(re)}', '${esc(prefix)}$$1${esc(suffix)}')"
   def trimChars(x: String, chars: String): String =
     s"TRIM(BOTH '${esc(chars)}' FROM $x)"
+  def ltrimChars(x: String, chars: String): String =
+    s"TRIM(LEADING '${esc(chars)}' FROM $x)"
   def wordsRel(table: String, idCol: String, textExpr: String): String =
     s"""SELECT $idCol AS id, p.pos, p.word FROM $table
        | LATERAL VIEW posexplode(split(LOWER($textExpr), '\\\\s+')) p AS pos, word
@@ -206,6 +210,8 @@ object DuckDialect extends Dialect {
     s"regexp_replace($x, '${esc(re)}', '${esc(prefix)}\\1${esc(suffix)}', 'g')"
   def trimChars(x: String, chars: String): String =
     s"TRIM($x, '${esc(chars)}')"
+  def ltrimChars(x: String, chars: String): String =
+    s"ltrim($x, '${esc(chars)}')"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"string_agg($x, '${esc(sep)}' ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =

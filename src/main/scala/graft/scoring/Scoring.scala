@@ -490,17 +490,21 @@ object Scoring {
        |  SELECT 'hygiene' AS issue_type, a.anomaly_type AS issue_name,
        |         a.table_name, a.column_name,
        |         $likelihood AS status,
-       |         a.prevalence AS measure, e.pii_flag
+       |         a.prevalence AS measure, e.pii_flag,
+       |         CASE WHEN a.detail_redactable = 1 AND e.pii_flag IS NOT NULL
+       |              THEN '${graft.lookup.DrillDown.Redacted}'
+       |              ELSE a.detail END AS detail
        |    FROM anoms_i a
        |    LEFT JOIN enr_i e
        |      ON e.table_name = a.table_name AND e.column_name = a.column_name
        |  UNION ALL
        |  SELECT 'test', c.test_type, c.table_name, c.column_name,
-       |         c.result_status, c.measure_num, ${d.nullOf("text")}
+       |         c.result_status, c.measure_num, ${d.nullOf("text")},
+       |         ${d.nullOf("text")}
        |    FROM cat_i c WHERE c.result_status IN ('Failed', 'Warning')
        |)
        |SELECT issue_type, issue_name, table_name, column_name, status,
-       |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag,
+       |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag, detail,
        |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
        |                        WHEN 'Likely' THEN 3 WHEN 'Possible' THEN 4
        |                        WHEN 'Warning' THEN 5 ELSE 6 END AS INT)

@@ -75,6 +75,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMaxLength(s, dir))) +
       ("lookup_masked" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMasked(s, dir))) +
+      ("profile_masked" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runProfileMasked(s, dir))) +
       ("lookup_recency" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runRecency(s, dir))) +
       ("lookup_outliers" ->
@@ -175,6 +177,7 @@ object SparkEntry {
       ("lookup_duplicates" -> graft.lookup.DrillDown.duckDuplicatesSql()) +
       ("lookup_max_length" -> graft.lookup.DrillDown.duckMaxLengthSql()) +
       ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()) +
+      ("profile_masked" -> graft.lookup.DrillDown.duckProfileMaskedSql()) +
       ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()) +
       ("lookup_failed_tests" -> graft.lookup.DrillDown.duckFailedTestsSql()) +
       ("lookup_query_tests" -> graft.querytests.QueryTests.duckLookupAllSql()) +

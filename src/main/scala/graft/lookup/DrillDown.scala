@@ -206,6 +206,41 @@ object DrillDown {
   def duckMinDateSql(): String = minDateSql("orders", "o_orderkey", "o_orderdate",
     "1995-06-01")(DuckDialect)
 
+  /** Masked profile view — the reference's mask_profiling_pii
+    * (pii_masking.py PROFILING_PII_FIELDS): for PII-flagged columns the
+    * value-revealing profile fields (top freq, min/max text, numeric
+    * bounds, date bounds) are replaced by the redaction token on render;
+    * the numeric/date fields are text-rendered so the token slots in,
+    * exactly as the reference's masked frame becomes stringly-typed. */
+  def profileMaskedSql(enrRel: String)(d: Dialect): String = {
+    def fmtNum(x: String) =
+      s"CAST(CAST(ROUND($x, 4) AS DECIMAL(28,4)) AS ${d.textType})"
+    val fields = Seq(
+      "top_freq_values" -> "top_freq_values",
+      "min_text" -> "min_text",
+      "max_text" -> "max_text",
+      "min_value" -> fmtNum("min_value"),
+      "min_value_over_0" -> fmtNum("min_value_over_0"),
+      "max_value" -> fmtNum("max_value"),
+      "min_date" -> d.fmtTs("CAST(min_date AS TIMESTAMP)"),
+      "max_date" -> d.fmtTs("CAST(max_date AS TIMESTAMP)"))
+    val proj = fields.map { case (n, e) =>
+      s"CASE WHEN pii_flag IS NOT NULL THEN '$Redacted' ELSE $e END AS $n"
+    }.mkString(",\n       ")
+    s"""SELECT table_name, column_name, pii_flag,
+       |       $proj
+       |  FROM $enrRel
+       | ORDER BY table_name, column_name""".stripMargin
+  }
+
+  def runProfileMasked(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(profileMaskedSql(
+      graft.inference.HygieneScreens.enrichedView(spark, dir))(SparkDialect))
+
+  def duckProfileMaskedSql(): String =
+    profileMaskedSql(s"(${graft.inference.HygieneScreens.enrichSql(
+      graft.inference.FunctionalType.duckProfileAllRel())(DuckDialect)})")(DuckDialect)
+
   /** Full test-type drill-down coverage: every CAT test in
     * [[graft.cat.CatSuite.suites]] carries its reference lookup_query
     * (normalized to (value, count)), unioned into ONE uniform relation —

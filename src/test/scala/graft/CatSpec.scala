@@ -125,4 +125,27 @@ class CatSpec extends SparkSpec {
     assert(masked.forall(_.getAs[String]("id") !=
       graft.lookup.DrillDown.Redacted))
   }
+
+  test("masked profile view redacts the PII fields of flagged columns") {
+    import graft.oracle.SparkDialect
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  ('t2', 'contact', 'B/CONTACT/Email', '| a@b.co | 3', 'a@b.co',
+        |   'z@y.io', 1.0, 1.0, 9.0, DATE '2020-01-01', DATE '2021-01-01'),
+        |  ('t2', 'amount', CAST(NULL AS STRING), '| 5 | 2', '5', '9',
+        |   5.0, 5.0, 9.0, DATE '2020-01-01', DATE '2021-01-01')
+        |AS t(table_name, column_name, pii_flag, top_freq_values, min_text,
+        |     max_text, min_value, min_value_over_0, max_value, min_date,
+        |     max_date)""".stripMargin)
+      .createOrReplaceTempView("__pii_profile_mask")
+    val rows = spark.sql(graft.lookup.DrillDown.profileMaskedSql(
+      "__pii_profile_mask")(SparkDialect)).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val red = graft.lookup.DrillDown.Redacted
+    for (f <- Seq("top_freq_values", "min_text", "max_text", "min_value",
+      "min_value_over_0", "max_value", "min_date", "max_date")) {
+      assert(rows("contact").getAs[String](f) == red, f)
+      assert(rows("amount").getAs[String](f) != red, f)
+    }
+  }
 }

@@ -144,7 +144,9 @@ object SparkEntry {
       ("score_card_history" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistory(s, dir))) +
       ("score_card_issues" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssues(s, dir)))
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssues(s, dir))) +
+      ("score_card_categories" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardCategories(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -219,5 +221,6 @@ object SparkEntry {
       // from first principles (raw tables + the same dismissal list), so
       // the landed trend values are independently verified
       ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql()) +
-      ("score_card_issues" -> graft.scoring.Scoring.duckScoreCardIssuesSql())
+      ("score_card_issues" -> graft.scoring.Scoring.duckScoreCardIssuesSql()) +
+      ("score_card_categories" -> graft.scoring.Scoring.duckScoreCardCategoriesSql())
 }

@@ -546,6 +546,75 @@ object Scoring {
     scoreCardIssuesSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
       duckCatRel())(DuckDialect)
 
+  /** By-semantic-type score-card breakdown: the reference's category
+    * grouping over the scoring views ({columns} = semantic_data_type in
+    * get_category_scores_by_column.sql — the UI's "group by" selector);
+    * the engine's semantic type is the inferred functional_data_type. */
+  def scoreCardCategoriesSql(enrRel: String, anomRel: String,
+                             prevRel: String)(d: Dialect): String =
+    s"""WITH enr_b AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |anoms_b AS ${d.cteMaterialized}(SELECT * FROM $anomRel),
+       |prev_b AS ${d.cteMaterialized}(SELECT * FROM $prevRel),
+       |prof_col AS (
+       |  SELECT e.table_name, e.column_name,
+       |         MAX(e.functional_data_type) AS semantic_data_type,
+       |         COUNT(a.anomaly_type) AS issue_ct,
+       |         MAX(e.record_ct) AS record_ct,
+       |         ${sumLn("COALESCE(a.prevalence, 0.0)")} AS good_pct
+       |    FROM enr_b e
+       |    LEFT JOIN anoms_b a
+       |      ON a.table_name = e.table_name AND a.column_name = e.column_name
+       |   GROUP BY e.table_name, e.column_name),
+       |tst_col AS (
+       |  SELECT p.table_name, p.column_name,
+       |         MAX(e.functional_data_type) AS semantic_data_type,
+       |         COUNT(*) AS issue_ct,
+       |         MAX(e.record_ct) AS record_ct,
+       |         ${sumLn("COALESCE(p.dq_prevalence, 0.0)")} AS good_pct
+       |    FROM prev_b p
+       |    JOIN enr_b e
+       |      ON e.table_name = p.table_name AND e.column_name = p.column_name
+       |   GROUP BY p.table_name, p.column_name),
+       |prof_cat AS (
+       |  SELECT semantic_data_type, SUM(issue_ct) AS issue_ct,
+       |         SUM(record_ct) AS data_point_ct,
+       |         SUM(record_ct * good_pct) / NULLIF(SUM(record_ct), 0) AS score
+       |    FROM prof_col GROUP BY semantic_data_type),
+       |tst_cat AS (
+       |  SELECT semantic_data_type, SUM(issue_ct) AS issue_ct,
+       |         SUM(record_ct) AS data_point_ct,
+       |         SUM(record_ct * good_pct) / NULLIF(SUM(record_ct), 0) AS score
+       |    FROM tst_col GROUP BY semantic_data_type),
+       |parent AS (
+       |  SELECT (SELECT SUM(record_ct) FROM prof_col) AS profiling_points,
+       |         (SELECT SUM(record_ct) FROM tst_col) AS test_points)
+       |SELECT COALESCE(pr.semantic_data_type, t.semantic_data_type)
+       |         AS semantic_data_type,
+       |       CAST(ROUND(100 * (COALESCE(pr.data_point_ct * (1 - pr.score)
+       |                           / NULLIF(parent.profiling_points, 0), 0)
+       |                       + COALESCE(t.data_point_ct * (1 - t.score)
+       |                           / NULLIF(parent.test_points, 0), 0)), 6)
+       |            AS DOUBLE) AS impact,
+       |       CAST(ROUND(COALESCE(pr.score, 1) * COALESCE(t.score, 1), 6)
+       |            AS DOUBLE) AS score,
+       |       CAST(COALESCE(pr.issue_ct, 0) + COALESCE(t.issue_ct, 0)
+       |            AS BIGINT) AS issue_ct
+       |  FROM prof_cat pr
+       |  FULL JOIN tst_cat t ON t.semantic_data_type = pr.semantic_data_type
+       |  CROSS JOIN parent
+       | ORDER BY impact DESC, semantic_data_type""".stripMargin
+
+  def runScoreCardCategories(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    spark.sql(scoreCardCategoriesSql(enrView,
+      HygieneScreens.anomaliesView(spark, dir),
+      prevalenceView(spark, dir))(SparkDialect))
+  }
+
+  def duckScoreCardCategoriesSql(): String =
+    scoreCardCategoriesSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
+      s"(${duckTestPrevalenceSql()})")(DuckDialect)
+
   // ---- historical overall scores over landed runs ---------------------
   // The reference's history query reads score_definition_results_history
   // joined to the by-column scoring views at each run's cutoff time

@@ -146,7 +146,9 @@ object SparkEntry {
       ("score_card_issues" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssues(s, dir))) +
       ("score_card_categories" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardCategories(s, dir)))
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardCategories(s, dir))) +
+      ("query_test_prevalence" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runQueryPrevalence(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -222,5 +224,6 @@ object SparkEntry {
       // the landed trend values are independently verified
       ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql()) +
       ("score_card_issues" -> graft.scoring.Scoring.duckScoreCardIssuesSql()) +
-      ("score_card_categories" -> graft.scoring.Scoring.duckScoreCardCategoriesSql())
+      ("score_card_categories" -> graft.scoring.Scoring.duckScoreCardCategoriesSql()) +
+      ("query_test_prevalence" -> graft.scoring.Scoring.duckQueryPrevalenceSql())
 }

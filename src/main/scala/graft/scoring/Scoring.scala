@@ -546,6 +546,57 @@ object Scoring {
     scoreCardIssuesSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
       duckCatRel())(DuckDialect)
 
+  /** Prevalence of failed QUERY-type tests (the reference's
+    * dq_score_prevalence_formula of the templated multi-table types:
+    * the Aggregate family scores a flat 1, Distribution_Shift 1 with
+    * risk 0.75, and the combo/dupe/custom family
+    * (measure - threshold) / record_ct with risk 1.0; every
+    * instantiated threshold here is 0). */
+  def queryPrevalenceSql(qresRel: String, enrRel: String)(d: Dialect): String =
+    s"""WITH qres AS ${d.cteMaterialized}(SELECT * FROM $qresRel),
+       |enr_q AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
+       |rc AS (
+       |  SELECT table_name, MAX(record_ct) AS record_ct
+       |    FROM enr_q GROUP BY table_name)
+       |SELECT r.test_type, r.table_name, r.column_names,
+       |       CAST(ROUND(LEAST(1.0, CASE
+       |         WHEN r.test_type IN ('Aggregate_Balance', 'Aggregate_Minimum',
+       |                              'Aggregate_Balance_Percent',
+       |                              'Aggregate_Balance_Range') THEN 1.0
+       |         WHEN r.test_type = 'Distribution_Shift' THEN 0.75 * 1.0
+       |         ELSE 1.0 * r.result_measure
+       |                / NULLIF(CAST(c.record_ct AS DOUBLE), 0) END), 4)
+       |            AS DOUBLE) AS dq_prevalence
+       |  FROM qres r
+       |  JOIN rc c ON c.table_name = r.table_name
+       | WHERE r.result_code = 0
+       | ORDER BY r.test_type, r.table_name""".stripMargin
+
+  /** QUERY-test result rows across the suite, memoized per (session,
+    * dir) — ten metadata-sized rows held locally. */
+  private def queryResultsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "qres_view", dir) {
+      val res = graft.querytests.QueryTests.tests
+        .map(t => graft.querytests.QueryTests.run(spark, dir, t.name))
+        .reduce(_ unionByName _)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(res.collect(): _*), res.schema)
+      val view = "__graft_qres_shared"
+      local.createOrReplaceTempView(view)
+      view
+    }
+
+  def runQueryPrevalence(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(queryPrevalenceSql(queryResultsView(spark, dir),
+      enrichedView(spark, dir))(SparkDialect))
+
+  def duckQueryPrevalenceSql(): String = {
+    val qres = graft.querytests.QueryTests.tests
+      .map(t => s"SELECT * FROM (${graft.querytests.QueryTests.duckSql(t.name)})")
+      .mkString("(\n", "\nUNION ALL\n", "\n)")
+    queryPrevalenceSql(qres, duckEnr())(DuckDialect)
+  }
+
   /** By-semantic-type score-card breakdown: the reference's category
     * grouping over the scoring views ({columns} = semantic_data_type in
     * get_category_scores_by_column.sql — the UI's "group by" selector);

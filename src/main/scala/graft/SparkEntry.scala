@@ -120,6 +120,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runFailedTests(s, dir))) +
       ("lookup_query_tests" ->
         ((s: SparkSession, dir: String) => graft.querytests.QueryTests.runLookupAll(s, dir))) +
+      ("lookup_hygiene" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runHygieneLookup(s, dir))) +
       ("knn_lsh" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
       // production-dims bucket form (Spark HOFs — no DuckDB oracle;
@@ -185,6 +187,7 @@ object SparkEntry {
       ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()) +
       ("lookup_failed_tests" -> graft.lookup.DrillDown.duckFailedTestsSql()) +
       ("lookup_query_tests" -> graft.querytests.QueryTests.duckLookupAllSql()) +
+      ("lookup_hygiene" -> graft.lookup.DrillDown.duckHygieneLookupSql()) +
       ("monitor_history_thresholds" -> graft.streaming.Monitors.duckHistoryThresholdsSql()) +
       ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
       ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +

@@ -288,6 +288,71 @@ object DrillDown {
        |          offending_value, u.occurrence_ct""".stripMargin
   }
 
+  /** Per-anomaly-type hygiene drill-downs — the reference's
+    * target_data_lookups (each anomaly type's lookup_query over the
+    * flagged column; build_hygiene_query in source_data_service.py),
+    * normalized to (anomaly_type, table_name, column_name, value,
+    * count) and redacted through the same landed pii_flag relation.
+    * Fixed exemplary instantiation per implemented lookup shape; in
+    * production ONE lookup renders on demand per clicked finding. */
+  def hygieneLookupSql(tableRef: String => String,
+                       piiPath: String)(d: Dialect): String = {
+    import graft.functions.Patterns
+    def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+    // the Non_Standard_Blanks dummy-value predicate (same vocabulary the
+    // profiler's filled_value_ct counts)
+    def blanks(c: String) =
+      s"""($c IS NULL OR $c = '' OR $c IN ('.', '?', ' ')
+         | OR ${d.rlike(s"LOWER($c)", Patterns.filledPattern)}
+         | OR LOWER($c) IN ${inList(Patterns.filledWordsAll)})""".stripMargin
+    val branches = Seq(
+      ("Non_Standard_Blanks", "events", "event_type",
+        (c: String) => blanks(c), (c: String) => c),
+      ("Leading_Spaces", "customer", "c_name",
+        (c: String) => s"$c LIKE ' %'", (c: String) => c),
+      ("Quoted_Values", "customer", "c_mktsegment",
+        (c: String) => s"(LEFT($c, 1) = '\"' OR LEFT($c, 1) = '''')",
+        (c: String) => c),
+      ("Unlikely_Date_Values", "orders", "o_orderdate",
+        (c: String) => s"CAST($c AS TIMESTAMP) < DATE '1900-01-01'",
+        (c: String) => d.fmtTs(s"CAST($c AS TIMESTAMP)")))
+    val parts = branches.map { case (anomaly, table, col, pred, valExpr) =>
+      s"""SELECT '$anomaly' AS anomaly_type, '$table' AS table_name,
+         |       '$col' AS column_name, ${valExpr(col)} AS value,
+         |       COUNT(*) AS occurrence_ct
+         |  FROM ${tableRef(table)}
+         | WHERE ${pred(col)}
+         | GROUP BY ${valExpr(col)}
+         | ORDER BY occurrence_ct DESC, value
+         | LIMIT $Limit""".stripMargin
+    }.map(p => s"SELECT * FROM (\n$p\n) b")
+    s"""SELECT u.anomaly_type, u.table_name, u.column_name,
+       |       CASE WHEN pf.pii_flag IS NOT NULL THEN '$Redacted'
+       |            ELSE u.value END AS value,
+       |       u.occurrence_ct
+       |  FROM (
+       |${parts.mkString("\nUNION ALL\n")}
+       |) u
+       |  LEFT JOIN (SELECT table_name, column_name, MAX(pii_flag) AS pii_flag
+       |               FROM ${d.readParquet(piiPath)}
+       |              GROUP BY table_name, column_name) pf
+       |    ON pf.table_name = u.table_name AND pf.column_name = u.column_name
+       | ORDER BY u.anomaly_type, u.table_name, u.column_name,
+       |          value, u.occurrence_ct""".stripMargin
+  }
+
+  def runHygieneLookup(spark: SparkSession, dir: String): DataFrame = {
+    val piiPath = landPiiFlags(spark, dir)
+    Seq("events", "customer", "orders").foreach { t =>
+      graft.core.Tables.load(spark, dir, t, parallelize = false)
+        .createOrReplaceTempView(s"__dd_hy_$t")
+    }
+    spark.sql(hygieneLookupSql(t => s"__dd_hy_$t", piiPath)(SparkDialect))
+  }
+
+  def duckHygieneLookupSql(): String =
+    hygieneLookupSql(identity, piiFlagsPath)(DuckDialect)
+
   def runFailedTests(spark: SparkSession, dir: String): DataFrame = {
     val piiPath = landPiiFlags(spark, dir)
     graft.cat.CatSuite.suites.keys.foreach { t =>

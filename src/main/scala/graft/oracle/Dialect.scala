@@ -72,6 +72,10 @@ sealed trait Dialect {
   /** Relation of (id, pos, word): `textExpr` lowercased and split on
     * whitespace, one row per word with its 0-based position. */
   def wordsRel(table: String, idCol: String, textExpr: String): String
+  /** Relation of (cols..., pos) for pos in 1..`nExpr` inclusive (no rows
+    * when the bound is below 1) — the lateral integer series both
+    * engines need for character-position explodes. */
+  def seriesRel(rel: String, cols: Seq[String], nExpr: String): String
   /** Count of regex matches in a string. */
   def regexpCount(x: String, re: String): String
   /** Dot product of two float-array columns as DOUBLE (sequential
@@ -155,6 +159,12 @@ object SparkDialect extends Dialect {
     s"""SELECT $idCol AS id, p.pos, p.word FROM $table
        | LATERAL VIEW posexplode(split(LOWER($textExpr), '\\\\s+')) p AS pos, word
        | WHERE p.word <> ''""".stripMargin
+  def seriesRel(rel: String, cols: Seq[String], nExpr: String): String =
+    // NULL when the bound is below 1 — explode of NULL yields no rows
+    // (sequence(1, 0) would count DOWN instead of producing nothing)
+    s"""SELECT ${cols.mkString(", ")}, p.pos FROM $rel
+       | LATERAL VIEW explode(CASE WHEN ($nExpr) >= 1
+       |   THEN sequence(1, $nExpr) END) p AS pos""".stripMargin
   def regexpCount(x: String, re: String): String =
     s"size(regexp_extract_all($x, '${esc(re)}', 0))"
   def dotProduct(a: String, b: String): String =
@@ -226,6 +236,12 @@ object DuckDialect extends Dialect {
        |  generate_subscripts(string_split_regex(LOWER($textExpr), '\\s+'), 1) - 1 AS pos,
        |  unnest(string_split_regex(LOWER($textExpr), '\\s+')) AS word
        | FROM $table) w WHERE w.word <> ''""".stripMargin
+  def seriesRel(rel: String, cols: Seq[String], nExpr: String): String =
+    // list-returning generate_series + unnest accepts column-valued
+    // bounds (the table-function form rejects lateral column refs)
+    s"""SELECT ${cols.mkString(", ")},
+       | CAST(unnest(generate_series(1, CAST(GREATEST($nExpr, 0) AS BIGINT))) AS INT) AS pos
+       | FROM $rel""".stripMargin
   def regexpCount(x: String, re: String): String =
     s"len(regexp_extract_all($x, '${esc(re)}'))"
   def dotProduct(a: String, b: String): String =

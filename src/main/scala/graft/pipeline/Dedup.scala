@@ -308,4 +308,66 @@ object Dedup {
       .createOrReplaceTempView("__graft_emb_dedup")
     spark.sql(embeddingSql("__graft_emb_dedup")(SparkDialect))
   }
+
+  /** Winnowing fingerprint dedup (the MOSS rolling-hash scheme,
+    * Schleimer/Wilkerson/Aiken 2003): hash every `k`-char gram of the
+    * normalized text, keep each `w`-window's MINIMUM hash, and the
+    * distinct kept hashes are the document's fingerprint set — a
+    * guaranteed-coverage sample ~2/(w+1) the size of the gram stream.
+    * Near-dup candidates are docs sharing fingerprints through the same
+    * inverted-index join + hot-cutoff guard as the shingle paths (the
+    * only join key is the fingerprint — never an all-pairs scan), scored
+    * by fingerprint-set Jaccard.
+    *
+    * The window minimum is ONE window-function pass partitioned by doc
+    * (every doc an independent partition at scale); DISTINCT collapses
+    * repeated minima — the standard SQL expression of winnowing. All
+    * hashing is md5-based so both engines fingerprint identically. */
+  def winnowSql(table: String, k: Int = 8, w: Int = 4,
+                minShared: Int = 3, hotCutoff: Int = 50)(d: Dialect): String = {
+    val norm = s"TRIM(${d.regexpReplace("LOWER(text)", """\s+""", " ")})"
+    val gramHash = d.hexToLong(s"SUBSTRING(MD5(SUBSTRING(t, pos, $k)), 1, 15)")
+    s"""WITH nd AS (
+       |  SELECT doc_id AS id, $norm AS t FROM $table
+       |),
+       |grams AS (
+       |  SELECT id, pos, $gramHash AS h
+       |    FROM (${d.seriesRel("nd", Seq("id", "t"), s"LENGTH(t) - $k + 1")}) g
+       |),
+       |wins AS (
+       |  SELECT id, pos,
+       |         MIN(h) OVER (PARTITION BY id ORDER BY pos
+       |                      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp
+       |    FROM grams
+       |),
+       |fps AS (
+       |  SELECT DISTINCT id, fp FROM wins WHERE pos >= $w
+       |),
+       |fpf AS (
+       |  SELECT f.id, f.fp FROM fps f
+       |  JOIN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
+       |    ON f.fp = ok.fp
+       |),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM fpf GROUP BY id),
+       |pairs AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS shared
+       |    FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.id < b.id
+       |   GROUP BY a.id, b.id HAVING COUNT(*) >= $minShared
+       |)
+       |SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared_fp_ct,
+       |       CAST(ROUND(CAST(p.shared AS DOUBLE)
+       |                  / (sa.sz + sb.sz - p.shared), 4) AS DOUBLE)
+       |         AS winnow_jaccard
+       |  FROM pairs p
+       |  JOIN sizes sa ON sa.id = p.doc_a
+       |  JOIN sizes sb ON sb.id = p.doc_b
+       | ORDER BY winnow_jaccard DESC, p.doc_a, p.doc_b
+       | LIMIT 100""".stripMargin
+  }
+
+  def runWinnow(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_docs_winnow")
+    spark.sql(winnowSql("__graft_docs_winnow")(SparkDialect))
+  }
 }

@@ -25,6 +25,25 @@ class PipelineSpec extends SparkSpec {
     assert(mh.subsetOf(jac))
   }
 
+  test("winnowing fingerprints recover the word-shingle near-dup pairs") {
+    val winnow = Dedup.runWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.runJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // char-gram winnowing samples ~2/(w+1) of the gram stream, so every
+    // >=0.5-word-Jaccard pair should surface among its top pairs
+    if (jac.nonEmpty) {
+      val missed = jac -- winnow
+      assert(missed.size <= jac.size / 5,
+        s"winnowing missed ${missed.size} of ${jac.size} known near-dups")
+    }
+    // fingerprint Jaccard is a sane similarity in (0, 1]
+    Dedup.runWinnow(spark, sfDir).collect().foreach { r =>
+      val j = r.getAs[Double]("winnow_jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("simhash produces candidate near-dup pairs with small hamming") {
     val rows = Dedup.runSimhash(spark, sfDir).collect()
     assert(rows.forall(_.getAs[Long]("hamming") <= 3L))

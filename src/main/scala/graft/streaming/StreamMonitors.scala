@@ -43,6 +43,24 @@ object StreamMonitors {
         col("w.start").cast("date").as("day"), col("ct"))
   }
 
+  /** Streaming exact deduplication for a continuously-ingested corpus —
+    * the streaming form of [[graft.pipeline.Dedup.exactSql]]: rows whose
+    * content hash was already seen inside the watermark horizon are
+    * dropped. `dropDuplicatesWithinWatermark` keeps per-hash state only
+    * until the watermark passes it, so state is bounded however long the
+    * stream runs — the property that makes dedup-on-ingest viable for a
+    * training-data firehose (an unbounded `dropDuplicates` would
+    * accumulate one state row per distinct document forever). Works
+    * identically on a batch frame (plain dropDuplicates). */
+  def dedupExact(docs: DataFrame, tsCol: String = "ts",
+                 watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col("text")))
+    if (hashed.isStreaming)
+      hashed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   /** Freshness fingerprint per series: running max event id/timestamp,
     * hashed exactly like the batch Freshness_Trend signal
     * (test_types_Freshness_Trend.yaml MD5({CUSTOM_QUERY})). Update-mode

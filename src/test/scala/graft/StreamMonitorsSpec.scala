@@ -9,6 +9,7 @@ import graft.streaming.StreamMonitors
 
 /** Top-level so Spark can generate an Encoder without an outer scope. */
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String)
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 /** Structured Streaming monitors exercised through MemoryStream sources
   * and checked against their batch equivalents. */
@@ -43,6 +44,32 @@ class StreamMonitorsSpec extends SparkSpec {
       assert(batch.subsetOf(streamed) || streamed == batch)
       assert(streamed.contains(("click", java.sql.Date.valueOf("2026-01-01"), 2L)))
       assert(streamed.contains(("view", java.sql.Date.valueOf("2026-01-01"), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops repeated content within the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamMonitors.dedupExact(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, ts("2026-01-01 10:00:00"), "alpha"),
+        Doc(2, ts("2026-01-01 10:05:00"), "beta"),
+        Doc(3, ts("2026-01-01 10:10:00"), "alpha")) // dup inside watermark
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("text").as[String]
+        .collect().sorted
+      assert(kept.toSeq == Seq("alpha", "beta"))
+      // batch path groups identically
+      val batch = StreamMonitors.dedupExact(Seq(
+        Doc(1, ts("2026-01-01 10:00:00"), "alpha"),
+        Doc(2, ts("2026-01-01 10:05:00"), "beta"),
+        Doc(3, ts("2026-01-01 10:10:00"), "alpha")).toDF())
+      assert(batch.count() == 2)
     } finally q.stop()
   }
 

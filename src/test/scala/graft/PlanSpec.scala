@@ -120,6 +120,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnowing candidates join only on fingerprints, never all-pairs") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.pipeline.Dedup.runWinnow(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "winnowing plan contains a cartesian product")
+    // every join over the fingerprint relation carries an equi-key
+    val hasEqui = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.condition.isDefined
+    }
+    assert(hasEqui.nonEmpty && hasEqui.forall(identity),
+      "winnowing has a join without a condition")
+  }
+
   test("exact dedup groups once and reads only doc_id and text") {
     val df = graft.pipeline.Dedup.runExact(spark, dir)
     val p = plan(df)

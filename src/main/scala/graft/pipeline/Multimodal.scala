@@ -135,6 +135,81 @@ object Multimodal {
 
   def duckSql(): String = sql("documents")(DuckDialect)
 
+  /** Resize step: n x n grid of mean luma (ITU-R 601 integer weights,
+    * 299/587/114 over 1000) pooled over the decoded bitmap — the
+    * thumbnail fingerprint image near-dup compares. Cell sums are
+    * integer-exact; one 4-decimal rounding at the end, so expected
+    * values are hand-computable. */
+  def bmpGridLuma(b: Array[Byte], n: Int = 4): Option[Array[Double]] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixelOffset = i32(b, 10)
+    val width = i32(b, 18)
+    val height = math.abs(i32(b, 22))
+    if (width <= 0 || height <= 0 || u16(b, 28) != 24 || i32(b, 30) != 0)
+      return None
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * height > b.length)
+      return None
+    val g = math.min(n, math.min(width, height))
+    val sums = Array.ofDim[Long](g * g)
+    val counts = Array.ofDim[Long](g * g)
+    var y = 0
+    while (y < height) {
+      val cy = math.min(y * g / height, g - 1)
+      val row = pixelOffset + y * rowSize
+      var x = 0
+      while (x < width) {
+        val cx = math.min(x * g / width, g - 1)
+        val p = row + x * 3
+        val luma = 299L * (b(p + 2) & 0xff) + 587L * (b(p + 1) & 0xff) +
+          114L * (b(p) & 0xff)
+        sums(cy * g + cx) += luma
+        counts(cy * g + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(sums.indices.map(i =>
+      r4(sums(i).toDouble / (1000.0 * counts(i)))).toArray)
+  }
+
+  /** Frame-sample step: `k` equal PCM frames, RMS each — the coarse
+    * audio fingerprint frame-sampled ingest pipelines compare. */
+  def wavFrameRms(b: Array[Byte], k: Int = 8): Option[Array[Double]] = {
+    decodeWav(b).flatMap { a =>
+      if (a.nSamples <= 0) return Some(Array.empty[Double])
+      // re-walk the chunk list for the data offset (cheap; headers only)
+      var pos = 12
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val size = i32(b, pos + 4)
+        if (new String(b, pos, 4, "US-ASCII") == "data") {
+          dataOff = pos + 8; dataLen = size
+        }
+        pos += 8 + size + (size & 1)
+      }
+      if (dataOff < 0) return None
+      val nVals = dataLen / 2
+      val frames = math.min(k, nVals)
+      val out = new Array[Double](frames)
+      var f = 0
+      while (f < frames) {
+        val from = f * nVals / frames
+        val until = (f + 1) * nVals / frames
+        var sumSq = 0.0
+        var i = from
+        while (i < until) {
+          val v = u16(b, dataOff + i * 2).toShort.toInt
+          sumSq += v.toDouble * v
+          i += 1
+        }
+        out(f) = r4(math.sqrt(sumSq / math.max(until - from, 1)))
+        f += 1
+      }
+      Some(out)
+    }
+  }
+
   /** The Dataset-typed side of the pipeline: binary payload column +
     * per-partition batched decode via mapPartitions — batch-local codec
     * initialization, bounded memory per batch. BMP and WAV payloads

@@ -93,6 +93,24 @@ class MonitorsSpec extends SparkSpec {
     // truncated/corrupt payloads decode to None, not garbage
     assert(Multimodal.decodeBmp(img.take(40)).isEmpty)
     assert(Multimodal.decodeWav(snd.take(20)).isEmpty)
+
+    // resize step: 2x2 grid luma over the 2x2 image = one cell per
+    // pixel; decode iterates bottom-up so grid row 0 is the image's
+    // BOTTOM row. ITU-R 601 luma with integer weights /1000.
+    val grid = Multimodal.bmpGridLuma(img, 2).get
+    def luma(rc: (Int, Int, Int)) =
+      r4((299L * rc._1 + 587L * rc._2 + 114L * rc._3) / 1000.0)
+    assert(grid.sameElements(Array(
+      luma((0, 0, 255)), luma((10, 20, 30)),   // bottom row
+      luma((255, 0, 0)), luma((0, 255, 0)))),  // top row
+      grid.mkString(","))
+    // frame-sample step: 3 one-sample frames -> per-sample |RMS|
+    val frames = Multimodal.wavFrameRms(snd, 3).get
+    assert(frames.sameElements(Array(100.0, 200.0, 300.0)),
+      frames.mkString(","))
+    // more frames than samples clamps to one frame per sample
+    assert(Multimodal.wavFrameRms(snd, 16).get.length == 3)
+    assert(Multimodal.wavFrameRms(snd.take(20), 4).isEmpty)
   }
 
   private def r4(x: Double) = math.rint(x * 10000) / 10000

@@ -417,7 +417,20 @@ object Monitors {
     * active-days / window / confidence / deadline-upper), not copied
     * blindly: events is a 2-21h sub-daily feed (P10-P90 window), orders/
     * lineitem are daily feeds whose upper threshold is the next-deadline
-    * override (window_end 0h + 3h medium buffer ⇒ 27h = 1620 min). */
+    * override (window_end 0h + 3h medium buffer ⇒ 27h = 1620 min).
+    *
+    * PROVENANCE: the underlying gap/exclusion/threshold arithmetic is
+    * additionally anchored to the REFERENCE'S OWN published expected
+    * values — ReferenceParitySpec transcribes the literal expectations
+    * of tests/unit/common/test_time_series_service.py (750-min upper /
+    * 510-min staleness basic scenario, the full count_excluded_minutes
+    * battery incl. timezones, is_excluded_day) and
+    * tests/unit/commands/test_thresholds_prediction.py (z/t tolerance
+    * arithmetic) against the same functions that produce these frozen
+    * rows. The literals are valid ONLY for the sf0.01 gate fixture with
+    * default params (medium sensitivity, US holidays); regenerate via
+    * `runMain graft.Verify <sf0.01> <out> monitor_schedule` after any
+    * intentional model change. */
   def duckScheduleSql(): String =
     s"""SELECT series, stage, frequency, active_days,
        |       CAST(window_start AS DOUBLE) AS window_start,
@@ -439,8 +452,13 @@ object Monitors {
     * SQL-expressible, but it is a pure deterministic function of the
     * fixed gate fixture, so the expected rows are frozen as literals and
     * the full rows+schema+hash gate applies. Cross-validated by
-    * TimeSeriesSpec (model parity on constructed series) and
-    * MonitorsSpec (predict path bit-parity with computeThreshold). */
+    * TimeSeriesSpec (model parity on constructed series), MonitorsSpec
+    * (predict path bit-parity with computeThreshold), and
+    * ReferenceParitySpec, which transcribes the reference's own expected
+    * tolerance literals (tests/unit/commands/
+    * test_thresholds_prediction.py:48-116: mean±z·se by sensitivity,
+    * t-widening under 20 points, NaN → none) against the identical
+    * thresholdFromForecast arithmetic these rows flow through. */
   def duckSarimaxSql(): String =
     s"""SELECT series, CAST(n_points AS BIGINT) AS n_points,
        |       CAST(forecast_ts AS TIMESTAMP) AS forecast_ts,
@@ -516,17 +534,28 @@ object Monitors {
                             clampNonNegative: Boolean = true,
                             tzOffsetsSec: Map[String, Long] = Map.empty): DataFrame = {
     import spark.implicits._
-    val hist = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // allowMissingColumns + null-filter: the RunStore history root
+    // persists across engine versions, and runs landed by a build that
+    // predates the run_ts column would otherwise fail the union (or the
+    // select) — those runs carry no usable fit timestamp, so they are
+    // skipped rather than crashing the monitor stage on upgrade.
+    val hist = paths.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val histTs =
+      if (hist.columns.contains("run_ts")) hist
+      else hist.withColumn("run_ts", org.apache.spark.sql.functions.lit(null))
+    val series = histTs
       .selectExpr("series",
         "CAST(unix_timestamp(CAST(run_ts AS TIMESTAMP)) AS BIGINT) AS ts",
         "CAST(value AS DOUBLE) AS value")
+      .where("ts IS NOT NULL")
       .as[SeriesPoint]
     val sens = sensitivity
     val codes = holidayCodes
     val clamp = clampNonNegative
     val tzs = tzOffsetsSec
     def r4(x: Double) = math.rint(x * 10000) / 10000
-    hist.groupByKey(_.series).mapGroups { (series, it) =>
+    series.groupByKey(_.series).mapGroups { (series, it) =>
       val pts = it.toArray.sortBy(_.ts)
       val ts = pts.map(_.ts).toSeq
       val vals = pts.map(_.value).toSeq

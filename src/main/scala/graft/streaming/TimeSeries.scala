@@ -375,6 +375,24 @@ object TimeSeries {
     Forecast(fTs, means, se)
   }
 
+  /** Tolerance arithmetic on the FIRST forecast point — the seam the
+    * reference unit tests exercise with a mocked forecast (reference:
+    * tests/unit/commands/test_thresholds_prediction.py:48-116,164-175:
+    * tolerances come from forecast row 0; z-scores ±2/2.5/3 by
+    * sensitivity, widened via the t-quantile at the same normal
+    * percentile when history < T_DISTRIBUTION_THRESHOLD points; NaN
+    * mean or SE → no thresholds). */
+  def thresholdFromForecast(mean0: Double, se0: Double, nPoints: Int,
+                            sensitivity: String): Option[(Double, Double)] = {
+    val z = zScore(sensitivity)
+    def mult(zs: Double): Double =
+      if (nPoints < TDistributionThreshold) tPpf(normCdf(zs), nPoints - 1)
+      else zs
+    val lower = mean0 - mult(z) * se0
+    val upper = mean0 + mult(z) * se0
+    if (lower.isNaN || upper.isNaN) None else Some((lower, upper))
+  }
+
   /** Port of compute_sarimax_threshold: (lower, upper) tolerances of the
     * NEXT point for a sensitivity in {low, medium, high}. */
   def computeThreshold(tsSec: Seq[Long], values: Seq[Double], sensitivity: String,
@@ -383,19 +401,12 @@ object TimeSeries {
     try {
       val fc = sarimaxForecast(tsSec, values,
         excludeWeekends = excludeWeekends, holidays = holidays)
-      val z = zScore(sensitivity)
-      val nPoints = tsSec.length
       // NOTE: with MinTrainValues == TDistributionThreshold (both 20,
       // as in the reference), a forecast only succeeds at >= 20 points,
       // so the t-branch is reachable only if MinTrainValues is lowered —
       // the same latent dead branch exists in the reference
       // (test_thresholds_prediction.py:290-294 vs MIN_TRAIN_VALUES).
-      def mult(zs: Double): Double =
-        if (nPoints < TDistributionThreshold) tPpf(normCdf(zs), nPoints - 1)
-        else zs
-      val lower = fc.mean(0) - mult(z) * fc.se(0)
-      val upper = fc.mean(0) + mult(z) * fc.se(0)
-      if (lower.isNaN || upper.isNaN) None else Some((lower, upper))
+      thresholdFromForecast(fc.mean(0), fc.se(0), tsSec.length, sensitivity)
     } catch { case _: NotEnoughData => None }
   }
 }

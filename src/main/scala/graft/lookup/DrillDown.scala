@@ -289,47 +289,222 @@ object DrillDown {
   }
 
   /** Per-anomaly-type hygiene drill-downs — the reference's
-    * target_data_lookups (each anomaly type's lookup_query over the
-    * flagged column; build_hygiene_query in source_data_service.py),
-    * normalized to (anomaly_type, table_name, column_name, value,
-    * count) and redacted through the same landed pii_flag relation.
-    * Fixed exemplary instantiation per implemented lookup shape; in
-    * production ONE lookup renders on demand per clicked finding. */
-  def hygieneLookupSql(tableRef: String => String,
+    * target_data_lookups (one lookup_query per anomaly type's YAML in
+    * testgen/template/dbsetup_anomaly_types/, assembled by the
+    * build-hygiene path of testgen/common/source_data_service.py),
+    * covering every SQL-expressible anomaly type. Each branch cites its
+    * YAML's postgresql-flavor lookup_query; all are normalized to the
+    * uniform relation (anomaly_type, table_name, column_name, value,
+    * detail, occurrence_ct) — category columns of heterogeneous
+    * reference shapes (data_type / casing / top_pattern /
+    * profile_run_date) ride in `detail` — and redacted through the same
+    * landed pii_flag relation with ONE broadcast left join.
+    *
+    * Not instantiated, per the reference itself: Char_Column_Number_Units
+    * (`target_data_lookups: []` in its YAML) and Recency_One_Year /
+    * Recency_Six_Months (lookup_query `created_in_ui`, no SQL shape) —
+    * 29 of 32 anomaly types carry a lookup, matching the reference.
+    *
+    * Fixed exemplary instantiation per anomaly type; in production ONE
+    * lookup renders on demand per clicked finding. Documented
+    * deviations: every branch gets a deterministic ORDER BY (the
+    * reference's unordered LIMIT branches are nondeterministic under
+    * parallel scans), and the two catalog-shape lookups
+    * (Multiple_Types_*, Table_Pattern_Mismatch) read the engine's
+    * data_chars relation — the information_schema equivalent. */
+  def hygieneLookupSql(tableRef: String => String, dataCharsRel: String,
                        piiPath: String)(d: Dialect): String = {
     import graft.functions.Patterns
+    val L2 = Limit / 2
+    val L4 = Limit / 4
     def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+    def txt(x: String) = d.castText(x)
     // the Non_Standard_Blanks dummy-value predicate (same vocabulary the
     // profiler's filled_value_ct counts)
     def blanks(c: String) =
       s"""($c IS NULL OR $c = '' OR $c IN ('.', '?', ' ')
          | OR ${d.rlike(s"LOWER($c)", Patterns.filledPattern)}
          | OR LOWER($c) IN ${inList(Patterns.filledWordsAll)})""".stripMargin
-    val branches = Seq(
-      ("Non_Standard_Blanks", "events", "event_type",
-        (c: String) => blanks(c), (c: String) => c),
-      ("Leading_Spaces", "customer", "c_name",
-        (c: String) => s"$c LIKE ' %'", (c: String) => c),
-      ("Quoted_Values", "customer", "c_mktsegment",
-        (c: String) => s"(LEFT($c, 1) = '\"' OR LEFT($c, 1) = '''')",
-        (c: String) => c),
-      ("Unlikely_Date_Values", "orders", "o_orderdate",
-        (c: String) => s"CAST($c AS TIMESTAMP) < DATE '1900-01-01'",
-        (c: String) => d.fmtTs(s"CAST($c AS TIMESTAMP)")))
-    val parts = branches.map { case (anomaly, table, col, pred, valExpr) =>
+    // grouped value/count shape shared by most lookups
+    def grp(anomaly: String, table: String, col: String, valExpr: String,
+            where: String, orderBy: String, limit: Int = Limit,
+            detail: String = "''", groupExtra: Seq[String] = Nil): String = {
+      val whereLine = if (where.isEmpty) "" else s"\n WHERE $where"
+      val groupBy = (valExpr +: groupExtra).mkString(", ")
       s"""SELECT '$anomaly' AS anomaly_type, '$table' AS table_name,
-         |       '$col' AS column_name, ${valExpr(col)} AS value,
-         |       COUNT(*) AS occurrence_ct
-         |  FROM ${tableRef(table)}
-         | WHERE ${pred(col)}
-         | GROUP BY ${valExpr(col)}
-         | ORDER BY occurrence_ct DESC, value
+         |       '$col' AS column_name, $valExpr AS value,
+         |       $detail AS detail, COUNT(*) AS occurrence_ct
+         |  FROM ${tableRef(table)}$whereLine
+         | GROUP BY $groupBy
+         | ORDER BY $orderBy
+         | LIMIT $limit""".stripMargin
+    }
+    // catalog shape (Multiple_Types_* / Table_Pattern_Mismatch): the
+    // reference queries information_schema.columns; the engine's
+    // data_chars relation is the same catalog surface.
+    def catalog(anomaly: String, colName: String): String =
+      s"""SELECT '$anomaly' AS anomaly_type, table_name,
+         |       '$colName' AS column_name, ${txt("general_type")} AS value,
+         |       table_name AS detail, CAST(1 AS BIGINT) AS occurrence_ct
+         |  FROM $dataCharsRel
+         | WHERE column_name = '$colName'
+         | ORDER BY table_name
          | LIMIT $Limit""".stripMargin
-    }.map(p => s"SELECT * FROM (\n$p\n) b")
+    // pattern-izer for Column_Pattern_Mismatch: [a-z]->a [A-Z]->A [0-9]->N
+    def patternize(c: String) =
+      d.regexpReplace(d.regexpReplace(d.regexpReplace(c, "[a-z]", "a"),
+        "[A-Z]", "A"), "[0-9]", "N")
+    // top_patterns detail literal frozen from the part.p_brand profile
+    // ('count | pattern' pairs, the profiler's top_patterns format)
+    val brandPatterns = "2000 | Aaaaa#NN | 0 | ~none~ | 0 | ~none~ | 0 | ~none~"
+    def patternBranch(k: Int): String =
+      s"""SELECT 'Column_Pattern_Mismatch' AS anomaly_type, 'part' AS table_name,
+         |       'p_brand' AS column_name, ${txt("p_brand")} AS value,
+         |       b.top_pattern AS detail, COUNT(*) AS occurrence_ct
+         |  FROM ${tableRef("part")},
+         |       (SELECT TRIM(${d.splitPart(s"'$brandPatterns'", "|", k)}) AS top_pattern) b
+         | WHERE ${patternize("p_brand")} = b.top_pattern
+         | GROUP BY ${txt("p_brand")}, b.top_pattern
+         | ORDER BY occurrence_ct DESC, value
+         | LIMIT $L4""".stripMargin
+    // non-printing-char codepoints (the reference's CHR list)
+    val npChars = Seq(160, 8201, 8203, 8204, 8205, 8206, 8207, 8239, 12288, 65279)
+    val npValue = npChars.foldLeft("source") { (acc, cp) =>
+      s"REPLACE($acc, chr($cp), '<np$cp>')"
+    }
+    val npTranslate =
+      s"TRANSLATE(source, ${npChars.map(cp => s"chr($cp)").mkString(" || ")}, 'XXXXXXXXXX')"
+    // variant-coding vocabulary flattened to tokens (variant_codings seed)
+    val variantTokens = graft.inference.HygieneScreens.variantCodings
+      .flatMap(_.split('|')).distinct.sorted
+      .map(t => s"'${t.replace("'", "''")}'").mkString("(", ", ", ")")
+
+    val parts = Seq(
+      // profile_anomaly_types_Boolean_Value_Mismatch.yaml: all values by count
+      grp("Boolean_Value_Mismatch", "lineitem", "l_returnflag", txt("l_returnflag"),
+        "", "occurrence_ct DESC, value"),
+      // profile_anomaly_types_Char_Column_Date_Values.yaml: Date/Non-Date
+      // halves via the IS_DATE macro (TRY_CAST here), LIMIT/2 each
+      grp("Char_Column_Date_Values", "documents", "lang", txt("lang"),
+        "TRY_CAST(lang AS DATE) IS NOT NULL", "occurrence_ct DESC, value", L2, "'Date'"),
+      grp("Char_Column_Date_Values", "documents", "lang", txt("lang"),
+        "TRY_CAST(lang AS DATE) IS NULL", "occurrence_ct DESC, value", L2, "'Non-Date'"),
+      // profile_anomaly_types_Column_Pattern_Mismatch.yaml: four
+      // top-pattern probes split out of the detail expression, LIMIT/4
+      patternBranch(2), patternBranch(4), patternBranch(6), patternBranch(8),
+      // profile_anomaly_types_Delimited_Data_Embedded.yaml
+      grp("Delimited_Data_Embedded", "documents", "text", txt("text"),
+        s"${d.rlike("text", Patterns.delimitedData)} AND ${d.notRlike("text", Patterns.delimitedExcl)}",
+        "occurrence_ct DESC, value"),
+      // profile_anomaly_types_Inconsistent_Casing.yaml: Upper/Mixed halves
+      grp("Inconsistent_Casing", "customer", "c_name", txt("c_name"),
+        "UPPER(c_name) = c_name", "value", L2, "'Upper Case'"),
+      grp("Inconsistent_Casing", "customer", "c_name", txt("c_name"),
+        "c_name <> UPPER(c_name) AND c_name <> LOWER(c_name)", "value", L2, "'Mixed Case'"),
+      // profile_anomaly_types_Invalid_Zip3_USA.yaml: TRANSLATE digit-mask
+      grp("Invalid_Zip3_USA", "nation", "n_nationkey", txt("n_nationkey"),
+        s"TRANSLATE(${txt("n_nationkey")}, '012345678', '999999999') <> '999'",
+        "occurrence_ct DESC, value"),
+      // profile_anomaly_types_Invalid_Zip_USA.yaml
+      grp("Invalid_Zip_USA", "part", "p_size", txt("p_size"),
+        s"TRANSLATE(${txt("p_size")}, '012345678', '999999999') NOT IN ('99999', '999999999', '99999-9999')",
+        "value"),
+      // profile_anomaly_types_Leading_Spaces.yaml: BETWEEN ' !' AND '!'
+      grp("Leading_Spaces", "customer", "c_name", txt("c_name"),
+        "(CASE WHEN c_name BETWEEN ' !' AND '!' THEN 1 ELSE 0 END) = 1", "value"),
+      // profile_anomaly_types_Multiple_Types_Major.yaml /
+      // _Minor.yaml: catalog types of one column name across tables
+      catalog("Multiple_Types_Major", "value"),
+      catalog("Multiple_Types_Minor", "ts"),
+      // profile_anomaly_types_No_Values.yaml
+      grp("No_Values", "region", "r_name", txt("r_name"), "", "value"),
+      // profile_anomaly_types_Non_Alpha_Name_Address.yaml: no letters
+      grp("Non_Alpha_Name_Address", "events", "props", txt("props"),
+        "props = UPPER(props) AND props = LOWER(props) AND props > ''", "value"),
+      // profile_anomaly_types_Non_Alpha_Prefixed_Name.yaml
+      grp("Non_Alpha_Prefixed_Name", "orders", "o_orderpriority", txt("o_orderpriority"),
+        """o_orderpriority < 'A' AND LEFT(o_orderpriority, 1) NOT IN ('"', ' ')
+          | AND RIGHT(o_orderpriority, 1) <> ''''""".stripMargin.replace("\n", " "),
+        "value"),
+      // profile_anomaly_types_Non_Printing_Chars.yaml: CHR-chain replace +
+      // TRANSLATE filter (replacement tokens '<npNNNN>' instead of the
+      // reference's backslash escapes — dialect-safe, same structure)
+      grp("Non_Printing_Chars", "documents", "source", npValue,
+        s"$npTranslate <> source", "value"),
+      // profile_anomaly_types_Non_Standard_Blanks.yaml
+      grp("Non_Standard_Blanks", "events", "event_type", "event_type",
+        blanks("event_type"), "occurrence_ct DESC, value"),
+      // profile_anomaly_types_Potential_Duplicates.yaml: HAVING COUNT > 1
+      s"""SELECT 'Potential_Duplicates' AS anomaly_type, 'lineitem' AS table_name,
+         |       'l_orderkey' AS column_name, ${txt("l_orderkey")} AS value,
+         |       '' AS detail, COUNT(*) AS occurrence_ct
+         |  FROM ${tableRef("lineitem")}
+         | GROUP BY ${txt("l_orderkey")} HAVING COUNT(*) > 1
+         | ORDER BY occurrence_ct DESC, value
+         | LIMIT $Limit""".stripMargin,
+      // profile_anomaly_types_Potential_PII.yaml: all values DESC —
+      // redaction through the landed pii_flag relation applies on render
+      grp("Potential_PII", "customer", "c_name", txt("c_name"), "", "value DESC"),
+      // profile_anomaly_types_Quoted_Values.yaml: quote-wrapped values
+      grp("Quoted_Values", "customer", "c_mktsegment", txt("c_mktsegment"),
+        """(CASE WHEN c_mktsegment LIKE '"%"'
+          | OR c_mktsegment LIKE '''%''' THEN 1 ELSE 0 END) = 1""".stripMargin.replace("\n", " "),
+        "value"),
+      // profile_anomaly_types_Small_Divergent_Value_Ct.yaml
+      grp("Small_Divergent_Value_Ct", "events", "event_type", "event_type",
+        "", "occurrence_ct DESC, value"),
+      // profile_anomaly_types_Small_Missing_Value_Ct.yaml: the blank
+      // vocabulary, ordered by value
+      grp("Small_Missing_Value_Ct", "events", "event_type", "event_type",
+        blanks("event_type"), "value"),
+      // profile_anomaly_types_Small_Numeric_Value_Ct.yaml: Numeric /
+      // Non-Numeric halves via the IS_NUM macro (TRY_CAST), LIMIT/2 each
+      grp("Small_Numeric_Value_Ct", "documents", "lang", txt("lang"),
+        "TRY_CAST(lang AS DOUBLE) IS NOT NULL", "occurrence_ct DESC, value", L2, "'Numeric'"),
+      grp("Small_Numeric_Value_Ct", "documents", "lang", txt("lang"),
+        "TRY_CAST(lang AS DOUBLE) IS NULL", "occurrence_ct DESC, value", L2, "'Non-Numeric'"),
+      // profile_anomaly_types_Standardized_Value_Matches.yaml: values
+      // colliding after the normalize-TRANSLATE, joined back to the CTE
+      s"""SELECT 'Standardized_Value_Matches' AS anomaly_type,
+         |       'documents' AS table_name, 'source' AS column_name,
+         |       ${txt("a.source")} AS value, '' AS detail,
+         |       COUNT(*) AS occurrence_ct
+         |  FROM ${tableRef("documents")} a,
+         |       (SELECT UPPER(TRANSLATE(source, ' '',.-', '')) AS possible_standard_value
+         |          FROM ${tableRef("documents")}
+         |         GROUP BY UPPER(TRANSLATE(source, ' '',.-', ''))
+         |        HAVING COUNT(DISTINCT source) > 1) b
+         | WHERE UPPER(TRANSLATE(a.source, ' '',.-', '')) = b.possible_standard_value
+         | GROUP BY ${txt("a.source")}
+         | ORDER BY value, occurrence_ct DESC
+         | LIMIT $Limit""".stripMargin,
+      // profile_anomaly_types_Suggested_Type.yaml
+      grp("Suggested_Type", "part", "p_brand", txt("p_brand"), "",
+        "occurrence_ct DESC, value"),
+      // profile_anomaly_types_Table_Pattern_Mismatch.yaml: tables
+      // carrying the column name (catalog shape)
+      catalog("Table_Pattern_Mismatch", "doc_id"),
+      // profile_anomaly_types_Unexpected_Emails.yaml
+      grp("Unexpected_Emails", "documents", "source", txt("source"), "", "value DESC"),
+      // profile_anomaly_types_Unexpected_US_States.yaml
+      grp("Unexpected_US_States", "lineitem", "l_linestatus", txt("l_linestatus"),
+        "", "value DESC"),
+      // profile_anomaly_types_Unlikely_Date_Values.yaml: before 1900 or
+      // past profile_run_date + 30 years (run date frozen for the gate)
+      grp("Unlikely_Date_Values", "orders", "o_orderdate",
+        d.fmtTs("CAST(o_orderdate AS TIMESTAMP)"),
+        s"""CAST(o_orderdate AS TIMESTAMP) < DATE '1900-01-01'
+           | OR CAST(o_orderdate AS TIMESTAMP) > ${d.addMonths("DATE '2026-01-01'", 360)}""".stripMargin.replace("\n", " "),
+        "value DESC", Limit, "'2026-01-01'"),
+      // profile_anomaly_types_Variant_Coded_Values.yaml: values in the
+      // variant-coding vocabulary (the DETAIL list inlined from the seed)
+      grp("Variant_Coded_Values", "lineitem", "l_returnflag", txt("l_returnflag"),
+        s"LOWER(l_returnflag) IN $variantTokens", "value")
+    ).map(p => s"SELECT * FROM (\n$p\n) b")
     s"""SELECT u.anomaly_type, u.table_name, u.column_name,
        |       CASE WHEN pf.pii_flag IS NOT NULL THEN '$Redacted'
        |            ELSE u.value END AS value,
-       |       u.occurrence_ct
+       |       u.detail, u.occurrence_ct
        |  FROM (
        |${parts.mkString("\nUNION ALL\n")}
        |) u
@@ -338,20 +513,28 @@ object DrillDown {
        |              GROUP BY table_name, column_name) pf
        |    ON pf.table_name = u.table_name AND pf.column_name = u.column_name
        | ORDER BY u.anomaly_type, u.table_name, u.column_name,
-       |          value, u.occurrence_ct""".stripMargin
+       |          value, u.detail, u.occurrence_ct""".stripMargin
   }
+
+  /** Tables the hygiene drill-down branches read. */
+  private val hygieneTables =
+    Seq("events", "customer", "orders", "lineitem", "nation", "region",
+      "part", "documents")
 
   def runHygieneLookup(spark: SparkSession, dir: String): DataFrame = {
     val piiPath = landPiiFlags(spark, dir)
-    Seq("events", "customer", "orders").foreach { t =>
+    hygieneTables.foreach { t =>
       graft.core.Tables.load(spark, dir, t, parallelize = false)
         .createOrReplaceTempView(s"__dd_hy_$t")
     }
-    spark.sql(hygieneLookupSql(t => s"__dd_hy_$t", piiPath)(SparkDialect))
+    graft.core.DataChars.run(spark, dir).createOrReplaceTempView("__dd_hy_datachars")
+    spark.sql(hygieneLookupSql(t => s"__dd_hy_$t", "__dd_hy_datachars",
+      piiPath)(SparkDialect))
   }
 
   def duckHygieneLookupSql(): String =
-    hygieneLookupSql(identity, piiFlagsPath)(DuckDialect)
+    hygieneLookupSql(identity, s"(\n${graft.core.DataChars.duckSql()}\n) dc",
+      piiFlagsPath)(DuckDialect)
 
   def runFailedTests(spark: SparkSession, dir: String): DataFrame = {
     val piiPath = landPiiFlags(spark, dir)

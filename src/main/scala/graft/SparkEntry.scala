@@ -149,6 +149,12 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistory(s, dir))) +
       ("score_card_issues" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssues(s, dir))) +
+      ("score_card_issues_dimensions" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssuesDimensions(s, dir))) +
+      ("score_card_issues_impact" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssuesImpact(s, dir))) +
+      ("score_card_history_columns" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistoryColumns(s, dir))) +
       ("score_card_categories" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardCategories(s, dir))) +
       ("query_test_prevalence" ->
@@ -230,6 +236,9 @@ object SparkEntry {
       // the landed trend values are independently verified
       ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql()) +
       ("score_card_issues" -> graft.scoring.Scoring.duckScoreCardIssuesSql()) +
+      ("score_card_issues_dimensions" -> graft.scoring.Scoring.duckScoreCardIssuesDimensionsSql()) +
+      ("score_card_issues_impact" -> graft.scoring.Scoring.duckScoreCardIssuesImpactSql()) +
+      ("score_card_history_columns" -> graft.scoring.Scoring.duckScoreHistoryColumnsSql()) +
       ("score_card_categories" -> graft.scoring.Scoring.duckScoreCardCategoriesSql()) +
       ("query_test_prevalence" -> graft.scoring.Scoring.duckQueryPrevalenceSql())
 }

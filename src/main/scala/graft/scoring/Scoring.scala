@@ -475,12 +475,22 @@ object Scoring {
     "Unexpected_Emails" -> "Possible", "Unexpected_US_States" -> "Possible",
     "Unlikely_Date_Values" -> "Likely", "Variant_Coded_Values" -> "Definite")
 
-  /** Score-card issues drill-down: the hygiene anomalies (with their
-    * issue_likelihood status and the column's pii_flag) unioned with the
-    * Failed/Warning CAT results, ordered by the reference's severity
-    * rank (get_score_card_issues_by_column.sql: Definite 1, Failed 2,
-    * Likely 3, Possible 4, Warning 5, else 6). */
-  def scoreCardIssuesSql(enrRel: String, anomRel: String,
+  /** Engine default for the reference's critical_data_element tag
+    * (data_column_chars.critical_data_element — a user tag with no
+    * computed source): computed ID columns and PII-flagged columns,
+    * the documented deviation used by every CDE-scoped surface. */
+  private def cdeExpr(e: String): String =
+    s"""CASE WHEN $e.pii_flag IS NOT NULL
+       | OR $e.functional_data_type LIKE 'ID%' THEN 1 ELSE 0 END"""
+      .stripMargin.replace("\n", "")
+
+  /** The issues union (hygiene anomalies with issue_likelihood +
+    * Failed/Warning CAT results) carrying severity rank, dq_dimension,
+    * and the CDE flag — the shared base of the by-column, by-dimension,
+    * and impact(CDE)-dimension issue drill-downs
+    * (get_score_card_issues_by_column.sql, _by_dimension.sql,
+    * _by_impact_dimension.sql). */
+  private def issuesBase(enrRel: String, anomRel: String,
                          catRel: String)(d: Dialect): String = {
     val likelihood = dimCase("a.anomaly_type", issueLikelihood)
     s"""WITH enr_i AS ${d.cteMaterialized}(SELECT * FROM $enrRel),
@@ -490,7 +500,9 @@ object Scoring {
        |  SELECT 'hygiene' AS issue_type, a.anomaly_type AS issue_name,
        |         a.table_name, a.column_name,
        |         $likelihood AS status,
+       |         ${dimCase("a.anomaly_type", anomalyDims)} AS dq_dimension,
        |         a.prevalence AS measure, e.pii_flag,
+       |         ${cdeExpr("e")} AS is_cde,
        |         CASE WHEN a.detail_redactable = 1 AND e.pii_flag IS NOT NULL
        |              THEN '${graft.lookup.DrillDown.Redacted}'
        |              ELSE a.detail END AS detail
@@ -499,10 +511,26 @@ object Scoring {
        |      ON e.table_name = a.table_name AND e.column_name = a.column_name
        |  UNION ALL
        |  SELECT 'test', c.test_type, c.table_name, c.column_name,
-       |         c.result_status, c.measure_num, ${d.nullOf("text")},
+       |         c.result_status,
+       |         ${dimCase("c.test_type", testDims)} AS dq_dimension,
+       |         c.measure_num, ${d.nullOf("text")},
+       |         ${cdeExpr("e")} AS is_cde,
        |         ${d.nullOf("text")}
-       |    FROM cat_i c WHERE c.result_status IN ('Failed', 'Warning')
-       |)
+       |    FROM cat_i c
+       |    LEFT JOIN enr_i e
+       |      ON e.table_name = c.table_name AND e.column_name = c.column_name
+       |   WHERE c.result_status IN ('Failed', 'Warning')
+       |)""".stripMargin
+  }
+
+  /** Score-card issues drill-down: the hygiene anomalies (with their
+    * issue_likelihood status and the column's pii_flag) unioned with the
+    * Failed/Warning CAT results, ordered by the reference's severity
+    * rank (get_score_card_issues_by_column.sql: Definite 1, Failed 2,
+    * Likely 3, Possible 4, Warning 5, else 6). */
+  def scoreCardIssuesSql(enrRel: String, anomRel: String,
+                         catRel: String)(d: Dialect): String =
+    s"""${issuesBase(enrRel, anomRel, catRel)(d)}
        |SELECT issue_type, issue_name, table_name, column_name, status,
        |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag, detail,
        |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
@@ -512,7 +540,45 @@ object Scoring {
        |  FROM issues
        | ORDER BY severity_rank, LOWER(table_name), LOWER(column_name),
        |          issue_name""".stripMargin
-  }
+
+  /** Issues scoped by quality dimension
+    * (get_score_card_issues_by_dimension.sql): the same union keyed by
+    * each issue's dq_dimension (anomaly/test YAML `dq_dimension`), so a
+    * score-card dimension tile drills to exactly its issues. */
+  def scoreCardIssuesDimensionsSql(enrRel: String, anomRel: String,
+                                   catRel: String)(d: Dialect): String =
+    s"""${issuesBase(enrRel, anomRel, catRel)(d)}
+       |SELECT dq_dimension, issue_type, issue_name, table_name,
+       |       column_name, status,
+       |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag, detail,
+       |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
+       |                        WHEN 'Likely' THEN 3 WHEN 'Possible' THEN 4
+       |                        WHEN 'Warning' THEN 5 ELSE 6 END AS INT)
+       |         AS severity_rank
+       |  FROM issues
+       | WHERE dq_dimension IS NOT NULL
+       | ORDER BY dq_dimension, severity_rank, LOWER(table_name),
+       |          LOWER(column_name), issue_name""".stripMargin
+
+  /** Issues scoped by impact (CDE) dimension
+    * (get_score_card_issues_by_impact_dimension.sql): the dimension
+    * drill-down restricted to critical-data-element columns — the
+    * reference's CDE-weighted scoring views feed the same filter;
+    * CDE here is the engine's computed default ([[cdeExpr]]). */
+  def scoreCardIssuesImpactSql(enrRel: String, anomRel: String,
+                               catRel: String)(d: Dialect): String =
+    s"""${issuesBase(enrRel, anomRel, catRel)(d)}
+       |SELECT dq_dimension, issue_type, issue_name, table_name,
+       |       column_name, status,
+       |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag, detail,
+       |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
+       |                        WHEN 'Likely' THEN 3 WHEN 'Possible' THEN 4
+       |                        WHEN 'Warning' THEN 5 ELSE 6 END AS INT)
+       |         AS severity_rank
+       |  FROM issues
+       | WHERE dq_dimension IS NOT NULL AND is_cde = 1
+       | ORDER BY dq_dimension, severity_rank, LOWER(table_name),
+       |          LOWER(column_name), issue_name""".stripMargin
 
   /** CAT results across every suite table, memoized per (session, dir) —
     * shared by prevalence, score cards and the issues drill-down. */
@@ -689,8 +755,7 @@ object Scoring {
        |  SELECT table_name, column_name, dq_prevalence AS p FROM prev_h)
        |SELECT e.table_name, e.column_name,
        |       CAST(MAX(e.record_ct) AS BIGINT) AS record_ct,
-       |       CAST(MAX(CASE WHEN e.pii_flag IS NOT NULL THEN 1 ELSE 0 END)
-       |            AS INT) AS is_cde,
+       |       CAST(MAX(${cdeExpr("e")}) AS INT) AS is_cde,
        |       CAST(ROUND(${sumLn("COALESCE(i.p, 0.0)")}, 6) AS DOUBLE) AS good_pct
        |  FROM enr_h e
        |  LEFT JOIN iss i
@@ -715,6 +780,26 @@ object Scoring {
        |  FROM hist
        | GROUP BY run_id
        | ORDER BY run_id""".stripMargin
+  }
+
+  /** Per-column score history over (run_id, detail relation) pairs —
+    * the reference's v_dq_profile_scoring_history_by_column surface that
+    * get_historical_overall_scores_by_column.sql aggregates: one row per
+    * (run, table, column) with its good-data fraction, record weight and
+    * CDE flag, so a column's score trend is directly chartable. */
+  def scoreHistoryColumnsSql(runs: Seq[(String, String)])(d: Dialect): String = {
+    val hist = runs.map { case (runId, rel) =>
+      s"SELECT '$runId' AS run_id, * FROM $rel"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hist AS (
+       |$hist
+       |)
+       |SELECT run_id, table_name, column_name,
+       |       CAST(record_ct AS BIGINT) AS record_ct,
+       |       CAST(is_cde AS INT) AS is_cde,
+       |       CAST(ROUND(good_pct, 6) AS DOUBLE) AS score
+       |  FROM hist
+       | ORDER BY run_id, table_name, column_name""".stripMargin
   }
 
   /** The seeded two-run disposition history: run_000 scores with every
@@ -765,6 +850,59 @@ object Scoring {
       "run_000" -> SparkDialect.readParquet(p0),
       "run_001" -> SparkDialect.readParquet(p1)))(SparkDialect))
   }
+
+  /** Query entry: the per-column score trend over the same two landed
+    * runs as [[runScoreHistory]] (landing is idempotent — both entries
+    * converge on identical landed parquet); the oracle recomputes the
+    * identical per-column rows from first principles. */
+  def runScoreHistoryColumns(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.core.RunStore.root
+    val enrView = enrichedView(spark, dir)
+    val prevView = prevalenceView(spark, dir)
+    val p0 = graft.core.RunStore.land(
+      spark.sql(scoreDetailSql(enrView,
+        HygieneScreens.anomaliesView(spark, dir), prevView)(SparkDialect)),
+      root, "run_000", "score_detail")
+    val p1 = graft.core.RunStore.land(
+      spark.sql(scoreDetailSql(enrView,
+        HygieneScreens.anomaliesView(spark, dir, muted = dismissedByRun1),
+        prevView)(SparkDialect)),
+      root, "run_001", "score_detail")
+    spark.sql(scoreHistoryColumnsSql(Seq(
+      "run_000" -> SparkDialect.readParquet(p0),
+      "run_001" -> SparkDialect.readParquet(p1)))(SparkDialect))
+  }
+
+  def duckScoreHistoryColumnsSql(): String = {
+    val prev = s"(${duckTestPrevalenceSql()})"
+    def detail(muted: Seq[(String, String, String)]) =
+      s"(${scoreDetailSql(duckEnr(), s"(${HygieneScreens.duckSql(muted)})", prev)(DuckDialect)})"
+    scoreHistoryColumnsSql(Seq(
+      "run_000" -> detail(Nil),
+      "run_001" -> detail(dismissedByRun1)))(DuckDialect)
+  }
+
+  def runScoreCardIssuesDimensions(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    spark.sql(scoreCardIssuesDimensionsSql(enrView,
+      HygieneScreens.anomaliesView(spark, dir),
+      catResultsView(spark, dir))(SparkDialect))
+  }
+
+  def duckScoreCardIssuesDimensionsSql(): String =
+    scoreCardIssuesDimensionsSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
+      duckCatRel())(DuckDialect)
+
+  def runScoreCardIssuesImpact(spark: SparkSession, dir: String): DataFrame = {
+    val enrView = enrichedView(spark, dir)
+    spark.sql(scoreCardIssuesImpactSql(enrView,
+      HygieneScreens.anomaliesView(spark, dir),
+      catResultsView(spark, dir))(SparkDialect))
+  }
+
+  def duckScoreCardIssuesImpactSql(): String =
+    scoreCardIssuesImpactSql(duckEnr(), s"(${HygieneScreens.duckSql()})",
+      duckCatRel())(DuckDialect)
 
   /** Land THIS run's by-column score detail under `root/runId` — the
     * Runner's cross-invocation path (each invocation appends one run;

@@ -85,6 +85,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runOutliers(s, dir))) +
       ("dedup_embedding" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbedding(s, dir))) +
+      ("dedup_embedding_lsh" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingLsh(s, dir))) +
       ("monitor_trend_forecast" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runTrendForecast(s, dir))) +
       ("monitor_metric_trend" ->
@@ -200,6 +202,7 @@ object SparkEntry {
       ("monitor_history_thresholds" -> graft.streaming.Monitors.duckHistoryThresholdsSql()) +
       ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
       ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("dedup_embedding_lsh" -> graft.pipeline.Dedup.embeddingLshSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()) +
       ("monitor_metric_trend" -> graft.streaming.Monitors.duckMetricTrendSql()) +
       ("monitor_freshness_gaps" -> graft.streaming.Monitors.duckFreshnessGapsSql()) +

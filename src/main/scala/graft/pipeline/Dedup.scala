@@ -309,6 +309,46 @@ object Dedup {
     spark.sql(embeddingSql("__graft_emb_dedup")(SparkDialect))
   }
 
+  /** LSH-blocked embedding near-dup for UNLABELED corpora: the same
+    * pair-cosine dedup as [[embeddingSql]] with the sign-LSH bucket
+    * ([[Similarity.bucketExpr]]) as the blocking key instead of a label
+    * — the 100 TB path when no label exists: the corpus shuffles ONCE on
+    * the computed bucket (a pure per-row expression, no training pass)
+    * and each pair join is bucket-local, ~1/2^nPlanes of the quadratic.
+    * Sign-LSH buckets are cosine-aware, so true near-duplicates
+    * (cosine -> 1) land in the same bucket with probability
+    * (1 - theta/pi)^nPlanes — the standard hamming-cosine guarantee;
+    * production recall stacks multiple independent bucket tables. */
+  // Fixture threshold 0.30 (vs the labeled path's 0.40): within-bucket
+  // cosine on the random synthetic corpus tops out ~0.40, so 0.30
+  // surfaces a real candidate set through the gate; production near-dup
+  // thresholds are 0.95+ either way.
+  def embeddingLshSql(table: String, threshold: Double = 0.30,
+                      nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String = {
+    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
+    s"""WITH emb AS (
+       |  SELECT vec_id, $bucket AS bucket, embedding,
+       |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
+       |    FROM $table
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       |         ${d.dotProduct("a.embedding", "b.embedding")} / NULLIF(a.nrm * b.nrm, 0) AS cos
+       |    FROM emb a JOIN emb b
+       |      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, bucket, CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
+       |  FROM pairs
+       | WHERE cos >= $threshold
+       | ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  def runEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("__graft_emb_lsh")
+    spark.sql(embeddingLshSql("__graft_emb_lsh")(SparkDialect))
+  }
+
   /** Winnowing fingerprint dedup (the MOSS rolling-hash scheme,
     * Schleimer/Wilkerson/Aiken 2003): hash every `k`-char gram of the
     * normalized text, keep each `w`-window's MINIMUM hash, and the

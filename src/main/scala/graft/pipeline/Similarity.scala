@@ -100,18 +100,25 @@ object Similarity {
     * ~1/2^nPlanes of it. Projections are unrolled element sums so both
     * engines evaluate the same addition order — bit-identical buckets.
     */
-  def lshSql(table: String, nQueries: Int = 5, k: Int = 5,
-             nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String = {
+  /** The sign-LSH bucket id of `vec` as a dialect-neutral expression
+    * (unrolled element sums — both engines evaluate the same addition
+    * order, so buckets are bit-identical). Shared by the ANN path below
+    * and the LSH-blocked embedding dedup
+    * ([[graft.pipeline.Dedup.embeddingLshSql]]). */
+  def bucketExpr(vec: String, nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String = {
     val planes = hyperplanes(nPlanes, dim)
-    def proj(vec: String, w: Seq[Double]): String =
+    def proj(w: Seq[Double]): String =
       w.zipWithIndex.map { case (wv, i) =>
         s"${d.elementAt(vec, i + 1)} * ($wv)"
       }.mkString(" + ")
-    val bucket = planes.zipWithIndex.map { case (w, p) =>
-      s"(CASE WHEN ${proj("embedding", w)} >= 0 THEN ${1 << p} ELSE 0 END)"
+    planes.zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN ${proj(w)} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-    lshBody(table, nQueries, k, bucket)(d)
   }
+
+  def lshSql(table: String, nQueries: Int = 5, k: Int = 5,
+             nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String =
+    lshBody(table, nQueries, k, bucketExpr("embedding", nPlanes, dim)(d))(d)
 
   /** Production-path bucket form: the SAME sign-LSH bucket as [[lshSql]]
     * but with each plane projection as an array-literal `zip_with` fold

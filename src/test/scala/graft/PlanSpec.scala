@@ -134,6 +134,19 @@ class PlanSpec extends SparkSpec {
       "winnowing has a join without a condition")
   }
 
+  test("LSH embedding dedup pair join is a bucket equi-join, never all-pairs") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.pipeline.Dedup.runEmbeddingLsh(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH embedding dedup plan degenerated to an all-pairs join")
+    val hasEqui = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.condition.exists(_.toString.contains("bucket"))
+    }
+    assert(hasEqui.nonEmpty && hasEqui.forall(identity),
+      "pair join does not carry the bucket equi-key")
+  }
+
   test("exact dedup groups once and reads only doc_id and text") {
     val df = graft.pipeline.Dedup.runExact(spark, dir)
     val p = plan(df)

@@ -58,31 +58,34 @@ object DrillDown {
   def piiFlagsPath: String =
     graft.core.RunStore.runPath(graft.core.RunStore.root, "run_000", "pii_flags")
 
-  /** Redact `valExpr` iff (table, column) carries a computed pii_flag in
-    * the landed flag relation. The flag relation is metadata-sized (one
-    * row per flagged column), so the probe is a scalar subquery over a
-    * tiny parquet footprint in both engines; a production run would
-    * broadcast-join it once per lookup instead. */
-  def piiRedactExpr(valExpr: String, table: String, column: String,
-                    piiPath: String)(d: Dialect): String =
-    s"""CASE WHEN (SELECT COUNT(*) FROM ${d.readParquet(piiPath)} pf
-       |            WHERE pf.table_name = '$table'
-       |              AND pf.column_name = '$column') > 0
-       |     THEN '$Redacted' ELSE $valExpr END""".stripMargin
-
   /** Pattern-mismatch drill-down with PII masking applied to flagged
     * columns: offending rows, masked. Every projected column is eligible
     * for masking, so all are rendered as text (the reference's masked
     * frame is stringly-typed the same way — pii_masking.py
-    * mask_source_data_pii assigns the token into the column). */
+    * mask_source_data_pii assigns the token into the column).
+    *
+    * The flag relation is read ONCE: all projected columns' flags
+    * collapse into a single conditional-aggregation row that cross-joins
+    * (broadcasts) onto the data scan — one pii_flag read per lookup,
+    * the same shape [[lookupFailedTestsSql]] uses, instead of one
+    * scalar-subquery probe per projected column. */
   def maskedMismatchSql(table: String, logicalTable: String, col: String,
                         re: String, piiPath: String,
                         otherCols: Seq[String])(d: Dialect): String = {
+    def flagName(c: String) = s"pii_$c"
+    val flags = otherCols.map { c =>
+      s"""MAX(CASE WHEN table_name = '$logicalTable'
+         | AND column_name = '$c' THEN 1 ELSE 0 END) AS ${flagName(c)}"""
+        .stripMargin.replace("\n", "")
+    }.mkString(",\n       ")
     val projected = otherCols.map { c =>
-      s"${piiRedactExpr(d.castText(c), logicalTable, c, piiPath)(d)} AS $c"
+      s"CASE WHEN pf.${flagName(c)} = 1 THEN '$Redacted' ELSE ${d.castText(c)} END AS $c"
     }.mkString(", ")
     s"""SELECT $projected, $col AS offending_value
        |  FROM $table
+       | CROSS JOIN (SELECT
+       |       $flags
+       |  FROM ${d.readParquet(piiPath)}) pf
        | WHERE NOT ${d.rlike(col, re)}
        | ORDER BY $col
        | LIMIT $Limit""".stripMargin

@@ -134,6 +134,15 @@ class PlanSpec extends SparkSpec {
       "winnowing has a join without a condition")
   }
 
+  test("masked lookup reads the pii flag relation exactly once") {
+    val df = graft.lookup.DrillDown.runMasked(spark, dir)
+    val p = plan(df)
+    val piiScans = p.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("pii_flags"))
+    assert(piiScans == 1,
+      s"expected exactly 1 pii_flags scan, got $piiScans")
+  }
+
   test("LSH embedding dedup pair join is a bucket equi-join, never all-pairs") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = graft.pipeline.Dedup.runEmbeddingLsh(spark, dir)

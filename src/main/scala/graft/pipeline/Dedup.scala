@@ -388,7 +388,11 @@ object Dedup {
        |  JOIN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
        |    ON f.fp = ok.fp
        |),
-       |sizes AS (SELECT id, COUNT(*) AS sz FROM fpf GROUP BY id),
+       |-- sizes from fps (PRE hot-cutoff): the cutoff only bounds the
+       |-- candidate join; the Jaccard denominator must reflect the FULL
+       |-- fingerprint set, or mostly-hot (boilerplate) docs get tiny
+       |-- denominators and outrank genuinely similar pairs
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM fps GROUP BY id),
        |pairs AS (
        |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS shared
        |    FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.id < b.id

@@ -39,7 +39,8 @@ object Bench {
     // Per-query time = MIN across timed passes: the steady-state cost an
     // isolated warm run would show, robust to one-off GC/OS noise that a
     // single in-pass sample keeps picking up from its neighbors.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     val timedRuns = (1 to passes).map(_ => runOnce(timed = true))
     val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
       name -> timedRuns.map(_(i)._2).min
@@ -48,6 +49,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query record to a file: the driver's stdout tail capture
+    // truncates the one-line summary, losing entries round-over-round;
+    // the file keeps every query with its per-pass samples AND the min,
+    // so cross-round comparison needs no isolated re-runs and regressions
+    // that manifest as variance stay visible next to the min.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    val perQuery = queries.map(_._1).zipWithIndex.map { case (name, i) =>
+      val samples = timedRuns.map(_(i)._2)
+      s""""$name":{"min":${samples.min},"passes":[${samples.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val fileJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_passes":$passes,"queries":$perQuery}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fileJson + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -146,19 +146,25 @@ object SampledProfiler {
     val ratioExpr = s"(CAST($n AS DOUBLE) / $sampleCount)"
     val draw = d.hexToLong(s"SUBSTRING(MD5($lineitemKey), 1, 8)")
     val cols = metricsOf(schema)
-    // The sampled relation is declared ONCE as a temp view: the Bernoulli
-    // draw expression appears a single time in the code and stays FUSED
-    // into each job's scan (the sample is never materialized — at 100 TB
-    // a 30% sample is still tens of TB). Over it, the same job split as
-    // Profiler.compute: scalar aggregates chunked into bounded codegen'd
-    // groups, and ALL distinct counts routed through ONE stack-unpivot
-    // group-by job — never an inline COUNT(DISTINCT) per chunk, which
-    // would plan a multi-distinct Expand over the sampled scan per chunk.
+    // The sample is MATERIALIZED ONCE per entry (localCheckpoint), then
+    // every downstream job reads the checkpointed partitions: the
+    // k scalar chunks + the distinct-unpivot job previously re-derived
+    // the Bernoulli draw with a full lineitem scan EACH. With j jobs the
+    // trade is (j × full-scan) vs (1 full-scan + sample-write +
+    // j × sample-scan); at a 30% sample and 3+ jobs the materialized
+    // form wins on a cluster too — the real-cluster equivalent is
+    // persisting the sample to storage before the profiling fan-out.
+    // Over it, the same job split as Profiler.compute: scalar aggregates
+    // chunked into bounded codegen'd groups, and ALL distinct counts
+    // routed through ONE stack-unpivot group-by job — never an inline
+    // COUNT(DISTINCT) per chunk, which would plan a multi-distinct
+    // Expand over the sampled scan per chunk.
     val sampledView = "__graft_sampled_li_draw"
     spark.sql(
       s"""SELECT * FROM $view
          | WHERE CAST($draw AS DOUBLE) / 4294967296.0
          |       < CAST($sampleCount AS DOUBLE) / $n""".stripMargin)
+      .localCheckpoint(eager = true)
       .createOrReplaceTempView(sampledView)
 
     import scala.concurrent.{Await, Future}

@@ -134,6 +134,15 @@ class PlanSpec extends SparkSpec {
       "winnowing has a join without a condition")
   }
 
+  test("sampled profile materializes the sample once, jobs read the checkpoint") {
+    graft.profiling.SampledProfiler.run(spark, dir).count()
+    val p = plan(spark.table("__graft_sampled_li_draw"))
+    assert(!p.contains("FileScan"),
+      "downstream jobs still re-derive the sample from the raw scan")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"sampled view is not a materialized checkpoint:\n$p")
+  }
+
   test("masked lookup reads the pii flag relation exactly once") {
     val df = graft.lookup.DrillDown.runMasked(spark, dir)
     val p = plan(df)

@@ -158,4 +158,80 @@ class StreamMonitorsSpec extends SparkSpec {
       assert(active.exists(r => r._2 == 480.0 && r._5), active)
     } finally q.stop()
   }
+
+  /** Batch-parity oracle anchor: the streaming surface replayed over the
+    * GATE FIXTURE must reproduce the oracle-checked batch relations —
+    * dailyVolume vs the daily sub-relation the hash-green
+    * monitor_volume_bands oracle aggregates (Monitors.volumeBandsSql's
+    * `daily` CTE), and dedupExact vs the hash-green dedup_exact
+    * duplicate groups — promoting the streaming extension from
+    * spec-only to oracle-anchored. */
+  test("streaming volume and dedup reproduce the oracle-checked batch relations") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    // ---- daily volume over the fixture events
+    val evRows = graft.core.Tables.load(spark2, dir, "events", parallelize = false)
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+      .as[Ev].collect().toSeq
+    val input = MemoryStream[Ev]
+    val q = StreamMonitors.dailyVolume(input.toDF())
+      .writeStream.format("memory").queryName("vol_fixture")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(evRows: _*)
+      q.processAllAvailable()
+      spark.table("vol_fixture").select("series", "day", "ct")
+        .as[(String, java.sql.Date, Long)].collect().toSet
+    } finally q.stop()
+    val batch = StreamMonitors.dailyVolume(evRows.toDF())
+      .as[(String, java.sql.Date, Long)].collect().toSet
+    // the batch relation IS the oracle-checked daily shape
+    graft.core.Tables.load(spark2, dir, "events", parallelize = false)
+      .createOrReplaceTempView("__sm_events")
+    val oracleDaily = spark.sql(
+      """SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |       COUNT(*) AS ct
+        |  FROM __sm_events GROUP BY 1, 2""".stripMargin)
+      .as[(String, java.sql.Date, Long)].collect().toSet
+    assert(batch == oracleDaily)
+    // every window the stream emitted matches the batch relation, and
+    // every window safely past the 2-day watermark horizon was emitted
+    assert(streamed.subsetOf(batch), "stream emitted a row batch lacks")
+    val maxDay = evRows.map(_.ts.getTime).max
+    val closed = batch.filter(_._2.getTime < maxDay - 3L * 86400 * 1000)
+    assert(closed.nonEmpty && closed.subsetOf(streamed),
+      "a closed window was never emitted")
+
+    // ---- exact dedup over the fixture documents (ts synthesized inside
+    // one watermark horizon so cross-corpus duplicates all collapse)
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val docRows = graft.core.Tables.load(spark2, dir, "documents", parallelize = false)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) => Doc(id, new Timestamp(base + id), text) }
+    val dIn = MemoryStream[Doc]
+    val dq = StreamMonitors.dedupExact(dIn.toDF())
+      .writeStream.format("memory").queryName("dedup_fixture")
+      .outputMode("append").start()
+    val keptHashes = try {
+      dIn.addData(docRows: _*)
+      dq.processAllAvailable()
+      spark.table("dedup_fixture").select("content_hash").as[String]
+        .collect().toSeq
+    } finally dq.stop()
+    val batchKept = StreamMonitors.dedupExact(docRows.toDF())
+      .select("content_hash").as[String].collect().toSeq
+    assert(keptHashes.sorted == batchKept.sorted,
+      "streaming kept set differs from the batch dedup")
+    // oracle anchor: rows dropped == sum(dupe_ct - 1) over the
+    // hash-green dedup_exact duplicate-group relation
+    val dupExcess = graft.pipeline.Dedup.runExact(spark2, dir)
+      .selectExpr("CAST(SUM(dupe_ct - 1) AS BIGINT)")
+      .collect()(0)
+    val dropped = docRows.size - keptHashes.size
+    assert(dropped == (if (dupExcess.isNullAt(0)) 0L else dupExcess.getLong(0)),
+      s"dropped $dropped rows but the dedup_exact relation implies ${dupExcess}")
+  }
 }

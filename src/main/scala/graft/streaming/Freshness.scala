@@ -285,6 +285,84 @@ object Freshness {
     }
   }
 
+  /** Full threshold result of [[computeFreshnessThreshold]] — the
+    * reference's (lower, upper, staleness, prediction) 4-tuple with the
+    * inferred schedule riding along as the prediction payload. */
+  final case class FreshnessResult(lower: Option[Double], upper: Option[Double],
+                                   staleness: Option[Double],
+                                   schedule: Option[Schedule])
+
+  /** Port of compute_freshness_threshold
+    * (testgen/commands/test_thresholds_prediction.py:153-260) — the
+    * complete freshness orchestration over one monitored series'
+    * observation history (sawtooth rows of (epoch sec, minutes since
+    * last update); updates are rows with value 0):
+    *
+    *  1. under `minLookback` observations → training (all None);
+    *  2. first-pass gap thresholds from the update gaps (weekends
+    *     excluded iff the user hinted so);
+    *  3. with schedule inference enabled (the reference's schedule_tz
+    *     knob): an ACTIVE inferred schedule supersedes the user hint —
+    *     its inactive days become the excluded days, sub-daily windows
+    *     exclude overnight hours, thresholds re-fit under those
+    *     exclusions (staleness only exists here), and daily/weekly
+    *     schedules override `upper` with the next-deadline minutes. */
+  def computeFreshnessThreshold(rows: Seq[(Long, Double)], sensitivity: String,
+                                minLookback: Int = 1,
+                                excludeWeekends: Boolean = false,
+                                inferScheduleEnabled: Boolean = false,
+                                tzOffsetSec: Long = 0L): FreshnessResult = {
+    val none = FreshnessResult(None, None, None, None)
+    if (rows.length < minLookback) return none
+    val updates = rows.collect { case (t, v) if v == 0 => t }
+    val first =
+      try gapThreshold(updates, sensitivity, excludeWeekends = excludeWeekends,
+        tzOffsetSec = tzOffsetSec)
+      catch { case _: NotEnoughData => return none }
+    var lower = first.lower
+    var upper = Option(first.upper)
+    var staleness: Option[Double] = None
+    if (!inferScheduleEnabled)
+      return FreshnessResult(lower, upper, staleness, None)
+
+    val schedOpt = inferSchedule(updates, tzOffsetSec)
+    schedOpt match {
+      case Some(sched) if sched.stage == "active" =>
+        val excludedDays =
+          if (sched.activeDays.nonEmpty) (0 until 7).toSet -- sched.activeDays
+          else Set.empty[Int]
+        // an active schedule's excluded days supersede the user's
+        // exclude_weekends hint (test_thresholds_prediction.py:216-219)
+        val schedExclWeekends = if (excludedDays.nonEmpty) false else excludeWeekends
+        val hasWindow = sched.frequency == "sub_daily" &&
+          sched.windowStart.isDefined && sched.windowEnd.isDefined
+        var lastUpdate = first.lastUpdateSec
+        if (excludedDays.nonEmpty || hasWindow) {
+          try {
+            val refit = gapThreshold(updates, sensitivity,
+              excludeWeekends = schedExclWeekends,
+              excludedDays = excludedDays, tzOffsetSec = tzOffsetSec,
+              windowStart = if (hasWindow) sched.windowStart else None,
+              windowEnd = if (hasWindow) sched.windowEnd else None)
+            lower = refit.lower
+            upper = Some(refit.upper)
+            staleness = Some(refit.staleness)
+            lastUpdate = refit.lastUpdateSec
+          } catch { case _: NotEnoughData => () } // keep first-pass thresholds
+        }
+        if (sched.frequency != "sub_daily") {
+          minutesToNextDeadline(lastUpdate, sched,
+            deadlineBufferHours(sensitivity),
+            excludeWeekends = schedExclWeekends,
+            excludedDays = excludedDays,
+            tzOffsetSec = tzOffsetSec).foreach(du => upper = Some(du))
+        }
+        FreshnessResult(lower, upper, staleness, schedOpt)
+      case _ =>
+        FreshnessResult(lower, upper, staleness, schedOpt)
+    }
+  }
+
   /** infer_schedule over update-event times. */
   def inferSchedule(timesSec: Seq[Long], tzOffsetSec: Long = 0L): Option[Schedule] = {
     val times = timesSec.sorted

@@ -6,11 +6,13 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
 /** Multimodal-column plumbing: media payloads as opaque BINARY columns
   * with typed metadata, and a batched feature-extraction pipeline. The
-  * decode step is REAL for two public formats a JVM can parse without
-  * codecs — uncompressed 24-bit BMP and 16-bit PCM WAV — and falls back
-  * to a deterministic md5-derived stand-in for payloads in any other
-  * format (this container ships no image/audio libraries; a jpeg/mp4
-  * codec plugs into the same per-partition decode slot).
+  * decode step is REAL for five public formats the JVM parses without
+  * external libraries — uncompressed 24-bit BMP and 16-bit PCM WAV via
+  * byte-level parsers here, and PNG / JPEG / GIF via the JDK's built-in
+  * `javax.imageio` plugins (part of Java SE's `java.desktop` module,
+  * present in headless JVMs) — and falls back to a deterministic
+  * md5-derived stand-in for anything else (mp3/mp4 have no JDK codec; a
+  * library codec plugs into the same per-partition decode slot).
   *
   * At scale: the binary payloads never shuffle — metadata extraction
   * and featurization are per-partition map work; only the small
@@ -108,6 +110,60 @@ object Multimodal {
       if (nVals > 0) r4(math.sqrt(sumSq / nVals)) else 0.0))
   }
 
+  // ---- JDK ImageIO decoders (PNG / JPEG / GIF) ------------------------
+
+  // Headless + no temp-file cache, so decode is a pure in-memory
+  // per-partition operation (ImageIO's default cache writes every
+  // stream to disk — pathological inside an executor hot loop).
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Magic-byte sniff for the compressed raster formats the JDK's
+    * built-in ImageIO plugins decode. Sniffing first keeps non-image
+    * payloads (the common case in a mixed corpus) off the ImageIO
+    * reader-lookup path entirely. */
+  def imageFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') Some("png")
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) Some("jpeg")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') Some("gif")
+    else None
+
+  /** PNG/JPEG/GIF via `javax.imageio`: same (width, height, channel
+    * means) stats as [[decodeBmp]], read row-by-row into a reused ARGB
+    * buffer. None for non-image payloads and any decode failure. */
+  def decodeImageIo(b: Array[Byte]): Option[(String, ImageStats)] =
+    imageFormat(b).flatMap { fmt =>
+      imageIoReady
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val row = new Array[Int](w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Some((fmt, ImageStats(w, h,
+            r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n))))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Media metadata + stub features via SQL over a binary cast of the
     * document text (the driver testdata ships no real media; any binary
     * column slots in unchanged). Fake dims decode deterministic bytes
@@ -173,6 +229,42 @@ object Multimodal {
       r4(sums(i).toDouble / (1000.0 * counts(i)))).toArray)
   }
 
+  /** Resize step over the ImageIO formats: same n x n mean-luma grid as
+    * [[bmpGridLuma]], but in natural top-down row order (BMP's grid is
+    * bottom-up because its pixel rows are). */
+  def imageIoGridLuma(b: Array[Byte], n: Int = 4): Option[Array[Double]] =
+    imageFormat(b).flatMap { _ =>
+      imageIoReady
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val g = math.min(n, math.min(w, h))
+          val sums = Array.ofDim[Long](g * g)
+          val counts = Array.ofDim[Long](g * g)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            val cy = math.min(y * g / h, g - 1)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(x * g / w, g - 1)
+              val p = row(x)
+              sums(cy * g + cx) += 299L * ((p >> 16) & 0xff) +
+                587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+              counts(cy * g + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(sums.indices.map(i =>
+            r4(sums(i).toDouble / (1000.0 * counts(i)))).toArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Frame-sample step: `k` equal PCM frames, RMS each — the coarse
     * audio fingerprint frame-sampled ingest pipelines compare. */
   def wavFrameRms(b: Array[Byte], k: Int = 8): Option[Array[Double]] = {
@@ -212,9 +304,10 @@ object Multimodal {
 
   /** The Dataset-typed side of the pipeline: binary payload column +
     * per-partition batched decode via mapPartitions — batch-local codec
-    * initialization, bounded memory per batch. BMP and WAV payloads
-    * decode for real ([[decodeBmp]]/[[decodeWav]]); anything else gets
-    * the deterministic content-hash stand-in (kind = 'opaque'). */
+    * initialization, bounded memory per batch. BMP, WAV, PNG, JPEG and
+    * GIF payloads decode for real ([[decodeBmp]] / [[decodeWav]] /
+    * [[decodeImageIo]]); anything else gets the deterministic
+    * content-hash stand-in (kind = 'opaque'). */
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, kind: String,
                                  features: Array[Double])
 
@@ -226,10 +319,14 @@ object Multimodal {
       case None => decodeWav(payload) match {
         case Some(a) => MediaFeatures(id, payload.length, "wav",
           Array(a.sampleRate, a.nChannels, a.nSamples, a.peak, a.rms))
-        case None =>
-          val h = digest.digest(payload)
-          MediaFeatures(id, payload.length, "opaque",
-            Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
+        case None => decodeImageIo(payload) match {
+          case Some((fmt, s)) => MediaFeatures(id, payload.length, fmt,
+            Array(s.width, s.height, s.meanR, s.meanG, s.meanB))
+          case None =>
+            val h = digest.digest(payload)
+            MediaFeatures(id, payload.length, "opaque",
+              Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
+        }
       }
     }
 

@@ -113,6 +113,59 @@ class MonitorsSpec extends SparkSpec {
     assert(Multimodal.wavFrameRms(snd.take(20), 4).isEmpty)
   }
 
+  test("PNG, JPEG and GIF payloads decode through the JDK ImageIO slot") {
+    import spark.implicits._
+    // the same 2x2 pixels as the BMP case, encoded by the JDK writers
+    val px = Seq(Seq((255, 0, 0), (0, 255, 0)), Seq((0, 0, 255), (10, 20, 30)))
+    def encode(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 2) {
+        val (r, g, b) = px(y)(x)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val png = encode("png"); val jpg = encode("jpg"); val gif = encode("gif")
+    assert(Multimodal.imageFormat(png).contains("png"))
+    assert(Multimodal.imageFormat(jpg).contains("jpeg"))
+    assert(Multimodal.imageFormat(gif).contains("gif"))
+    assert(Multimodal.imageFormat("not media".getBytes("UTF-8")).isEmpty)
+
+    val ds = Seq((1L, png), (2L, jpg), (3L, gif)).toDS()
+    val rows = Multimodal.extractFrom(ds).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // PNG is lossless: channel means are exact quarters of the sums
+    assert(rows(1L).getAs[String]("kind") == "png")
+    val pf = rows(1L).getAs[scala.collection.Seq[Double]]("features")
+    assert(pf.sameElements(Seq(2.0, 2.0, r4((255 + 10) / 4.0),
+      r4((255 + 20) / 4.0), r4((255 + 30) / 4.0))), pf.toString)
+    // JPEG is lossy: exact dimensions, means within quantization error
+    assert(rows(2L).getAs[String]("kind") == "jpeg")
+    val jf = rows(2L).getAs[scala.collection.Seq[Double]]("features")
+    assert(jf(0) == 2.0 && jf(1) == 2.0, jf.toString)
+    assert((2 to 4).forall(i => (jf(i) - pf(i)).abs < 80.0), jf.toString)
+    // GIF: the JDK writer quantizes to its default palette, so like
+    // JPEG assert exact dimensions and palette-error-bounded means
+    assert(rows(3L).getAs[String]("kind") == "gif")
+    val gf = rows(3L).getAs[scala.collection.Seq[Double]]("features")
+    assert(gf(0) == 2.0 && gf(1) == 2.0, gf.toString)
+    assert((2 to 4).forall(i => (gf(i) - pf(i)).abs < 80.0), gf.toString)
+
+    // resize step: natural top-down row order (unlike BMP's bottom-up)
+    def luma(rc: (Int, Int, Int)) =
+      r4((299L * rc._1 + 587L * rc._2 + 114L * rc._3) / 1000.0)
+    val grid = Multimodal.imageIoGridLuma(png, 2).get
+    assert(grid.sameElements(Array(
+      luma((255, 0, 0)), luma((0, 255, 0)),
+      luma((0, 0, 255)), luma((10, 20, 30)))), grid.mkString(","))
+    // truncated payloads decode to None, not garbage
+    assert(Multimodal.decodeImageIo(png.take(20)).isEmpty)
+    assert(Multimodal.imageIoGridLuma(png.take(20), 2).isEmpty)
+  }
+
   private def r4(x: Double) = math.rint(x * 10000) / 10000
 
   test("daily active schedules get deadline-based upper thresholds") {

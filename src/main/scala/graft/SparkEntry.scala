@@ -51,6 +51,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir))) +
       ("text_analysis" ->
         ((s: SparkSession, dir: String) => graft.pipeline.TextAnalysis.run(s, dir))) +
+      ("text_repetition" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Repetition.run(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -181,6 +183,7 @@ object SparkEntry {
       ("test_prevalence" -> graft.scoring.Scoring.duckTestPrevalenceSql()) +
       ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql()) +
       ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()) +
+      ("text_repetition" -> graft.pipeline.Repetition.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

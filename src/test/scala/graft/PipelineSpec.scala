@@ -72,6 +72,40 @@ class PipelineSpec extends SparkSpec {
     assert(unrolled.toSeq == fold.toSeq)
   }
 
+  test("repetition signals match hand-computed gram frequencies") {
+    import spark.implicits._
+    // doc 1: 11×"a" + "b" — words: top 11/12, dup 11/12, distinct 2/12;
+    //   11 bigrams: (a a)×10 + (a b): top/dup 10/11; 10 trigrams:
+    //   (a a a)×9 + (a a b): top 9/10. Flags on every signal.
+    // doc 2: 12 distinct words — fractions below every threshold.
+    Seq((1L, ("a " * 11) + "b"),
+        (2L, (1 to 12).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text").createOrReplaceTempView("__graft_rep_test")
+    val rows = spark.sql(graft.pipeline.Repetition.sql("__graft_rep_test")(
+        graft.oracle.SparkDialect)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = rows(1L)
+    assert(d1.getAs[Long]("word_ct") == 12)
+    assert(d1.getAs[Double]("distinct_ratio") == 0.1667)
+    assert(d1.getAs[Double]("top_word_frac") == 0.9167)
+    assert(d1.getAs[Double]("dup_word_frac") == 0.9167)
+    assert(d1.getAs[Double]("top_bigram_frac") == 0.9091)
+    assert(d1.getAs[Double]("dup_bigram_frac") == 0.9091)
+    assert(d1.getAs[Double]("top_trigram_frac") == 0.9)
+    assert(d1.getAs[Int]("repetitive_flag") == 1)
+    val d2 = rows(2L)
+    assert(d2.getAs[Double]("distinct_ratio") == 1.0)
+    assert(d2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(d2.getAs[Double]("top_word_frac") == 0.0833)
+    assert(d2.getAs[Int]("repetitive_flag") == 0)
+    // fixture-wide: one row per document, fractions bounded
+    val all = graft.pipeline.Repetition.run(spark, sfDir).collect()
+    assert(all.length == 500)
+    assert(all.forall { r =>
+      val f = r.getAs[Double]("top_word_frac"); f > 0.0 && f <= 1.0
+    })
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Corpus-level token-budget accounting: the per-(source, language)
+  * rollup a training-data curation run reports — document and token
+  * counts, mean quality, the repetitive share from the Gopher-style
+  * filters, and the exact-duplicate rate from content fingerprints.
+  *
+  * Composes the per-document signal relations ([[TextAnalysis]],
+  * [[Repetition]]) and rolls them up to a handful of groups. In a
+  * production pipeline the signals are landed once per corpus pass and
+  * this rollup reads the landed columns; inlining them here keeps the
+  * entry self-contained for the oracle while the group-by itself moves
+  * only (source, lang) partials — a broadcast-sized result at any
+  * corpus scale.
+  *
+  * Averages sum the 4-decimal signals as scaled BIGINTs (exactly
+  * representable), not doubles — a floating AVG's partial-sum order
+  * differs between Spark's parallel and DuckDB's sequential
+  * aggregation and flips the last rounded digit — and the final
+  * half-up rounding happens in integer arithmetic (intDiv of
+  * 2·sum + n by 2·n): Spark's ROUND rounds the shortest decimal
+  * rendering of a double, DuckDB's its binary value, and they disagree
+  * one ulp below a .00005 boundary.
+  */
+object CorpusStats {
+
+  def sql(table: String)(d: Dialect): String = {
+    s"""WITH ta AS (${TextAnalysis.sql(table)(d)}),
+       |rep AS (${Repetition.sql(table)(d)})
+       |SELECT doc.source, doc.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |  CAST(SUM(ta.ws_token_ct) AS BIGINT) AS token_ct,
+       |  CAST(${d.intDiv(
+                 "2 * SUM(CAST(ROUND(ta.quality_score * 10000) AS BIGINT)) + COUNT(*)",
+                 "2 * COUNT(*)")} / 10000.0 AS DOUBLE) AS avg_quality,
+       |  CAST(${d.intDiv(
+                 "2 * SUM(CAST(ROUND(rep.distinct_ratio * 10000) AS BIGINT)) + COUNT(*)",
+                 "2 * COUNT(*)")} / 10000.0 AS DOUBLE) AS avg_distinct_ratio,
+       |  CAST(SUM(rep.repetitive_flag) AS BIGINT) AS repetitive_ct,
+       |  CAST(COUNT(DISTINCT ta.fingerprint) AS BIGINT) AS distinct_fingerprints,
+       |  CAST(COUNT(*) - COUNT(DISTINCT ta.fingerprint) AS BIGINT) AS dup_doc_ct
+       |FROM $table doc
+       |JOIN ta ON ta.doc_id = doc.doc_id
+       |JOIN rep ON rep.doc_id = doc.doc_id
+       |GROUP BY doc.source, doc.lang
+       |ORDER BY doc.source, doc.lang""".stripMargin
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_corpus_docs")
+    spark.sql(sql("__graft_corpus_docs")(SparkDialect))
+  }
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+}

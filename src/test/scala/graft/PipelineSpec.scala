@@ -106,6 +106,21 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("corpus stats roll up documents into per-(source, lang) budgets") {
+    val rows = graft.pipeline.CorpusStats.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // groups partition the corpus: doc counts sum to the table size
+    assert(rows.map(_.getAs[Long]("doc_ct")).sum == 500)
+    assert(rows.forall { r =>
+      val docs = r.getAs[Long]("doc_ct")
+      val distinct = r.getAs[Long]("distinct_fingerprints")
+      val dups = r.getAs[Long]("dup_doc_ct")
+      distinct + dups == docs && dups >= 0 &&
+        r.getAs[Long]("repetitive_ct") <= docs &&
+        r.getAs[Long]("token_ct") >= docs // every fixture doc has words
+    })
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

@@ -10,7 +10,11 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * filters, and the exact-duplicate rate from content fingerprints.
   *
   * Composes the per-document signal relations ([[TextAnalysis]],
-  * [[Repetition]]) and rolls them up to a handful of groups. In a
+  * [[Repetition]]) and rolls them up to a handful of groups. The
+  * repetition join is LEFT: a zero-token document has no repetition
+  * row (wordsRel drops empty words), but it still counts toward the
+  * budget and the dup rate (empty duplicates are a classic dedup
+  * class) — means average only the documents that carry the signal. In a
   * production pipeline the signals are landed once per corpus pass and
   * this rollup reads the landed columns; inlining them here keeps the
   * entry self-contained for the oracle while the group-by itself moves
@@ -33,19 +37,19 @@ object CorpusStats {
        |rep AS (${Repetition.sql(table)(d)})
        |SELECT doc.source, doc.lang,
        |  CAST(COUNT(*) AS BIGINT) AS doc_ct,
-       |  CAST(SUM(ta.ws_token_ct) AS BIGINT) AS token_ct,
+       |  CAST(SUM(COALESCE(ta.ws_token_ct, 0)) AS BIGINT) AS token_ct,
        |  CAST(${d.intDiv(
-                 "2 * SUM(CAST(ROUND(ta.quality_score * 10000) AS BIGINT)) + COUNT(*)",
-                 "2 * COUNT(*)")} / 10000.0 AS DOUBLE) AS avg_quality,
+                 "2 * SUM(CAST(ROUND(ta.quality_score * 10000) AS BIGINT)) + COUNT(ta.quality_score)",
+                 "NULLIF(2 * COUNT(ta.quality_score), 0)")} / 10000.0 AS DOUBLE) AS avg_quality,
        |  CAST(${d.intDiv(
-                 "2 * SUM(CAST(ROUND(rep.distinct_ratio * 10000) AS BIGINT)) + COUNT(*)",
-                 "2 * COUNT(*)")} / 10000.0 AS DOUBLE) AS avg_distinct_ratio,
-       |  CAST(SUM(rep.repetitive_flag) AS BIGINT) AS repetitive_ct,
+                 "2 * SUM(CAST(ROUND(rep.distinct_ratio * 10000) AS BIGINT)) + COUNT(rep.distinct_ratio)",
+                 "NULLIF(2 * COUNT(rep.distinct_ratio), 0)")} / 10000.0 AS DOUBLE) AS avg_distinct_ratio,
+       |  CAST(SUM(COALESCE(rep.repetitive_flag, 0)) AS BIGINT) AS repetitive_ct,
        |  CAST(COUNT(DISTINCT ta.fingerprint) AS BIGINT) AS distinct_fingerprints,
        |  CAST(COUNT(*) - COUNT(DISTINCT ta.fingerprint) AS BIGINT) AS dup_doc_ct
        |FROM $table doc
        |JOIN ta ON ta.doc_id = doc.doc_id
-       |JOIN rep ON rep.doc_id = doc.doc_id
+       |LEFT JOIN rep ON rep.doc_id = doc.doc_id
        |GROUP BY doc.source, doc.lang
        |ORDER BY doc.source, doc.lang""".stripMargin
   }

@@ -133,35 +133,50 @@ object Multimodal {
       b(3) == '8') Some("gif")
     else None
 
-  /** PNG/JPEG/GIF via `javax.imageio`: same (width, height, channel
-    * means) stats as [[decodeBmp]], read row-by-row into a reused ARGB
-    * buffer. None for non-image payloads and any decode failure. */
-  def decodeImageIo(b: Array[Byte]): Option[(String, ImageStats)] =
+  /** Shared sniff + decode + guard for the ImageIO paths: (format,
+    * image) for a sniffed payload that decodes to a non-empty bitmap,
+    * None otherwise (including decode exceptions). */
+  private def readImage(b: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
     imageFormat(b).flatMap { fmt =>
       imageIoReady
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
         if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-        else {
-          val w = img.getWidth; val h = img.getHeight
-          val row = new Array[Int](w)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            var x = 0
-            while (x < w) {
-              val p = row(x)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          Some((fmt, ImageStats(w, h,
-            r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n))))
-        }
+        else Some((fmt, img))
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Walk the decoded bitmap row-by-row through a reused ARGB buffer. */
+  private def eachRow(img: java.awt.image.BufferedImage)(
+      visit: (Int, Array[Int]) => Unit): Unit = {
+    val w = img.getWidth
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < img.getHeight) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      visit(y, row)
+      y += 1
+    }
+  }
+
+  /** PNG/JPEG/GIF via `javax.imageio`: same (width, height, channel
+    * means) stats as [[decodeBmp]]. None for non-image payloads and any
+    * decode failure. */
+  def decodeImageIo(b: Array[Byte]): Option[(String, ImageStats)] =
+    readImage(b).map { case (fmt, img) =>
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      eachRow(img) { (_, row) =>
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+      }
+      val n = w.toLong * h
+      (fmt, ImageStats(w, h,
+        r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n)))
     }
 
   /** Media metadata + stub features via SQL over a binary cast of the
@@ -233,36 +248,24 @@ object Multimodal {
     * [[bmpGridLuma]], but in natural top-down row order (BMP's grid is
     * bottom-up because its pixel rows are). */
   def imageIoGridLuma(b: Array[Byte], n: Int = 4): Option[Array[Double]] =
-    imageFormat(b).flatMap { _ =>
-      imageIoReady
-      try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-        else {
-          val w = img.getWidth; val h = img.getHeight
-          val g = math.min(n, math.min(w, h))
-          val sums = Array.ofDim[Long](g * g)
-          val counts = Array.ofDim[Long](g * g)
-          val row = new Array[Int](w)
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            val cy = math.min(y * g / h, g - 1)
-            var x = 0
-            while (x < w) {
-              val cx = math.min(x * g / w, g - 1)
-              val p = row(x)
-              sums(cy * g + cx) += 299L * ((p >> 16) & 0xff) +
-                587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
-              counts(cy * g + cx) += 1
-              x += 1
-            }
-            y += 1
-          }
-          Some(sums.indices.map(i =>
-            r4(sums(i).toDouble / (1000.0 * counts(i)))).toArray)
+    readImage(b).map { case (_, img) =>
+      val w = img.getWidth; val h = img.getHeight
+      val g = math.min(n, math.min(w, h))
+      val sums = Array.ofDim[Long](g * g)
+      val counts = Array.ofDim[Long](g * g)
+      eachRow(img) { (y, row) =>
+        val cy = math.min(y * g / h, g - 1)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * g / w, g - 1)
+          val p = row(x)
+          sums(cy * g + cx) += 299L * ((p >> 16) & 0xff) +
+            587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+          counts(cy * g + cx) += 1
+          x += 1
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      sums.indices.map(i => r4(sums(i).toDouble / (1000.0 * counts(i)))).toArray
     }
 
   /** Frame-sample step: `k` equal PCM frames, RMS each — the coarse

@@ -132,6 +132,13 @@ object SampledProfiler {
   private val lineitemKey =
     "CAST(l_orderkey AS STRING) || ':' || CAST(l_linenumber AS STRING)"
 
+  /** The materialized sample's view name, dir-unique: the memo key is
+    * per (session, dir), and a fixed name would be silently rebound by
+    * a later dir's materialization while the first dir's cache entry
+    * still pointed at it. */
+  def sampledViewName(dir: String): String =
+    "__graft_sampled_li_draw_" + java.lang.Integer.toHexString(dir.hashCode)
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val d: Dialect = SparkDialect
     val df = graft.core.Tables.load(spark, dir, "lineitem")
@@ -165,7 +172,7 @@ object SampledProfiler {
     // Expand over the sampled scan per chunk.
     val sampledView = graft.core.SessionCache.getOrElseUpdate(
       spark, "sampledview", (dir, "lineitem")) {
-      val v = "__graft_sampled_li_draw"
+      val v = sampledViewName(dir)
       spark.sql(
         s"""SELECT * FROM $view
            | WHERE CAST($draw AS DOUBLE) / 4294967296.0

@@ -523,23 +523,33 @@ object Scoring {
        |)""".stripMargin
   }
 
-  /** Score-card issues drill-down: the hygiene anomalies (with their
-    * issue_likelihood status and the column's pii_flag) unioned with the
-    * Failed/Warning CAT results, ordered by the reference's severity
-    * rank (get_score_card_issues_by_column.sql: Definite 1, Failed 2,
-    * Likely 3, Possible 4, Warning 5, else 6). */
-  def scoreCardIssuesSql(enrRel: String, anomRel: String,
-                         catRel: String)(d: Dialect): String =
-    s"""${issuesBase(enrRel, anomRel, catRel)(d)}
-       |SELECT issue_type, issue_name, table_name, column_name, status,
+  /** The shared severity-ranked issues projection — the three issue
+    * drill-downs differ only in a leading scope column and filter, and
+    * the severity mapping (get_score_card_issues_by_column.sql:
+    * Definite 1, Failed 2, Likely 3, Possible 4, Warning 5, else 6)
+    * must stay ONE copy or the drill-downs disagree on a rank change. */
+  private def issuesSelect(base: String, leadCols: String,
+                           where: String): String =
+    s"""$base
+       |SELECT ${leadCols}issue_type, issue_name, table_name, column_name,
+       |       status,
        |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag, detail,
        |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
        |                        WHEN 'Likely' THEN 3 WHEN 'Possible' THEN 4
        |                        WHEN 'Warning' THEN 5 ELSE 6 END AS INT)
        |         AS severity_rank
        |  FROM issues
-       | ORDER BY severity_rank, LOWER(table_name), LOWER(column_name),
-       |          issue_name""".stripMargin
+       | $where
+       | ORDER BY ${leadCols}severity_rank, LOWER(table_name),
+       |          LOWER(column_name), issue_name""".stripMargin
+
+  /** Score-card issues drill-down: the hygiene anomalies (with their
+    * issue_likelihood status and the column's pii_flag) unioned with the
+    * Failed/Warning CAT results, ordered by the reference's severity
+    * rank. */
+  def scoreCardIssuesSql(enrRel: String, anomRel: String,
+                         catRel: String)(d: Dialect): String =
+    issuesSelect(issuesBase(enrRel, anomRel, catRel)(d), "", "")
 
   /** Issues scoped by quality dimension
     * (get_score_card_issues_by_dimension.sql): the same union keyed by
@@ -547,18 +557,8 @@ object Scoring {
     * score-card dimension tile drills to exactly its issues. */
   def scoreCardIssuesDimensionsSql(enrRel: String, anomRel: String,
                                    catRel: String)(d: Dialect): String =
-    s"""${issuesBase(enrRel, anomRel, catRel)(d)}
-       |SELECT dq_dimension, issue_type, issue_name, table_name,
-       |       column_name, status,
-       |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag, detail,
-       |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
-       |                        WHEN 'Likely' THEN 3 WHEN 'Possible' THEN 4
-       |                        WHEN 'Warning' THEN 5 ELSE 6 END AS INT)
-       |         AS severity_rank
-       |  FROM issues
-       | WHERE dq_dimension IS NOT NULL
-       | ORDER BY dq_dimension, severity_rank, LOWER(table_name),
-       |          LOWER(column_name), issue_name""".stripMargin
+    issuesSelect(issuesBase(enrRel, anomRel, catRel)(d), "dq_dimension, ",
+      "WHERE dq_dimension IS NOT NULL")
 
   /** Issues scoped by impact (CDE) dimension
     * (get_score_card_issues_by_impact_dimension.sql): the dimension
@@ -567,18 +567,8 @@ object Scoring {
     * CDE here is the engine's computed default ([[cdeExpr]]). */
   def scoreCardIssuesImpactSql(enrRel: String, anomRel: String,
                                catRel: String)(d: Dialect): String =
-    s"""${issuesBase(enrRel, anomRel, catRel)(d)}
-       |SELECT dq_dimension, issue_type, issue_name, table_name,
-       |       column_name, status,
-       |       CAST(ROUND(measure, 4) AS DOUBLE) AS measure, pii_flag, detail,
-       |       CAST(CASE status WHEN 'Definite' THEN 1 WHEN 'Failed' THEN 2
-       |                        WHEN 'Likely' THEN 3 WHEN 'Possible' THEN 4
-       |                        WHEN 'Warning' THEN 5 ELSE 6 END AS INT)
-       |         AS severity_rank
-       |  FROM issues
-       | WHERE dq_dimension IS NOT NULL AND is_cde = 1
-       | ORDER BY dq_dimension, severity_rank, LOWER(table_name),
-       |          LOWER(column_name), issue_name""".stripMargin
+    issuesSelect(issuesBase(enrRel, anomRel, catRel)(d), "dq_dimension, ",
+      "WHERE dq_dimension IS NOT NULL AND is_cde = 1")
 
   /** CAT results across every suite table, memoized per (session, dir) —
     * shared by prevalence, score cards and the issues drill-down. */

@@ -548,7 +548,11 @@ object Monitors {
       .selectExpr("series",
         "CAST(unix_timestamp(CAST(run_ts AS TIMESTAMP)) AS BIGINT) AS ts",
         "CAST(value AS DOUBLE) AS value")
-      .where("ts IS NOT NULL")
+      // series/value too, not just ts: a legacy run missing either
+      // column unions to null under allowMissingColumns, and a null
+      // would only surface later as a deserialization crash inside
+      // mapGroups (SeriesPoint.value is a primitive Double)
+      .where("ts IS NOT NULL AND series IS NOT NULL AND value IS NOT NULL")
       .as[SeriesPoint]
     val sens = sensitivity
     val codes = holidayCodes

@@ -106,6 +106,27 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("corpus stats keep zero-token documents in the budget") {
+    import spark.implicits._
+    // two empty duplicates + one normal doc: empties have no repetition
+    // row but must still count toward doc_ct and the dup rate
+    Seq((1L, "", "web", "en"), (2L, "", "web", "en"),
+        (3L, "real words here", "web", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .createOrReplaceTempView("__graft_corpus_empty")
+    val rows = spark.sql(graft.pipeline.CorpusStats.sql("__graft_corpus_empty")(
+      graft.oracle.SparkDialect)).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_ct") == 3)
+    assert(r.getAs[Long]("token_ct") == 3)
+    // the two empty docs share one fingerprint -> exactly one dup
+    assert(r.getAs[Long]("distinct_fingerprints") == 2)
+    assert(r.getAs[Long]("dup_doc_ct") == 1)
+    // means average only the docs carrying the signal
+    assert(r.getAs[Double]("avg_distinct_ratio") == 1.0)
+  }
+
   test("corpus stats roll up documents into per-(source, lang) budgets") {
     val rows = graft.pipeline.CorpusStats.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -136,7 +136,8 @@ class PlanSpec extends SparkSpec {
 
   test("sampled profile materializes the sample once, jobs read the checkpoint") {
     graft.profiling.SampledProfiler.run(spark, dir).count()
-    val p = plan(spark.table("__graft_sampled_li_draw"))
+    val p = plan(spark.table(
+      graft.profiling.SampledProfiler.sampledViewName(dir)))
     assert(!p.contains("FileScan"),
       "downstream jobs still re-derive the sample from the raw scan")
     assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),

@@ -6,13 +6,14 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
 /** Multimodal-column plumbing: media payloads as opaque BINARY columns
   * with typed metadata, and a batched feature-extraction pipeline. The
-  * decode step is REAL for five public formats the JVM parses without
+  * decode step is REAL for seven public formats the JVM parses without
   * external libraries — uncompressed 24-bit BMP and 16-bit PCM WAV via
-  * byte-level parsers here, and PNG / JPEG / GIF via the JDK's built-in
-  * `javax.imageio` plugins (part of Java SE's `java.desktop` module,
-  * present in headless JVMs) — and falls back to a deterministic
-  * md5-derived stand-in for anything else (mp3/mp4 have no JDK codec; a
-  * library codec plugs into the same per-partition decode slot).
+  * byte-level parsers here, PNG / JPEG / GIF via the JDK's built-in
+  * `javax.imageio` plugins, and AIFF / AU via `javax.sound.sampled`
+  * (both part of Java SE's `java.desktop` module, present in headless
+  * JVMs) — and falls back to a deterministic md5-derived stand-in for
+  * anything else (mp3/mp4 have no JDK codec; a library codec plugs
+  * into the same per-partition decode slot).
   *
   * At scale: the binary payloads never shuffle — metadata extraction
   * and featurization are per-partition map work; only the small
@@ -179,6 +180,56 @@ object Multimodal {
         r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n)))
     }
 
+  // ---- JDK javax.sound decoders (AIFF / AU) ---------------------------
+
+  /** Magic sniff for the audio containers the JDK's built-in
+    * `javax.sound.sampled` readers decode beyond the WAV fast path:
+    * AIFF ('FORM'…'AIFF') and AU ('.snd'). */
+  def audioFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+      b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+      b(11) == 'F') Some("aiff")
+    else if (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+      b(3) == 'd') Some("au")
+    else None
+
+  /** AIFF/AU via `javax.sound.sampled.AudioSystem`: the same
+    * (sampleRate, channels, frames, peak, rms) stats as [[decodeWav]],
+    * restricted to 16-bit signed PCM payloads (the symmetric contract).
+    * None for non-audio payloads and any decode failure. */
+  def decodeAudioIo(b: Array[Byte]): Option[(String, AudioStats)] =
+    audioFormat(b).flatMap { fmt =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels <= 0 ||
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
+          else {
+            val data = ais.readAllBytes()
+            val be = f.isBigEndian
+            val nVals = data.length / 2
+            var peak = 0; var sumSq = 0.0
+            var i = 0
+            while (i < nVals) {
+              val v =
+                if (be) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+                else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v.toDouble * v
+              i += 1
+            }
+            Some((fmt, AudioStats(f.getSampleRate.toInt, f.getChannels,
+              nVals / f.getChannels, peak,
+              if (nVals > 0) r4(math.sqrt(sumSq / nVals)) else 0.0)))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Media metadata + stub features via SQL over a binary cast of the
     * document text (the driver testdata ships no real media; any binary
     * column slots in unchanged). Fake dims decode deterministic bytes
@@ -325,10 +376,14 @@ object Multimodal {
         case None => decodeImageIo(payload) match {
           case Some((fmt, s)) => MediaFeatures(id, payload.length, fmt,
             Array(s.width, s.height, s.meanR, s.meanG, s.meanB))
-          case None =>
-            val h = digest.digest(payload)
-            MediaFeatures(id, payload.length, "opaque",
-              Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
+          case None => decodeAudioIo(payload) match {
+            case Some((fmt, a)) => MediaFeatures(id, payload.length, fmt,
+              Array(a.sampleRate, a.nChannels, a.nSamples, a.peak, a.rms))
+            case None =>
+              val h = digest.digest(payload)
+              MediaFeatures(id, payload.length, "opaque",
+                Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
+          }
         }
       }
     }

@@ -168,6 +168,32 @@ class MonitorsSpec extends SparkSpec {
 
   private def r4(x: Double) = math.rint(x * 10000) / 10000
 
+  test("AIFF payloads decode through the JDK javax.sound slot") {
+    import spark.implicits._
+    // the same mono 16-bit samples as the WAV case, in an AIFF container
+    // written by the JDK encoder (big-endian PCM)
+    val samples = Seq(100, -200, 300)
+    val pcm = samples.flatMap(s =>
+      Seq(((s >> 8) & 0xff).toByte, (s & 0xff).toByte)).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val aiff = out.toByteArray
+    assert(Multimodal.audioFormat(aiff).contains("aiff"))
+    assert(Multimodal.audioFormat("not media".getBytes("UTF-8")).isEmpty)
+
+    val rows = Multimodal.extractFrom(Seq((1L, aiff)).toDS()).collect()
+    assert(rows.head.getAs[String]("kind") == "aiff")
+    val f = rows.head.getAs[scala.collection.Seq[Double]]("features")
+    assert(f.sameElements(Seq(8000.0, 1.0, 3.0, 300.0,
+      r4(math.sqrt((100.0 * 100 + 200 * 200 + 300 * 300) / 3)))), f.toString)
+    // truncated payloads decode to None, not garbage
+    assert(Multimodal.decodeAudioIo(aiff.take(16)).isEmpty)
+  }
+
   test("daily active schedules get deadline-based upper thresholds") {
     val rows = Monitors.runSchedule(spark, sfDir).collect()
       .map(r => r.getAs[String]("series") -> r).toMap

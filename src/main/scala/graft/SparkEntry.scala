@@ -55,6 +55,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Repetition.run(s, dir))) +
       ("corpus_stats" ->
         ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.run(s, dir))) +
+      ("pii_scrub" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.PiiScrub.run(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -187,6 +189,7 @@ object SparkEntry {
       ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()) +
       ("text_repetition" -> graft.pipeline.Repetition.duckSql()) +
       ("corpus_stats" -> graft.pipeline.CorpusStats.duckSql()) +
+      ("pii_scrub" -> graft.pipeline.PiiScrub.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

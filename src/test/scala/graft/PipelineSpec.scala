@@ -142,6 +142,47 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("pii scrub detects and redacts every class without cross-eating") {
+    import spark.implicits._
+    Seq(
+      (1L, "reach alice.smith+x@mail.example.org or bob@ex.io today"),
+      (2L, "call 555-123-4567 about id 987-65-4321"), // phone AND ssn
+      (3L, "server 192.168.0.1 and 10.0.0.2 up"),
+      (4L, "no pii here at all"))
+      .toDF("id", "text").createOrReplaceTempView("__graft_pii_test")
+    val rows = spark.sql(graft.pipeline.PiiScrub.sql("__graft_pii_test")(
+        graft.oracle.SparkDialect)).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows(1L).getAs[Long]("email_ct") == 2)
+    assert(rows(1L).getAs[Long]("pii_total") == 2)
+    // the 3-2-4 ssn shape is not half-eaten by the 3-3-4 phone pass
+    assert(rows(2L).getAs[Long]("phone_ct") == 1)
+    assert(rows(2L).getAs[Long]("ssn_ct") == 1)
+    assert(rows(3L).getAs[Long]("ip_ct") == 2)
+    assert(rows(4L).getAs[Long]("pii_total") == 0)
+    // redaction is total: the clean doc's hash equals its plain MD5,
+    // and a scrubbed doc's redacted text contains no residual match
+    val plainMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("no pii here at all".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(4L).getAs[String]("redacted_hash") == plainMd5)
+    val redacted = spark.sql(
+      """SELECT regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+        |  '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>') AS t
+        |FROM __graft_pii_test WHERE id IN (1, 2)""".stripMargin).collect()
+    assert(redacted.forall(r => !r.getString(0).contains("@")))
+
+    // the fixture entry: every row carries exactly one synthesized class
+    val entry = graft.pipeline.PiiScrub.run(spark, sfDir).collect()
+    assert(entry.nonEmpty)
+    assert(entry.forall { r =>
+      val total = r.getAs[Long]("pii_total")
+      total == 1 || (total == 2 && r.getAs[Long]("ip_ct") == 1 &&
+        r.getAs[Long]("ssn_ct") == 1)
+    })
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

@@ -57,6 +57,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.run(s, dir))) +
       ("pii_scrub" ->
         ((s: SparkSession, dir: String) => graft.pipeline.PiiScrub.run(s, dir))) +
+      ("sample_stratified" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.StratifiedSample.run(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -190,6 +192,7 @@ object SparkEntry {
       ("text_repetition" -> graft.pipeline.Repetition.duckSql()) +
       ("corpus_stats" -> graft.pipeline.CorpusStats.duckSql()) +
       ("pii_scrub" -> graft.pipeline.PiiScrub.duckSql()) +
+      ("sample_stratified" -> graft.pipeline.StratifiedSample.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

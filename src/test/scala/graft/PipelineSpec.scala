@@ -183,6 +183,23 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("stratified sampling is deterministic and rate-faithful") {
+    val rows = graft.pipeline.StratifiedSample.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // every configured stratum appears; rate 1.0 keeps everything
+    assert(rows.keySet == Set("en", "de", "fr", "es", "zh"))
+    assert(rows("en").getAs[Long]("sampled_ct") ==
+      rows("en").getAs[Long]("total_ct"))
+    // sub-1.0 strata keep a strict subset (fixture strata are large
+    // enough that an all-or-nothing draw is astronomically unlikely)
+    assert(rows("zh").getAs[Long]("sampled_ct") <
+      rows("zh").getAs[Long]("total_ct"))
+    // the draw is content-keyed: rerunning yields the identical mix
+    val again = graft.pipeline.StratifiedSample.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("sampled_ct")).toMap
+    assert(rows.forall { case (l, r) => again(l) == r.getAs[Long]("sampled_ct") })
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

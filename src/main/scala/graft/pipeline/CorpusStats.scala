@@ -14,12 +14,14 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * repetition join is LEFT: a zero-token document has no repetition
   * row (wordsRel drops empty words), but it still counts toward the
   * budget and the dup rate (empty duplicates are a classic dedup
-  * class) — means average only the documents that carry the signal. In a
-  * production pipeline the signals are landed once per corpus pass and
-  * this rollup reads the landed columns; inlining them here keeps the
-  * entry self-contained for the oracle while the group-by itself moves
-  * only (source, lang) partials — a broadcast-sized result at any
-  * corpus scale.
+  * class) — means average only the documents that carry the signal.
+  *
+  * Scan discipline: text analysis carries source/lang through its one
+  * scan, and the repetition side joins the memoized materialized
+  * output ([[Repetition.outView]]) — the production shape where
+  * signals land once per corpus pass and rollups read the landed
+  * columns. The group-by itself moves only (source, lang) partials — a
+  * broadcast-sized result at any corpus scale.
   *
   * Averages sum the 4-decimal signals as scaled BIGINTs (exactly
   * representable), not doubles — a floating AVG's partial-sum order
@@ -32,10 +34,10 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   */
 object CorpusStats {
 
-  def sql(table: String)(d: Dialect): String = {
-    s"""WITH ta AS (${TextAnalysis.sql(table)(d)}),
-       |rep AS (${Repetition.sql(table)(d)})
-       |SELECT doc.source, doc.lang,
+  /** The rollup over a text-analysis relation (which carries source and
+    * lang through its single scan) and a repetition relation. */
+  private def rollupSql(taRel: String, repRel: String)(d: Dialect): String =
+    s"""SELECT ta.source, ta.lang,
        |  CAST(COUNT(*) AS BIGINT) AS doc_ct,
        |  CAST(SUM(COALESCE(ta.ws_token_ct, 0)) AS BIGINT) AS token_ct,
        |  CAST(${d.intDiv(
@@ -47,17 +49,25 @@ object CorpusStats {
        |  CAST(SUM(COALESCE(rep.repetitive_flag, 0)) AS BIGINT) AS repetitive_ct,
        |  CAST(COUNT(DISTINCT ta.fingerprint) AS BIGINT) AS distinct_fingerprints,
        |  CAST(COUNT(*) - COUNT(DISTINCT ta.fingerprint) AS BIGINT) AS dup_doc_ct
-       |FROM $table doc
-       |JOIN ta ON ta.doc_id = doc.doc_id
-       |LEFT JOIN rep ON rep.doc_id = doc.doc_id
-       |GROUP BY doc.source, doc.lang
-       |ORDER BY doc.source, doc.lang""".stripMargin
-  }
+       |FROM $taRel ta
+       |LEFT JOIN $repRel rep ON rep.doc_id = ta.doc_id
+       |GROUP BY ta.source, ta.lang
+       |ORDER BY ta.source, ta.lang""".stripMargin
+
+  def sql(table: String)(d: Dialect): String =
+    rollupSql(s"(${TextAnalysis.sql(table, Seq("source", "lang"))(d)})",
+      s"(${Repetition.sql(table)(d)})")(d)
 
   def run(spark: SparkSession, dir: String): DataFrame = {
+    val docs = "__graft_corpus_docs"
     graft.core.Tables.load(spark, dir, "documents")
-      .createOrReplaceTempView("__graft_corpus_docs")
-    spark.sql(sql("__graft_corpus_docs")(SparkDialect))
+      .createOrReplaceTempView(docs)
+    // ONE corpus scan (text analysis with source/lang passthrough)
+    // joined against the memoized repetition output — not the inline
+    // CTE composition, which Spark would re-scan per reference
+    spark.sql(rollupSql(
+      s"(${TextAnalysis.sql(docs, Seq("source", "lang"))(SparkDialect)})",
+      Repetition.outView(spark, dir))(SparkDialect))
   }
 
   def duckSql(): String = sql("documents")(DuckDialect)

@@ -33,28 +33,39 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   */
 object Repetition {
 
-  def sql(table: String)(d: Dialect): String = {
+  /** The tokenized gram stream: one row per word carrying its two
+    * successors — the relation every aggregation below reads. Spark
+    * inlines multiply-referenced CTEs (three readers here would scan
+    * the corpus three times), so [[run]] materializes this once per
+    * (session, dir) and [[bodySql]] reads the checkpoint — the cluster
+    * equivalent of landing the tokenized stream before the gram
+    * passes. The oracle keeps the single statement: DuckDB
+    * materializes multiply-referenced CTEs natively. */
+  def gramsSql(table: String)(d: Dialect): String = {
     val words = d.wordsRel(table, "doc_id", "text")
-    s"""WITH words AS ($words),
-       |grams AS (
-       |  SELECT id, word,
+    s"""SELECT id, word,
        |    LEAD(word, 1) OVER (PARTITION BY id ORDER BY pos) AS nxt,
        |    LEAD(word, 2) OVER (PARTITION BY id ORDER BY pos) AS nxt2
-       |  FROM words),
-       |uni AS (SELECT id, word AS g, COUNT(*) AS c FROM words
+       |  FROM ($words) w""".stripMargin
+  }
+
+  /** The gram aggregations + final projection over a grams relation
+    * ([[gramsSql]]); dialect-free SQL. */
+  def bodySql(gramsRel: String): String =
+    s"""WITH uni AS (SELECT id, word AS g, COUNT(*) AS c FROM $gramsRel
        |        GROUP BY id, word),
        |uni_s AS (SELECT id, SUM(c) AS total, MAX(c) AS top_c,
        |            COUNT(*) AS distinct_c,
        |            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
        |          FROM uni GROUP BY id),
-       |bi AS (SELECT id, word || ' ' || nxt AS g, COUNT(*) AS c FROM grams
+       |bi AS (SELECT id, word || ' ' || nxt AS g, COUNT(*) AS c FROM $gramsRel
        |       WHERE nxt IS NOT NULL GROUP BY id, word || ' ' || nxt),
        |bi_s AS (SELECT id, SUM(c) AS total, MAX(c) AS top_c,
        |           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
        |         FROM bi GROUP BY id),
        |tri AS (SELECT id, word || ' ' || nxt || ' ' || nxt2 AS g,
        |          COUNT(*) AS c
-       |        FROM grams WHERE nxt2 IS NOT NULL
+       |        FROM $gramsRel WHERE nxt2 IS NOT NULL
        |        GROUP BY id, word || ' ' || nxt || ' ' || nxt2),
        |tri_s AS (SELECT id, SUM(c) AS total, MAX(c) AS top_c
        |          FROM tri GROUP BY id)
@@ -74,13 +85,43 @@ object Repetition {
        |LEFT JOIN bi_s b ON b.id = u.id
        |LEFT JOIN tri_s t ON t.id = u.id
        |ORDER BY doc_id""".stripMargin
-  }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "documents")
-      .createOrReplaceTempView("__graft_rep_docs")
-    spark.sql(sql("__graft_rep_docs")(SparkDialect))
-  }
+  /** The single-statement form (the oracle; also any engine that
+    * materializes multiply-referenced CTEs). */
+  def sql(table: String)(d: Dialect): String =
+    s"""WITH grams AS (${gramsSql(table)(d)}),
+       |${bodySql("grams").stripPrefix("WITH ")}""".stripMargin
+
+  /** The materialized grams view, memoized per (session, dir) — shared
+    * by the repetition entry and the corpus rollup. */
+  def gramsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "repgrams", dir) {
+      val docs = "__graft_rep_docs_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.core.Tables.load(spark, dir, "documents")
+        .createOrReplaceTempView(docs)
+      val v = "__graft_rep_grams_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(gramsSql(docs)(SparkDialect))
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(bodySql(gramsView(spark, dir)))
+
+  /** The materialized repetition OUTPUT (one small row per document),
+    * memoized per (session, dir) — the corpus rollup joins this
+    * instead of re-running the gram passes. */
+  def outView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "repout", dir) {
+      val v = "__graft_rep_out_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      run(spark, dir).localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
 
   def duckSql(): String = sql("documents")(DuckDialect)
 }

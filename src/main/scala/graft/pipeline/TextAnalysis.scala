@@ -26,8 +26,11 @@ object TextAnalysis {
     d.regexpCount("LOWER(text)", s"\\b($alt)\\b")
   }
 
-  /** One row per document with every text metric. */
-  def sql(table: String)(d: Dialect): String = {
+  /** One row per document with every text metric. `extraCols` pass
+    * grouping columns (e.g. source, lang) through the single scan so a
+    * downstream rollup needs no second read of the corpus. */
+  def sql(table: String, extraCols: Seq[String] = Nil)(d: Dialect): String = {
+    val extras = extraCols.map(c => s"$c,\n  ").mkString
     val wsTokens = d.regexpCount("text", "\\S+")
     val reTokens = d.regexpCount("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
     val alphaCt = s"LENGTH(${d.regexpReplace("text", "[^A-Za-z]", "")})"
@@ -44,7 +47,7 @@ object TextAnalysis {
       s"CASE ${best.mkString(" ")} ELSE 'unknown' END"
     }
     s"""SELECT doc_id,
-       |  CAST(LENGTH(text) AS BIGINT) AS char_ct,
+       |  ${extras}CAST(LENGTH(text) AS BIGINT) AS char_ct,
        |  CAST($wsTokens AS BIGINT) AS ws_token_ct,
        |  CAST($reTokens AS BIGINT) AS re_token_ct,
        |  CAST(ROUND(CAST($alphaCt AS DOUBLE) / NULLIF(LENGTH(text), 0), 4) AS DOUBLE) AS alpha_ratio,

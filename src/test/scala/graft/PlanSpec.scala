@@ -144,6 +144,26 @@ class PlanSpec extends SparkSpec {
       s"sampled view is not a materialized checkpoint:\n$p")
   }
 
+  test("repetition and corpus rollup read the corpus once, grams from the checkpoint") {
+    // the gram passes read the materialized token stream, not the corpus
+    val rep = plan(graft.pipeline.Repetition.run(spark, dir))
+    assert(!rep.contains("FileScan"),
+      s"repetition re-derives grams from a raw scan:\n$rep")
+    // the rollup's only corpus scan is the text-analysis passthrough
+    val cs = plan(graft.pipeline.CorpusStats.run(spark, dir))
+    val csScans = cs.linesIterator.count(_.contains("FileScan"))
+    assert(csScans == 1, s"expected 1 corpus scan in corpus_stats, got $csScans")
+  }
+
+  test("pii scrub and stratified sampling stay single-scan, rates broadcast") {
+    val pii = plan(graft.pipeline.PiiScrub.run(spark, dir))
+    assert(pii.linesIterator.count(_.contains("FileScan")) == 1)
+    val ss = plan(graft.pipeline.StratifiedSample.run(spark, dir))
+    assert(ss.linesIterator.count(_.contains("FileScan")) == 1)
+    assert(ss.contains("BroadcastHashJoin"),
+      s"rates relation is not broadcast:\n$ss")
+  }
+
   test("masked lookup reads the pii flag relation exactly once") {
     val df = graft.lookup.DrillDown.runMasked(spark, dir)
     val p = plan(df)

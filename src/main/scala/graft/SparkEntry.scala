@@ -69,6 +69,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhash(s, dir))) +
       ("dedup_winnow" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runWinnow(s, dir))) +
+      ("decontaminate" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
       ("knn_bruteforce" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runBruteForce(s, dir))) +
       ("knn_ivf" ->
@@ -198,6 +200,7 @@ object SparkEntry {
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_simhash" -> graft.pipeline.Dedup.simhashSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_winnow" -> graft.pipeline.Dedup.winnowSql("documents")(graft.oracle.DuckDialect)) +
+      ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +

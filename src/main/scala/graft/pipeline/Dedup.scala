@@ -363,8 +363,12 @@ object Dedup {
     * (every doc an independent partition at scale); DISTINCT collapses
     * repeated minima — the standard SQL expression of winnowing. All
     * hashing is md5-based so both engines fingerprint identically. */
-  def winnowSql(table: String, k: Int = 8, w: Int = 4,
-                minShared: Int = 3, hotCutoff: Int = 50)(d: Dialect): String = {
+  /** The fingerprint-set relation alone — (id, fp) distinct rows. The
+    * body queries below reference it several times, and Spark inlines
+    * repeated CTEs (re-deriving the whole gram chain per reference), so
+    * the Spark entry points materialize this once per (session, dir)
+    * via [[winnowFpsView]]; the oracle keeps the single statement. */
+  def winnowFpsSql(table: String, k: Int = 8, w: Int = 4)(d: Dialect): String = {
     val norm = s"TRIM(${d.regexpReplace("LOWER(text)", """\s+""", " ")})"
     val gramHash = d.hexToLong(s"SUBSTRING(MD5(SUBSTRING(t, pos, $k)), 1, 15)")
     s"""WITH nd AS (
@@ -379,20 +383,23 @@ object Dedup {
        |         MIN(h) OVER (PARTITION BY id ORDER BY pos
        |                      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp
        |    FROM grams
-       |),
-       |fps AS (
-       |  SELECT DISTINCT id, fp FROM wins WHERE pos >= $w
-       |),
-       |fpf AS (
-       |  SELECT f.id, f.fp FROM fps f
-       |  JOIN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
+       |)
+       |SELECT DISTINCT id, fp FROM wins WHERE pos >= $w""".stripMargin
+  }
+
+  /** The near-dup pair body over a fingerprint relation; dialect-free. */
+  def winnowBodySql(fpsRel: String, minShared: Int = 3,
+                    hotCutoff: Int = 50): String =
+    s"""WITH fpf AS (
+       |  SELECT f.id, f.fp FROM $fpsRel f
+       |  JOIN (SELECT fp FROM $fpsRel GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
        |    ON f.fp = ok.fp
        |),
-       |-- sizes from fps (PRE hot-cutoff): the cutoff only bounds the
-       |-- candidate join; the Jaccard denominator must reflect the FULL
-       |-- fingerprint set, or mostly-hot (boilerplate) docs get tiny
+       |-- sizes from the PRE-hot-cutoff relation: the cutoff only bounds
+       |-- the candidate join; the Jaccard denominator must reflect the
+       |-- FULL fingerprint set, or mostly-hot (boilerplate) docs get tiny
        |-- denominators and outrank genuinely similar pairs
-       |sizes AS (SELECT id, COUNT(*) AS sz FROM fps GROUP BY id),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel GROUP BY id),
        |pairs AS (
        |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS shared
        |    FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.id < b.id
@@ -407,11 +414,67 @@ object Dedup {
        |  JOIN sizes sb ON sb.id = p.doc_b
        | ORDER BY winnow_jaccard DESC, p.doc_a, p.doc_b
        | LIMIT 100""".stripMargin
-  }
 
-  def runWinnow(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "documents")
-      .createOrReplaceTempView("__graft_docs_winnow")
-    spark.sql(winnowSql("__graft_docs_winnow")(SparkDialect))
-  }
+  def winnowSql(table: String, k: Int = 8, w: Int = 4,
+                minShared: Int = 3, hotCutoff: Int = 50)(d: Dialect): String =
+    s"""WITH fps AS (${winnowFpsSql(table, k, w)(d)}),
+       |${winnowBodySql("fps", minShared, hotCutoff).stripPrefix("WITH ")}""".stripMargin
+
+  /** The materialized winnowing fingerprint sets, memoized per
+    * (session, dir) — shared by the near-dup entry and decontamination. */
+  def winnowFpsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "winnowfps", dir) {
+      val docs = register(spark, dir)
+      val v = "__graft_winnow_fps_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(winnowFpsSql(docs)(SparkDialect))
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
+
+  def runWinnow(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(winnowBodySql(winnowFpsView(spark, dir)))
+
+  /** Decontamination — train/eval n-gram collision detection (the
+    * published 13-gram-overlap checks of large-model training runs, on
+    * the winnowing fingerprint sample instead of raw n-grams): the
+    * corpus split joins the held-out split on shared fingerprints, and
+    * every (corpus doc, eval doc) pair sharing at least `minShared`
+    * rare fingerprints is flagged with the fraction of the eval doc's
+    * fingerprints it covers. The fixture's held-out split is doc_id %
+    * $EvalMod = 0 — in production the eval side is the benchmark
+    * corpus relation. Join keys are fingerprints only (hot-cutoff
+    * bounded), never doc pairs. */
+  val EvalMod = 23
+
+  def decontaminateBodySql(fpsRel: String, minShared: Int = 3,
+                           hotCutoff: Int = 50): String =
+    s"""WITH fpf AS (
+       |  SELECT f.id, f.fp FROM $fpsRel f
+       |  JOIN (SELECT fp FROM $fpsRel GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
+       |    ON f.fp = ok.fp
+       |),
+       |hits AS (
+       |  SELECT c.id AS corpus_id, e.id AS eval_id, COUNT(*) AS shared
+       |    FROM fpf c JOIN fpf e
+       |      ON e.fp = c.fp AND c.id % $EvalMod <> 0 AND e.id % $EvalMod = 0
+       |   GROUP BY c.id, e.id HAVING COUNT(*) >= $minShared
+       |),
+       |esizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel
+       |           WHERE id % $EvalMod = 0 GROUP BY id)
+       |SELECT h.corpus_id, h.eval_id, CAST(h.shared AS BIGINT) AS shared_fp_ct,
+       |       CAST(ROUND(CAST(h.shared AS DOUBLE) / s.sz, 4) AS DOUBLE)
+       |         AS eval_overlap
+       |  FROM hits h
+       |  JOIN esizes s ON s.id = h.eval_id
+       | ORDER BY eval_overlap DESC, h.corpus_id, h.eval_id
+       | LIMIT 100""".stripMargin
+
+  def decontaminateSql(table: String)(d: Dialect): String =
+    s"""WITH fps AS (${winnowFpsSql(table)(d)}),
+       |${decontaminateBodySql("fps").stripPrefix("WITH ")}""".stripMargin
+
+  def runDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(decontaminateBodySql(winnowFpsView(spark, dir)))
 }

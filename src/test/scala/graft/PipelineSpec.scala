@@ -183,6 +183,32 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("decontamination flags eval docs whose fingerprints leak into the corpus") {
+    import spark.implicits._
+    // doc 23 ("eval", 23 % 23 == 0) is a verbatim copy of corpus doc 1;
+    // doc 2 shares nothing. Winnowing k=8 char-grams need 11+ chars.
+    val copied = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, copied), (2L, "completely unrelated content with different characters"),
+        (23L, copied))
+      .toDF("doc_id", "text").createOrReplaceTempView("__graft_decon_test")
+    val rows = spark.sql(graft.pipeline.Dedup.decontaminateSql(
+      "__graft_decon_test")(graft.oracle.SparkDialect)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("corpus_id") == 1L)
+    assert(rows.head.getAs[Long]("eval_id") == 23L)
+    // a verbatim copy covers the eval doc's full fingerprint set
+    assert(rows.head.getAs[Double]("eval_overlap") == 1.0)
+
+    // fixture-wide: sides respect the split, overlaps bounded
+    val entry = graft.pipeline.Dedup.runDecontaminate(spark, sfDir).collect()
+    assert(entry.forall { r =>
+      r.getAs[Long]("corpus_id") % graft.pipeline.Dedup.EvalMod != 0 &&
+        r.getAs[Long]("eval_id") % graft.pipeline.Dedup.EvalMod == 0 &&
+        r.getAs[Double]("eval_overlap") > 0.0 &&
+        r.getAs[Double]("eval_overlap") <= 1.0
+    })
+  }
+
   test("stratified sampling is deterministic and rate-faithful") {
     val rows = graft.pipeline.StratifiedSample.run(spark, sfDir).collect()
       .map(r => r.getAs[String]("lang") -> r).toMap

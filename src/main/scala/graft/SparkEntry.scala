@@ -59,6 +59,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.PiiScrub.run(s, dir))) +
       ("sample_stratified" ->
         ((s: SparkSession, dir: String) => graft.pipeline.StratifiedSample.run(s, dir))) +
+      ("embedding_stats" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingStats.run(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -195,6 +197,7 @@ object SparkEntry {
       ("corpus_stats" -> graft.pipeline.CorpusStats.duckSql()) +
       ("pii_scrub" -> graft.pipeline.PiiScrub.duckSql()) +
       ("sample_stratified" -> graft.pipeline.StratifiedSample.duckSql()) +
+      ("embedding_stats" -> graft.pipeline.EmbeddingStats.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

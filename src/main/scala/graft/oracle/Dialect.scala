@@ -51,6 +51,8 @@ sealed trait Dialect {
   def hexToLong(h: String): String
   /** 1-based array element access cast to DOUBLE. */
   def elementAt(arr: String, i: Int): String
+  /** Number of elements of an array expression. */
+  def arrayLen(arr: String): String
   /** Relation exploding `expr` (split by the separator SQL expression
     * `sepSql`, e.g. "CHR(10)") into one row per piece, carrying `cols`
     * through; the piece column is named `piece`. */
@@ -146,6 +148,7 @@ object SparkDialect extends Dialect {
   def strposExpr(x: String, subExpr: String): String = s"instr($x, $subExpr)"
   def hexToLong(h: String): String = s"CAST(CONV($h, 16, 10) AS BIGINT)"
   def elementAt(arr: String, i: Int): String = s"CAST(element_at($arr, $i) AS DOUBLE)"
+  def arrayLen(arr: String): String = s"size($arr)"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")}, sp.piece FROM $rel
        | LATERAL VIEW explode(split($expr, $sepSql)) sp AS piece""".stripMargin
@@ -212,6 +215,7 @@ object DuckDialect extends Dialect {
   def strposExpr(x: String, subExpr: String): String = s"strpos($x, $subExpr)"
   def hexToLong(h: String): String = s"CAST(CAST('0x' || $h AS UBIGINT) AS BIGINT)"
   def elementAt(arr: String, i: Int): String = s"CAST(($arr)[$i] AS DOUBLE)"
+  def arrayLen(arr: String): String = s"len($arr)"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")},
        | unnest(string_split($expr, $sepSql)) AS piece FROM $rel""".stripMargin

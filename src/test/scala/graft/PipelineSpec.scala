@@ -226,6 +226,44 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall { case (l, r) => again(l) == r.getAs[Long]("sampled_ct") })
   }
 
+  test("embedding stats flag ragged dims, zero vectors and collapsed labels") {
+    import spark.implicits._
+    // label 0: two identical unit vectors (collapsed: cos-to-centroid 1)
+    // + a zero vector; label 1: opposite vectors (centroid ~0) and one
+    // vector short a dimension (ragged)
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 0f, 0f), 0),
+      (4L, Array(0f, 1f, 0f, 0f), 1), (5L, Array(0f, -1f, 0f, 0f), 1),
+      (6L, Array(0f, 0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    rows.createOrReplaceTempView("__graft_emb_stats_test")
+    val out = spark.sql(graft.pipeline.EmbeddingStats.sql(
+        "__graft_emb_stats_test")(graft.oracle.SparkDialect)).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val l0 = out(0)
+    assert(l0.getAs[Long]("vec_ct") == 3)
+    assert(l0.getAs[Long]("zero_ct") == 1)
+    assert(l0.getAs[Int]("min_dim") == 4 && l0.getAs[Int]("max_dim") == 4)
+    assert(l0.getAs[Double]("min_norm") == 0.0)
+    assert(l0.getAs[Double]("max_norm") == 1.0)
+    // the two unit vectors align perfectly with their centroid
+    assert(l0.getAs[Double]("avg_cos_centroid") == 1.0)
+    val l1 = out(1)
+    assert(l1.getAs[Int]("min_dim") == 3 && l1.getAs[Int]("max_dim") == 4,
+      "ragged dimension not surfaced")
+
+    // fixture-wide: every label consistent at dim 64, no zero vectors,
+    // random vectors sit near-orthogonal to their centroid
+    val entry = graft.pipeline.EmbeddingStats.run(spark, sfDir).collect()
+    assert(entry.nonEmpty)
+    assert(entry.forall { r =>
+      r.getAs[Int]("min_dim") == 64 && r.getAs[Int]("max_dim") == 64 &&
+        r.getAs[Long]("zero_ct") == 0 &&
+        math.abs(r.getAs[Double]("avg_cos_centroid")) < 0.9
+    })
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

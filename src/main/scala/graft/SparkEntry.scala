@@ -61,6 +61,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.StratifiedSample.run(s, dir))) +
       ("embedding_stats" ->
         ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingStats.run(s, dir))) +
+      ("chunk_documents" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.run(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -198,6 +200,7 @@ object SparkEntry {
       ("pii_scrub" -> graft.pipeline.PiiScrub.duckSql()) +
       ("sample_stratified" -> graft.pipeline.StratifiedSample.duckSql()) +
       ("embedding_stats" -> graft.pipeline.EmbeddingStats.duckSql()) +
+      ("chunk_documents" -> graft.pipeline.Chunker.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Document chunking — the window split every RAG / pretraining
+  * pipeline runs before embedding or tokenizing: fixed-size character
+  * windows with overlap, emitted as (doc_id, chunk_idx, start, length,
+  * content hash, token estimate) rows. The content hash stands in for
+  * the chunk payload in the gate (and is what a dedup-on-chunks pass
+  * keys on); a production sink selects the substring itself.
+  *
+  * Chunk count per doc is GREATEST(1, ceil((len - overlap) / stride))
+  * with stride = size - overlap, so every document emits at least one
+  * chunk and successive chunks share `overlap` characters.
+  *
+  * Scale shape: a pure per-row series explode on the scan — no
+  * shuffle, no state; the (doc, chunk) stream parallelizes with the
+  * input partitioning at any corpus size.
+  */
+object Chunker {
+
+  val Size = 200
+  val Overlap = 40
+  val Stride: Int = Size - Overlap
+
+  def sql(table: String, size: Int = Size, overlap: Int = Overlap)
+         (d: Dialect): String = {
+    val stride = size - overlap
+    // ceil((len - overlap) / stride) in integer arithmetic
+    val nChunks =
+      s"GREATEST(1, ${d.intDiv(s"LENGTH(text) - $overlap + $stride - 1", s"$stride")})"
+    val piece = s"SUBSTRING(text, (pos - 1) * $stride + 1, $size)"
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id, text FROM $table
+       |)
+       |SELECT id AS doc_id,
+       |  CAST(pos - 1 AS INT) AS chunk_idx,
+       |  CAST((pos - 1) * $stride + 1 AS INT) AS chunk_start,
+       |  CAST(LENGTH($piece) AS INT) AS chunk_len,
+       |  MD5($piece) AS chunk_hash,
+       |  CAST(${d.regexpCount(piece, "\\S+")} AS BIGINT) AS token_ct
+       |FROM (${d.seriesRel("docs", Seq("id", "text"), nChunks)}) c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_chunk_docs")
+    spark.sql(sql("__graft_chunk_docs")(SparkDialect))
+  }
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+}

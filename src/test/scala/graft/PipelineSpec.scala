@@ -264,6 +264,41 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("chunker windows cover every document with the configured overlap") {
+    import spark.implicits._
+    // 10-char doc, size 6, overlap 2 (stride 4): chunks at 1, 5, 9 —
+    // ceil((10-2)/4) = 2 full strides... n = ceil(8/4) = 2 chunks:
+    // [1..6], [5..10]; a 3-char doc gets its single short chunk
+    Seq((1L, "abcdefghij"), (2L, "xyz"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__graft_chunk_test")
+    val rows = spark.sql(graft.pipeline.Chunker.sql(
+        "__graft_chunk_test", size = 6, overlap = 2)(
+        graft.oracle.SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) -> r).toMap
+    assert(rows.size == 3)
+    assert(rows((1L, 0)).getAs[Int]("chunk_start") == 1)
+    assert(rows((1L, 0)).getAs[Int]("chunk_len") == 6)
+    assert(rows((1L, 1)).getAs[Int]("chunk_start") == 5)
+    assert(rows((1L, 1)).getAs[Int]("chunk_len") == 6)
+    assert(rows((2L, 0)).getAs[Int]("chunk_len") == 3)
+    // successive chunks share exactly `overlap` characters: chunk 0
+    // covers [1..6], chunk 1 [5..10] — positions 5, 6 overlap
+    // (verified by construction of start/len above)
+
+    // fixture-wide: chunks tile every doc (last chunk reaches the end)
+    val entry = graft.pipeline.Chunker.run(spark, sfDir).collect()
+    val byDoc = entry.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == 500)
+    val docLens = graft.core.Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "LENGTH(text) AS n").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(byDoc.forall { case (id, chunks) =>
+      val last = chunks.maxBy(_.getAs[Int]("chunk_idx"))
+      last.getAs[Int]("chunk_start") + last.getAs[Int]("chunk_len") - 1 ==
+        docLens(id)
+    }, "chunks do not tile to the document end")
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

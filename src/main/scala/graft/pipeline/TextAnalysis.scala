@@ -28,8 +28,11 @@ object TextAnalysis {
 
   /** One row per document with every text metric. `extraCols` pass
     * grouping columns (e.g. source, lang) through the single scan so a
-    * downstream rollup needs no second read of the corpus. */
-  def sql(table: String, extraCols: Seq[String] = Nil)(d: Dialect): String = {
+    * downstream rollup needs no second read of the corpus; `ordered`
+    * off renders the projection without the final sort (streaming
+    * frames reject ORDER BY). */
+  def sql(table: String, extraCols: Seq[String] = Nil,
+          ordered: Boolean = true)(d: Dialect): String = {
     val extras = extraCols.map(c => s"$c,\n  ").mkString
     val wsTokens = d.regexpCount("text", "\\S+")
     val reTokens = d.regexpCount("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
@@ -60,8 +63,7 @@ object TextAnalysis {
        |       AS DOUBLE) AS quality_score,
        |  $langCase AS lang_guess,
        |  MD5($norm) AS fingerprint
-       |FROM $table
-       |ORDER BY doc_id""".stripMargin
+       |FROM $table${if (ordered) "\nORDER BY doc_id" else ""}""".stripMargin
   }
 
   /** Regexp-replace with the 'g' flag spelled per dialect (the shared

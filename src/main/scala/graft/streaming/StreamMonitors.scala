@@ -169,4 +169,18 @@ object StreamMonitors {
           }
       }
   }
+
+  /** Stateless per-document quality gate on an ingest stream: the SAME
+    * TextAnalysis projection the oracle-checked `text_analysis` batch
+    * entry runs, applied to a streaming (doc_id, text) frame — pure
+    * per-row expressions, so the stream needs no watermark or state
+    * and emits one metrics row per arriving document. */
+  def textQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val n = graft.core.SessionCache.counter(spark, "streamtq").incrementAndGet()
+    val v = s"__graft_stream_tq_$n"
+    docs.createOrReplaceTempView(v)
+    spark.sql(graft.pipeline.TextAnalysis.sql(v, ordered = false)(
+      graft.oracle.SparkDialect))
+  }
 }

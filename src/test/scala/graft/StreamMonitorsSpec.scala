@@ -166,6 +166,32 @@ class StreamMonitorsSpec extends SparkSpec {
     * `daily` CTE), and dedupExact vs the hash-green dedup_exact
     * duplicate groups — promoting the streaming extension from
     * spec-only to oracle-anchored. */
+  test("streaming text quality gate matches the oracle-checked batch metrics") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docRows = graft.core.Tables.load(spark2, dir, "documents", parallelize = false)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamMonitors.textQuality(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("tq_fixture")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(docRows: _*)
+      q.processAllAvailable()
+      spark.table("tq_fixture")
+        .selectExpr("doc_id", "quality_score", "lang_guess", "fingerprint")
+        .as[(Long, Double, String, String)].collect().toSet
+    } finally q.stop()
+    // the batch relation IS the hash-green text_analysis entry
+    val batch = graft.pipeline.TextAnalysis.run(spark2, dir)
+      .selectExpr("doc_id", "quality_score", "lang_guess", "fingerprint")
+      .as[(Long, Double, String, String)].collect().toSet
+    assert(streamed == batch,
+      "streaming quality metrics differ from the oracle-checked batch")
+  }
+
   test("streaming volume and dedup reproduce the oracle-checked batch relations") {
     val spark2 = spark
     import spark2.implicits._

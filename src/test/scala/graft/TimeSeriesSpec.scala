@@ -119,6 +119,44 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"expected in-band: [$loCal, $hiCal]")
   }
 
+  test("timezone shifts the weekend exog flags exactly as the reference asserts") {
+    // Port of Test_GetSarimaxForecast_TimezoneExog
+    // (test_time_series_service.py:595-634): daily history at 03:00 UTC,
+    // which is 22:00 the PREVIOUS day at UTC-5 — so UTC-Saturday 03:00
+    // is a Friday evening in ET and the weekend exog flags move.
+    // Deviation noted: the reference draws rng(42) noise and models tz
+    // by name; the properties are noise-independent and the port takes
+    // a fixed offset, so a deterministic wiggle + -5 h offset exercises
+    // the same Jan/Feb EST calendar.
+    val start = java.time.LocalDateTime.of(2026, 1, 5, 3, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val ts = (0 until 40).map(i => start + i.toLong * day)
+    val vals = ts.indices.map(i => 100.0 + i + 5.0 * math.sin(i * 1.7))
+    val etOffset = -5L * 3600
+
+    // tz changes weekend flags -> the forecasts differ (:609-621)
+    val utc = TimeSeries.sarimaxForecast(ts, vals, excludeWeekends = true)
+    val et = TimeSeries.sarimaxForecast(ts, vals, excludeWeekends = true,
+      tzOffsetSec = etOffset)
+    assert(!utc.mean.sameElements(et.mean),
+      "tz offset did not move the weekend exog flags")
+    // the flags themselves: UTC Sat 03:00 is excluded in UTC, not in ET
+    val sat = java.time.LocalDateTime.of(2026, 1, 10, 3, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    assert(TimeSeries.isExcluded(sat, true, 0L, Set.empty) == 1.0)
+    assert(TimeSeries.isExcluded(sat, true, etOffset, Set.empty) == 0.0)
+
+    // absent tz == explicit zero offset (:623-626)
+    val none = TimeSeries.sarimaxForecast(ts, vals, excludeWeekends = true)
+    assert(utc.mean.sameElements(none.mean) && utc.se.sameElements(none.se))
+
+    // without exclusions the tz has no effect (:628-634)
+    val plain = TimeSeries.sarimaxForecast(ts, vals)
+    val plainTz = TimeSeries.sarimaxForecast(ts, vals, tzOffsetSec = etOffset)
+    assert(plain.mean.sameElements(plainTz.mean) &&
+      plain.se.sameElements(plainTz.se))
+  }
+
   test("forecast on a flat noisy series stays near the level with sane SE") {
     val rnd = new scala.util.Random(7)
     val ts = (0 until 60).map(i => i * day)

@@ -73,6 +73,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhash(s, dir))) +
       ("dedup_winnow" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runWinnow(s, dir))) +
+      ("dedup_clusters" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runClusters(s, dir))) +
+      ("boilerplate_ngrams" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Boilerplate.run(s, dir))) +
       ("decontaminate" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
       ("knn_bruteforce" ->
@@ -206,6 +210,11 @@ object SparkEntry {
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_simhash" -> graft.pipeline.Dedup.simhashSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_winnow" -> graft.pipeline.Dedup.winnowSql("documents")(graft.oracle.DuckDialect)) +
+      // dedup_clusters: the oracle resolves connected components with a
+      // recursive transitive closure; the engine runs distributed
+      // min-label propagation — same deterministic fixpoint.
+      ("dedup_clusters" -> graft.pipeline.Dedup.clustersSql("documents")(graft.oracle.DuckDialect)) +
+      ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
       ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +

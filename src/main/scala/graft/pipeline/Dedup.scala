@@ -105,11 +105,9 @@ object Dedup {
        |  FROM $shfRel GROUP BY id""".stripMargin
   }
 
-  /** 12 min-hashes banded 4×3; candidates verified with true Jaccard
-    * computed ONLY for candidate pairs (never the all-pairs co-shingle
-    * intersection — that would defeat the LSH bound banding exists for). */
-  private def minhashBody(sigsRel: String, shfRel: String, sizesRel: String,
-                          threshold: Double): String = {
+  /** The band-bucket candidate CTEs alone — `bands`, `cands` — shared by
+    * the minhash entry and the duplicate-cluster edge builder. */
+  private def minhashCandsCtes(sigsRel: String): String = {
     val bandSize = 3
     val bands = (0 until 12 / bandSize).map { b =>
       val cols = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || ")
@@ -122,10 +120,17 @@ object Dedup {
        |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
        |    FROM bands a JOIN bands b
        |      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-       |),
+       |)""".stripMargin
+  }
+
+  /** 12 min-hashes banded 4×3; candidates verified with true Jaccard
+    * computed ONLY for candidate pairs (never the all-pairs co-shingle
+    * intersection — that would defeat the LSH bound banding exists for). */
+  private def minhashBody(sigsRel: String, shfRel: String, sizesRel: String,
+                          threshold: Double): String =
+    s"""${minhashCandsCtes(sigsRel)},
        |${candInterCte(shfRel)}
        |${jaccardBody("cinter", sizesRel, threshold)}""".stripMargin
-  }
 
   def minhashSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
     s"""WITH ${shinglesCte(d, table)},
@@ -477,4 +482,121 @@ object Dedup {
 
   def runDecontaminate(spark: SparkSession, dir: String): DataFrame =
     spark.sql(decontaminateBodySql(winnowFpsView(spark, dir)))
+
+  /** Duplicate-CLUSTER resolution — pair lists are not actionable dedup;
+    * a pipeline drops duplicates by (a) grouping dup pairs into connected
+    * components and (b) keeping one survivor per component. Edges are the
+    * union of exact duplicates (same md5(text), each doc linked to its
+    * group's min id — star-shaped, never the quadratic within-group pair
+    * join) and the minhash-verified near-dup pairs (band-bucket equi-join
+    * candidates, Jaccard >= threshold — see [[minhashBody]]).
+    *
+    * The component id is the MINIMUM doc_id reachable in the dup graph,
+    * and the survivor is the member equal to its cluster id — the "keep
+    * first by id" policy of the reference's duplicate handling
+    * (ref testgen/template/dbsetup_anomaly_types Potential_Duplicates
+    * semantics pick representatives the same way: group + MIN). */
+  /** CTE list ending in the symmetric `edges(src, dst)` relation. */
+  private def clusterEdgeCtes(table: String, sigsRel: String, shfRel: String,
+                              sizesRel: String, threshold: Double): String =
+    s"""${minhashCandsCtes(sigsRel)},
+       |${candInterCte(shfRel)},
+       |mh AS (
+       |  SELECT doc_a, doc_b FROM (${jaccardBody("cinter", sizesRel, threshold)}) j
+       |),
+       |eh AS (
+       |  SELECT MD5(text) AS h, MIN(doc_id) AS keep
+       |    FROM $table GROUP BY MD5(text) HAVING COUNT(*) > 1
+       |),
+       |epairs AS (
+       |  SELECT eh.keep AS doc_a, dd.doc_id AS doc_b
+       |    FROM $table dd JOIN eh ON MD5(dd.text) = eh.h AND dd.doc_id > eh.keep
+       |),
+       |upairs AS (
+       |  SELECT doc_a, doc_b FROM mh UNION SELECT doc_a, doc_b FROM epairs
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM upairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM upairs
+       |)""".stripMargin
+
+  /** Presentation over a resolved `comp(id, cid)` relation. */
+  private def clusterOutSql(compRel: String): String =
+    s"""SELECT c.id AS doc_id, c.cid AS cluster_id,
+       |       CAST(s.cluster_sz AS BIGINT) AS cluster_sz,
+       |       CAST(CASE WHEN c.id = c.cid THEN 1 ELSE 0 END AS INT) AS is_survivor
+       |  FROM $compRel c
+       |  JOIN (SELECT cid, COUNT(*) AS cluster_sz
+       |          FROM $compRel GROUP BY cid) s
+       |    ON s.cid = c.cid
+       | ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Single-statement oracle form: connected components as a recursive
+    * transitive closure (`WITH RECURSIVE` + UNION-dedup terminates on the
+    * cyclic dup graph), cluster id = min reachable id. The engine itself
+    * never runs this — see [[runClusters]] for the distributed form. */
+  def clustersSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+    s"""WITH RECURSIVE ${shinglesCte(d, table)},
+       |sigs AS (
+       |${minhashSigsSql("shf")}
+       |),
+       |${clusterEdgeCtes(table, "sigs", "shf", "sizes", threshold)},
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT rc.id, e.dst AS r FROM reach rc JOIN edges e ON e.src = rc.r
+       |),
+       |comp AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id)
+       |${clusterOutSql("comp")}""".stripMargin
+
+  /** Distributed connected components: min-label propagation to a
+    * fixpoint — each round every node takes the minimum of its own and
+    * its neighbors' labels, one shuffle on the node id per round with
+    * lineage truncated by localCheckpoint (reliable checkpoint on a real
+    * cluster). Converges in O(component diameter) rounds; dup clusters
+    * are near-cliques, so 2-3 rounds in practice, while a 100 TB corpus
+    * parallelizes per-partition with no driver-side graph state. Labels
+    * only ever decrease, so an unchanged label SUM is a fixpoint proof
+    * (one cheap agg per round — no row-level change join). */
+  /** The symmetric dup-edge relation (PlanSpec asserts it stays
+    * equi-join-only — no cartesian ever enters the cluster path). */
+  private[graft] def clusterEdges(spark: SparkSession, dir: String): DataFrame = {
+    val k = registerShingleRels(spark, dir)
+    val docs = register(spark, dir)
+    spark.sql(
+      s"""WITH ${clusterEdgeCtes(docs, s"__graft_minhash_sigs_$k",
+                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)}
+         |SELECT src, dst FROM edges""".stripMargin)
+  }
+
+  def runClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, least, min, sum}
+    val edges = clusterEdges(spark, dir).localCheckpoint(eager = true)
+    // symmetric edges ⇒ the node set is exactly the distinct srcs
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cid"))
+      .localCheckpoint(eager = true)
+    if (labels.limit(1).count() > 0) {
+      var done = false
+      var rounds = 0
+      while (!done && rounds < 50) {
+        val nbrMin = edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("nid"), col("cid"))
+          .groupBy("nid").agg(min("cid").as("nbr"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(labels("id"),
+            least(labels("cid"), coalesce(col("nbr"), labels("cid"))).as("cid"))
+          .localCheckpoint(eager = true)
+        val prev = labels.agg(sum("cid")).first().getLong(0)
+        val cur = next.agg(sum("cid")).first().getLong(0)
+        done = cur == prev
+        labels = next
+        rounds += 1
+      }
+    }
+    val v = "__graft_cc_comp_" + java.lang.Integer.toHexString(dir.hashCode)
+    labels.createOrReplaceTempView(v)
+    spark.sql(clusterOutSql(v))
+  }
 }

@@ -299,6 +299,38 @@ class PipelineSpec extends SparkSpec {
     }, "chunks do not tile to the document end")
   }
 
+  test("duplicate clusters resolve pairs into components with one survivor") {
+    val rows = graft.pipeline.Dedup.runClusters(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min == cid,
+        s"cluster id $cid is not the min member id")
+      assert(members.count(_.getAs[Int]("is_survivor") == 1) == 1,
+        s"cluster $cid does not have exactly one survivor")
+      assert(members.forall(_.getAs[Long]("cluster_sz") == members.length))
+      assert(members.length >= 2, s"singleton cluster $cid emitted")
+    }
+    // transitivity: both endpoints of every minhash pair share a cluster
+    val cidOf = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    Dedup.runMinhash(spark, sfDir).collect().foreach { p =>
+      assert(cidOf(p.getLong(0)) == cidOf(p.getLong(1)),
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) split across clusters")
+    }
+  }
+
+  test("boilerplate scoring emits one sane row per document") {
+    val rows = graft.pipeline.Boilerplate.run(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("boilerplate_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("boilerplate_ct") <= r.getAs[Long]("gram_ct"))
+      assert(r.getAs[Int]("boilerplate_heavy") ==
+        (if (r.getAs[Long]("boilerplate_ct") >= 0.5 * r.getAs[Long]("gram_ct")) 1 else 0))
+    }
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

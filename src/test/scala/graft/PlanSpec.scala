@@ -186,6 +186,21 @@ class PlanSpec extends SparkSpec {
       "pair join does not carry the bucket equi-key")
   }
 
+  test("duplicate-cluster edges are equi-joins only — no cartesian") {
+    val p = plan(graft.pipeline.Dedup.clusterEdges(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cluster edge relation degenerated to an all-pairs join")
+  }
+
+  test("boilerplate body never re-scans parquet (trigram rel materialized once)") {
+    // run() checkpoints the trigram relation, so the scoring body's plan
+    // must contain ZERO parquet scans — a regression to inline CTEs
+    // would show the corpus scan twice here
+    val p = plan(graft.pipeline.Boilerplate.run(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"expected 0 parquet scans after materialization, got $scans")
+  }
+
   test("exact dedup groups once and reads only doc_id and text") {
     val df = graft.pipeline.Dedup.runExact(spark, dir)
     val p = plan(df)

@@ -77,6 +77,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runClusters(s, dir))) +
       ("boilerplate_ngrams" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Boilerplate.run(s, dir))) +
+      ("quality_gate" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.QualityGate.run(s, dir))) +
       ("decontaminate" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
       ("knn_bruteforce" ->
@@ -215,6 +217,7 @@ object SparkEntry {
       // min-label propagation — same deterministic fixpoint.
       ("dedup_clusters" -> graft.pipeline.Dedup.clustersSql("documents")(graft.oracle.DuckDialect)) +
       ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
+      ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +
       ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +

@@ -331,6 +331,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quality gate composes reason flags into the keep bit") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 4L).toDF("doc_id").createOrReplaceTempView("qg_docs")
+    Seq((1L, 50L, 0.8), (2L, 5L, 0.8), (3L, 50L, 0.05), (4L, 50L, 0.9))
+      .toDF("doc_id", "ws_token_ct", "quality_score")
+      .createOrReplaceTempView("qg_ta")
+    Seq((3L, 1)).toDF("doc_id", "repetitive_flag")
+      .createOrReplaceTempView("qg_rep")
+    Seq((1L, 0)).toDF("doc_id", "boilerplate_heavy")
+      .createOrReplaceTempView("qg_bp")
+    Seq((4L, 0)).toDF("doc_id", "is_survivor")
+      .createOrReplaceTempView("qg_cl")
+    val rows = spark.sql(graft.pipeline.QualityGate.bodySql(
+        "qg_docs", "qg_ta", "qg_rep", "qg_bp", "qg_cl"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("keep") == 1)
+    assert(rows(2L).getAs[Int]("too_short") == 1 && rows(2L).getAs[Int]("keep") == 0)
+    assert(rows(3L).getAs[Int]("low_quality") == 1 &&
+      rows(3L).getAs[Int]("repetitive") == 1 && rows(3L).getAs[Int]("keep") == 0)
+    assert(rows(4L).getAs[Int]("dup_dropped") == 1 && rows(4L).getAs[Int]("keep") == 0)
+  }
+
+  test("quality gate covers every document and keep matches the flags") {
+    val rows = graft.pipeline.QualityGate.run(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val fired = Seq("too_short", "too_long", "low_quality", "repetitive",
+        "boilerplate", "dup_dropped").map(r.getAs[Int]).sum
+      assert(r.getAs[Int]("keep") == (if (fired == 0) 1 else 0))
+    }
+    // the gate must actually drop the dup-cluster losers
+    val losers = Dedup.runClusters(spark, sfDir).collect()
+      .filter(_.getAs[Int]("is_survivor") == 0).map(_.getAs[Long]("doc_id")).toSet
+    val dropped = rows.filter(_.getAs[Int]("dup_dropped") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(dropped == losers)
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

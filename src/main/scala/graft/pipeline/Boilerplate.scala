@@ -80,5 +80,15 @@ object Boilerplate {
     spark.sql(bodySql(v))
   }
 
+  /** The materialized per-doc OUTPUT, memoized per (session, dir) — the
+    * quality gate joins this instead of re-running the trigram passes. */
+  def outView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "bpout", dir) {
+      val v = "__graft_bp_out_" + java.lang.Integer.toHexString(dir.hashCode)
+      run(spark, dir).localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
+
   def duckSql(): String = sql("documents")(DuckDialect)
 }

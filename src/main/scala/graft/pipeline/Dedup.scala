@@ -570,33 +570,40 @@ object Dedup {
          |SELECT src, dst FROM edges""".stripMargin)
   }
 
-  def runClusters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, least, min, sum}
-    val edges = clusterEdges(spark, dir).localCheckpoint(eager = true)
-    // symmetric edges ⇒ the node set is exactly the distinct srcs
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cid"))
-      .localCheckpoint(eager = true)
-    if (labels.limit(1).count() > 0) {
-      var done = false
-      var rounds = 0
-      while (!done && rounds < 50) {
-        val nbrMin = edges.join(labels, edges("src") === labels("id"))
-          .select(edges("dst").as("nid"), col("cid"))
-          .groupBy("nid").agg(min("cid").as("nbr"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-          .select(labels("id"),
-            least(labels("cid"), coalesce(col("nbr"), labels("cid"))).as("cid"))
-          .localCheckpoint(eager = true)
-        val prev = labels.agg(sum("cid")).first().getLong(0)
-        val cur = next.agg(sum("cid")).first().getLong(0)
-        done = cur == prev
-        labels = next
-        rounds += 1
+  /** The resolved `comp(id, cid)` view, memoized per (session, dir) —
+    * the propagation loop runs once; the cluster entry and the quality
+    * gate both read the landed labels. */
+  private[graft] def clusterCompView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "dedupcc", dir) {
+      import org.apache.spark.sql.functions.{coalesce, col, least, min, sum}
+      val edges = clusterEdges(spark, dir).localCheckpoint(eager = true)
+      // symmetric edges ⇒ the node set is exactly the distinct srcs
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cid"))
+        .localCheckpoint(eager = true)
+      if (labels.limit(1).count() > 0) {
+        var done = false
+        var rounds = 0
+        while (!done && rounds < 50) {
+          val nbrMin = edges.join(labels, edges("src") === labels("id"))
+            .select(edges("dst").as("nid"), col("cid"))
+            .groupBy("nid").agg(min("cid").as("nbr"))
+          val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+            .select(labels("id"),
+              least(labels("cid"), coalesce(col("nbr"), labels("cid"))).as("cid"))
+            .localCheckpoint(eager = true)
+          val prev = labels.agg(sum("cid")).first().getLong(0)
+          val cur = next.agg(sum("cid")).first().getLong(0)
+          done = cur == prev
+          labels = next
+          rounds += 1
+        }
       }
+      val v = "__graft_cc_comp_" + java.lang.Integer.toHexString(dir.hashCode)
+      labels.createOrReplaceTempView(v)
+      v
     }
-    val v = "__graft_cc_comp_" + java.lang.Integer.toHexString(dir.hashCode)
-    labels.createOrReplaceTempView(v)
-    spark.sql(clusterOutSql(v))
-  }
+
+  def runClusters(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(clusterOutSql(clusterCompView(spark, dir)))
 }

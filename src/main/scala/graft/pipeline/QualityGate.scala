@@ -66,15 +66,15 @@ object QualityGate {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView(docs)
     val sfx = java.lang.Integer.toHexString(dir.hashCode)
-    val bpV = s"__graft_qg_bp_$sfx"
-    Boilerplate.run(spark, dir).createOrReplaceTempView(bpV)
     val clV = s"__graft_qg_cl_$sfx"
     Dedup.runClusters(spark, dir).createOrReplaceTempView(clV)
-    // text analysis rides its own single corpus scan; repetition joins
-    // the memoized landed output (the CorpusStats composition pattern)
+    // text analysis rides its own single corpus scan; repetition,
+    // boilerplate and cluster labels join the memoized landed outputs
+    // (the CorpusStats composition pattern)
     spark.sql(bodySql(docs,
       s"(${TextAnalysis.sql(docs)(SparkDialect)})",
-      Repetition.outView(spark, dir), bpV, clV))
+      Repetition.outView(spark, dir),
+      Boilerplate.outView(spark, dir), clV))
   }
 
   def duckSql(): String = {

@@ -79,6 +79,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Boilerplate.run(s, dir))) +
       ("quality_gate" ->
         ((s: SparkSession, dir: String) => graft.pipeline.QualityGate.run(s, dir))) +
+      ("corpus_kept_stats" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runKept(s, dir))) +
+      ("lang_id_confusion" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runConfusion(s, dir))) +
       ("decontaminate" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
       ("knn_bruteforce" ->
@@ -218,6 +222,8 @@ object SparkEntry {
       ("dedup_clusters" -> graft.pipeline.Dedup.clustersSql("documents")(graft.oracle.DuckDialect)) +
       ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
       ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +
+      ("corpus_kept_stats" -> graft.pipeline.CorpusStats.duckKeptSql()) +
+      ("lang_id_confusion" -> graft.pipeline.CorpusStats.duckConfusionSql()) +
       ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +

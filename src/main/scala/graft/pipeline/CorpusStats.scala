@@ -71,4 +71,68 @@ object CorpusStats {
   }
 
   def duckSql(): String = sql("documents")(DuckDialect)
+
+  /** Post-gate corpus budget — what actually ships to training after
+    * [[QualityGate]]: per (source, lang), surviving documents and tokens
+    * next to the raw budget, with per-rule drop counts so a curation run
+    * can see WHERE each slice lost mass. Same shape discipline as the
+    * raw rollup: per-doc signal joins on doc_id, then a (source, lang)
+    * group-by whose result is broadcast-sized at any corpus scale. */
+  private def keptRollupSql(taRel: String, gateRel: String)(d: Dialect): String =
+    s"""SELECT ta.source, ta.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |  CAST(SUM(g.keep) AS BIGINT) AS kept_doc_ct,
+       |  CAST(SUM(COALESCE(ta.ws_token_ct, 0)) AS BIGINT) AS token_ct,
+       |  CAST(SUM(CASE WHEN g.keep = 1 THEN COALESCE(ta.ws_token_ct, 0)
+       |           ELSE 0 END) AS BIGINT) AS kept_token_ct,
+       |  CAST(SUM(g.low_quality) AS BIGINT) AS low_quality_ct,
+       |  CAST(SUM(g.repetitive) AS BIGINT) AS repetitive_ct,
+       |  CAST(SUM(g.boilerplate) AS BIGINT) AS boilerplate_ct,
+       |  CAST(SUM(g.dup_dropped) AS BIGINT) AS dup_dropped_ct
+       |FROM $taRel ta
+       |JOIN $gateRel g ON g.doc_id = ta.doc_id
+       |GROUP BY ta.source, ta.lang
+       |ORDER BY ta.source, ta.lang""".stripMargin
+
+  def runKept(spark: SparkSession, dir: String): DataFrame = {
+    val docs = "__graft_corpus_docs"
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView(docs)
+    spark.sql(keptRollupSql(
+      s"(${TextAnalysis.sql(docs, Seq("source", "lang"))(SparkDialect)})",
+      QualityGate.outView(spark, dir))(SparkDialect))
+  }
+
+  def duckKeptSql(): String =
+    keptRollupSql(
+      s"(${TextAnalysis.sql("documents", Seq("source", "lang"))(DuckDialect)})",
+      s"(${QualityGate.duckSql()})")(DuckDialect)
+
+  /** Language-ID confusion — the labeled `lang` against the n-gram
+    * heuristic's `lang_guess`, with each cell's share of its labeled
+    * row. Labels are frequently wrong or missing in crawled corpora;
+    * the confusion matrix is how a curation run audits them before
+    * trusting either side. Share rounding runs in integer arithmetic
+    * (the scaled half-up intDiv trick) so both engines agree. */
+  private def confusionSql(taRel: String)(d: Dialect): String =
+    s"""SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |  CAST(${d.intDiv(
+                 "2 * 10000 * COUNT(*) + SUM(COUNT(*)) OVER (PARTITION BY lang)",
+                 "2 * SUM(COUNT(*)) OVER (PARTITION BY lang)")} / 10000.0
+       |       AS DOUBLE) AS lang_share
+       |FROM $taRel
+       |GROUP BY lang, lang_guess
+       |ORDER BY lang, lang_guess""".stripMargin
+
+  def runConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = "__graft_corpus_docs"
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView(docs)
+    spark.sql(confusionSql(
+      s"(${TextAnalysis.sql(docs, Seq("lang"))(SparkDialect)})")(SparkDialect))
+  }
+
+  def duckConfusionSql(): String =
+    confusionSql(
+      s"(${TextAnalysis.sql("documents", Seq("lang"))(DuckDialect)})")(DuckDialect)
 }

@@ -77,6 +77,16 @@ object QualityGate {
       Boilerplate.outView(spark, dir), clV))
   }
 
+  /** The materialized gate decision, memoized per (session, dir) — the
+    * post-gate budget rollup joins this instead of re-deriving it. */
+  def outView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "qgout", dir) {
+      val v = "__graft_qg_out_" + java.lang.Integer.toHexString(dir.hashCode)
+      run(spark, dir).localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
+
   def duckSql(): String = {
     val d: Dialect = DuckDialect
     bodySql("documents",

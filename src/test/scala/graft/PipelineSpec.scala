@@ -369,6 +369,34 @@ class PipelineSpec extends SparkSpec {
     assert(dropped == losers)
   }
 
+  test("post-gate budget conserves docs and tokens per slice") {
+    val kept = graft.pipeline.CorpusStats.runKept(spark, sfDir).collect()
+    val raw = graft.pipeline.CorpusStats.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("doc_ct"), r.getAs[Long]("token_ct"))).toMap
+    kept.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(raw(key)._1 == r.getAs[Long]("doc_ct"), s"doc_ct drifted for $key")
+      assert(raw(key)._2 == r.getAs[Long]("token_ct"), s"token_ct drifted for $key")
+      assert(r.getAs[Long]("kept_doc_ct") <= r.getAs[Long]("doc_ct"))
+      assert(r.getAs[Long]("kept_token_ct") <= r.getAs[Long]("token_ct"))
+    }
+    // the gate drops SOMETHING on the fixture corpus
+    assert(kept.map(_.getAs[Long]("kept_doc_ct")).sum <
+      kept.map(_.getAs[Long]("doc_ct")).sum)
+  }
+
+  test("language confusion shares sum to 1 per labeled language") {
+    val rows = graft.pipeline.CorpusStats.runConfusion(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, cells) =>
+      val share = cells.map(_.getAs[Double]("lang_share")).sum
+      assert(math.abs(share - 1.0) < 0.001 + 0.0001 * cells.length,
+        s"shares for $lang sum to $share")
+      assert(cells.map(_.getAs[Long]("doc_ct")).sum ==
+        rows.filter(_.getAs[String]("lang") == lang).map(_.getAs[Long]("doc_ct")).sum)
+    }
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

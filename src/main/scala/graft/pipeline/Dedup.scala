@@ -426,13 +426,24 @@ object Dedup {
        |${winnowBodySql("fps", minShared, hotCutoff).stripPrefix("WITH ")}""".stripMargin
 
   /** The materialized winnowing fingerprint sets, memoized per
-    * (session, dir) — shared by the near-dup entry and decontamination. */
+    * (session, dir) — shared by the near-dup entry and decontamination.
+    *
+    * Built with the NATIVE [[graft.functions.WinnowFpsExpr]] expression
+    * (one codegen'd projection + explode of the per-doc fingerprint
+    * array), not the SQL char-position explode + per-doc window sort —
+    * the expression keeps the gram stream inside the row, so the only
+    * rows that ever exist are the ~2/(w+1)-sampled fingerprints
+    * themselves. WinnowExprSpec asserts row-set identity with the SQL
+    * form ([[winnowFpsSql]]), which remains the DuckDB oracle rendering. */
   def winnowFpsView(spark: SparkSession, dir: String): String =
     graft.core.SessionCache.getOrElseUpdate(spark, "winnowfps", dir) {
       val docs = register(spark, dir)
+      graft.functions.WinnowFpsExpr.register(spark)
       val v = "__graft_winnow_fps_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      spark.sql(winnowFpsSql(docs)(SparkDialect))
+      spark.sql(
+        s"""SELECT doc_id AS id, fp FROM $docs
+           | LATERAL VIEW explode(graft_winnow_fps(text)) e AS fp""".stripMargin)
         .localCheckpoint(eager = true)
         .createOrReplaceTempView(v)
       v

@@ -107,3 +107,76 @@ object WinnowFpsExpr {
       true
     }
 }
+
+/** Native 32-bit SimHash signature: `graft_simhash(text)` packs the
+  * per-word md5-hex-digit parity majority votes into one BIGINT,
+  * bit-identical to the SQL pipeline in `Dedup.simhashSigsSql` (word
+  * explode → DISTINCT (doc, word) → 32 parity sums → pack) but computed
+  * row-locally: the token stream never leaves the row, removing the
+  * word explode and both per-doc aggregation shuffles. NULL when the
+  * document has no words — the SQL form emits no row for such docs, and
+  * the consumer filters IS NOT NULL to match.
+  */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashExpr.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val box = ctx.freshName("sh")
+      s"""java.lang.Long $box = graft.functions.SimHashExpr.compute($c.toString());
+         |if ($box == null) { ${ev.isNull} = true; } else { ${ev.value} = $box; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+object SimHashExpr {
+
+  /** Boxed so "no words" can be NULL (mirrors the SQL form's absent
+    * row). Mirrors: LOWER → split \s+ → distinct words → per word
+    * md5; bit i of the signature = majority of hex-digit-i parity. */
+  def compute(text: String): java.lang.Long = {
+    val words = new java.util.HashSet[String]()
+    for (w <- text.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      if (w.nonEmpty) words.add(w)
+    if (words.isEmpty) return null
+    val md = MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](32)
+    val it = words.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val digest = md.digest(it.next().getBytes("UTF-8"))
+      var i = 0
+      while (i < 32) {
+        val b = digest(i / 2)
+        val nib = if (i % 2 == 0) (b >> 4) & 0xf else b & 0xf
+        sums(i) += (if ((nib & 1) == 1) 1 else -1)
+        i += 1
+      }
+    }
+    var v = 0L
+    var i = 0
+    while (i < 32) {
+      if (sums(i) >= 0) v |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(v)
+  }
+
+  /** Register `graft_simhash`; idempotent per session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.core.SessionCache.getOrElseUpdate(spark, "simhashfn", "reg") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash",
+        (children: Seq[Expression]) => SimHashExpr(children.head),
+        "scala_udf")
+      true
+    }
+}

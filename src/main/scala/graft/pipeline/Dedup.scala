@@ -303,7 +303,15 @@ object Dedup {
   }
   def runSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = register(spark, dir)
-    val sigs = spark.sql(simhashSigsSql(docs)(SparkDialect))
+    // native signature expression (SimHashSpec asserts bit-identity with
+    // the SQL form, which remains the DuckDB oracle): signatures come out
+    // of the corpus scan row-locally — no word explode, no shuffle.
+    // IS NOT NULL mirrors the SQL form's absent row for wordless docs.
+    graft.functions.SimHashExpr.register(spark)
+    val sigs = spark.sql(
+      s"""SELECT id, v FROM (
+         |  SELECT doc_id AS id, graft_simhash(text) AS v FROM $docs) s
+         | WHERE v IS NOT NULL""".stripMargin)
       .localCheckpoint(eager = true)
     sigs.createOrReplaceTempView("__graft_simhash_sigs")
     spark.sql(simhashBody("__graft_simhash_sigs", 3)(SparkDialect))

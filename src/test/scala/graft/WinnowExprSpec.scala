@@ -44,6 +44,28 @@ class WinnowExprSpec extends SparkSpec {
     assert(exprFps("winnow_edge_docs") == sqlFps("winnow_edge_docs"))
   }
 
+  test("native simhash signatures are bit-identical to the SQL form") {
+    graft.functions.SimHashExpr.register(spark)
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("simhash_expr_docs")
+    import spark.implicits._
+    Seq((100001L, ""), (100002L, null.asInstanceOf[String]),
+        (100003L, "  Tabs\tand\nnewlines  MIXED case  "),
+        (100004L, "one"), (100005L, "dup dup dup words words"))
+      .toDF("doc_id", "text").createOrReplaceTempView("simhash_edge_docs")
+    for (view <- Seq("simhash_expr_docs", "simhash_edge_docs")) {
+      val sqlSet = spark.sql(Dedup.simhashSigsSql(view)(SparkDialect))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exprSet = spark.sql(
+        s"""SELECT id, v FROM (
+           |  SELECT doc_id AS id, graft_simhash(text) AS v FROM $view) s
+           | WHERE v IS NOT NULL""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exprSet == sqlSet, s"drift on $view: " +
+        s"missing=${(sqlSet -- exprSet).take(3)} extra=${(exprSet -- sqlSet).take(3)}")
+    }
+  }
+
   test("generated-code and interpreted paths agree") {
     // eval() (interpreted) vs the codegen'd SQL path on the same doc
     val text = "interpreted versus generated winnowing fingerprint check"

@@ -183,4 +183,54 @@ object StreamMonitors {
     spark.sql(graft.pipeline.TextAnalysis.sql(v, ordered = false)(
       graft.oracle.SparkDialect))
   }
+
+  /** Filter-on-ingest: the streaming form of the composite quality gate
+    * for a continuously-ingested corpus — every arriving (doc_id, text)
+    * row gets keep/drop flags, statelessly:
+    *
+    *  - token band and quality score: the same TextAnalysis expressions
+    *    the oracle-checked batch `quality_gate` thresholds;
+    *  - `contaminated`: decontamination AT ingest — the native
+    *    [[graft.functions.WinnowFpsExpr]] fingerprints the arriving doc
+    *    row-locally and `arrays_overlap` tests it against the BROADCAST
+    *    eval-set fingerprints (eval sets are benchmark-sized, so the
+    *    set ships as a literal to every executor; no join, no state).
+    *
+    * Cross-doc rules that need global state follow downstream: chain
+    * [[dedupExact]] for watermark-bounded dedup-on-ingest; boilerplate
+    * and cluster survivorship remain batch recompactions by design.
+    * StreamMonitorsSpec replays the fixture corpus and asserts the
+    * flags match the batch relations row-for-row. */
+  def ingestGate(docs: org.apache.spark.sql.DataFrame, evalFps: Array[Long],
+                 minTokens: Int = 10, maxTokens: Int = 10000,
+                 minQuality: Double = 0.15): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{arrays_overlap, coalesce, col, expr, lit, typedLit, when}
+    val spark = docs.sparkSession
+    graft.functions.WinnowFpsExpr.register(spark)
+    val n = graft.core.SessionCache.counter(spark, "streamgate").incrementAndGet()
+    val v = s"__graft_stream_gate_$n"
+    docs.createOrReplaceTempView(v)
+    val metrics = spark.sql(graft.pipeline.TextAnalysis.sql(
+      v, extraCols = Seq("text"), ordered = false)(graft.oracle.SparkDialect))
+    // COALESCE to 0 mirrors the batch gate: a null-text doc IS too short
+    val flagged = metrics
+      .withColumn("too_short",
+        when(coalesce(col("ws_token_ct"), lit(0L)) < minTokens, 1)
+          .otherwise(0).cast("int"))
+      .withColumn("too_long",
+        when(coalesce(col("ws_token_ct"), lit(0L)) > maxTokens, 1)
+          .otherwise(0).cast("int"))
+      .withColumn("low_quality",
+        when(coalesce(col("quality_score"), lit(0.0)) < minQuality, 1)
+          .otherwise(0).cast("int"))
+      .withColumn("contaminated",
+        when(arrays_overlap(expr("graft_winnow_fps(text)"),
+          typedLit(evalFps.toSeq)), 1).otherwise(0).cast("int"))
+    flagged
+      .withColumn("keep",
+        when(col("too_short") + col("too_long") + col("low_quality")
+          + col("contaminated") === 0, 1).otherwise(0).cast("int"))
+      .select("doc_id", "ws_token_ct", "quality_score", "fingerprint",
+        "too_short", "too_long", "low_quality", "contaminated", "keep")
+  }
 }

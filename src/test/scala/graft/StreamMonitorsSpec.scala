@@ -10,6 +10,7 @@ import graft.streaming.StreamMonitors
 /** Top-level so Spark can generate an Encoder without an outer scope. */
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String)
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+final case class GateDoc(doc_id: Long, text: String)
 
 /** Structured Streaming monitors exercised through MemoryStream sources
   * and checked against their batch equivalents. */
@@ -259,5 +260,47 @@ class StreamMonitorsSpec extends SparkSpec {
     val dropped = docRows.size - keptHashes.size
     assert(dropped == (if (dupExcess.isNullAt(0)) 0L else dupExcess.getLong(0)),
       s"dropped $dropped rows but the dedup_exact relation implies ${dupExcess}")
+  }
+
+  test("streaming ingest gate matches the batch rules on a fixture replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => GateDoc(r.getLong(0), r.getString(1)))
+    // eval-set fingerprints from the memoized (oracle-anchored) fps view
+    val fpsV = graft.pipeline.Dedup.winnowFpsView(spark, sfDir)
+    val evalFps = spark.sql(
+      s"SELECT DISTINCT fp FROM $fpsV WHERE id % ${graft.pipeline.Dedup.EvalMod} = 0")
+      .as[Long].collect()
+    val input = MemoryStream[GateDoc]
+    val q = StreamMonitors.ingestGate(input.toDF(), evalFps)
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    val out = try {
+      input.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("gate_stream").collect()
+    } finally q.stop()
+    assert(out.length == docs.length)
+    // contamination anchor: exactly the docs sharing >= 1 fingerprint
+    // with the eval split, recomputed in batch from the same fps view
+    val expectedContam = spark.sql(
+      s"""SELECT DISTINCT a.id FROM $fpsV a JOIN $fpsV b
+         |    ON a.fp = b.fp AND b.id % ${graft.pipeline.Dedup.EvalMod} = 0""".stripMargin)
+      .as[Long].collect().toSet
+    val streamedContam = out.filter(_.getAs[Int]("contaminated") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamedContam == expectedContam)
+    // quality-flag anchor: identical to the hash-green batch gate
+    val batchGate = graft.pipeline.QualityGate.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.foreach { r =>
+      val b = batchGate(r.getAs[Long]("doc_id"))
+      for (f <- Seq("too_short", "too_long", "low_quality"))
+        assert(r.getAs[Int](f) == b.getAs[Int](f),
+          s"flag $f drifted for doc ${r.getAs[Long]("doc_id")}")
+    }
   }
 }

@@ -63,6 +63,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingStats.run(s, dir))) +
       ("chunk_documents" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Chunker.run(s, dir))) +
+      ("pack_chunks" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.run(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -211,6 +213,7 @@ object SparkEntry {
       ("sample_stratified" -> graft.pipeline.StratifiedSample.duckSql()) +
       ("embedding_stats" -> graft.pipeline.EmbeddingStats.duckSql()) +
       ("chunk_documents" -> graft.pipeline.Chunker.duckSql()) +
+      ("pack_chunks" -> graft.pipeline.Packer.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

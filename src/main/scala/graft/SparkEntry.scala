@@ -91,6 +91,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runBruteForce(s, dir))) +
       ("knn_ivf" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvf(s, dir))) +
+      ("knn_ivf_seeded" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfSeeded(s, dir))) +
       ("monitor_volume_bands" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runVolumeBands(s, dir))) +
       ("monitor_freshness" ->
@@ -230,6 +232,7 @@ object SparkEntry {
       ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +
       ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +
       ("multimodal_features" -> graft.pipeline.Multimodal.duckSql()) +

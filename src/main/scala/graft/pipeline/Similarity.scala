@@ -161,6 +161,57 @@ object Similarity {
        | ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF for UNLABELED corpora: centroids are a deterministic md5-drawn
+    * seed sample (single-iteration k-means — the standard IVF training
+    * shortcut when no partition key exists), every vector is assigned to
+    * its nearest seed in ONE broadcast pass (|corpus| × K comparisons,
+    * K broadcast-sized), and each query probes only its nearest seed's
+    * bucket. At 100 TB: the assignment is a map-side cross with K tiny
+    * broadcast rows followed by one shuffle on the centroid id (or a
+    * bucket-partitioned write), and the probe join is centroid-local —
+    * the same partition-bound search as the labeled path, without
+    * labels. Ties break on seed id, so both engines bucket identically. */
+  def ivfSeededSql(table: String, nQueries: Int = 5, k: Int = 5,
+                   nCentroids: Int = 8)(d: Dialect): String = {
+    val esCos = cosine(d, "e.embedding", "s.centroid")
+    val qsCos = cosine(d, "q.embedding", "s.centroid")
+    val cos = cosine(d, "q.embedding", "a.embedding")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS centroid FROM $table
+       |   ORDER BY MD5(${d.castText("vec_id")}), vec_id LIMIT $nCentroids
+       |),
+       |assign AS (
+       |  SELECT vec_id, embedding, seed_id FROM (
+       |    SELECT e.vec_id, e.embedding, s.seed_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $esCos DESC, s.seed_id) AS rn
+       |      FROM $table e CROSS JOIN seeds s
+       |  ) a WHERE rn = 1
+       |),
+       |q AS (SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries),
+       |probe AS (
+       |  SELECT query_id, seed_id FROM (
+       |    SELECT q.vec_id AS query_id, s.seed_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $qsCos DESC, s.seed_id) AS rn
+       |      FROM q CROSS JOIN seeds s
+       |  ) p WHERE rn = 1
+       |),
+       |hits AS (
+       |  SELECT q.vec_id AS query_id, p.seed_id AS probed_centroid,
+       |         a.vec_id AS neighbor_id, $cos AS cos
+       |    FROM q JOIN probe p ON p.query_id = q.vec_id
+       |    JOIN assign a ON a.seed_id = p.seed_id AND a.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, probed_centroid, neighbor_id,
+       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos DESC, neighbor_id) AS rank
+       |          FROM hits) r
+       | WHERE rank <= $k
+       | ORDER BY query_id, rank""".stripMargin
+  }
+
   private def register(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb")
@@ -171,6 +222,8 @@ object Similarity {
     spark.sql(bruteForceSql(register(spark, dir))(SparkDialect))
   def runIvf(spark: SparkSession, dir: String): DataFrame =
     spark.sql(ivfSql(register(spark, dir))(SparkDialect))
+  def runIvfSeeded(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(ivfSeededSql(register(spark, dir))(SparkDialect))
   def runLsh(spark: SparkSession, dir: String): DataFrame =
     spark.sql(lshSql(register(spark, dir))(SparkDialect))
   def runLshFold(spark: SparkSession, dir: String): DataFrame =

@@ -426,6 +426,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("seeded ivf probes one centroid bucket per query without labels") {
+    val rows = graft.pipeline.Similarity.runIvfSeeded(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.values.foreach { hits =>
+      // all neighbors come from the single probed centroid bucket
+      assert(hits.map(_.getAs[Long]("probed_centroid")).distinct.length == 1)
+      assert(hits.length <= 5)
+      assert(hits.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+    }
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

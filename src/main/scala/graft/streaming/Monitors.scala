@@ -160,6 +160,10 @@ object Monitors {
     * full business-minute model — weekends, holidays, inactive days,
     * update-window hours subtracted per gap — is [[runSchedule]], which
     * pairs [[Freshness.gapThreshold]] with the inferred schedule. */
+  // The unpartitioned LAG below windows over DISTINCT HOURS of a
+  // table's history — bounded (~9k rows/year) regardless of data
+  // scale, so its single-partition WindowExec is metadata-sized by
+  // construction (same adjudication as the gated ≤70-row freq windows).
   def freshnessGapsSql(d: Dialect): String = {
     val runTs = s"TIMESTAMP '${graft.profiling.ProfileMetrics.RunDate} 00:00:00'"
     def one(table: String, tsCol: String) =

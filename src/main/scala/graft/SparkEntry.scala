@@ -93,6 +93,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvf(s, dir))) +
       ("knn_ivf_seeded" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfSeeded(s, dir))) +
+      ("knn_recall" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runRecall(s, dir))) +
       ("monitor_volume_bands" ->
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runVolumeBands(s, dir))) +
       ("monitor_freshness" ->
@@ -233,6 +235,7 @@ object SparkEntry {
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("knn_recall" -> graft.pipeline.Similarity.recallSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +
       ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +
       ("multimodal_features" -> graft.pipeline.Multimodal.duckSql()) +

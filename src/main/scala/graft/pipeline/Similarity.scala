@@ -212,6 +212,43 @@ object Similarity {
        | ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ANN quality measurement — recall@k of each approximate method
+    * against the exact brute-force baseline, per query and method: the
+    * number every ANN deployment reports before trading exactness for
+    * the bucket-bounded scale path. Composes the already-dual-rendered
+    * method SQLs; the ground-truth side is tiny (nQueries × k), so the
+    * comparison joins are broadcast-sized regardless of corpus scale. */
+  def recallSql(table: String, k: Int = 5)(d: Dialect): String = {
+    def hits(rel: String, method: String): String =
+      s"""SELECT '$method' AS method, query_id, neighbor_id FROM ($rel) h"""
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${bruteForceSql(table, k = k)(d)}) b
+       |),
+       |approx AS (
+       |  ${hits(ivfSql(table, k = k)(d), "ivf")}
+       |  UNION ALL
+       |  ${hits(ivfSeededSql(table, k = k)(d), "ivf_seeded")}
+       |  UNION ALL
+       |  ${hits(lshSql(table, k = k)(d), "lsh")}
+       |),
+       |matched AS (
+       |  SELECT a.method, a.query_id,
+       |         COUNT(t.neighbor_id) AS hit_ct
+       |    FROM approx a
+       |    LEFT JOIN truth t ON t.query_id = a.query_id
+       |                     AND t.neighbor_id = a.neighbor_id
+       |   GROUP BY a.method, a.query_id
+       |)
+       |SELECT method, query_id, CAST(hit_ct AS BIGINT) AS hit_ct,
+       |       CAST(${d.intDiv("2 * 10000 * hit_ct + " + k, s"2 * $k")} / 10000.0
+       |            AS DOUBLE) AS recall_at_$k
+       |  FROM matched
+       | ORDER BY method, query_id""".stripMargin
+  }
+
+  def runRecall(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(recallSql(register(spark, dir))(SparkDialect))
+
   private def register(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb")

@@ -438,6 +438,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann recall is measured against the exact baseline per method") {
+    val rows = graft.pipeline.Similarity.runRecall(spark, sfDir).collect()
+    val methods = rows.map(_.getAs[String]("method")).distinct.sorted
+    assert(methods.sameElements(Array("ivf", "ivf_seeded", "lsh")))
+    rows.foreach { r =>
+      val recall = r.getAs[Double]("recall_at_5")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getAs[Long]("hit_ct") <= 5)
+    }
+  }
+
   test("lsh fold form holds at production dims (768)") {
     // the unrolled form at 768 dims would emit 8×768 inline literal
     // terms; the fold form constant-folds each plane to one array

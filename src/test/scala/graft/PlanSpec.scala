@@ -201,6 +201,22 @@ class PlanSpec extends SparkSpec {
     assert(scans == 0, s"expected 0 parquet scans after materialization, got $scans")
   }
 
+  test("sequence packing windows per shard, never a single global partition") {
+    val p = plan(graft.pipeline.Packer.run(spark, dir))
+    // the cumsum window must keep the shard hash-partitioning; an
+    // unpartitioned Window would plan Exchange SinglePartition and
+    // serialize the whole corpus through one task
+    assert(!p.contains("Exchange SinglePartition"),
+      "pack window lost its shard partitioning (single-partition exchange)")
+    assert(p.contains("windowspecdefinition"), "expected a window in the pack plan")
+  }
+
+  test("seeded ivf broadcasts the centroid seeds") {
+    val p = plan(graft.pipeline.Similarity.runIvfSeeded(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast seed joins:\n${p.take(600)}")
+  }
+
   test("exact dedup groups once and reads only doc_id and text") {
     val df = graft.pipeline.Dedup.runExact(spark, dir)
     val p = plan(df)

@@ -65,6 +65,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Chunker.run(s, dir))) +
       ("pack_chunks" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Packer.run(s, dir))) +
+      ("dedup_chunks" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runDup(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -218,6 +220,7 @@ object SparkEntry {
       ("embedding_stats" -> graft.pipeline.EmbeddingStats.duckSql()) +
       ("chunk_documents" -> graft.pipeline.Chunker.duckSql()) +
       ("pack_chunks" -> graft.pipeline.Packer.duckSql()) +
+      ("dedup_chunks" -> graft.pipeline.Chunker.duckDupSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

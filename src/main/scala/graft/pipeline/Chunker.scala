@@ -52,4 +52,30 @@ object Chunker {
   }
 
   def duckSql(): String = sql("documents")(DuckDialect)
+
+  /** Chunk-level exact dedup — repeated chunk spans ACROSS documents
+    * (dedup at the training-sequence grain, run between chunking and
+    * packing): group on the chunk content hash, keep the minimum
+    * (doc_id, chunk_idx) occurrence. Same map-side-combine groupBy
+    * shape as doc-level exact dedup; the hash is the shuffle key, so
+    * a span repeated in a million docs costs one reduce group. */
+  def dupSql(table: String)(d: Dialect): String =
+    s"""WITH chunks AS (
+       |${sql(table)(d)}
+       |)
+       |SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS dupe_ct,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_ct,
+       |       MIN(doc_id) AS keep_doc,
+       |       CAST(MIN(doc_id * 100000 + chunk_idx) % 100000 AS INT) AS keep_idx
+       |  FROM chunks
+       | GROUP BY chunk_hash HAVING COUNT(*) > 1
+       | ORDER BY chunk_hash""".stripMargin
+
+  def runDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_chunk_docs")
+    spark.sql(dupSql("__graft_chunk_docs")(SparkDialect))
+  }
+
+  def duckDupSql(): String = dupSql("documents")(DuckDialect)
 }

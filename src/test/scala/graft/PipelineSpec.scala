@@ -438,6 +438,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup flags cross-doc repeated spans with a minimal keeper") {
+    val rows = graft.pipeline.Chunker.runDup(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dupe_ct") > 1)
+      assert(r.getAs[Long]("doc_ct") <= r.getAs[Long]("dupe_ct"))
+    }
+    // duplicated docs (exact dedup groups) must surface duplicated chunks
+    val exactDups = Dedup.runExact(spark, sfDir).collect()
+    if (exactDups.nonEmpty) assert(rows.nonEmpty)
+  }
+
   test("ann recall is measured against the exact baseline per method") {
     val rows = graft.pipeline.Similarity.runRecall(spark, sfDir).collect()
     val methods = rows.map(_.getAs[String]("method")).distinct.sorted

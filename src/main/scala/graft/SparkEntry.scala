@@ -67,6 +67,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Packer.run(s, dir))) +
       ("dedup_chunks" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runDup(s, dir))) +
+      ("doc_keywords" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Keywords.run(s, dir))) +
       ("dedup_exact" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
       ("dedup_jaccard" ->
@@ -221,6 +223,7 @@ object SparkEntry {
       ("chunk_documents" -> graft.pipeline.Chunker.duckSql()) +
       ("pack_chunks" -> graft.pipeline.Packer.duckSql()) +
       ("dedup_chunks" -> graft.pipeline.Chunker.duckDupSql()) +
+      ("doc_keywords" -> graft.pipeline.Keywords.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +

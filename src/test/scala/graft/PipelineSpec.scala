@@ -449,6 +449,18 @@ class PipelineSpec extends SparkSpec {
     if (exactDups.nonEmpty) assert(rows.nonEmpty)
   }
 
+  test("keywords rank each doc's terms by tf-idf with dense ranks") {
+    val rows = graft.pipeline.Keywords.run(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { terms =>
+      val sorted = terms.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      // scores never increase down the ranking
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("ann recall is measured against the exact baseline per method") {
     val rows = graft.pipeline.Similarity.runRecall(spark, sfDir).collect()
     val methods = rows.map(_.getAs[String]("method")).distinct.sorted

@@ -97,6 +97,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvf(s, dir))) +
       ("knn_ivf_seeded" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfSeeded(s, dir))) +
+      ("knn_ivf_probe" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfProbe(s, dir))) +
       ("knn_recall" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runRecall(s, dir))) +
       ("monitor_volume_bands" ->
@@ -241,6 +243,7 @@ object SparkEntry {
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("knn_ivf_probe" -> graft.pipeline.Similarity.ivfSeededSql("embeddings", nProbe = 2)(graft.oracle.DuckDialect)) +
       ("knn_recall" -> graft.pipeline.Similarity.recallSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +
       ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +

@@ -13,23 +13,46 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   *    stays partitioned; only the (tiny) query set broadcasts.
   *  - IVF-style partitioned search: per-label centroids (element-wise
   *    mean via position explode + ordered re-assembly); each query
-  *    probes its nearest centroid and searches ONLY that partition —
-  *    the scale path that turns a full scan into one partition scan
-  *    per query.
+  *    probes its nearest `nProbe` centroids and searches ONLY those
+  *    partitions — the scale path that turns a full scan into a few
+  *    partition scans per query.
+  *  - Sign-LSH bucketed ANN and a seeded (unlabeled) IVF variant, both
+  *    multi-probe capable.
+  *
+  * Every method decomposes into a SHARED-RELATION derivation (centroid
+  * training, seed assignment, bucket hashing — one pass over the
+  * corpus each) and a cheap per-query probe body. The Spark entry
+  * points materialize the derivations ONCE per (session, dir) — one
+  * checkpointed base relation carrying (vec_id, label, embedding,
+  * bucket, seed_id) plus tiny seeds/centroids side relations — and
+  * every method (and the recall harness) composes its probe body over
+  * them. At 100 TB this is the difference between "each ANN query
+  * re-trains the index" and an index build that is paid once and
+  * persisted (the real-cluster equivalent is writing the base relation
+  * bucket-partitioned to storage). The DuckDB oracle keeps the
+  * single-statement forms; the probe-body SQL text is byte-shared
+  * between both paths, so results stay hash-identical.
   */
 object Similarity {
+
+  val DefaultCentroids = 8
 
   private def cosine(d: Dialect, a: String, b: String): String =
     s"(${d.dotProduct(a, b)} / (SQRT(${d.dotProduct(a, a)}) * SQRT(${d.dotProduct(b, b)})))"
 
-  /** Top-k neighbors for vec_id < `nQueries` by cosine similarity. */
-  def bruteForceSql(table: String, nQueries: Int = 5, k: Int = 10)(d: Dialect): String = {
+  // ---------------------------------------------------------------------
+  // Probe bodies over named relations — shared verbatim by the oracle's
+  // single statements and the Spark view-composed runs.
+  // ---------------------------------------------------------------------
+
+  /** Brute-force top-k over `corpusRel(vec_id, embedding, …)`. */
+  private def bruteTail(corpusRel: String, nQueries: Int, k: Int)(d: Dialect): String = {
     val cos = cosine(d, "q.embedding", "c.embedding")
-    s"""WITH q AS (SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries),
+    s"""WITH q AS (SELECT vec_id, embedding FROM $corpusRel WHERE vec_id < $nQueries),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         $cos AS cos
-       |    FROM q JOIN $table c ON c.vec_id <> q.vec_id
+       |    FROM q JOIN $corpusRel c ON c.vec_id <> q.vec_id
        |),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
@@ -41,34 +64,28 @@ object Similarity {
        | ORDER BY query_id, rank""".stripMargin
   }
 
-  /** IVF-style: probe the nearest per-label centroid, search only that
-    * partition. */
-  def ivfSql(table: String, nQueries: Int = 5, k: Int = 5)(d: Dialect): String = {
+  /** Labeled-IVF probe body: queries from `corpusRel`, each probing its
+    * top-`nProbe` centroids from `centroidsRel(label, centroid)` and
+    * searching only those label partitions of `corpusRel`. Partitions
+    * of distinct labels are disjoint, so multi-probe candidates never
+    * need a dedup — the rank window unions them directly. */
+  private def ivfTail(corpusRel: String, centroidsRel: String,
+                      nQueries: Int, k: Int, nProbe: Int)(d: Dialect): String = {
     val qcCos = cosine(d, "q.embedding", "c.centroid")
     val cos = cosine(d, "q.embedding", "e.embedding")
-    s"""WITH flat AS (
-       |  SELECT label, pos, val FROM (
-       |    ${d.arrayPosRel(table, "label", "embedding")}
-       |  ) t
-       |),
-       |centroids AS (
-       |  SELECT label, ${d.arrayAggOrdered("avgv", "pos")} AS centroid FROM (
-       |    SELECT label, pos, AVG(val) AS avgv FROM flat GROUP BY label, pos
-       |  ) g GROUP BY label
-       |),
-       |q AS (SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries),
+    s"""WITH q AS (SELECT vec_id, embedding FROM $corpusRel WHERE vec_id < $nQueries),
        |probe AS (
        |  SELECT query_id, label FROM (
        |    SELECT q.vec_id AS query_id, c.label, $qcCos AS ccos,
        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $qcCos DESC, c.label) AS rn
-       |      FROM q CROSS JOIN centroids c
-       |  ) p WHERE rn = 1
+       |      FROM q CROSS JOIN $centroidsRel c
+       |  ) p WHERE rn <= $nProbe
        |),
        |hits AS (
-       |  SELECT q.vec_id AS query_id, p.label AS probed_label, e.vec_id AS neighbor_id,
+       |  SELECT /*+ BROADCAST(q, p) */ q.vec_id AS query_id, p.label AS probed_label, e.vec_id AS neighbor_id,
        |         $cos AS cos
        |    FROM q JOIN probe p ON p.query_id = q.vec_id
-       |    JOIN $table e ON e.label = p.label AND e.vec_id <> q.vec_id
+       |    JOIN $corpusRel e ON e.label = p.label AND e.vec_id <> q.vec_id
        |)
        |SELECT query_id, probed_label, neighbor_id,
        |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, rank
@@ -77,6 +94,111 @@ object Similarity {
        | WHERE rank <= $k
        | ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Seeded-IVF probe body: queries from `qRel`, probing the top-`nProbe`
+    * of `seedsRel(seed_id, centroid)` and searching only those buckets of
+    * `assignRel(vec_id, embedding, seed_id)`. Assignment is exclusive
+    * (rn = 1), so multi-probe candidate sets are disjoint. */
+  private def ivfSeededTail(qRel: String, assignRel: String, seedsRel: String,
+                            nQueries: Int, k: Int, nProbe: Int)(d: Dialect): String = {
+    val qsCos = cosine(d, "q.embedding", "s.centroid")
+    val cos = cosine(d, "q.embedding", "a.embedding")
+    s"""WITH q AS (SELECT vec_id, embedding FROM $qRel WHERE vec_id < $nQueries),
+       |probe AS (
+       |  SELECT query_id, seed_id FROM (
+       |    SELECT q.vec_id AS query_id, s.seed_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $qsCos DESC, s.seed_id) AS rn
+       |      FROM q CROSS JOIN $seedsRel s
+       |  ) p WHERE rn <= $nProbe
+       |),
+       |hits AS (
+       |  SELECT /*+ BROADCAST(q, p) */ q.vec_id AS query_id, p.seed_id AS probed_centroid,
+       |         a.vec_id AS neighbor_id, $cos AS cos
+       |    FROM q JOIN probe p ON p.query_id = q.vec_id
+       |    JOIN $assignRel a ON a.seed_id = p.seed_id AND a.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, probed_centroid, neighbor_id,
+       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos DESC, neighbor_id) AS rank
+       |          FROM hits) r
+       | WHERE rank <= $k
+       | ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Sign-LSH probe body over a pre-bucketed `bRel(vec_id, embedding,
+    * bucket, …)`: queries search ONLY their bucket, ranked by exact
+    * cosine. */
+  private def lshTail(bRel: String, nQueries: Int, k: Int)(d: Dialect): String = {
+    val cos = cosine(d, "q.embedding", "c.embedding")
+    s"""WITH q AS (SELECT vec_id, embedding, bucket FROM $bRel WHERE vec_id < $nQueries),
+       |hits AS (
+       |  SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id, $cos AS cos
+       |    FROM q JOIN $bRel c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, bucket, neighbor_id,
+       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |          FROM hits) r
+       | WHERE rank <= $k
+       | ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Shared-relation derivation CTEs (the "index build" — one corpus pass
+  // each). The oracle inlines them; Spark materializes them once.
+  // ---------------------------------------------------------------------
+
+  /** Per-label centroid CTE list ending in `centroids(label, centroid)`. */
+  private def centroidsCtes(table: String)(d: Dialect): String =
+    s"""flat AS (
+       |  SELECT label, pos, val FROM (
+       |    ${d.arrayPosRel(table, "label", "embedding")}
+       |  ) t
+       |),
+       |centroids AS (
+       |  SELECT label, ${d.arrayAggOrdered("avgv", "pos")} AS centroid FROM (
+       |    SELECT label, pos, AVG(val) AS avgv FROM flat GROUP BY label, pos
+       |  ) g GROUP BY label
+       |)""".stripMargin
+
+  /** Deterministic md5-drawn seed sample — `seeds(seed_id, centroid)`. */
+  private def seedsCte(table: String, nCentroids: Int)(d: Dialect): String =
+    s"""seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS centroid FROM $table
+       |   ORDER BY MD5(${d.castText("vec_id")}), vec_id LIMIT $nCentroids
+       |)""".stripMargin
+
+  /** Exclusive nearest-seed assignment — `assign(vec_id, label,
+    * embedding, seed_id)`, ties on seed id so both engines bucket
+    * identically. */
+  private def assignCte(table: String, seedsRel: String)(d: Dialect): String = {
+    val esCos = cosine(d, "e.embedding", "s.centroid")
+    s"""assign AS (
+       |  SELECT vec_id, label, embedding, seed_id FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, s.seed_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $esCos DESC, s.seed_id) AS rn
+       |      FROM $table e CROSS JOIN $seedsRel s
+       |  ) a WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Single-statement (oracle) forms.
+  // ---------------------------------------------------------------------
+
+  /** Top-k neighbors for vec_id < `nQueries` by cosine similarity. */
+  def bruteForceSql(table: String, nQueries: Int = 5, k: Int = 10)(d: Dialect): String =
+    bruteTail(table, nQueries, k)(d)
+
+  /** Labeled IVF: probe the `nProbe` nearest per-label centroids, search
+    * only those partitions. */
+  def ivfSql(table: String, nQueries: Int = 5, k: Int = 5,
+             nProbe: Int = 1)(d: Dialect): String =
+    s"""WITH ${centroidsCtes(table)(d)},
+       |${ivfTail(table, "centroids", nQueries, k, nProbe)(d).stripPrefix("WITH ")}""".stripMargin
 
   /** Deterministic random hyperplanes (fixed LCG seed) for sign-LSH.
     * Components are short decimal literals so both engines parse the
@@ -90,16 +212,6 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** Sign-LSH bucketed ANN: each vector hashes to a `nPlanes`-bit bucket
-    * by the signs of its projections onto fixed random hyperplanes
-    * (hamming-cosine LSH); queries search ONLY their bucket, then rank
-    * by exact cosine. The scale path beyond IVF: no centroid training,
-    * bucket id is a pure per-row expression, and the candidate join is
-    * an equi-join on bucket — at 100 TB the corpus shuffles once on
-    * bucket (or is written bucket-partitioned) and each query touches
-    * ~1/2^nPlanes of it. Projections are unrolled element sums so both
-    * engines evaluate the same addition order — bit-identical buckets.
-    */
   /** The sign-LSH bucket id of `vec` as a dialect-neutral expression
     * (unrolled element sums — both engines evaluate the same addition
     * order, so buckets are bit-identical). Shared by the ANN path below
@@ -116,9 +228,20 @@ object Similarity {
     }.mkString("(", " + ", ")")
   }
 
+  /** Sign-LSH bucketed ANN: each vector hashes to a `nPlanes`-bit bucket
+    * by the signs of its projections onto fixed random hyperplanes
+    * (hamming-cosine LSH); queries search ONLY their bucket, then rank
+    * by exact cosine. The scale path beyond IVF: no centroid training,
+    * bucket id is a pure per-row expression, and the candidate join is
+    * an equi-join on bucket — at 100 TB the corpus shuffles once on
+    * bucket (or is written bucket-partitioned) and each query touches
+    * ~1/2^nPlanes of it. */
   def lshSql(table: String, nQueries: Int = 5, k: Int = 5,
              nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String =
-    lshBody(table, nQueries, k, bucketExpr("embedding", nPlanes, dim)(d))(d)
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${bucketExpr("embedding", nPlanes, dim)(d)} AS bucket FROM $table
+       |),
+       |${lshTail("b", nQueries, k)(d).stripPrefix("WITH ")}""".stripMargin
 
   /** Production-path bucket form: the SAME sign-LSH bucket as [[lshSql]]
     * but with each plane projection as an array-literal `zip_with` fold
@@ -139,97 +262,59 @@ object Similarity {
     val bucket = planes.zipWithIndex.map { case (w, p) =>
       s"(CASE WHEN ${proj("embedding", w)} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-    lshBody(table, nQueries, k, bucket)(d)
-  }
-
-  private def lshBody(table: String, nQueries: Int, k: Int,
-                      bucket: String)(d: Dialect): String = {
-    val cos = cosine(d, "q.embedding", "c.embedding")
     s"""WITH b AS (
        |  SELECT vec_id, embedding, $bucket AS bucket FROM $table
        |),
-       |q AS (SELECT * FROM b WHERE vec_id < $nQueries),
-       |hits AS (
-       |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id, $cos AS cos
-       |    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-       |)
-       |SELECT query_id, bucket, neighbor_id,
-       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, rank
-       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |          FROM hits) r
-       | WHERE rank <= $k
-       | ORDER BY query_id, rank""".stripMargin
+       |${lshTail("b", nQueries, k)(d).stripPrefix("WITH ")}""".stripMargin
   }
 
   /** IVF for UNLABELED corpora: centroids are a deterministic md5-drawn
     * seed sample (single-iteration k-means — the standard IVF training
     * shortcut when no partition key exists), every vector is assigned to
     * its nearest seed in ONE broadcast pass (|corpus| × K comparisons,
-    * K broadcast-sized), and each query probes only its nearest seed's
-    * bucket. At 100 TB: the assignment is a map-side cross with K tiny
-    * broadcast rows followed by one shuffle on the centroid id (or a
-    * bucket-partitioned write), and the probe join is centroid-local —
-    * the same partition-bound search as the labeled path, without
-    * labels. Ties break on seed id, so both engines bucket identically. */
+    * K broadcast-sized), and each query probes its `nProbe` nearest
+    * seeds' buckets. At 100 TB: the assignment is a map-side cross with
+    * K tiny broadcast rows followed by one shuffle on the centroid id
+    * (or a bucket-partitioned write), and the probe join is
+    * centroid-local — the same partition-bound search as the labeled
+    * path, without labels. `nProbe` is the standard IVF accuracy/cost
+    * knob: probing P seeds scans P/K of the corpus and recovers the
+    * neighbors that straddle a partition boundary (see `knn_recall`). */
   def ivfSeededSql(table: String, nQueries: Int = 5, k: Int = 5,
-                   nCentroids: Int = 8)(d: Dialect): String = {
-    val esCos = cosine(d, "e.embedding", "s.centroid")
-    val qsCos = cosine(d, "q.embedding", "s.centroid")
-    val cos = cosine(d, "q.embedding", "a.embedding")
-    s"""WITH seeds AS (
-       |  SELECT vec_id AS seed_id, embedding AS centroid FROM $table
-       |   ORDER BY MD5(${d.castText("vec_id")}), vec_id LIMIT $nCentroids
-       |),
-       |assign AS (
-       |  SELECT vec_id, embedding, seed_id FROM (
-       |    SELECT e.vec_id, e.embedding, s.seed_id,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |                              ORDER BY $esCos DESC, s.seed_id) AS rn
-       |      FROM $table e CROSS JOIN seeds s
-       |  ) a WHERE rn = 1
-       |),
-       |q AS (SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries),
-       |probe AS (
-       |  SELECT query_id, seed_id FROM (
-       |    SELECT q.vec_id AS query_id, s.seed_id,
-       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |                              ORDER BY $qsCos DESC, s.seed_id) AS rn
-       |      FROM q CROSS JOIN seeds s
-       |  ) p WHERE rn = 1
-       |),
-       |hits AS (
-       |  SELECT q.vec_id AS query_id, p.seed_id AS probed_centroid,
-       |         a.vec_id AS neighbor_id, $cos AS cos
-       |    FROM q JOIN probe p ON p.query_id = q.vec_id
-       |    JOIN assign a ON a.seed_id = p.seed_id AND a.vec_id <> q.vec_id
-       |)
-       |SELECT query_id, probed_centroid, neighbor_id,
-       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, rank
-       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |                                     ORDER BY cos DESC, neighbor_id) AS rank
-       |          FROM hits) r
-       | WHERE rank <= $k
-       | ORDER BY query_id, rank""".stripMargin
-  }
+                   nCentroids: Int = DefaultCentroids, nProbe: Int = 1)
+                  (d: Dialect): String =
+    s"""WITH ${seedsCte(table, nCentroids)(d)},
+       |${assignCte(table, "seeds")(d)},
+       |${ivfSeededTail(table, "assign", "seeds", nQueries, k, nProbe)(d).stripPrefix("WITH ")}""".stripMargin
 
   /** ANN quality measurement — recall@k of each approximate method
     * against the exact brute-force baseline, per query and method: the
     * number every ANN deployment reports before trading exactness for
-    * the bucket-bounded scale path. Composes the already-dual-rendered
-    * method SQLs; the ground-truth side is tiny (nQueries × k), so the
-    * comparison joins are broadcast-sized regardless of corpus scale. */
-  def recallSql(table: String, k: Int = 5)(d: Dialect): String = {
-    def hits(rel: String, method: String): String =
-      s"""SELECT '$method' AS method, query_id, neighbor_id FROM ($rel) h"""
+    * the bucket-bounded scale path. The multi-probe seeded IVF rides
+    * along as its own method row (`ivf_seeded_p2`), so the probe knob's
+    * recall gain is itself an oracle-checked output. The ground-truth
+    * side is tiny (nQueries × k), so the comparison joins are
+    * broadcast-sized regardless of corpus scale. */
+  def recallSql(table: String, k: Int = 5)(d: Dialect): String =
+    recallBody(
+      bruteForceSql(table, k = k)(d),
+      Seq(
+        "ivf" -> ivfSql(table, k = k)(d),
+        "ivf_seeded" -> ivfSeededSql(table, k = k)(d),
+        "ivf_seeded_p2" -> ivfSeededSql(table, k = k, nProbe = 2)(d),
+        "lsh" -> lshSql(table, k = k)(d)),
+      k)(d)
+
+  private def recallBody(truthSql: String, methods: Seq[(String, String)],
+                         k: Int)(d: Dialect): String = {
+    val approx = methods.map { case (m, rel) =>
+      s"""SELECT '$m' AS method, query_id, neighbor_id FROM ($rel) h"""
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH truth AS (
-       |  SELECT query_id, neighbor_id FROM (${bruteForceSql(table, k = k)(d)}) b
+       |  SELECT query_id, neighbor_id FROM ($truthSql) b
        |),
        |approx AS (
-       |  ${hits(ivfSql(table, k = k)(d), "ivf")}
-       |  UNION ALL
-       |  ${hits(ivfSeededSql(table, k = k)(d), "ivf_seeded")}
-       |  UNION ALL
-       |  ${hits(lshSql(table, k = k)(d), "lsh")}
+       |  $approx
        |),
        |matched AS (
        |  SELECT a.method, a.query_id,
@@ -246,8 +331,79 @@ object Similarity {
        | ORDER BY method, query_id""".stripMargin
   }
 
-  def runRecall(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(recallSql(register(spark, dir))(SparkDialect))
+  // ---------------------------------------------------------------------
+  // Spark entry points — composed over the memoized index relations.
+  // ---------------------------------------------------------------------
+
+  /** The materialized ANN index relations per (session, dir): one
+    * checkpointed base pass over the corpus carrying every per-row
+    * derivation (sign-LSH bucket, exclusive seed assignment) next to
+    * the raw columns, plus the tiny seeds and per-label centroid side
+    * relations. Built once; every method body and the recall harness
+    * read the checkpoints — the real-cluster equivalent is an index
+    * build job that writes the corpus bucket-partitioned to storage. */
+  private final case class AnnViews(base: String, seeds: String, centroids: String)
+
+  private def annViews(spark: SparkSession, dir: String): AnnViews =
+    graft.core.SessionCache.getOrElseUpdate(spark, "annviews", dir) {
+      val d: Dialect = SparkDialect
+      val t = register(spark, dir)
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val sv = s"__graft_ann_seeds_$hex"
+      spark.sql(s"WITH ${seedsCte(t, DefaultCentroids)(d)} SELECT * FROM seeds")
+        .localCheckpoint(eager = true).createOrReplaceTempView(sv)
+      val cv = s"__graft_ann_centroids_$hex"
+      spark.sql(s"WITH ${centroidsCtes(t)(d)} SELECT * FROM centroids")
+        .localCheckpoint(eager = true).createOrReplaceTempView(cv)
+      val bv = s"__graft_ann_base_$hex"
+      spark.sql(
+        s"""WITH ${assignCte(t, sv)(d)}
+           |SELECT vec_id, label, embedding,
+           |       ${bucketExpr("embedding")(d)} AS bucket, seed_id
+           |  FROM assign""".stripMargin)
+        .localCheckpoint(eager = true).createOrReplaceTempView(bv)
+      AnnViews(bv, sv, cv)
+    }
+
+  /** A method's ranked hit relation, landed ONCE per (session, dir,
+    * method): the probe body runs over the index views, its (tiny,
+    * nQueries × k) result is checkpointed, and every later read —
+    * the method's own entry, repeated calls, the recall harness — is a
+    * metadata-sized scan of the landed rows. The probe bodies are
+    * plan-compile-heavy (512-term bucket expressions, tripled
+    * higher-order-function cosines), so at ANY corpus size re-planning
+    * them per read costs more than the landed relation ever will; on a
+    * real cluster this is the ANN serving table a query layer reads. */
+  private def hitsView(spark: SparkSession, dir: String, method: String)
+                      (body: AnnViews => String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "annhits", (dir, method)) {
+      val v = s"__graft_ann_${method}_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(body(annViews(spark, dir)))
+        .localCheckpoint(eager = true).createOrReplaceTempView(v)
+      v
+    }
+
+  private val d: Dialect = SparkDialect
+
+  /** Brute-force ground truth at k = 10 — the one landed truth relation;
+    * smaller k reads are rank-prefix slices of it. */
+  private def bruteView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "brute")(v => bruteTail(v.base, 5, 10)(d))
+
+  def runRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val truth =
+      s"SELECT query_id, neighbor_id, cosine, rank FROM ${bruteView(spark, dir)} WHERE rank <= $k"
+    val methods = Seq(
+      "ivf" -> ivfView(spark, dir),
+      "ivf_seeded" -> seededView(spark, dir),
+      "ivf_seeded_p2" -> probeView(spark, dir),
+      "lsh" -> lshView(spark, dir)).map { case (m, v) =>
+      m -> s"SELECT * FROM $v"
+    }
+    spark.sql(recallBody(truth, methods, k)(d))
+  }
 
   private def register(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "embeddings")
@@ -255,14 +411,40 @@ object Similarity {
     "__graft_emb"
   }
 
+  private def ivfView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "ivf")(v => ivfTail(v.base, v.centroids, 5, 5, 1)(d))
+  private def seededView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "seeded")(v => ivfSeededTail(v.base, v.base, v.seeds, 5, 5, 1)(d))
+  private def probeView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "probe2")(v => ivfSeededTail(v.base, v.base, v.seeds, 5, 5, 2)(d))
+  private def lshView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "lsh")(v => lshTail(v.base, 5, 5)(d))
+
+  /** The un-landed probe-body DataFrames over the index views — the
+    * plans that run ONCE per session to land each method's hits;
+    * exposed for PlanSpec's shape assertions (broadcast query side,
+    * zero re-scans of parquet). */
+  private[graft] def buildBodies(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val v = annViews(spark, dir)
+    Map(
+      "brute" -> spark.sql(bruteTail(v.base, 5, 10)(d)),
+      "ivf" -> spark.sql(ivfTail(v.base, v.centroids, 5, 5, 1)(d)),
+      "ivf_seeded" -> spark.sql(ivfSeededTail(v.base, v.base, v.seeds, 5, 5, 1)(d)),
+      "ivf_seeded_p2" -> spark.sql(ivfSeededTail(v.base, v.base, v.seeds, 5, 5, 2)(d)),
+      "lsh" -> spark.sql(lshTail(v.base, 5, 5)(d)))
+  }
+
   def runBruteForce(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(bruteForceSql(register(spark, dir))(SparkDialect))
+    spark.sql(s"SELECT * FROM ${bruteView(spark, dir)} ORDER BY query_id, rank")
   def runIvf(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(ivfSql(register(spark, dir))(SparkDialect))
+    spark.sql(s"SELECT * FROM ${ivfView(spark, dir)} ORDER BY query_id, rank")
   def runIvfSeeded(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(ivfSeededSql(register(spark, dir))(SparkDialect))
+    spark.sql(s"SELECT * FROM ${seededView(spark, dir)} ORDER BY query_id, rank")
+  /** Multi-probe seeded IVF (nProbe = 2) — the accuracy/cost knob entry. */
+  def runIvfProbe(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM ${probeView(spark, dir)} ORDER BY query_id, rank")
   def runLsh(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(lshSql(register(spark, dir))(SparkDialect))
+    spark.sql(s"SELECT * FROM ${lshView(spark, dir)} ORDER BY query_id, rank")
   def runLshFold(spark: SparkSession, dir: String): DataFrame =
     spark.sql(lshFoldSql(register(spark, dir)))
 }

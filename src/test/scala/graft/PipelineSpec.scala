@@ -464,12 +464,22 @@ class PipelineSpec extends SparkSpec {
   test("ann recall is measured against the exact baseline per method") {
     val rows = graft.pipeline.Similarity.runRecall(spark, sfDir).collect()
     val methods = rows.map(_.getAs[String]("method")).distinct.sorted
-    assert(methods.sameElements(Array("ivf", "ivf_seeded", "lsh")))
+    assert(methods.sameElements(Array("ivf", "ivf_seeded", "ivf_seeded_p2", "lsh")))
     rows.foreach { r =>
       val recall = r.getAs[Double]("recall_at_5")
       assert(recall >= 0.0 && recall <= 1.0)
       assert(r.getAs[Long]("hit_ct") <= 5)
     }
+    // the recall gate on the probe knob: probe-2's candidate set is a
+    // superset of probe-1's, and a true neighbor in the top-5 can only
+    // be displaced by another global-top-5 member — so recall@5 is
+    // monotone in nProbe; assert the mean does not decrease
+    def mean(m: String): Double = {
+      val rs = rows.filter(_.getAs[String]("method") == m)
+      rs.map(_.getAs[Double]("recall_at_5")).sum / rs.length
+    }
+    assert(mean("ivf_seeded_p2") >= mean("ivf_seeded"),
+      s"probe-2 recall ${mean("ivf_seeded_p2")} < probe-1 ${mean("ivf_seeded")}")
   }
 
   test("lsh fold form holds at production dims (768)") {

@@ -38,10 +38,23 @@ class PlanSpec extends SparkSpec {
       "validation must not shuffle the definitions")
   }
 
-  test("brute-force knn broadcasts the tiny query side") {
-    val p = plan(graft.pipeline.Similarity.runBruteForce(spark, dir))
+  test("brute-force knn build broadcasts the tiny query side") {
+    val p = plan(graft.pipeline.Similarity.buildBodies(spark, dir)("brute"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast join for the query set:\n${p.take(800)}")
+  }
+
+  test("ann probe bodies read only the materialized index relations") {
+    // Every method body (and the recall harness) must compose over the
+    // checkpointed base/seeds/centroids views — a parquet re-scan means
+    // the index build leaked back into the per-query path.
+    graft.pipeline.Similarity.buildBodies(spark, dir).foreach { case (m, df) =>
+      val scans = "FileScan parquet".r.findAllIn(plan(df)).length
+      assert(scans == 0, s"method $m re-scans parquet ($scans scans)")
+    }
+    val pr = plan(graft.pipeline.Similarity.runRecall(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(pr).length
+    assert(scans == 0, s"recall harness re-scans parquet ($scans scans)")
   }
 
   test("drill-down lookups prune to the referenced columns") {
@@ -211,8 +224,8 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition"), "expected a window in the pack plan")
   }
 
-  test("seeded ivf broadcasts the centroid seeds") {
-    val p = plan(graft.pipeline.Similarity.runIvfSeeded(spark, dir))
+  test("seeded ivf build broadcasts the centroid seeds") {
+    val p = plan(graft.pipeline.Similarity.buildBodies(spark, dir)("ivf_seeded"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast seed joins:\n${p.take(600)}")
   }

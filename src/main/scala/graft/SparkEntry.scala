@@ -65,6 +65,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Chunker.run(s, dir))) +
       ("pack_chunks" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Packer.run(s, dir))) +
+      ("pack_chunks_exact" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runExact(s, dir))) +
       ("dedup_chunks" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runDup(s, dir))) +
       ("doc_keywords" ->
@@ -224,6 +226,7 @@ object SparkEntry {
       ("embedding_stats" -> graft.pipeline.EmbeddingStats.duckSql()) +
       ("chunk_documents" -> graft.pipeline.Chunker.duckSql()) +
       ("pack_chunks" -> graft.pipeline.Packer.duckSql()) +
+      ("pack_chunks_exact" -> graft.pipeline.Packer.duckExactSql()) +
       ("dedup_chunks" -> graft.pipeline.Chunker.duckDupSql()) +
       ("doc_keywords" -> graft.pipeline.Keywords.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +

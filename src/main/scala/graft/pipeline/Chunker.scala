@@ -25,8 +25,18 @@ object Chunker {
   val Overlap = 40
   val Stride: Int = Size - Overlap
 
-  def sql(table: String, size: Int = Size, overlap: Int = Overlap)
-         (d: Dialect): String = {
+  /** Whitespace-run token counting — the cheap budget estimate. */
+  val WsTokenRe = "\\S+"
+
+  /** Exact tokenizer-grain counting — the word/number/punctuation split
+    * of [[TextAnalysis]]'s `re_token_ct` (every letter run, digit run,
+    * and punctuation mark is one token, the grain a BPE-style tokenizer
+    * refines), so a pack budget measured in these counts bounds what the
+    * downstream tokenizer actually emits. */
+  val ExactTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def sql(table: String, size: Int = Size, overlap: Int = Overlap,
+          tokenRe: String = WsTokenRe)(d: Dialect): String = {
     val stride = size - overlap
     // ceil((len - overlap) / stride) in integer arithmetic
     val nChunks =
@@ -40,7 +50,7 @@ object Chunker {
        |  CAST((pos - 1) * $stride + 1 AS INT) AS chunk_start,
        |  CAST(LENGTH($piece) AS INT) AS chunk_len,
        |  MD5($piece) AS chunk_hash,
-       |  CAST(${d.regexpCount(piece, "\\S+")} AS BIGINT) AS token_ct
+       |  CAST(${d.regexpCount(piece, tokenRe)} AS BIGINT) AS token_ct
        |FROM (${d.seriesRel("docs", Seq("id", "text"), nChunks)}) c
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }

@@ -14,48 +14,82 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   *
   * Packing is inherently sequential in the fill order, so the corpus is
   * SHARDED first (`doc_id % nShards`) and each shard packs
-  * independently — one window sort per shard, all shards in parallel;
-  * at 100 TB the shard count scales with the cluster and no global
-  * order is ever materialized. Output is the per-pack summary
-  * (chunk count, token fill, doc range) — the manifest a training
-  * loader consumes.
+  * independently — one window sort per shard, all shards in parallel.
+  * The shard count is DERIVED FROM THE DATA, never the cluster:
+  * `max(MinShards, ceil(chunk_ct / TargetChunksPerShard))`, so each
+  * shard's window partition holds a bounded number of rows at any
+  * corpus size (at 100 TB the count grows with the data and no window
+  * ever serializes more than ~TargetChunksPerShard rows through one
+  * task), while small corpora keep a parallelism floor. Because the
+  * count is a pure function of the input, pack contents are
+  * REPRODUCIBLE across re-runs at any cluster parallelism, and the
+  * manifest carries `shards` so a training loader can re-derive every
+  * pack without re-running the job.
+  *
+  * `tokenRe` selects the token counter the budget is measured in:
+  * whitespace runs by default, or the exact word/number/punctuation
+  * tokenizer grain (see [[Chunker.ExactTokenRe]]) so pack budgets
+  * match what a downstream tokenizer will actually emit.
+  *
+  * Output is the per-pack summary (chunk count, token fill, doc range,
+  * shard count) — the manifest a training loader consumes.
   */
 object Packer {
 
   val Budget = 512
-  val Shards = 16
+  val MinShards = 16
+  val TargetChunksPerShard = 65536
 
-  def sql(table: String, budget: Int = Budget, shards: Int = Shards)
-         (d: Dialect): String =
+  def sql(table: String, budget: Int = Budget,
+          tokenRe: String = Chunker.WsTokenRe)(d: Dialect): String =
     s"""WITH chunks AS (
-       |${Chunker.sql(table)(d)}
+       |${Chunker.sql(table, tokenRe = tokenRe)(d)}
        |),
-       |cum AS (
-       |  SELECT doc_id, chunk_idx, token_ct,
-       |    CAST(doc_id % $shards AS INT) AS shard,
-       |    SUM(token_ct) OVER (PARTITION BY doc_id % $shards
-       |                        ORDER BY doc_id, chunk_idx
-       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |nsh AS (
+       |  SELECT GREATEST($MinShards,
+       |                  CAST(CEIL(COUNT(*) / $TargetChunksPerShard.0) AS INT)) AS ns
        |    FROM chunks
        |),
+       |sharded AS (
+       |  SELECT c.doc_id, c.chunk_idx, c.token_ct, n.ns,
+       |         CAST(c.doc_id % n.ns AS INT) AS shard
+       |    FROM chunks c CROSS JOIN nsh n
+       |),
+       |cum AS (
+       |  SELECT doc_id, chunk_idx, token_ct, ns, shard,
+       |    SUM(token_ct) OVER (PARTITION BY shard
+       |                        ORDER BY doc_id, chunk_idx
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM sharded
+       |),
        |assigned AS (
-       |  SELECT shard, ${d.intDiv("cum - token_ct", s"$budget")} AS pack_id,
+       |  SELECT shard, ns, ${d.intDiv("cum - token_ct", s"$budget")} AS pack_id,
        |         doc_id, token_ct
        |    FROM cum
        |)
        |SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
        |       CAST(COUNT(*) AS BIGINT) AS chunk_ct,
        |       CAST(SUM(token_ct) AS BIGINT) AS token_ct,
-       |       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+       |       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max,
+       |       CAST(MIN(ns) AS INT) AS shards
        |  FROM assigned
        | GROUP BY shard, pack_id
        | ORDER BY shard, pack_id""".stripMargin
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  private def registered(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_pack_docs")
-    spark.sql(sql("__graft_pack_docs")(SparkDialect))
+    "__graft_pack_docs"
   }
 
+  def run(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(sql(registered(spark, dir))(SparkDialect))
+
+  /** Budget measured in exact tokenizer-grain counts. */
+  def runExact(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(sql(registered(spark, dir), tokenRe = Chunker.ExactTokenRe)(SparkDialect))
+
   def duckSql(): String = sql("documents")(DuckDialect)
+  def duckExactSql(): String =
+    sql("documents", tokenRe = Chunker.ExactTokenRe)(DuckDialect)
 }

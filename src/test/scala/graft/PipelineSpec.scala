@@ -424,6 +424,47 @@ class PipelineSpec extends SparkSpec {
         case _ =>
       }
     }
+    // the manifest carries the data-derived shard count (parallelism
+    // floor at fixture scale), so a loader can re-derive every pack
+    assert(packs.map(_.getAs[Int]("shards")).distinct.sameElements(
+      Array(graft.pipeline.Packer.MinShards)))
+  }
+
+  test("pack contents are invariant to cluster parallelism") {
+    // the shard count derives from the DATA (chunk count), never the
+    // cluster: the same corpus must pack identically under any
+    // shuffle-partition setting — re-runs on differently-sized clusters
+    // reproduce byte-identical manifests
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[String] =
+      rows.map(_.toSeq.mkString("|")).toSet
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = canon(graft.pipeline.Packer.run(spark, sfDir).collect())
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = canon(graft.pipeline.Packer.run(spark, sfDir).collect())
+      assert(a == b, "packs changed under a different parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
+  test("exact-token packing budgets in tokenizer-grain counts") {
+    val exact = graft.pipeline.Packer.runExact(spark, sfDir).collect()
+    val chunks = spark.sql(graft.pipeline.Chunker.sql(
+      {
+        graft.core.Tables.load(spark, sfDir, "documents")
+          .createOrReplaceTempView("__graft_exact_docs")
+        "__graft_exact_docs"
+      },
+      tokenRe = graft.pipeline.Chunker.ExactTokenRe)(
+      graft.oracle.SparkDialect)).collect()
+    // conservation holds in the exact grain too
+    assert(exact.map(_.getAs[Long]("chunk_ct")).sum == chunks.length)
+    assert(exact.map(_.getAs[Long]("token_ct")).sum ==
+      chunks.map(_.getAs[Long]("token_ct")).sum)
+    // the exact grain counts punctuation separately, so it is never
+    // smaller than the whitespace estimate on the same corpus
+    val ws = graft.pipeline.Packer.run(spark, sfDir).collect()
+    assert(exact.map(_.getAs[Long]("token_ct")).sum >=
+      ws.map(_.getAs[Long]("token_ct")).sum)
   }
 
   test("seeded ivf probes one centroid bucket per query without labels") {

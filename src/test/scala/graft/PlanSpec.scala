@@ -217,11 +217,14 @@ class PlanSpec extends SparkSpec {
   test("sequence packing windows per shard, never a single global partition") {
     val p = plan(graft.pipeline.Packer.run(spark, dir))
     // the cumsum window must keep the shard hash-partitioning; an
-    // unpartitioned Window would plan Exchange SinglePartition and
-    // serialize the whole corpus through one task
-    assert(!p.contains("Exchange SinglePartition"),
-      "pack window lost its shard partitioning (single-partition exchange)")
-    assert(p.contains("windowspecdefinition"), "expected a window in the pack plan")
+    // unpartitioned Window would serialize the whole corpus through one
+    // task. The only single-partition exchange allowed in the plan is
+    // the scalar COUNT(*) that derives the shard count (1 row).
+    assert(p.contains("windowspecdefinition(shard"),
+      s"pack window is not partitioned by shard:\n${p.take(600)}")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1,
+      s"pack plan has $singles single-partition exchanges — row data is being serialized through one task")
   }
 
   test("seeded ivf build broadcasts the centroid seeds") {

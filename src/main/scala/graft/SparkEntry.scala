@@ -69,6 +69,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Packer.runExact(s, dir))) +
       ("dedup_chunks" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runDup(s, dir))) +
+      ("dedup_chunks_fuzzy" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runFuzzyChunks(s, dir))) +
       ("doc_keywords" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Keywords.run(s, dir))) +
       ("dedup_exact" ->
@@ -228,6 +230,7 @@ object SparkEntry {
       ("pack_chunks" -> graft.pipeline.Packer.duckSql()) +
       ("pack_chunks_exact" -> graft.pipeline.Packer.duckExactSql()) +
       ("dedup_chunks" -> graft.pipeline.Chunker.duckDupSql()) +
+      ("dedup_chunks_fuzzy" -> graft.pipeline.Dedup.fuzzyChunksSql("documents")(graft.oracle.DuckDialect)) +
       ("doc_keywords" -> graft.pipeline.Keywords.duckSql()) +
       ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +

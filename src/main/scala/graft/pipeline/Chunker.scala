@@ -55,6 +55,23 @@ object Chunker {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** The chunk TEXT relation as a CTE body over a `docs(id, text)`
+    * relation — `ctext(doc_id, text)` where doc_id is the synthetic
+    * chunk id `doc_id * 100000 + chunk_idx` (the same composite
+    * encoding [[dupSql]]'s keeper uses), and text is the chunk's
+    * substring. Feeds the winnowing fingerprint chain for chunk-grain
+    * near-dup ([[Dedup.fuzzyChunksSql]]). */
+  def textCteSql(size: Int = Size, overlap: Int = Overlap)(d: Dialect): String = {
+    val stride = size - overlap
+    val nChunks =
+      s"GREATEST(1, ${d.intDiv(s"LENGTH(text) - $overlap + $stride - 1", s"$stride")})"
+    val piece = s"SUBSTRING(text, (pos - 1) * $stride + 1, $size)"
+    s"""ctext AS (
+       |  SELECT id * 100000 + (pos - 1) AS doc_id, $piece AS text
+       |    FROM (${d.seriesRel("docs", Seq("id", "text"), nChunks)}) c
+       |)""".stripMargin
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_chunk_docs")

@@ -502,6 +502,65 @@ object Dedup {
   def runDecontaminate(spark: SparkSession, dir: String): DataFrame =
     spark.sql(decontaminateBodySql(winnowFpsView(spark, dir)))
 
+  /** Chunk-level NEAR-dup — exact chunk dedup ([[Chunker.dupSql]])
+    * misses templated boilerplate whose spans differ by a counter or a
+    * date; this runs the winnowing fingerprint chain at the CHUNK grain:
+    * fingerprints per chunk (synthetic id doc*100000+idx), the same
+    * inverted-index equi-join on fingerprints with the hot cutoff, and
+    * the same pre-cutoff Jaccard denominators. A span repeated with
+    * small edits across a million documents surfaces here as a
+    * near-identical chunk pair; the join is always fingerprint-keyed,
+    * never chunk-pairs. */
+  /** Decode wrapper over a winnow pair body whose ids are composite
+    * chunk ids. */
+  private def fuzzyChunkOut(pairStmt: String)(d: Dialect): String =
+    s"""SELECT CAST(${d.intDiv("p.doc_a", "100000")} AS BIGINT) AS doc_a,
+       |       CAST(p.doc_a % 100000 AS INT) AS idx_a,
+       |       CAST(${d.intDiv("p.doc_b", "100000")} AS BIGINT) AS doc_b,
+       |       CAST(p.doc_b % 100000 AS INT) AS idx_b,
+       |       p.shared_fp_ct, p.winnow_jaccard
+       |  FROM ($pairStmt) p
+       | ORDER BY p.winnow_jaccard DESC, doc_a, idx_a, doc_b, idx_b""".stripMargin
+
+  def fuzzyChunksSql(table: String, minShared: Int = 3,
+                     hotCutoff: Int = 50)(d: Dialect): String = {
+    val pairs =
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, text FROM $table
+         |),
+         |${Chunker.textCteSql()(d)},
+         |cfps AS (
+         |  SELECT * FROM (${winnowFpsSql("ctext")(d)}) w
+         |),
+         |${winnowBodySql("cfps", minShared, hotCutoff).stripPrefix("WITH ")}""".stripMargin
+    fuzzyChunkOut(pairs)(d)
+  }
+
+  /** The chunk-grain fingerprint relation, memoized per (session, dir) —
+    * built with the native codegen'd [[graft.functions.WinnowFpsExpr]]
+    * over the chunk substrings (no char-position explode), checkpointed
+    * once; the SQL chain above stays the oracle rendering. */
+  private def chunkFpsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "chunkfps", dir) {
+      val docs = register(spark, dir)
+      graft.functions.WinnowFpsExpr.register(spark)
+      val v = "__graft_chunk_fps_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(
+        s"""WITH docs AS (
+           |  SELECT doc_id AS id, text FROM $docs
+           |),
+           |${Chunker.textCteSql()(SparkDialect)}
+           |SELECT doc_id AS id, fp FROM ctext
+           | LATERAL VIEW explode(graft_winnow_fps(text)) e AS fp""".stripMargin)
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
+
+  def runFuzzyChunks(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(fuzzyChunkOut(winnowBodySql(chunkFpsView(spark, dir)))(SparkDialect))
+
   /** Duplicate-CLUSTER resolution — pair lists are not actionable dedup;
     * a pipeline drops duplicates by (a) grouping dup pairs into connected
     * components and (b) keeping one survivor per component. Edges are the

@@ -147,6 +147,23 @@ class PlanSpec extends SparkSpec {
       "winnowing has a join without a condition")
   }
 
+  test("fuzzy chunk dedup joins only on fingerprints from the chunk-fps checkpoint") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.pipeline.Dedup.runFuzzyChunks(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "fuzzy chunk dedup plans a cartesian product")
+    val hasEqui = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.condition.isDefined
+    }
+    assert(hasEqui.nonEmpty && hasEqui.forall(identity),
+      "fuzzy chunk dedup has a join without a condition")
+    // the pair body must read the landed chunk fingerprints, never
+    // re-derive them from parquet
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"fuzzy chunk body re-scans parquet ($scans scans)")
+  }
+
   test("sampled profile materializes the sample once, jobs read the checkpoint") {
     graft.profiling.SampledProfiler.run(spark, dir).count()
     val p = plan(spark.table(

@@ -95,6 +95,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runConfusion(s, dir))) +
       ("decontaminate" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
+      ("dedup_incremental" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runIncremental(s, dir))) +
       ("knn_bruteforce" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runBruteForce(s, dir))) +
       ("knn_ivf" ->
@@ -246,6 +248,7 @@ object SparkEntry {
       ("corpus_kept_stats" -> graft.pipeline.CorpusStats.duckKeptSql()) +
       ("lang_id_confusion" -> graft.pipeline.CorpusStats.duckConfusionSql()) +
       ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_incremental" -> graft.pipeline.Dedup.incrementalSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)) +

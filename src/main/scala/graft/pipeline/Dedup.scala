@@ -561,6 +561,82 @@ object Dedup {
   def runFuzzyChunks(spark: SparkSession, dir: String): DataFrame =
     spark.sql(fuzzyChunkOut(winnowBodySql(chunkFpsView(spark, dir)))(SparkDialect))
 
+  /** Incremental corpus-ingestion dedup — the shape a daily pipeline
+    * actually runs: an incoming batch (fixture split: doc_id %
+    * [[BatchMod]] = [[BatchRem]]) is checked against the LANDED corpus
+    * (everything else) WITHOUT recomputing the corpus. Exact matches
+    * equi-join the batch's md5 content hashes to the landed hash
+    * relation; near matches join the batch's winnowing fingerprints to
+    * the landed fingerprint relation (hot cutoff measured on the landed
+    * side — the only side whose fingerprint frequencies a daily run
+    * knows ahead of the batch). In the Spark path both landed relations
+    * come from the memoized per-(session, dir) fingerprint checkpoint —
+    * the production equivalent of reading run N−1's landed relations
+    * from storage; only the batch side is fresh work. Join keys are
+    * content hash / fingerprint only, never doc pairs. */
+  val BatchMod = 10
+  val BatchRem = 7
+
+  /** The un-truncated near-hit relation alone — (batch_id, corpus_id,
+    * shared_fp_ct). The streaming replay spec anchors the ingest-time
+    * form to exactly this relation; [[incrementalBodySql]] presents its
+    * top slice with similarity and the exact matches. */
+  def incrementalHitsSql(fpsRel: String, minShared: Int = 3,
+                         hotCutoff: Int = 50): String =
+    s"""WITH landed AS (
+       |  SELECT id, fp FROM $fpsRel WHERE id % $BatchMod <> $BatchRem
+       |),
+       |batch AS (
+       |  SELECT id, fp FROM $fpsRel WHERE id % $BatchMod = $BatchRem
+       |),
+       |landf AS (
+       |  SELECT l.id, l.fp FROM landed l
+       |  JOIN (SELECT fp FROM landed GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
+       |    ON ok.fp = l.fp
+       |)
+       |SELECT b.id AS batch_id, l.id AS corpus_id,
+       |       CAST(COUNT(*) AS BIGINT) AS shared_fp_ct
+       |  FROM batch b JOIN landf l ON l.fp = b.fp
+       | GROUP BY b.id, l.id HAVING COUNT(*) >= $minShared""".stripMargin
+
+  def incrementalBodySql(fpsRel: String, docsRel: String,
+                         minShared: Int = 3, hotCutoff: Int = 50): String =
+    s"""WITH hits AS (
+       |  SELECT * FROM (${incrementalHitsSql(fpsRel, minShared, hotCutoff)}) h
+       |),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel GROUP BY id),
+       |near AS (
+       |  SELECT h.batch_id, h.corpus_id, 'near' AS match_kind,
+       |         h.shared_fp_ct,
+       |         CAST(ROUND(CAST(h.shared_fp_ct AS DOUBLE)
+       |                    / (sb.sz + sl.sz - h.shared_fp_ct), 4) AS DOUBLE) AS similarity
+       |    FROM hits h
+       |    JOIN sizes sb ON sb.id = h.batch_id
+       |    JOIN sizes sl ON sl.id = h.corpus_id
+       |),
+       |exb AS (SELECT doc_id, MD5(text) AS h FROM $docsRel
+       |         WHERE doc_id % $BatchMod = $BatchRem),
+       |exl AS (SELECT doc_id, MD5(text) AS h FROM $docsRel
+       |         WHERE doc_id % $BatchMod <> $BatchRem),
+       |ex AS (
+       |  SELECT b.doc_id AS batch_id, l.doc_id AS corpus_id,
+       |         'exact' AS match_kind,
+       |         CAST(NULL AS BIGINT) AS shared_fp_ct,
+       |         CAST(1.0 AS DOUBLE) AS similarity
+       |    FROM exb b JOIN exl l ON l.h = b.h
+       |)
+       |SELECT batch_id, corpus_id, match_kind, shared_fp_ct, similarity
+       |  FROM (SELECT * FROM ex UNION ALL SELECT * FROM near) u
+       | ORDER BY similarity DESC, batch_id, corpus_id, match_kind
+       | LIMIT 200""".stripMargin
+
+  def incrementalSql(table: String)(d: Dialect): String =
+    s"""WITH fps AS (${winnowFpsSql(table)(d)}),
+       |${incrementalBodySql("fps", table).stripPrefix("WITH ")}""".stripMargin
+
+  def runIncremental(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(incrementalBodySql(winnowFpsView(spark, dir), register(spark, dir)))
+
   /** Duplicate-CLUSTER resolution — pair lists are not actionable dedup;
     * a pipeline drops duplicates by (a) grouping dup pairs into connected
     * components and (b) keeping one survivor per component. Edges are the

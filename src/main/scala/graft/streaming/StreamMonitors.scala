@@ -233,4 +233,34 @@ object StreamMonitors {
       .select("doc_id", "ws_token_ct", "quality_score", "fingerprint",
         "too_short", "too_long", "low_quality", "contaminated", "keep")
   }
+
+  /** Incremental-ingest NEAR-dup — the streaming form of the
+    * `dedup_incremental` near path: every arriving (doc_id, text) row
+    * fingerprints ROW-LOCALLY with the native
+    * [[graft.functions.WinnowFpsExpr]], the fingerprints stream-static
+    * equi-join the LANDED corpus fingerprint relation (hot-cutoff
+    * bounded on the landed side, exactly as the batch body), and a
+    * per-(batch, corpus) count aggregates shared fingerprints. At
+    * 100 TB the landed side is a fingerprint-partitioned table the
+    * stream joins shard-locally — never a broadcast of the corpus, and
+    * never any doc-pair join. StreamMonitorsSpec replays the fixture
+    * batch split and asserts the hit set equals the oracle-checked
+    * `dedup_incremental` relation's near rows. */
+  def ingestDedupIncremental(docs: org.apache.spark.sql.DataFrame,
+                             landedFps: org.apache.spark.sql.DataFrame,
+                             minShared: Int = 3, hotCutoff: Int = 50): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val spark = docs.sparkSession
+    graft.functions.WinnowFpsExpr.register(spark)
+    val hot = landedFps.groupBy("fp").count()
+      .filter(col("count") <= hotCutoff).select("fp")
+    val landf = landedFps.join(hot, "fp")
+    val streamFps = docs.select(col("doc_id"),
+      explode(expr("graft_winnow_fps(text)")).as("fp"))
+    streamFps.join(landf, "fp")
+      .select(col("doc_id").as("batch_id"), col("id").as("corpus_id"))
+      .groupBy("batch_id", "corpus_id").count()
+      .filter(col("count") >= minShared)
+      .withColumnRenamed("count", "shared_fp_ct")
+  }
 }

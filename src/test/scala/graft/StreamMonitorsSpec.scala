@@ -303,4 +303,40 @@ class StreamMonitorsSpec extends SparkSpec {
           s"flag $f drifted for doc ${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("streaming incremental-ingest dedup matches the oracle near relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // landed relations from the memoized (oracle-anchored) fps view —
+    // run N-1's landed state; only the batch split streams in
+    val fpsV = Dedup.winnowFpsView(spark, sfDir)
+    val landedFps = spark.sql(
+      s"SELECT id, fp FROM $fpsV WHERE id % ${Dedup.BatchMod} <> ${Dedup.BatchRem}")
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % Dedup.BatchMod === Dedup.BatchRem)
+      .select("doc_id", "text").collect()
+      .map(r => GateDoc(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[GateDoc]
+    val q = StreamMonitors.ingestDedupIncremental(input.toDF(), landedFps)
+      .writeStream.format("memory").queryName("inc_dedup_stream")
+      .outputMode("complete").start()
+    val streamed = try {
+      input.addData(batchDocs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("inc_dedup_stream").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Long]("shared_fp_ct"))).toSet
+    } finally q.stop()
+    // anchor: the un-truncated near-hit relation behind the
+    // oracle-checked dedup_incremental entry (which presents its top
+    // slice), recomputed from the same landed fps view
+    val expected = spark.sql(Dedup.incrementalHitsSql(fpsV)).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("shared_fp_ct"))).toSet
+    assert(expected.nonEmpty, "fixture produced no near hits to anchor on")
+    assert(streamed == expected,
+      s"streamed hits ${streamed.size} != batch near rows ${expected.size}")
+  }
 }

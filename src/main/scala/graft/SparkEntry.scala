@@ -115,6 +115,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.run(s, dir))) +
       ("lookup_duplicates" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDuplicates(s, dir))) +
+      ("lookup_duplicates_sampled" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDuplicatesSampled(s, dir))) +
+      ("lookup_min_date_sampled" ->
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDateSampled(s, dir))) +
       ("lookup_max_length" ->
         ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMaxLength(s, dir))) +
       ("lookup_masked" ->
@@ -258,6 +262,8 @@ object SparkEntry {
       ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +
       ("multimodal_features" -> graft.pipeline.Multimodal.duckSql()) +
       ("lookup_duplicates" -> graft.lookup.DrillDown.duckDuplicatesSql()) +
+      ("lookup_duplicates_sampled" -> graft.lookup.DrillDown.duckDuplicatesSampledSql()) +
+      ("lookup_min_date_sampled" -> graft.lookup.DrillDown.duckMinDateSampledSql()) +
       ("lookup_max_length" -> graft.lookup.DrillDown.duckMaxLengthSql()) +
       ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()) +
       ("profile_masked" -> graft.lookup.DrillDown.duckProfileMaskedSql()) +

@@ -10,9 +10,12 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * testgen/common/source_data_service.py:26,49-105 for the 500-row
   * limit; testgen/common/pii_masking.py for redaction).
   *
-  * The reference samples randomly when over the limit; for determinism
-  * both engines order by (count DESC, value) before limiting — the
-  * documented deviation.
+  * The reference presents a random sample of the fetched lookup rows
+  * (source_data_service.py:79,159 — pandas `df.sample(n).sort_index()`
+  * after the fetch). The base lookups here order deterministically by
+  * (count DESC, value) before limiting; the `*_sampled` variants
+  * ([[sampledSql]]) reproduce the reference's sampled presentation with
+  * a deterministic md5 draw so it stays oracle-checkable.
   */
 object DrillDown {
   val Limit = 500
@@ -185,6 +188,70 @@ object DrillDown {
        | WHERE CAST($dateCol AS DATE) < DATE '$baseline'
        | ORDER BY offending_value, id
        | LIMIT $Limit""".stripMargin
+
+  /** Deterministic random-SAMPLE presentation of a failing set — the
+    * reference samples the fetched lookup rows client-side
+    * (source_data_service.py:79,159 — pandas `df.sample(n).sort_index()`),
+    * so on a skewed failure set a user sees a representative draw, not
+    * the top slice the deterministic ORDER BY variants return. Here the
+    * draw is the md5 order of the row key (the same deterministic draw
+    * [[graft.pipeline.StratifiedSample]] uses), so both engines pick the
+    * identical [[Limit]]-row subset, then present it in natural order —
+    * the `sort_index()` step. The draw sort runs AFTER the failing-set
+    * predicate/aggregation, on at most the failing rows — top-k by a
+    * hash key, never a full-table sort. */
+  def sampledSql(failingSql: String, drawKey: String,
+                 naturalOrder: String, n: Int = Limit): String =
+    s"""WITH failing AS (
+       |$failingSql
+       |),
+       |drawn AS (
+       |  SELECT * FROM failing
+       | ORDER BY MD5($drawKey), $naturalOrder
+       | LIMIT $n
+       |)
+       |SELECT * FROM drawn ORDER BY $naturalOrder""".stripMargin
+
+  /** The un-limited duplicates failing set behind [[duplicatesSql]]. */
+  private def duplicatesFailingSql(table: String, col: String): String =
+    s"""SELECT $col AS value, COUNT(*) AS occurrence_ct
+       |  FROM $table
+       | GROUP BY $col HAVING COUNT(*) > 1""".stripMargin
+
+  def duplicatesSampledSql(table: String, col: String)(d: Dialect): String =
+    sampledSql(duplicatesFailingSql(table, col),
+      d.castText("value"), "value")
+
+  /** The un-limited min-date failing set behind [[minDateSql]]. */
+  private def minDateFailingSql(table: String, idCol: String, dateCol: String,
+                                baseline: String)(d: Dialect): String =
+    s"""SELECT $idCol AS id, ${d.fmtTs(dateCol)} AS offending_value
+       |  FROM $table
+       | WHERE CAST($dateCol AS DATE) < DATE '$baseline'""".stripMargin
+
+  def minDateSampledSql(table: String, idCol: String, dateCol: String,
+                        baseline: String)(d: Dialect): String =
+    sampledSql(minDateFailingSql(table, idCol, dateCol, baseline)(d),
+      d.castText("id"), "offending_value, id")
+
+  def runDuplicatesSampled(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "orders", parallelize = false)
+      .createOrReplaceTempView("__dd_orders_s")
+    spark.sql(duplicatesSampledSql("__dd_orders_s", "o_custkey")(SparkDialect))
+  }
+
+  def runMinDateSampled(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "orders", parallelize = false)
+      .createOrReplaceTempView("__dd_orders_s2")
+    spark.sql(minDateSampledSql("__dd_orders_s2", "o_orderkey", "o_orderdate",
+      "1995-06-01")(SparkDialect))
+  }
+
+  def duckDuplicatesSampledSql(): String =
+    duplicatesSampledSql("orders", "o_custkey")(DuckDialect)
+  def duckMinDateSampledSql(): String =
+    minDateSampledSql("orders", "o_orderkey", "o_orderdate",
+      "1995-06-01")(DuckDialect)
 
   def runDupeRows(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "orders", parallelize = false).createOrReplaceTempView("__dd_orders2")

@@ -93,6 +93,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runKept(s, dir))) +
       ("lang_id_confusion" ->
         ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runConfusion(s, dir))) +
+      ("token_histogram" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.TokenHistogram.run(s, dir))) +
+      ("chunk_lang_consistency" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runLangConsistency(s, dir))) +
       ("decontaminate" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
       ("dedup_incremental" ->
@@ -251,6 +255,8 @@ object SparkEntry {
       ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +
       ("corpus_kept_stats" -> graft.pipeline.CorpusStats.duckKeptSql()) +
       ("lang_id_confusion" -> graft.pipeline.CorpusStats.duckConfusionSql()) +
+      ("token_histogram" -> graft.pipeline.TokenHistogram.duckSql()) +
+      ("chunk_lang_consistency" -> graft.pipeline.Chunker.duckLangConsistencySql()) +
       ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_incremental" -> graft.pipeline.Dedup.incrementalSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +

@@ -72,6 +72,49 @@ object Chunker {
        |)""".stripMargin
   }
 
+  /** Chunk-level language consistency — a multilingual-corpus health
+    * check chunking makes necessary: a doc labeled one language can
+    * carry embedded spans of another (quotes, code comments, boiler-
+    * plate), and those spans end up as training sequences under the
+    * wrong label. Guess each chunk's language with the same stopword
+    * vote as the doc-level lang_guess, compare against the doc's label,
+    * and roll up per label: chunk counts, agreeing chunks, unknown
+    * (too-short-to-vote) chunks, and the mismatch rate among decidable
+    * chunks. Single chunk stream, map-side-combinable rollup. */
+  def langConsistencySql(table: String)(d: Dialect): String = {
+    val guess = TextAnalysis.langGuessExpr("c.text")(d)
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id, text FROM $table
+       |),
+       |${textCteSql()(d)},
+       |guessed AS (
+       |  SELECT ${d.intDiv("c.doc_id", "100000")} AS did, $guess AS g
+       |    FROM ctext c
+       |),
+       |j AS (
+       |  SELECT dd.lang, g.g FROM guessed g
+       |  JOIN $table dd ON dd.doc_id = g.did
+       |)
+       |SELECT lang,
+       |       CAST(COUNT(*) AS BIGINT) AS chunk_ct,
+       |       CAST(SUM(CASE WHEN g = lang THEN 1 ELSE 0 END) AS BIGINT) AS match_ct,
+       |       CAST(SUM(CASE WHEN g = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS unknown_ct,
+       |       CAST(ROUND(CAST(SUM(CASE WHEN g <> lang AND g <> 'unknown' THEN 1 ELSE 0 END) AS DOUBLE)
+       |                  / NULLIF(SUM(CASE WHEN g <> 'unknown' THEN 1 ELSE 0 END), 0), 4)
+       |            AS DOUBLE) AS mismatch_rate
+       |  FROM j
+       | GROUP BY lang
+       | ORDER BY lang""".stripMargin
+  }
+
+  def runLangConsistency(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_chunk_docs")
+    spark.sql(langConsistencySql("__graft_chunk_docs")(SparkDialect))
+  }
+
+  def duckLangConsistencySql(): String = langConsistencySql("documents")(DuckDialect)
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_chunk_docs")

@@ -4,6 +4,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
+/** Token-length histogram — the doc-length distribution every packing /
+  * context-window plan starts from: per (source, power-of-2 token
+  * bucket) doc counts with token totals and the bucket's share of its
+  * source. One scan, map-side-combinable rollup; the bucket id is
+  * FLOOR(LOG2(tokens)), so the histogram stays ~30 rows per source at
+  * any corpus size. */
+object TokenHistogram {
+
+  /** floor(log2(n)) as a pure integer comparison ladder — float LOG2
+    * diverges between engines at exact powers of two; the ladder is
+    * bit-identical everywhere and constant-folds into codegen. */
+  private def log2Bucket(x: String, maxPow: Int = 40): String = {
+    val whens = (1 to maxPow).map(p =>
+      s"WHEN $x < ${1L << p} THEN ${p - 1}").mkString(" ")
+    s"(CASE $whens ELSE $maxPow END)"
+  }
+
+  def sql(table: String)(d: Dialect): String = {
+    val tokens = d.regexpCount("text", "\\S+")
+    val bucket = log2Bucket("token_ct")
+    s"""WITH t AS (
+       |  SELECT source, GREATEST(1, CAST($tokens AS BIGINT)) AS token_ct
+       |    FROM $table
+       |)
+       |SELECT source,
+       |       CAST($bucket AS INT) AS log2_bucket,
+       |       CAST(POWER(2, $bucket) AS BIGINT) AS bucket_min_tokens,
+       |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |       CAST(SUM(token_ct) AS BIGINT) AS token_ct,
+       |       CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+       |                  / SUM(COUNT(*)) OVER (PARTITION BY source), 4)
+       |            AS DOUBLE) AS source_share
+       |  FROM t
+       | GROUP BY source, $bucket
+       | ORDER BY source, log2_bucket""".stripMargin
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_tokhist_docs")
+    spark.sql(sql("__graft_tokhist_docs")(SparkDialect))
+  }
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+}
+
 /** Corpus-level token-budget accounting: the per-(source, language)
   * rollup a training-data curation run reports — document and token
   * counts, mean quality, the repetitive share from the Gopher-style

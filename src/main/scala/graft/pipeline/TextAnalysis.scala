@@ -21,9 +21,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
     "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "para", "en", "que"))
 
-  private def stopCount(lang: String, d: Dialect): String = {
+  private def stopCount(lang: String, d: Dialect): String =
+    stopCountOf("text", lang, d)
+
+  private def stopCountOf(textExpr: String, lang: String, d: Dialect): String = {
     val alt = stopwords(lang).mkString("|")
-    d.regexpCount("LOWER(text)", s"\\b($alt)\\b")
+    d.regexpCount(s"LOWER($textExpr)", s"\\b($alt)\\b")
+  }
+
+  /** The stopword-vote language guess of `textExpr` as a dialect-neutral
+    * expression — the same CASE ladder the doc-level `lang_guess` column
+    * uses, reusable at any grain (chunks, spans). */
+  def langGuessExpr(textExpr: String)(d: Dialect): String = {
+    val pairs = stopwords.keys.toSeq.sorted
+    val votes = pairs.map(l => l -> stopCountOf(textExpr, l, d)).toMap
+    val best = pairs.map { l =>
+      val others = pairs.filterNot(_ == l)
+        .map(o => s"${votes(l)} >= ${votes(o)}").mkString(" AND ")
+      s"WHEN ${votes(l)} > 0 AND $others THEN '$l'"
+    }
+    s"CASE ${best.mkString(" ")} ELSE 'unknown' END"
   }
 
   /** One row per document with every text metric. `extraCols` pass
@@ -39,16 +56,7 @@ object TextAnalysis {
     val alphaCt = s"LENGTH(${d.regexpReplace("text", "[^A-Za-z]", "")})"
     val punctCt = s"LENGTH(text) - LENGTH(${d.regexpReplace("text", """[.,;:!?"'()\[\]{}]""", "")})"
     val norm = s"TRIM(${d.regexpReplace("LOWER(text)", "[^a-z0-9]+", " ")})"
-    val langVotes = stopwords.keys.toSeq.sorted.map(l => l -> stopCount(l, d))
-    val langCase = {
-      val pairs = langVotes.map(_._1)
-      val votes = langVotes.toMap
-      val best = pairs.map { l =>
-        val others = pairs.filterNot(_ == l).map(o => s"${votes(l)} >= ${votes(o)}").mkString(" AND ")
-        s"WHEN ${votes(l)} > 0 AND $others THEN '$l'"
-      }
-      s"CASE ${best.mkString(" ")} ELSE 'unknown' END"
-    }
+    val langCase = langGuessExpr("text")(d)
     s"""SELECT doc_id,
        |  ${extras}CAST(LENGTH(text) AS BIGINT) AS char_ct,
        |  CAST($wsTokens AS BIGINT) AS ws_token_ct,

@@ -434,6 +434,23 @@ object Similarity {
       "lsh" -> spark.sql(lshTail(v.base, 5, 5)(d)))
   }
 
+  /** Persist the ANN index BUCKET-PARTITIONED — the cluster-scale
+    * serving path the in-session checkpoints stand in for: the base
+    * relation (vec_id, label, embedding, seed_id) written
+    * `partitionBy("bucket")`, so a query's bucket probe is a partition-
+    * pruned read of exactly its bucket's directory — no shuffle, no
+    * full-index scan, and at 100 TB each of the 2^nPlanes buckets is an
+    * independently readable slice. [[readBucket]] is the probe-side
+    * read; PlanSpec asserts the bucket predicate lands in the scan's
+    * PartitionFilters (pruned at the source, not filtered after). */
+  def writeIndex(spark: SparkSession, dir: String, outPath: String): Unit =
+    spark.table(annViews(spark, dir).base)
+      .write.mode("overwrite").partitionBy("bucket").parquet(outPath)
+
+  def readBucket(spark: SparkSession, outPath: String, bucket: Int): DataFrame =
+    spark.read.parquet(outPath)
+      .where(org.apache.spark.sql.functions.col("bucket") === bucket)
+
   def runBruteForce(spark: SparkSession, dir: String): DataFrame =
     spark.sql(s"SELECT * FROM ${bruteView(spark, dir)} ORDER BY query_id, rank")
   def runIvf(spark: SparkSession, dir: String): DataFrame =

@@ -244,6 +244,26 @@ class PlanSpec extends SparkSpec {
       s"pack plan has $singles single-partition exchanges — row data is being serialized through one task")
   }
 
+  test("persisted ann index prunes bucket probes at the partition level") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    try {
+      graft.pipeline.Similarity.writeIndex(spark, dir, out)
+      val df = graft.pipeline.Similarity.readBucket(spark, out, 3)
+      val p = plan(df)
+      val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("bucket"),
+        s"bucket probe is not partition-pruned:\n${p.take(800)}")
+      // pruned read returns exactly the bucket's rows
+      val expected = spark.table("__graft_ann_base_" +
+        java.lang.Integer.toHexString(dir.hashCode))
+        .where("bucket = 3").count()
+      assert(df.count() == expected,
+        s"pruned probe returned ${df.count()} rows, expected $expected")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("seeded ivf build broadcasts the centroid seeds") {
     val p = plan(graft.pipeline.Similarity.buildBodies(spark, dir)("ivf_seeded"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

@@ -85,6 +85,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runWinnow(s, dir))) +
       ("dedup_clusters" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runClusters(s, dir))) +
+      ("dedup_source_matrix" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSourceMatrix(s, dir))) +
+      ("source_mixture" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.run(s, dir))) +
       ("boilerplate_ngrams" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Boilerplate.run(s, dir))) +
       ("quality_gate" ->
@@ -251,6 +255,8 @@ object SparkEntry {
       // recursive transitive closure; the engine runs distributed
       // min-label propagation — same deterministic fixpoint.
       ("dedup_clusters" -> graft.pipeline.Dedup.clustersSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_source_matrix" -> graft.pipeline.Dedup.sourceMatrixSql("documents")(graft.oracle.DuckDialect)) +
+      ("source_mixture" -> graft.pipeline.SourceMixture.duckSql()) +
       ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
       ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +
       ("corpus_kept_stats" -> graft.pipeline.CorpusStats.duckKeptSql()) +

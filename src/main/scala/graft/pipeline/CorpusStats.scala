@@ -182,3 +182,52 @@ object CorpusStats {
     confusionSql(
       s"(${TextAnalysis.sql("documents", Seq("lang"))(DuckDialect)})")(DuckDialect)
 }
+
+/** Temperature-based source mixing weights — the standard multinomial
+  * alpha-sampling of multilingual/multi-source pretraining (weight ∝
+  * corpus_share^alpha, alpha = 0.5): flattens the source distribution
+  * so small sources are upsampled relative to their share without
+  * letting any dominate. Emits per source the token count, raw corpus
+  * share, normalized mixture weight, and the implied upsample factor a
+  * sampler applies. One scan + two metadata-sized scalar rollups.
+  */
+object SourceMixture {
+
+  val Alpha = 0.5
+
+  def sql(table: String)(d: Dialect): String = {
+    val tokens = d.regexpCount("text", "\\S+")
+    // the per-source weight is scaled to an integer BEFORE the
+    // normalizing sum: a SUM over doubles is aggregation-order-dependent
+    // and the two engines aggregate in different orders (the same
+    // determinism discipline as the scaled-integer averages above);
+    // integer sums are exact at any order
+    s"""WITH d0 AS (
+       |  SELECT source, CAST($tokens AS BIGINT) AS tk FROM $table
+       |),
+       |t AS (SELECT source, SUM(tk) AS tok FROM d0 GROUP BY source),
+       |tot AS (SELECT SUM(tok) AS tt FROM t),
+       |w AS (
+       |  SELECT source, tok,
+       |         CAST(ROUND(SQRT(CAST(tok AS DOUBLE) / tt) * 100000000) AS BIGINT) AS raw8
+       |    FROM t CROSS JOIN tot
+       |),
+       |n AS (SELECT SUM(raw8) AS sw8 FROM w)
+       |SELECT w.source, CAST(w.tok AS BIGINT) AS token_ct,
+       |       CAST(ROUND(CAST(w.tok AS DOUBLE) / t2.tt, 4) AS DOUBLE) AS corpus_share,
+       |       CAST(ROUND(CAST(w.raw8 AS DOUBLE) / n.sw8, 4) AS DOUBLE) AS mixture_weight,
+       |       CAST(ROUND((CAST(w.raw8 AS DOUBLE) / n.sw8)
+       |                  / (CAST(w.tok AS DOUBLE) / t2.tt), 4)
+       |            AS DOUBLE) AS upsample_factor
+       |  FROM w CROSS JOIN tot t2 CROSS JOIN n
+       | ORDER BY source""".stripMargin
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_mix_docs")
+    spark.sql(sql("__graft_mix_docs")(SparkDialect))
+  }
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+}

@@ -760,4 +760,53 @@ object Dedup {
 
   def runClusters(spark: SparkSession, dir: String): DataFrame =
     spark.sql(clusterOutSql(clusterCompView(spark, dir)))
+
+  /** Cross-source duplication matrix — which sources copy which: the
+    * exact-dup star pairs and the minhash-verified near-dup pairs
+    * rolled up by unordered (source_a, source_b). Crawled corpora
+    * routinely contain mirrored sites and syndicated text; this is the
+    * report that tells a curation run where its duplication mass lives
+    * (diagonal = within-source, off-diagonal = cross-source mirrors).
+    * Reuses the SAME pair relations as cluster resolution — band-bucket
+    * candidates and star-shaped exact groups, never an all-pairs join —
+    * plus two broadcast-sized joins to the doc source column. */
+  private def sourceMatrixBody(table: String): String =
+    s"""mhsrc AS (
+       |  SELECT LEAST(da.source, db.source) AS source_a,
+       |         GREATEST(da.source, db.source) AS source_b,
+       |         0 AS is_exact
+       |    FROM mh JOIN $table da ON da.doc_id = mh.doc_a
+       |            JOIN $table db ON db.doc_id = mh.doc_b
+       |),
+       |exsrc AS (
+       |  SELECT LEAST(da.source, db.source) AS source_a,
+       |         GREATEST(da.source, db.source) AS source_b,
+       |         1 AS is_exact
+       |    FROM epairs JOIN $table da ON da.doc_id = epairs.doc_a
+       |                JOIN $table db ON db.doc_id = epairs.doc_b
+       |)
+       |SELECT source_a, source_b,
+       |       CAST(SUM(is_exact) AS BIGINT) AS exact_pair_ct,
+       |       CAST(SUM(1 - is_exact) AS BIGINT) AS near_pair_ct,
+       |       CAST(COUNT(*) AS BIGINT) AS pair_ct
+       |  FROM (SELECT * FROM mhsrc UNION ALL SELECT * FROM exsrc) u
+       | GROUP BY source_a, source_b
+       | ORDER BY source_a, source_b""".stripMargin
+
+  def sourceMatrixSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)},
+       |sigs AS (
+       |${minhashSigsSql("shf")}
+       |),
+       |${clusterEdgeCtes(table, "sigs", "shf", "sizes", threshold)},
+       |${sourceMatrixBody(table)}""".stripMargin
+
+  def runSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val k = registerShingleRels(spark, dir)
+    val docs = register(spark, dir)
+    spark.sql(
+      s"""WITH ${clusterEdgeCtes(docs, s"__graft_minhash_sigs_$k",
+                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)},
+         |${sourceMatrixBody(docs)}""".stripMargin)
+  }
 }

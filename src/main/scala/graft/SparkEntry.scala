@@ -113,6 +113,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfSeeded(s, dir))) +
       ("knn_ivf_probe" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfProbe(s, dir))) +
+      ("knn_quantized" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runQuantized(s, dir))) +
       ("knn_recall" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runRecall(s, dir))) +
       ("monitor_volume_bands" ->
@@ -269,6 +271,7 @@ object SparkEntry {
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf_probe" -> graft.pipeline.Similarity.ivfSeededSql("embeddings", nProbe = 2)(graft.oracle.DuckDialect)) +
+      ("knn_quantized" -> graft.pipeline.Similarity.quantizedSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_recall" -> graft.pipeline.Similarity.recallSql("embeddings")(graft.oracle.DuckDialect)) +
       ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +
       ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +

@@ -287,6 +287,38 @@ object Similarity {
        |${assignCte(table, "seeds")(d)},
        |${ivfSeededTail(table, "assign", "seeds", nQueries, k, nProbe)(d).stripPrefix("WITH ")}""".stripMargin
 
+  /** Int8 scalar quantization — the memory-bound ANN trick: each
+    * dimension maps to 0..255 over its corpus-wide (min, max) range, so
+    * a 100 TB float corpus serves from a quarter of the memory and the
+    * scoring scan reads 4× fewer bytes. Search runs brute-force over
+    * the DEQUANTIZED vectors (`mn + q·(mx−mn)/255`), so the recall
+    * harness measures exactly the quantization loss — the number that
+    * decides whether int8 serving is acceptable. CTE list ends in
+    * `deq(vec_id, embedding)`. */
+  private def quantizedCorpusCtes(table: String)(d: Dialect): String =
+    s"""flatq AS (
+       |  SELECT vec_id, pos, val FROM (
+       |    ${d.arrayPosRel(table, "vec_id", "embedding")}
+       |  ) t
+       |),
+       |rng AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM flatq GROUP BY pos),
+       |qv AS (
+       |  SELECT f.vec_id, f.pos,
+       |         CAST(CASE WHEN r.mx = r.mn THEN 0
+       |                   ELSE ROUND((f.val - r.mn) / (r.mx - r.mn) * 255)
+       |              END AS BIGINT) AS q,
+       |         r.mn, r.mx
+       |    FROM flatq f JOIN rng r ON r.pos = f.pos
+       |),
+       |deq AS (
+       |  SELECT vec_id, ${d.arrayAggOrdered("mn + q * (mx - mn) / 255.0", "pos")} AS embedding
+       |    FROM qv GROUP BY vec_id
+       |)""".stripMargin
+
+  def quantizedSql(table: String, nQueries: Int = 5, k: Int = 5)(d: Dialect): String =
+    s"""WITH ${quantizedCorpusCtes(table)(d)},
+       |${bruteTail("deq", nQueries, k)(d).stripPrefix("WITH ")}""".stripMargin
+
   /** ANN quality measurement — recall@k of each approximate method
     * against the exact brute-force baseline, per query and method: the
     * number every ANN deployment reports before trading exactness for
@@ -302,7 +334,8 @@ object Similarity {
         "ivf" -> ivfSql(table, k = k)(d),
         "ivf_seeded" -> ivfSeededSql(table, k = k)(d),
         "ivf_seeded_p2" -> ivfSeededSql(table, k = k, nProbe = 2)(d),
-        "lsh" -> lshSql(table, k = k)(d)),
+        "lsh" -> lshSql(table, k = k)(d),
+        "quantized_bf" -> quantizedSql(table, k = k)(d)),
       k)(d)
 
   private def recallBody(truthSql: String, methods: Seq[(String, String)],
@@ -399,7 +432,8 @@ object Similarity {
       "ivf" -> ivfView(spark, dir),
       "ivf_seeded" -> seededView(spark, dir),
       "ivf_seeded_p2" -> probeView(spark, dir),
-      "lsh" -> lshView(spark, dir)).map { case (m, v) =>
+      "lsh" -> lshView(spark, dir),
+      "quantized_bf" -> quantView(spark, dir)).map { case (m, v) =>
       m -> s"SELECT * FROM $v"
     }
     spark.sql(recallBody(truth, methods, k)(d))
@@ -419,6 +453,8 @@ object Similarity {
     hitsView(spark, dir, "probe2")(v => ivfSeededTail(v.base, v.base, v.seeds, 5, 5, 2)(d))
   private def lshView(spark: SparkSession, dir: String): String =
     hitsView(spark, dir, "lsh")(v => lshTail(v.base, 5, 5)(d))
+  private def quantView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "quant")(v => quantizedSql(v.base)(d))
 
   /** The un-landed probe-body DataFrames over the index views — the
     * plans that run ONCE per session to land each method's hits;
@@ -431,7 +467,8 @@ object Similarity {
       "ivf" -> spark.sql(ivfTail(v.base, v.centroids, 5, 5, 1)(d)),
       "ivf_seeded" -> spark.sql(ivfSeededTail(v.base, v.base, v.seeds, 5, 5, 1)(d)),
       "ivf_seeded_p2" -> spark.sql(ivfSeededTail(v.base, v.base, v.seeds, 5, 5, 2)(d)),
-      "lsh" -> spark.sql(lshTail(v.base, 5, 5)(d)))
+      "lsh" -> spark.sql(lshTail(v.base, 5, 5)(d)),
+      "quantized_bf" -> spark.sql(quantizedSql(v.base)(d)))
   }
 
   /** Persist the ANN index BUCKET-PARTITIONED — the cluster-scale
@@ -462,6 +499,9 @@ object Similarity {
     spark.sql(s"SELECT * FROM ${probeView(spark, dir)} ORDER BY query_id, rank")
   def runLsh(spark: SparkSession, dir: String): DataFrame =
     spark.sql(s"SELECT * FROM ${lshView(spark, dir)} ORDER BY query_id, rank")
+  /** Brute-force over the int8-dequantized corpus. */
+  def runQuantized(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM ${quantView(spark, dir)} ORDER BY query_id, rank")
   def runLshFold(spark: SparkSession, dir: String): DataFrame =
     spark.sql(lshFoldSql(register(spark, dir)))
 }

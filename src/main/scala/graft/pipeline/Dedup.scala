@@ -301,21 +301,30 @@ object Dedup {
     val k = registerShingleRels(spark, dir)
     spark.sql(s"WITH ${minhashBody(s"__graft_minhash_sigs_$k", s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)}")
   }
-  def runSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = register(spark, dir)
-    // native signature expression (SimHashSpec asserts bit-identity with
-    // the SQL form, which remains the DuckDB oracle): signatures come out
-    // of the corpus scan row-locally — no word explode, no shuffle.
-    // IS NOT NULL mirrors the SQL form's absent row for wordless docs.
-    graft.functions.SimHashExpr.register(spark)
-    val sigs = spark.sql(
-      s"""SELECT id, v FROM (
-         |  SELECT doc_id AS id, graft_simhash(text) AS v FROM $docs) s
-         | WHERE v IS NOT NULL""".stripMargin)
-      .localCheckpoint(eager = true)
-    sigs.createOrReplaceTempView("__graft_simhash_sigs")
-    spark.sql(simhashBody("__graft_simhash_sigs", 3)(SparkDialect))
-  }
+  /** The simhash signature relation, memoized per (session, dir) — the
+    * same landed-index discipline as [[winnowFpsView]]: the native
+    * signature expression (SimHashSpec asserts bit-identity with the
+    * SQL form, which remains the DuckDB oracle) runs over ONE corpus
+    * scan, row-locally — no word explode, no shuffle — and the
+    * checkpoint serves every later bucket-join pass. IS NOT NULL
+    * mirrors the SQL form's absent row for wordless docs. */
+  private def simhashSigsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "simhashsigs", dir) {
+      val docs = register(spark, dir)
+      graft.functions.SimHashExpr.register(spark)
+      val v = "__graft_simhash_sigs_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(
+        s"""SELECT id, v FROM (
+           |  SELECT doc_id AS id, graft_simhash(text) AS v FROM $docs) s
+           | WHERE v IS NOT NULL""".stripMargin)
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
+
+  def runSimhash(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(simhashBody(simhashSigsView(spark, dir), 3)(SparkDialect))
   def runEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb_dedup")

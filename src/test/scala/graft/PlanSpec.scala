@@ -164,6 +164,26 @@ class PlanSpec extends SparkSpec {
     assert(scans == 0, s"fuzzy chunk body re-scans parquet ($scans scans)")
   }
 
+  test("incremental dedup joins only on hashes/fingerprints, batch side fresh") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.pipeline.Dedup.runIncremental(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      "incremental dedup plans a cartesian product")
+    val hasEqui = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.condition.isDefined
+    }
+    assert(hasEqui.nonEmpty && hasEqui.forall(identity),
+      "incremental dedup has a join without a condition")
+    // the near path reads the LANDED fingerprint checkpoint; the only
+    // parquet scans are the exact path's two pruned md5 sides
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"incremental dedup scans parquet $scans times (expected <= 2)")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"exact path read more than doc_id/text: $read")
+  }
+
   test("sampled profile materializes the sample once, jobs read the checkpoint") {
     graft.profiling.SampledProfiler.run(spark, dir).count()
     val p = plan(spark.table(

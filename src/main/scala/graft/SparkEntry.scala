@@ -105,6 +105,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
       ("dedup_incremental" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runIncremental(s, dir))) +
+      ("decontaminate_report" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateReport(s, dir))) +
+      ("batch_novelty" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runBatchNovelty(s, dir))) +
       ("knn_bruteforce" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runBruteForce(s, dir))) +
       ("knn_ivf" ->
@@ -267,6 +271,8 @@ object SparkEntry {
       ("chunk_lang_consistency" -> graft.pipeline.Chunker.duckLangConsistencySql()) +
       ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_incremental" -> graft.pipeline.Dedup.incrementalSql("documents")(graft.oracle.DuckDialect)) +
+      ("decontaminate_report" -> graft.pipeline.Dedup.decontaminateReportFullSql("documents")(graft.oracle.DuckDialect)) +
+      ("batch_novelty" -> graft.pipeline.Dedup.batchNoveltyFullSql("documents")(graft.oracle.DuckDialect)) +
       ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
       ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)) +

@@ -481,9 +481,11 @@ object Dedup {
     * bounded), never doc pairs. */
   val EvalMod = 23
 
-  def decontaminateBodySql(fpsRel: String, minShared: Int = 3,
-                           hotCutoff: Int = 50): String =
-    s"""WITH fpf AS (
+  /** The shared decontamination CTE prefix — `fpf` (hot-cutoff-bounded
+    * fingerprints), `hits` (corpus×eval shared counts), `esizes`. */
+  private def decontCtes(fpsRel: String, minShared: Int,
+                         hotCutoff: Int): String =
+    s"""fpf AS (
        |  SELECT f.id, f.fp FROM $fpsRel f
        |  JOIN (SELECT fp FROM $fpsRel GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
        |    ON f.fp = ok.fp
@@ -495,7 +497,11 @@ object Dedup {
        |   GROUP BY c.id, e.id HAVING COUNT(*) >= $minShared
        |),
        |esizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel
-       |           WHERE id % $EvalMod = 0 GROUP BY id)
+       |           WHERE id % $EvalMod = 0 GROUP BY id)""".stripMargin
+
+  def decontaminateBodySql(fpsRel: String, minShared: Int = 3,
+                           hotCutoff: Int = 50): String =
+    s"""WITH ${decontCtes(fpsRel, minShared, hotCutoff)}
        |SELECT h.corpus_id, h.eval_id, CAST(h.shared AS BIGINT) AS shared_fp_ct,
        |       CAST(ROUND(CAST(h.shared AS DOUBLE) / s.sz, 4) AS DOUBLE)
        |         AS eval_overlap
@@ -510,6 +516,66 @@ object Dedup {
 
   def runDecontaminate(spark: SparkSession, dir: String): DataFrame =
     spark.sql(decontaminateBodySql(winnowFpsView(spark, dir)))
+
+  /** Per-benchmark-item contamination verdict — the report a curation
+    * run actually acts on: for each eval doc, how many corpus docs
+    * collide with it and its worst fingerprint overlap. A benchmark
+    * item with high max overlap is compromised regardless of how many
+    * distinct corpus docs leaked it; no LIMIT — the eval set is
+    * benchmark-sized. */
+  def decontaminateReportSql(fpsRel: String, minShared: Int = 3,
+                             hotCutoff: Int = 50): String =
+    s"""WITH ${decontCtes(fpsRel, minShared, hotCutoff)}
+       |SELECT h.eval_id,
+       |       CAST(COUNT(*) AS BIGINT) AS corpus_match_ct,
+       |       CAST(MAX(h.shared) AS BIGINT) AS max_shared_fp_ct,
+       |       CAST(ROUND(CAST(MAX(h.shared) AS DOUBLE) / s.sz, 4) AS DOUBLE)
+       |         AS max_eval_overlap
+       |  FROM hits h
+       |  JOIN esizes s ON s.id = h.eval_id
+       | GROUP BY h.eval_id, s.sz
+       | ORDER BY max_eval_overlap DESC, eval_id""".stripMargin
+
+  def decontaminateReportFullSql(table: String)(d: Dialect): String =
+    s"""WITH fps AS (${winnowFpsSql(table)(d)}),
+       |${decontaminateReportSql("fps").stripPrefix("WITH ")}""".stripMargin
+
+  def runDecontaminateReport(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(decontaminateReportSql(winnowFpsView(spark, dir)))
+
+  /** Batch fingerprint NOVELTY — the freshness complement of
+    * [[runIncremental]]: per incoming-batch doc, the fraction of its
+    * winnowing fingerprints never seen in the landed corpus. A pipeline
+    * watches this to detect a crawl gone stale (novelty collapsing
+    * toward 0) or a domain shift (novelty spiking). Join key is the
+    * fingerprint against the DISTINCT landed fingerprint set — bounded
+    * fan-out, no doc pairs, landed side read from the memoized
+    * checkpoint. */
+  def batchNoveltySql(fpsRel: String): String =
+    s"""WITH landedfp AS (
+       |  SELECT DISTINCT fp FROM $fpsRel WHERE id % $BatchMod <> $BatchRem
+       |),
+       |batch AS (
+       |  SELECT id, fp FROM $fpsRel WHERE id % $BatchMod = $BatchRem
+       |),
+       |j AS (
+       |  SELECT b.id, COUNT(*) AS total, COUNT(l.fp) AS seen
+       |    FROM batch b LEFT JOIN landedfp l ON l.fp = b.fp
+       |   GROUP BY b.id
+       |)
+       |SELECT id AS batch_id, CAST(total AS BIGINT) AS fp_ct,
+       |       CAST(seen AS BIGINT) AS seen_fp_ct,
+       |       CAST(ROUND(CAST(total - seen AS DOUBLE) / total, 4) AS DOUBLE)
+       |         AS novelty
+       |  FROM j
+       | ORDER BY batch_id""".stripMargin
+
+  def batchNoveltyFullSql(table: String)(d: Dialect): String =
+    s"""WITH fps AS (${winnowFpsSql(table)(d)}),
+       |${batchNoveltySql("fps").stripPrefix("WITH ")}""".stripMargin
+
+  def runBatchNovelty(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(batchNoveltySql(winnowFpsView(spark, dir)))
 
   /** Chunk-level NEAR-dup — exact chunk dedup ([[Chunker.dupSql]])
     * misses templated boilerplate whose spans differ by a counter or a

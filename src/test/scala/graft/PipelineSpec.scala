@@ -542,3 +542,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("query_id")).distinct.length <= 3)
   }
 }
+
+/** The sampled drill-down variants must be a genuine random draw, not
+  * the top slice re-ordered: at sf0.01 the duplicates failing set
+  * exceeds the 500-row limit, so the md5-drawn sample and the
+  * deterministic top-500 must pick different subsets (both are
+  * oracle-checked; this pins the SEMANTIC distinction). */
+class SampledLookupSpec extends SparkSpec {
+  test("sampled duplicates lookup draws a different subset than the top slice") {
+    val dir01 = "/root/testdata/sf0.01"
+    val top = graft.lookup.DrillDown.runDuplicates(spark, dir01).collect()
+      .map(_.getAs[Long]("value")).toSet
+    val sampled = graft.lookup.DrillDown.runDuplicatesSampled(spark, dir01)
+      .collect().map(_.getAs[Long]("value")).toSet
+    assert(top.size == 500 && sampled.size == 500)
+    assert(top != sampled,
+      "sampled lookup returned exactly the deterministic top slice")
+    // and the sample is drawn from the same failing set: every sampled
+    // value is a genuine duplicate group
+    val failing = spark.sql(
+      """SELECT o_custkey FROM __dd_orders
+        | GROUP BY o_custkey HAVING COUNT(*) > 1""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled.subsetOf(failing))
+  }
+}

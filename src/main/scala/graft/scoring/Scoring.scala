@@ -819,23 +819,34 @@ object Scoring {
       prevalenceView(spark, dir))(SparkDialect))
   }
 
+  /** Land both runs' by-column score detail ONCE per (session, dir) —
+    * the RunStore contract is append-once (a run never rewrites a prior
+    * run's directory), so repeated history reads must not re-compute and
+    * re-write the landed runs; both history entries read the same landed
+    * parquet. Returns (run_000 path, run_001 path). */
+  private def scoreDetailPaths(spark: SparkSession, dir: String): (String, String) =
+    graft.core.SessionCache.getOrElseUpdate(spark, "scoredetail", dir) {
+      val root = graft.core.RunStore.root
+      val enrView = enrichedView(spark, dir)
+      val prevView = prevalenceView(spark, dir)
+      val p0 = graft.core.RunStore.land(
+        spark.sql(scoreDetailSql(enrView,
+          HygieneScreens.anomaliesView(spark, dir), prevView)(SparkDialect)),
+        root, "run_000", "score_detail")
+      val p1 = graft.core.RunStore.land(
+        spark.sql(scoreDetailSql(enrView,
+          HygieneScreens.anomaliesView(spark, dir, muted = dismissedByRun1),
+          prevView)(SparkDialect)),
+        root, "run_001", "score_detail")
+      (p0, p1)
+    }
+
   /** Query entry: land both runs' by-column score detail, then compute
     * the trend from the LANDED parquet; the DuckDB oracle recomputes the
     * identical trend from first principles (raw tables + the same
     * dismissal list), so the landed values are independently verified. */
   def runScoreHistory(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.core.RunStore.root
-    val enrView = enrichedView(spark, dir)
-    val prevView = prevalenceView(spark, dir)
-    val anoms0View = HygieneScreens.anomaliesView(spark, dir)
-    val anoms1View = HygieneScreens.anomaliesView(spark, dir,
-      muted = dismissedByRun1)
-    val p0 = graft.core.RunStore.land(
-      spark.sql(scoreDetailSql(enrView, anoms0View, prevView)(SparkDialect)),
-      root, "run_000", "score_detail")
-    val p1 = graft.core.RunStore.land(
-      spark.sql(scoreDetailSql(enrView, anoms1View, prevView)(SparkDialect)),
-      root, "run_001", "score_detail")
+    val (p0, p1) = scoreDetailPaths(spark, dir)
     spark.sql(scoreHistorySql(Seq(
       "run_000" -> SparkDialect.readParquet(p0),
       "run_001" -> SparkDialect.readParquet(p1)))(SparkDialect))
@@ -846,18 +857,7 @@ object Scoring {
     * converge on identical landed parquet); the oracle recomputes the
     * identical per-column rows from first principles. */
   def runScoreHistoryColumns(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.core.RunStore.root
-    val enrView = enrichedView(spark, dir)
-    val prevView = prevalenceView(spark, dir)
-    val p0 = graft.core.RunStore.land(
-      spark.sql(scoreDetailSql(enrView,
-        HygieneScreens.anomaliesView(spark, dir), prevView)(SparkDialect)),
-      root, "run_000", "score_detail")
-    val p1 = graft.core.RunStore.land(
-      spark.sql(scoreDetailSql(enrView,
-        HygieneScreens.anomaliesView(spark, dir, muted = dismissedByRun1),
-        prevView)(SparkDialect)),
-      root, "run_001", "score_detail")
+    val (p0, p1) = scoreDetailPaths(spark, dir)
     spark.sql(scoreHistoryColumnsSql(Seq(
       "run_000" -> SparkDialect.readParquet(p0),
       "run_001" -> SparkDialect.readParquet(p1)))(SparkDialect))

@@ -61,7 +61,13 @@ object TestValidation {
     * the poisoned rows carry Table-not-found / Column-not-found
     * messages and deactivate. */
   def runChecked(spark: SparkSession, dir: String): DataFrame = {
-    val defs = TestGenerator.run(spark, dir)
+    // generated definitions are STORED artifacts (the reference lands
+    // them in test_definitions and validates the stored set, not a
+    // fresh generation per validation pass) — generate once per
+    // (session, dir), checkpoint, and validate the landed set
+    val defs = graft.core.SessionCache.getOrElseUpdate(spark, "gendefs", dir) {
+      TestGenerator.run(spark, dir).localCheckpoint(eager = true)
+    }
     val rows = poison.map { case (tt, t, c) =>
       Row.fromSeq(Seq(tt, t, c) ++ Seq.fill(defs.schema.length - 3)(null))
     }

@@ -87,6 +87,22 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runClusters(s, dir))) +
       ("dedup_source_matrix" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSourceMatrix(s, dir))) +
+      ("dedup_containment" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runContainment(s, dir))) +
+      ("dedup_lsh_recall" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runLshRecall(s, dir))) +
+      ("dedup_semantic" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runSemantic(s, dir))) +
+      ("corpus_percentiles" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runPercentiles(s, dir))) +
+      ("corpus_drift" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusDrift.run(s, dir))) +
+      ("pack_epochs" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runEpochs(s, dir))) +
+      ("quality_classifier" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.QualityClassifier.run(s, dir))) +
+      ("chunk_cdc" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runCdc(s, dir))) +
       ("source_mixture" ->
         ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.run(s, dir))) +
       ("boilerplate_ngrams" ->
@@ -262,6 +278,16 @@ object SparkEntry {
       // min-label propagation — same deterministic fixpoint.
       ("dedup_clusters" -> graft.pipeline.Dedup.clustersSql("documents")(graft.oracle.DuckDialect)) +
       ("dedup_source_matrix" -> graft.pipeline.Dedup.sourceMatrixSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_containment" -> graft.pipeline.Dedup.containmentSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_lsh_recall" -> graft.pipeline.Dedup.lshRecallSql("documents")(graft.oracle.DuckDialect)) +
+      ("dedup_semantic" -> graft.pipeline.Similarity.semanticSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("corpus_percentiles" -> graft.pipeline.CorpusStats.duckPercentilesSql()) +
+      // corpus_drift: like schema_drift, the Spark run lands both
+      // snapshots first; DuckDB diffs the same landed files.
+      ("corpus_drift" -> graft.pipeline.CorpusDrift.duckSql()) +
+      ("pack_epochs" -> graft.pipeline.Packer.duckEpochsSql()) +
+      ("quality_classifier" -> graft.pipeline.QualityClassifier.duckSql()) +
+      ("chunk_cdc" -> graft.pipeline.Chunker.duckCdcSql()) +
       ("source_mixture" -> graft.pipeline.SourceMixture.duckSql()) +
       ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
       ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +

@@ -148,4 +148,71 @@ object Chunker {
   }
 
   def duckDupSql(): String = dupSql("documents")(DuckDialect)
+
+  /** Content-defined chunking — rolling-hash boundaries instead of
+    * fixed windows: cut wherever the k-gram hash ending at a position
+    * is ≡ 0 mod `divisor` (expected chunk length = divisor chars).
+    * Because boundaries depend only on LOCAL content, an edit early in
+    * a document shifts at most the chunk it lands in — every later
+    * chunk re-aligns and its hash is unchanged — which is what makes
+    * chunk-grain dedup survive insertions; fixed windows re-cut the
+    * whole tail ([[sql]] vs this is exactly the rsync/LBFS trade).
+    *
+    * Same md5 gram hash as the winnowing chain, so both engines cut
+    * identically. The SQL form explodes char positions (the oracle
+    * rendering); the Spark path runs the same relational plan — per-doc
+    * windows, docs are independent partitions — and the production
+    * swap-in at 100 TB is a row-local native expression emitting the
+    * cut array (the [[graft.functions.WinnowFpsExpr]] seam). */
+  val CdcDivisor = 32
+  val CdcGram = 8
+
+  def cdcSql(table: String, divisor: Int = CdcDivisor,
+             k: Int = CdcGram)(d: Dialect): String = {
+    val gramHash = d.hexToLong(s"SUBSTRING(MD5(SUBSTRING(t, pos, $k)), 1, 15)")
+    s"""WITH nd AS (
+       |  SELECT doc_id AS id, text AS t FROM $table
+       |),
+       |grams AS (
+       |  SELECT id, pos, $gramHash AS h
+       |    FROM (${d.seriesRel("nd", Seq("id", "t"), s"LENGTH(t) - $k + 1")}) g
+       |),
+       |cuts AS (
+       |  SELECT id, pos + $k - 1 AS cut FROM grams WHERE h % $divisor = 0
+       |),
+       |body AS (
+       |  SELECT id, COALESCE(prev, 0) + 1 AS chunk_start,
+       |         cut - COALESCE(prev, 0) AS chunk_len
+       |    FROM (SELECT id, cut,
+       |                 LAG(cut) OVER (PARTITION BY id ORDER BY cut) AS prev
+       |            FROM cuts) w
+       |),
+       |tails AS (
+       |  SELECT n.id, COALESCE(m.mx, 0) + 1 AS chunk_start,
+       |         LENGTH(n.t) - COALESCE(m.mx, 0) AS chunk_len
+       |    FROM nd n
+       |    LEFT JOIN (SELECT id, MAX(cut) AS mx FROM cuts GROUP BY id) m
+       |      ON m.id = n.id
+       |   WHERE LENGTH(n.t) - COALESCE(m.mx, 0) > 0
+       |),
+       |allc AS (
+       |  SELECT * FROM body UNION ALL SELECT * FROM tails
+       |)
+       |SELECT c.id AS doc_id,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY c.id
+       |                               ORDER BY c.chunk_start) - 1 AS INT) AS chunk_idx,
+       |       CAST(c.chunk_start AS INT) AS chunk_start,
+       |       CAST(c.chunk_len AS INT) AS chunk_len,
+       |       MD5(SUBSTRING(n.t, c.chunk_start, c.chunk_len)) AS chunk_hash
+       |  FROM allc c JOIN nd n ON n.id = c.id
+       | ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  def runCdc(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_chunk_docs")
+    spark.sql(cdcSql("__graft_chunk_docs")(SparkDialect))
+  }
+
+  def duckCdcSql(): String = cdcSql("documents")(DuckDialect)
 }

@@ -181,6 +181,153 @@ object CorpusStats {
   def duckConfusionSql(): String =
     confusionSql(
       s"(${TextAnalysis.sql("documents", Seq("lang"))(DuckDialect)})")(DuckDialect)
+
+  /** Per-source length-distribution profile — the percentile summary a
+    * context-window / packing plan is actually sized from (the
+    * histogram gives the shape; truncation and padding decisions read
+    * p50/p90/p99): interpolated percentiles of the token and char
+    * counts per source, with the mean in exact integer arithmetic.
+    *
+    * The percentiles here are EXACT (`percentile`/`quantile_cont`) so
+    * the oracle can hash-check them; at 100 TB the one-line swap is
+    * `approx_percentile(x, q, accuracy)` — same shape, sketch-mergeable
+    * partials instead of a per-group sort — and the group count (one
+    * row per source) is broadcast-sized either way. */
+  private def percentilesSql(table: String)(d: Dialect): String = {
+    val tokens = d.regexpCount("text", "\\S+")
+    def p(col: String, q: Double, name: String) =
+      s"CAST(ROUND(${d.quantileCont(col, q)}, 4) AS DOUBLE) AS $name"
+    s"""WITH t AS (
+       |  SELECT source, CAST(LENGTH(text) AS BIGINT) AS chars,
+       |         CAST($tokens AS BIGINT) AS tk
+       |    FROM $table
+       |)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |       CAST(MIN(tk) AS BIGINT) AS token_min,
+       |       ${p("tk", 0.10, "token_p10")},
+       |       ${p("tk", 0.50, "token_p50")},
+       |       ${p("tk", 0.90, "token_p90")},
+       |       ${p("tk", 0.99, "token_p99")},
+       |       CAST(MAX(tk) AS BIGINT) AS token_max,
+       |       CAST(${d.intDiv("2 * 10000 * SUM(tk) + COUNT(*)",
+                               "2 * COUNT(*)")} / 10000.0 AS DOUBLE)
+       |         AS token_mean,
+       |       ${p("chars", 0.50, "char_p50")},
+       |       ${p("chars", 0.90, "char_p90")}
+       |  FROM t
+       | GROUP BY source
+       | ORDER BY source""".stripMargin
+  }
+
+  def runPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_pctl_docs")
+    spark.sql(percentilesSql("__graft_pctl_docs")(SparkDialect))
+  }
+
+  def duckPercentilesSql(): String = percentilesSql("documents")(DuckDialect)
+}
+
+/** Corpus-budget drift across landed runs — the schema-drift analogue
+  * for corpus composition: each run's per-(source, lang) budget rollup
+  * lands in the [[graft.core.RunStore]] (the same run-history
+  * discipline as `data_chars` snapshots), and the drift report is a
+  * FULL OUTER join of the two most recent landed snapshots classifying
+  * every slice as NEW / GONE / GROWN / SHRUNK / STABLE with its doc and
+  * token deltas. A daily 100 TB crawl pipeline watches exactly this
+  * relation: a source that vanishes, a language whose token mass halves,
+  * or a slice that doubles overnight are all upstream incidents the
+  * per-run totals alone cannot localize. The diff is metadata-sized
+  * (two rollup footprints, never a corpus scan).
+  *
+  * The query entry seeds history deterministically: run_000 is the
+  * PRIOR corpus state (current docs minus `doc_id % 7 = 0` — yesterday's
+  * smaller crawl — minus all of src19, which therefore classifies NEW
+  * today, with `doc_id % 97 = 0` docs relabeled to a retired source that
+  * classifies GONE); run_001 is the actual corpus. Both snapshots flow
+  * through the real rollup → land → diff machinery, and the DuckDB
+  * oracle reads the SAME landed parquet and recomputes the diff.
+  */
+object CorpusDrift {
+
+  /** The landed snapshot: per-(source, lang) docs and tokens. */
+  def snapshotSql(table: String)(d: Dialect): String = {
+    val tokens = d.regexpCount("text", "\\S+")
+    s"""SELECT source, lang,
+       |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |       CAST(SUM(CAST($tokens AS BIGINT)) AS BIGINT) AS token_ct
+       |  FROM $table
+       | GROUP BY source, lang""".stripMargin
+  }
+
+  /** The deterministic prior-run corpus state (see object doc; the
+    * src0 double-up makes the current run classify SHRUNK there, so
+    * every change class is exercised). */
+  def priorSql(table: String): String =
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 97 = 0 THEN 'src_retired' ELSE source END AS source,
+       |       lang, text
+       |  FROM $table
+       | WHERE source <> 'src19' AND doc_id % 7 <> 0
+       |UNION ALL
+       |SELECT doc_id + 1000000 AS doc_id, source, lang, text
+       |  FROM $table WHERE source = 'src0'""".stripMargin
+
+  /** Threshold for GROWN/SHRUNK vs STABLE on the token mass. */
+  val StablePct = 0.05
+
+  def diffSql(priorPath: String, currentPath: String)(d: Dialect): String =
+    s"""WITH prior AS (SELECT * FROM ${d.readParquet(priorPath)}),
+       |cur AS (SELECT * FROM ${d.readParquet(currentPath)}),
+       |j AS (
+       |  SELECT COALESCE(p.source, c.source) AS source,
+       |         COALESCE(p.lang, c.lang) AS lang,
+       |         p.doc_ct AS p_docs, c.doc_ct AS c_docs,
+       |         p.token_ct AS p_tokens, c.token_ct AS c_tokens
+       |    FROM prior p FULL OUTER JOIN cur c
+       |      ON p.source = c.source AND p.lang = c.lang
+       |)
+       |SELECT source, lang,
+       |       CASE WHEN p_docs IS NULL THEN 'NEW'
+       |            WHEN c_docs IS NULL THEN 'GONE'
+       |            WHEN ABS(CAST(c_tokens - p_tokens AS DOUBLE) / p_tokens)
+       |                 <= $StablePct THEN 'STABLE'
+       |            WHEN c_tokens > p_tokens THEN 'GROWN'
+       |            ELSE 'SHRUNK' END AS change_type,
+       |       CAST(COALESCE(c_docs, 0) - COALESCE(p_docs, 0) AS BIGINT) AS doc_delta,
+       |       CAST(COALESCE(c_tokens, 0) - COALESCE(p_tokens, 0) AS BIGINT) AS token_delta,
+       |       CASE WHEN p_tokens IS NULL OR c_tokens IS NULL THEN CAST(NULL AS DOUBLE)
+       |            ELSE CAST(ROUND(CAST(c_tokens - p_tokens AS DOUBLE)
+       |                            / p_tokens, 4) AS DOUBLE)
+       |       END AS token_pct,
+       |       CAST(COALESCE(c_docs, 0) AS BIGINT) AS doc_ct,
+       |       CAST(COALESCE(c_tokens, 0) AS BIGINT) AS token_ct
+       |  FROM j
+       | ORDER BY source, lang""".stripMargin
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.RunStore
+    val docs = "__graft_drift_docs"
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView(docs)
+    val root = RunStore.root
+    val p0 = RunStore.land(
+      spark.sql(snapshotSql(s"(${priorSql(docs)})")(SparkDialect)),
+      root, "run_000", "corpus_stats")
+    val p1 = RunStore.land(
+      spark.sql(snapshotSql(docs)(SparkDialect)),
+      root, "run_001", "corpus_stats")
+    spark.sql(diffSql(p0, p1)(SparkDialect))
+  }
+
+  /** DuckDB oracle: the identical diff over the same landed snapshots. */
+  def duckSql(): String = {
+    import graft.core.RunStore
+    val root = RunStore.root
+    diffSql(RunStore.runPath(root, "run_000", "corpus_stats"),
+      RunStore.runPath(root, "run_001", "corpus_stats"))(DuckDialect)
+  }
 }
 
 /** Temperature-based source mixing weights — the standard multinomial

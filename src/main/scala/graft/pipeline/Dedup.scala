@@ -884,4 +884,93 @@ object Dedup {
                                  s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)},
          |${sourceMatrixBody(docs)}""".stripMargin)
   }
+
+  /** Containment near-dup — the one-sided overlap Jaccard misses: a
+    * short document wholly quoted inside a long one scores
+    * |A∩B| / min(|A|,|B|) → 1 while its Jaccard stays near |A|/|B|
+    * (wrapper pages, quote-expansions, and scraped article+comments
+    * mirrors all look like this). Shares the SAME inverted-index
+    * intersection relation as the Jaccard path — the co-shingle join is
+    * hot-cutoff bounded, never all-pairs — and emits both scores so a
+    * curation run can see which pairs only containment catches. */
+  def containmentBody(interRel: String, sizesRel: String,
+                      threshold: Double = 0.8): String =
+    s"""SELECT i.doc_a, i.doc_b,
+       |       CAST(i.ict AS BIGINT) AS shared_shingle_ct,
+       |       CAST(ROUND(CAST(i.ict AS DOUBLE) / LEAST(sa.sz, sb.sz), 4)
+       |            AS DOUBLE) AS containment,
+       |       CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4)
+       |            AS DOUBLE) AS jaccard
+       |  FROM $interRel i
+       |  JOIN $sizesRel sa ON sa.id = i.doc_a
+       |  JOIN $sizesRel sb ON sb.id = i.doc_b
+       | WHERE CAST(i.ict AS DOUBLE) / LEAST(sa.sz, sb.sz) >= $threshold
+       | ORDER BY containment DESC, doc_a, doc_b
+       | LIMIT 200""".stripMargin
+
+  def containmentSql(table: String, threshold: Double = 0.8)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)},
+       |$interCte
+       |${containmentBody("inter", "sizes", threshold)}""".stripMargin
+
+  def runContainment(spark: SparkSession, dir: String): DataFrame = {
+    val k = registerShingleRels(spark, dir)
+    registerInterRel(spark, k)
+    spark.sql(containmentBody(s"__graft_inter_$k", s"__graft_sizes_$k"))
+  }
+
+  /** LSH blocking-quality measurement — the dedup analogue of the ANN
+    * `knn_recall` harness: candidate-pair recall of the banded minhash
+    * blocking against the TRUE Jaccard >= threshold pairs, plus the
+    * candidate count the bands actually surfaced. Recall answers "how
+    * many real near-dups does banding lose", candidate precision
+    * answers "how much verification work does each band admit" — the
+    * two numbers that tune (bands × rows) before anyone trusts LSH
+    * dedup at 100 TB (where the exact pair relation is unaffordable and
+    * this harness runs on a sampled slice instead). Rounding runs in
+    * integer arithmetic so both engines agree at the 4th decimal. */
+  def lshRecallBody(interRel: String, sizesRel: String, sigsRel: String,
+                    threshold: Double)(d: Dialect): String =
+    s"""WITH ${minhashCandsCtes(sigsRel)},
+       |truth AS (
+       |  SELECT i.doc_a, i.doc_b
+       |    FROM $interRel i
+       |    JOIN $sizesRel sa ON sa.id = i.doc_a
+       |    JOIN $sizesRel sb ON sb.id = i.doc_b
+       |   WHERE CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) >= $threshold
+       |),
+       |counts AS (
+       |  SELECT (SELECT COUNT(*) FROM truth) AS truth_ct,
+       |         (SELECT COUNT(*) FROM cands) AS cand_ct,
+       |         (SELECT COUNT(*) FROM truth t
+       |            JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |           AS caught_ct
+       |)
+       |SELECT CAST(truth_ct AS BIGINT) AS truth_pair_ct,
+       |       CAST(cand_ct AS BIGINT) AS cand_pair_ct,
+       |       CAST(caught_ct AS BIGINT) AS caught_pair_ct,
+       |       CASE WHEN truth_ct = 0 THEN CAST(NULL AS DOUBLE)
+       |            ELSE CAST(${d.intDiv("2 * 10000 * caught_ct + truth_ct",
+                                         "2 * truth_ct")} / 10000.0 AS DOUBLE)
+       |       END AS pair_recall,
+       |       CASE WHEN cand_ct = 0 THEN CAST(NULL AS DOUBLE)
+       |            ELSE CAST(${d.intDiv("2 * 10000 * caught_ct + cand_ct",
+                                         "2 * cand_ct")} / 10000.0 AS DOUBLE)
+       |       END AS cand_precision
+       |  FROM counts""".stripMargin
+
+  def lshRecallSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)},
+       |$interCte,
+       |sigs AS (
+       |${minhashSigsSql("shf")}
+       |),
+       |${lshRecallBody("inter", "sizes", "sigs", threshold)(d).stripPrefix("WITH ")}""".stripMargin
+
+  def runLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = registerShingleRels(spark, dir)
+    registerInterRel(spark, k)
+    spark.sql(lshRecallBody(s"__graft_inter_$k", s"__graft_sizes_$k",
+      s"__graft_minhash_sigs_$k", 0.5)(SparkDialect))
+  }
 }

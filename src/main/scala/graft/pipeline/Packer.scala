@@ -92,4 +92,49 @@ object Packer {
   def duckSql(): String = sql("documents")(DuckDialect)
   def duckExactSql(): String =
     sql("documents", tokenRe = Chunker.ExactTokenRe)(DuckDialect)
+
+  /** Epoch shuffling — the training-order assignment a data loader
+    * consumes: every pack is dealt to a data-parallel worker and given
+    * a per-epoch position, with a DIFFERENT deterministic order each
+    * epoch (md5 of epoch:shard:pack — reshuffling between epochs is the
+    * standard variance reduction, and a seeded hash makes the order
+    * reproducible across re-runs and cluster parallelism, where a
+    * `rand()` shuffle is neither). The worker is the hash's modulus so
+    * assignment is load-balanced without coordination; the within-
+    * worker sequence is a window partitioned by (epoch, worker) — at
+    * scale that is exactly the per-output-file line numbering of the
+    * shard writer, each partition bounded by packs/workers, never a
+    * global sort. */
+  val Epochs = 2
+  val Workers = 4
+
+  def epochsSql(table: String, epochs: Int = Epochs,
+                workers: Int = Workers)(d: Dialect): String = {
+    val eRows = (1 to epochs).map(e => s"SELECT $e AS epoch").mkString("\n  UNION ALL\n  ")
+    val key = s"MD5(${d.castText("e.epoch")} || ':' || ${d.castText("p.shard")}" +
+      s" || ':' || ${d.castText("p.pack_id")})"
+    s"""WITH packs AS (
+       |${sql(table)(d)}
+       |),
+       |ep AS (
+       |  $eRows
+       |),
+       |keyed AS (
+       |  SELECT e.epoch, p.shard, p.pack_id, p.token_ct, $key AS ord
+       |    FROM packs p CROSS JOIN ep e
+       |)
+       |SELECT CAST(epoch AS INT) AS epoch,
+       |       CAST(${d.hexToLong("SUBSTRING(ord, 1, 15)")} % $workers AS INT) AS worker,
+       |       CAST(ROW_NUMBER() OVER (
+       |              PARTITION BY epoch, ${d.hexToLong("SUBSTRING(ord, 1, 15)")} % $workers
+       |              ORDER BY ord, shard, pack_id) AS BIGINT) AS seq,
+       |       shard, pack_id, token_ct
+       |  FROM keyed
+       | ORDER BY epoch, worker, seq""".stripMargin
+  }
+
+  def runEpochs(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(epochsSql(registered(spark, dir))(SparkDialect))
+
+  def duckEpochsSql(): String = epochsSql("documents")(DuckDialect)
 }

@@ -471,6 +471,52 @@ object Similarity {
       "quantized_bf" -> spark.sql(quantizedSql(v.base)(d)))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe of embedding-space
+    * curation): block the corpus by its IVF seed assignment — vectors
+    * can only be semantic duplicates of vectors whose nearest seed
+    * matches — then score within-cluster pairwise cosine and keep pairs
+    * above the threshold. The drop policy is the min-id survivor: any
+    * vector appearing as `vec_b` of a pair has a smaller-id semantic
+    * twin and is the one a curation run removes. Blocking reuses the
+    * SAME exclusive seed assignment as seeded IVF (one broadcast pass
+    * at any scale) and the pair join is seed-local — the corpus
+    * shuffles once on seed_id and each partition's join is bounded by
+    * its cluster population, never the all-pairs quadratic. */
+  private def semanticBody(assignRel: String, threshold: Double)
+                          (d: Dialect): String =
+    s"""WITH semb AS (
+       |  SELECT vec_id, seed_id, embedding,
+       |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
+       |    FROM $assignRel
+       |),
+       |spairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.seed_id,
+       |         ${d.dotProduct("a.embedding", "b.embedding")}
+       |           / NULLIF(a.nrm * b.nrm, 0) AS cos
+       |    FROM semb a JOIN semb b
+       |      ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, CAST(seed_id AS BIGINT) AS seed_id,
+       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
+       |  FROM spairs
+       | WHERE cos >= $threshold
+       | ORDER BY vec_a, vec_b""".stripMargin
+
+  // Fixture threshold 0.30 (same adjudication as the embedding dedup
+  // entries): within-cluster cosine on the random synthetic embeddings
+  // tops out well under production's 0.95+ SemDeDup thresholds, so 0.30
+  // exercises the pair-surfacing path on the fixtures.
+  def semanticSql(table: String, threshold: Double = 0.30,
+                  nCentroids: Int = DefaultCentroids)(d: Dialect): String =
+    s"""WITH ${seedsCte(table, nCentroids)(d)},
+       |${assignCte(table, "seeds")(d)},
+       |${semanticBody("assign", threshold)(d).stripPrefix("WITH ")}""".stripMargin
+
+  /** Spark path: the seed-blocked pair join reads the memoized
+    * checkpointed index base (one assignment pass per session). */
+  def runSemantic(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(semanticBody(annViews(spark, dir).base, 0.30)(d))
+
   /** Persist the ANN index BUCKET-PARTITIONED — the cluster-scale
     * serving path the in-session checkpoints stand in for: the base
     * relation (vec_id, label, embedding, seed_id) written

@@ -298,4 +298,33 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("lang") && !read.contains("source"),
       s"dedup_exact read too many columns: $read")
   }
+
+  test("quality classifier runs in one scan with zero shuffles") {
+    // the whole score folds inside the row (HOF aggregate over split);
+    // an Exchange in this plan means the token stream got row-ified
+    val p = plan(graft.pipeline.QualityClassifier.run(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier plan shuffles:\n${p.take(800)}")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans")
+  }
+
+  test("semantic dedup pair join is seed-blocked, never a cartesian") {
+    val p = plan(graft.pipeline.Similarity.runSemantic(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup fell back to an unblocked pair join:\n${p.take(800)}")
+    assert(p.contains("seed_id"), "pair join lost the seed blocking key")
+  }
+
+  test("containment and lsh-recall read the memoized intersection, no parquet re-scan") {
+    graft.pipeline.Dedup.runJaccard(spark, dir).count() // land the rels
+    val pc = plan(graft.pipeline.Dedup.runContainment(spark, dir))
+    val pr = plan(graft.pipeline.Dedup.runLshRecall(spark, dir))
+    Seq("containment" -> pc, "lsh_recall" -> pr).foreach { case (n, p) =>
+      assert(!p.contains("FileScan parquet"),
+        s"$n re-scanned parquet instead of the checkpointed relations")
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian")
+    }
+  }
 }

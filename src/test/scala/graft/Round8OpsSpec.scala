@@ -1,0 +1,180 @@
+package graft
+
+import graft.oracle.SparkDialect
+
+/** Semantic assertions for the round-8 additions: containment dedup,
+  * LSH blocking recall, SemDeDup-style semantic dedup, length
+  * percentiles, corpus drift, epoch shuffling, the hashed linear
+  * quality classifier, and content-defined chunking. */
+class Round8OpsSpec extends SparkSpec {
+
+  test("containment dominates jaccard and flags near-subset pairs") {
+    val rows = graft.pipeline.Dedup.runContainment(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      val j = r.getAs[Double]("jaccard")
+      assert(c >= 0.8 && c <= 1.0)
+      // |A∩B| / min ≥ |A∩B| / union, always (rounding tolerance 1e-4)
+      assert(c >= j - 1e-4, s"containment $c < jaccard $j")
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("lsh recall harness counts are mutually consistent") {
+    val r = graft.pipeline.Dedup.runLshRecall(spark, sfDir).collect()
+    assert(r.length == 1)
+    val truth = r(0).getAs[Long]("truth_pair_ct")
+    val cand = r(0).getAs[Long]("cand_pair_ct")
+    val caught = r(0).getAs[Long]("caught_pair_ct")
+    assert(caught <= truth && caught <= cand)
+    if (truth > 0) {
+      val recall = r(0).getAs[Double]("pair_recall")
+      assert(math.abs(recall - caught.toDouble / truth) < 1e-3)
+    }
+    // banding with 4 bands × 3 rows at jaccard ≥ 0.5 is designed to
+    // catch essentially every true pair on a near-dup fixture
+    assert(truth == 0 || caught.toDouble / truth >= 0.5,
+      s"LSH blocking lost most true pairs: $caught of $truth")
+  }
+
+  test("semantic dedup pairs are seed-blocked with bounded cosine") {
+    val rows = graft.pipeline.Similarity.runSemantic(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.30 && c <= 1.0001)
+    }
+    // blocking really blocks: pair count far below the all-pairs count
+    val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.length < n * (n - 1) / 4)
+  }
+
+  test("per-source percentiles are monotone and bracket the mean") {
+    val rows = graft.pipeline.CorpusStats.runPercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("token_min").toDouble
+      val p10 = r.getAs[Double]("token_p10")
+      val p50 = r.getAs[Double]("token_p50")
+      val p90 = r.getAs[Double]("token_p90")
+      val p99 = r.getAs[Double]("token_p99")
+      val mx = r.getAs[Long]("token_max").toDouble
+      assert(mn <= p10 && p10 <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+      val mean = r.getAs[Double]("token_mean")
+      assert(mean >= mn - 1e-4 && mean <= mx + 1e-4)
+      assert(r.getAs[Double]("char_p50") <= r.getAs[Double]("char_p90"))
+    }
+  }
+
+  test("corpus drift classifies every change class over landed runs") {
+    // sf0.01: the seeded prior (src19 removed → NEW, retired slice →
+    // GONE, 1/7 docs dropped → GROWN, src0 doubled → SHRUNK) exercises
+    // all classes; sf0.001's 50 docs are too sparse for every slice
+    val rows = graft.pipeline.CorpusDrift.run(spark, "/root/testdata/sf0.01").collect()
+    val classes = rows.map(_.getAs[String]("change_type")).toSet
+    assert(Set("NEW", "GONE", "GROWN", "SHRUNK", "STABLE").subsetOf(classes),
+      s"missing classes: ${Set("NEW", "GONE", "GROWN", "SHRUNK", "STABLE") -- classes}")
+    rows.foreach { r =>
+      r.getAs[String]("change_type") match {
+        case "NEW"  => assert(r.getAs[Any]("token_pct") == null &&
+          r.getAs[Long]("doc_delta") > 0)
+        case "GONE" => assert(r.getAs[Long]("doc_ct") == 0)
+        case "STABLE" =>
+          assert(math.abs(r.getAs[Double]("token_pct")) <= 0.05 + 1e-9)
+        case "GROWN"  => assert(r.getAs[Long]("token_delta") > 0)
+        case "SHRUNK" => assert(r.getAs[Long]("token_delta") < 0)
+      }
+    }
+  }
+
+  test("epoch shuffle deals every pack once per epoch in a fresh order") {
+    val rows = graft.pipeline.Packer.runEpochs(spark, sfDir).collect()
+    val epochs = rows.map(_.getAs[Int]("epoch")).distinct.sorted
+    assert(epochs.sameElements(Array(1, 2)))
+    val perEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    val packSets = perEpoch.map { case (_, rs) =>
+      rs.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("pack_id"))).toSet
+    }.toSeq
+    // same pack universe each epoch, no pack dealt twice
+    assert(packSets(0) == packSets(1))
+    perEpoch.values.foreach { rs =>
+      assert(rs.length == packSets.head.size)
+      // per (worker) the seq numbers are contiguous from 1
+      rs.groupBy(_.getAs[Int]("worker")).values.foreach { ws =>
+        val seqs = ws.map(_.getAs[Long]("seq")).sorted
+        assert(seqs.sameElements(1L to ws.length))
+      }
+    }
+    // the reshuffle property: epoch orders differ
+    def order(e: Int) = rows.filter(_.getAs[Int]("epoch") == e)
+      .sortBy(r => (r.getAs[Int]("worker"), r.getAs[Long]("seq")))
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("pack_id"))).toSeq
+    assert(order(1) != order(2), "epochs produced identical training order")
+  }
+
+  test("quality classifier score is the exact sum of md5 token weights") {
+    import spark.implicits._
+    Seq((1L, "alpha beta beta"), (2L, ""), (3L, "Alpha ALPHA"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__graft_qc_spec")
+    val rows = spark.sql(
+      graft.pipeline.QualityClassifier.sparkSql("__graft_qc_spec"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def w(word: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"qw:$word".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000
+    }
+    assert(rows(1L).getAs[Long]("score_milli") == w("alpha") + 2 * w("beta"))
+    assert(rows(1L).getAs[Long]("token_ct") == 3)
+    assert(rows(2L).getAs[Long]("score_milli") == 0 &&
+      rows(2L).getAs[Long]("token_ct") == 0 &&
+      rows(2L).getAs[Any]("mean_weight") == null)
+    // lowercased before hashing: both casings share one weight
+    assert(rows(3L).getAs[Long]("score_milli") == 2 * w("alpha"))
+    rows.values.foreach { r =>
+      val keep = r.getAs[Int]("keep")
+      assert((r.getAs[Long]("score_milli") >= 0) == (keep == 1))
+    }
+  }
+
+  test("cdc chunks tile each document exactly") {
+    val chunks = graft.pipeline.Chunker.runCdc(spark, sfDir).collect()
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "length(text) AS len").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("len")).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      assert(sorted.head.getAs[Int]("chunk_start") == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("chunk_start") ==
+            a.getAs[Int]("chunk_start") + a.getAs[Int]("chunk_len"))
+        case _ =>
+      }
+      assert(sorted.map(_.getAs[Int]("chunk_len")).sum == docs(id),
+        s"doc $id chunks do not tile its text")
+    }
+  }
+
+  test("cdc boundaries re-align after a prefix edit (the CDC property)") {
+    import spark.implicits._
+    val base = graft.core.Tables.load(spark, sfDir, "documents")
+      .selectExpr("text").limit(1).collect()(0).getString(0)
+    Seq((1L, base), (2L, "EDITED PREFIX >> " + base))
+      .toDF("doc_id", "text").createOrReplaceTempView("__graft_cdc_spec")
+    val rows = spark.sql(
+      graft.pipeline.Chunker.cdcSql("__graft_cdc_spec")(SparkDialect)).collect()
+    val h1 = rows.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(_.getAs[String]("chunk_hash")).toSet
+    val h2 = rows.filter(_.getAs[Long]("doc_id") == 2L)
+      .map(_.getAs[String]("chunk_hash")).toSet
+    // all but the chunk(s) containing the edit survive: fixed-window
+    // chunking would shift every boundary and share (almost) nothing
+    val shared = (h1 & h2).size
+    assert(shared >= h1.size - 2,
+      s"edit destroyed chunk alignment: only $shared of ${h1.size} chunks survive")
+  }
+}

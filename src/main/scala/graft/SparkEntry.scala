@@ -103,6 +103,16 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.QualityClassifier.run(s, dir))) +
       ("chunk_cdc" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runCdc(s, dir))) +
+      ("event_sessions" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Sessions.run(s, dir))) +
+      ("vocab_coverage" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.VocabCoverage.run(s, dir))) +
+      ("bm25_retrieval" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runBm25(s, dir))) +
+      ("hybrid_retrieval" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runHybrid(s, dir))) +
+      ("retrieval_quality" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runQuality(s, dir))) +
       ("source_mixture" ->
         ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.run(s, dir))) +
       ("boilerplate_ngrams" ->
@@ -288,6 +298,11 @@ object SparkEntry {
       ("pack_epochs" -> graft.pipeline.Packer.duckEpochsSql()) +
       ("quality_classifier" -> graft.pipeline.QualityClassifier.duckSql()) +
       ("chunk_cdc" -> graft.pipeline.Chunker.duckCdcSql()) +
+      ("event_sessions" -> graft.streaming.Sessions.duckSql()) +
+      ("vocab_coverage" -> graft.pipeline.VocabCoverage.duckSql()) +
+      ("bm25_retrieval" -> graft.pipeline.Retrieval.duckBm25Sql()) +
+      ("hybrid_retrieval" -> graft.pipeline.Retrieval.duckHybridSql()) +
+      ("retrieval_quality" -> graft.pipeline.Retrieval.duckQualitySql()) +
       ("source_mixture" -> graft.pipeline.SourceMixture.duckSql()) +
       ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
       ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +

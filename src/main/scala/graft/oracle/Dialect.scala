@@ -39,6 +39,10 @@ sealed trait Dialect {
   def dateDiffYear(a: String, b: String): String = s"(year($b) - year($a))"
   /** Whole minutes from a to b (ref EXTRACT(EPOCH)/60 in Freshness_Trend). */
   def dateDiffMinutes(a: String, b: String): String
+  /** Epoch microseconds of a timestamp expression as BIGINT — the
+    * full-precision gap arithmetic (whole-minute diffs floor away
+    * sub-minute gaps). */
+  def epochMicros(x: String): String
   /** Day of week, Postgres convention: 0 = Sunday … 6 = Saturday. */
   def dow(x: String): String
   /** Add whole months to a date/timestamp expression. */
@@ -142,6 +146,7 @@ object SparkDialect extends Dialect {
   def dateAddDays(x: String, n: Int): String = s"date_add($x, $n)"
   def dateDiffMinutes(a: String, b: String): String =
     s"CAST((unix_timestamp(CAST($b AS TIMESTAMP)) - unix_timestamp(CAST($a AS TIMESTAMP))) / 60 AS BIGINT)"
+  def epochMicros(x: String): String = s"unix_micros(CAST($x AS TIMESTAMP))"
   def dow(x: String): String = s"(dayofweek($x) - 1)"
   def addMonths(x: String, n: Int): String = s"add_months($x, $n)"
   def strpos(x: String, sub: String): String = s"instr($x, '${esc(sub)}')"
@@ -208,6 +213,7 @@ object DuckDialect extends Dialect {
   def dateAddDays(x: String, n: Int): String = s"(CAST($x AS DATE) + $n)"
   def dateDiffMinutes(a: String, b: String): String =
     s"CAST(FLOOR(CAST(datediff('second', CAST($a AS TIMESTAMP), CAST($b AS TIMESTAMP)) AS DOUBLE) / 60) AS BIGINT)"
+  def epochMicros(x: String): String = s"epoch_us(CAST($x AS TIMESTAMP))"
   def dow(x: String): String = s"dayofweek($x)"
   def addMonths(x: String, n: Int): String =
     s"(CAST($x AS TIMESTAMP) + INTERVAL '$n months')"

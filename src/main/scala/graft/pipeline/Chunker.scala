@@ -208,10 +208,27 @@ object Chunker {
        | ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Engine path: the native [[graft.functions.CdcChunksExpr]] walks
+    * the boundaries row-locally — no char-position explode, no
+    * shuffle; only the chunk rows ever exist. Spans (and therefore
+    * hashes) are bit-identical to [[cdcSql]], which stays the oracle
+    * rendering (Round8OpsSpec asserts the identity). */
+  private[graft] def cdcNativeSql(table: String): String =
+    s"""SELECT doc_id,
+       |       CAST(p.pos AS INT) AS chunk_idx,
+       |       CAST(shiftright(p.v, 32) AS INT) AS chunk_start,
+       |       CAST(p.v % 4294967296 AS INT) AS chunk_len,
+       |       MD5(SUBSTRING(text, CAST(shiftright(p.v, 32) AS INT),
+       |                     CAST(p.v % 4294967296 AS INT))) AS chunk_hash
+       |  FROM $table
+       | LATERAL VIEW posexplode(graft_cdc_chunks(text)) p AS pos, v
+       | ORDER BY doc_id, chunk_idx""".stripMargin
+
   def runCdc(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_chunk_docs")
-    spark.sql(cdcSql("__graft_chunk_docs")(SparkDialect))
+    graft.functions.CdcChunksExpr.register(spark)
+    spark.sql(cdcNativeSql("__graft_chunk_docs"))
   }
 
   def duckCdcSql(): String = cdcSql("documents")(DuckDialect)

@@ -1,0 +1,248 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Text retrieval over the corpus — the query-side operators a RAG /
+  * eval-harness pipeline runs against curated data:
+  *
+  *  - BM25 lexical ranking ([[bm25Sql]]): the classic probabilistic
+  *    term-weighting over an inverted index. The fixture's queries are
+  *    the first [[NQueries]] documents' distinct terms (production
+  *    passes real query strings through the same shape). Two
+  *    determinism choices keep it hash-checkable cross-engine: the IDF
+  *    keeps the raw odds ratio `(N - df + ½) / (df + ½)` WITHOUT the
+  *    log — log is monotone, so rankings are identical, and `ln` is
+  *    exactly where two engines' libm diverge at the last ulp — and
+  *    each (term, doc) contribution is scaled to an integer BEFORE the
+  *    per-doc SUM, so aggregation order cannot move the total.
+  *
+  *  - Reciprocal-rank fusion ([[hybridSql]]): the standard score-free
+  *    hybrid of the lexical top-k and the embedding top-k
+  *    (`RRF = Σ 1/(60 + rank)`, scaled to exact integers) — rank-based,
+  *    so the two retrievers' incomparable scores never need
+  *    calibration. The vector side reuses [[Similarity.bruteForceSql]]
+  *    (the exact baseline; any ANN hit relation drops in — at scale
+  *    the landed index serves it).
+  *
+  * Scale shape: query terms are a broadcast-sized relation joined
+  * against the (word-bucketed) inverted index — the corpus shuffles
+  * once on word to build tf/df (the same relation a search index
+  * persists), the per-query top-k windows partition by query, and the
+  * fusion join touches only 2·k rows per query.
+  */
+object Retrieval {
+
+  val NQueries = 3
+  val TopK = 10
+  /** BM25 shape parameters (k1, b) — the standard defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** CTE list ending in `bm(query_id, doc_id, score_micro, rank)`. */
+  private def bm25Ctes(table: String, nQueries: Int, k: Int)(d: Dialect): String = {
+    // contribution = idf_odds * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/S).
+    // EVERY operand is explicitly CAST to DOUBLE first: a bare decimal
+    // literal is DECIMAL in both engines but their BIGINT×DECIMAL
+    // promotion rules differ (DuckDB computes exact decimal products
+    // where Spark goes through doubles — a 1-2 micro-unit divergence on
+    // this fixture), while double×double is IEEE-identical everywhere.
+    // The per-(term, doc) value is then scaled to micro-units so the
+    // per-doc SUM is exact integer math.
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    s"""rwords AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |rtf AS (SELECT id, word, COUNT(*) AS tf FROM rwords GROUP BY id, word),
+       |rdl AS (SELECT id, COUNT(*) AS dl FROM rwords GROUP BY id),
+       |rstats AS (SELECT COUNT(*) AS n, SUM(dl) AS s FROM rdl),
+       |rdf AS (SELECT word, COUNT(*) AS df FROM rtf GROUP BY word),
+       |qterms AS (
+       |  SELECT DISTINCT id AS query_id, word FROM rwords WHERE id < $nQueries
+       |),
+       |rscored AS (
+       |  SELECT q.query_id, t.id AS doc_id,
+       |         SUM(CAST(ROUND(${dbl("1000000")}
+       |             * ((${dbl("st.n")} - ${dbl("f.df")} + ${dbl("0.5")})
+       |                / (${dbl("f.df")} + ${dbl("0.5")}))
+       |             * (${dbl("t.tf")} * ${dbl(s"${K1 + 1}")})
+       |             / (${dbl("t.tf")} + ${dbl(s"${K1 * (1 - B)}")}
+       |                + ${dbl(s"${K1 * B}")} * ${dbl("l.dl")} * ${dbl("st.n")}
+       |                  / ${dbl("st.s")})) AS BIGINT))
+       |           AS score_micro
+       |    FROM qterms q
+       |    JOIN rtf t ON t.word = q.word
+       |    JOIN rdf f ON f.word = q.word
+       |    JOIN rdl l ON l.id = t.id
+       |    CROSS JOIN rstats st
+       |   GROUP BY q.query_id, t.id
+       |),
+       |bm AS (
+       |  SELECT query_id, doc_id, score_micro, rk AS rank FROM (
+       |    SELECT query_id, doc_id, score_micro,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY score_micro DESC, doc_id) AS rk
+       |      FROM rscored) r
+       |   WHERE rk <= $k
+       |)""".stripMargin
+  }
+
+  def bm25Sql(table: String, nQueries: Int = NQueries, k: Int = TopK)
+             (d: Dialect): String =
+    s"""WITH ${bm25Ctes(table, nQueries, k)(d)}
+       |SELECT query_id, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+       |       CAST(rank AS INT) AS rank
+       |  FROM bm
+       | ORDER BY query_id, rank""".stripMargin
+
+  def runBm25(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_retr_docs")
+    spark.sql(bm25Sql("__graft_retr_docs")(SparkDialect))
+  }
+
+  def duckBm25Sql(): String = bm25Sql("documents")(DuckDialect)
+
+  /** RRF constant — the published default. */
+  val RrfK = 60
+
+  /** CTE list extending [[bm25Ctes]] with `kn` (the vector top-k) and
+    * `hy(query_id, doc_id, rrf_micro, in_lexical, in_vector, rank)` —
+    * the fused ranking, reusable by the hybrid entry and the quality
+    * harness. */
+  private def hybridCtes(docsTable: String, embTable: String,
+                         nQueries: Int, k: Int)(d: Dialect): String = {
+    // CAST-to-DOUBLE for the same cross-engine decimal-promotion reason
+    // as the BM25 contribution above
+    def rr(rank: String) =
+      s"CAST(ROUND(CAST(1000000 AS DOUBLE) / ($RrfK + $rank)) AS BIGINT)"
+    s"""${bm25Ctes(docsTable, nQueries, k)(d)},
+       |kn AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank
+       |    FROM (${Similarity.bruteForceSql(embTable, nQueries, k)(d)}) v
+       |),
+       |fused AS (
+       |  SELECT COALESCE(b.query_id, kn.query_id) AS query_id,
+       |         COALESCE(b.doc_id, kn.doc_id) AS doc_id,
+       |         COALESCE(${rr("b.rank")}, 0) + COALESCE(${rr("kn.rank")}, 0)
+       |           AS rrf_micro,
+       |         CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS in_lexical,
+       |         CASE WHEN kn.doc_id IS NULL THEN 0 ELSE 1 END AS in_vector
+       |    FROM bm b FULL OUTER JOIN kn
+       |      ON kn.query_id = b.query_id AND kn.doc_id = b.doc_id
+       |),
+       |hy AS (
+       |  SELECT query_id, doc_id, rrf_micro, in_lexical, in_vector,
+       |         rk AS rank
+       |    FROM (SELECT f.*,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                    ORDER BY rrf_micro DESC, doc_id) AS rk
+       |            FROM fused f) z
+       |   WHERE rk <= $k
+       |)""".stripMargin
+  }
+
+  def hybridSql(docsTable: String, embTable: String,
+                nQueries: Int = NQueries, k: Int = TopK)(d: Dialect): String =
+    s"""WITH ${hybridCtes(docsTable, embTable, nQueries, k)(d)}
+       |SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |       CAST(in_lexical AS INT) AS in_lexical,
+       |       CAST(in_vector AS INT) AS in_vector,
+       |       CAST(rank AS INT) AS rank
+       |  FROM hy
+       | ORDER BY query_id, rank""".stripMargin
+
+  def runHybrid(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_retr_docs")
+    graft.core.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("__graft_retr_emb")
+    spark.sql(hybridSql("__graft_retr_docs", "__graft_retr_emb")(SparkDialect))
+  }
+
+  def duckHybridSql(): String =
+    hybridSql("documents", "embeddings")(DuckDialect)
+
+  /** Retrieval quality harness — MRR@k and nDCG@k of every retriever
+    * (lexical, vector, hybrid) against a label-relevance oracle (a doc
+    * is relevant to a query iff it carries the query's embedding
+    * label — the usual proxy when no human judgments exist; production
+    * swaps in a qrels relation, same shape). The measurement every
+    * retrieval deployment reports before choosing a fusion.
+    *
+    * Determinism: the per-rank DCG discounts 1/log2(r+1) are
+    * PRECOMPUTED micro-unit integer literals (log never evaluates in
+    * either engine), DCG/IDCG are exact integer sums, and the final
+    * ratio rounds with the integer half-up trick. The whole harness
+    * touches only the three k-row-per-query lists plus a broadcast
+    * label relation. */
+  def qualitySql(docsTable: String, embTable: String,
+                 nQueries: Int = NQueries, k: Int = TopK)(d: Dialect): String = {
+    // micro-unit 1/log2(r+1) discounts, and their prefix sums (IDCG of
+    // an ideal list with m relevant docs in the top m ranks)
+    val w: Seq[Long] = (1 to k).map(r =>
+      math.rint(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+    val wCase = (1 to k).map(r => s"WHEN rank = $r THEN ${w(r - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val idcgCase = (1 to k).map(m => s"WHEN $m THEN ${prefix(m - 1)}")
+      .mkString(s"CASE LEAST(rel_total, $k) ", " ", " ELSE 0 END")
+    s"""WITH ${hybridCtes(docsTable, embTable, nQueries, k)(d)},
+       |lists AS (
+       |  SELECT 'lexical' AS method, query_id, doc_id, rank FROM bm
+       |  UNION ALL
+       |  SELECT 'vector' AS method, query_id, doc_id, rank FROM kn
+       |  UNION ALL
+       |  SELECT 'hybrid' AS method, query_id, doc_id, rank FROM hy
+       |),
+       |qlbl AS (
+       |  SELECT vec_id AS query_id, label FROM $embTable
+       |   WHERE vec_id < $nQueries
+       |),
+       |rel AS (
+       |  SELECT q.query_id, e.vec_id AS doc_id
+       |    FROM qlbl q JOIN $embTable e ON e.label = q.label
+       |),
+       |relct AS (
+       |  SELECT query_id, COUNT(*) AS rel_total FROM rel GROUP BY query_id
+       |),
+       |marked AS (
+       |  SELECT l.method, l.query_id, l.rank,
+       |         CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+       |    FROM lists l
+       |    LEFT JOIN rel r ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+       |),
+       |agg AS (
+       |  SELECT m.method, m.query_id,
+       |         SUM(m.is_rel) AS rel_at_k,
+       |         MIN(CASE WHEN m.is_rel = 1 THEN m.rank END) AS first_rel,
+       |         SUM(CASE WHEN m.is_rel = 1 THEN $wCase ELSE 0 END) AS dcg
+       |    FROM marked m
+       |   GROUP BY m.method, m.query_id
+       |)
+       |SELECT a.method, a.query_id,
+       |       CAST(a.rel_at_k AS BIGINT) AS rel_at_k,
+       |       CAST(CASE WHEN a.first_rel IS NULL THEN 0
+       |                 ELSE CAST(ROUND(CAST(1000000 AS DOUBLE) / a.first_rel)
+       |                           AS BIGINT)
+       |            END AS BIGINT) AS mrr_micro,
+       |       CAST(${d.intDiv(s"2 * 1000000 * a.dcg + ($idcgCase)",
+                               s"NULLIF(2 * ($idcgCase), 0)")} AS BIGINT)
+       |         AS ndcg_micro
+       |  FROM agg a
+       |  JOIN relct c ON c.query_id = a.query_id
+       | ORDER BY a.method, a.query_id""".stripMargin
+  }
+
+  def runQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_retr_docs")
+    graft.core.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("__graft_retr_emb")
+    spark.sql(qualitySql("__graft_retr_docs", "__graft_retr_emb")(SparkDialect))
+  }
+
+  def duckQualitySql(): String =
+    qualitySql("documents", "embeddings")(DuckDialect)
+}

@@ -84,3 +84,58 @@ object TextAnalysis {
 
   def duckSql(): String = sql("documents")(DuckDialect)
 }
+
+/** Tokenizer-vocabulary coverage — the fit report run before freezing a
+  * tokenizer: fix the vocabulary as the corpus's top-`VocabSize` words
+  * by occurrence (tie-broken by word so both engines pick the same
+  * set), then per source measure how much of the token stream the
+  * vocabulary covers and the out-of-vocabulary rate. A source whose
+  * OOV rate spikes (code, another language, transliteration) will
+  * fragment into byte-fallback tokens downstream — this is the report
+  * that catches it before training.
+  *
+  * Scale shape: the vocabulary is a sort-based top-K (`ORDER BY occ
+  * LIMIT K` — Spark plans TakeOrdered over map-side partial counts,
+  * never a single-partition ROW_NUMBER window), and the coverage pass
+  * is one word-explode scan LEFT-joined against the broadcast-sized
+  * vocabulary. The fixture keeps K small ([[VocabSize]] = 20) so the
+  * synthetic corpus's ~40-word vocabulary actually produces OOV mass;
+  * production K is 30k+ with identical shape.
+  */
+object VocabCoverage {
+
+  val VocabSize = 20
+
+  def sql(table: String, vocabSize: Int = VocabSize)(d: Dialect): String =
+    s"""WITH words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |df AS (SELECT word, COUNT(*) AS occ FROM words GROUP BY word),
+       |vocab AS (
+       |  SELECT word FROM df ORDER BY occ DESC, word LIMIT $vocabSize
+       |),
+       |j AS (
+       |  SELECT dd.source, w.word,
+       |         CASE WHEN v.word IS NULL THEN 0 ELSE 1 END AS in_vocab
+       |    FROM words w
+       |    JOIN $table dd ON dd.doc_id = w.id
+       |    LEFT JOIN vocab v ON v.word = w.word
+       |)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS token_ct,
+       |       CAST(SUM(in_vocab) AS BIGINT) AS in_vocab_ct,
+       |       CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_word_ct,
+       |       CAST(${d.intDiv("2 * 10000 * (COUNT(*) - SUM(in_vocab)) + COUNT(*)",
+                               "2 * COUNT(*)")} / 10000.0 AS DOUBLE) AS oov_rate
+       |  FROM j
+       | GROUP BY source
+       | ORDER BY source""".stripMargin
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_vocab_docs")
+    spark.sql(sql("__graft_vocab_docs")(SparkDialect))
+  }
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+}

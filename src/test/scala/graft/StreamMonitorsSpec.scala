@@ -9,6 +9,7 @@ import graft.streaming.StreamMonitors
 
 /** Top-level so Spark can generate an Encoder without an outer scope. */
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String)
+final case class SessEv(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 final case class GateDoc(doc_id: Long, text: String)
 
@@ -338,5 +339,52 @@ class StreamMonitorsSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture produced no near hits to anchor on")
     assert(streamed == expected,
       s"streamed hits ${streamed.size} != batch near rows ${expected.size}")
+  }
+
+  test("streaming session windows match the batch gap sessions") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: one session — a gap of EXACTLY 30 min merges (the
+    // session_window at-the-bound rule the batch SQL mirrors);
+    // user 2: one session, events 29 min apart;
+    // user 3: two sessions split by a 31-min gap (> bound)
+    val evs = Seq(
+      SessEv(1, 1, t("2026-01-01 10:00:00"), 1.25),
+      SessEv(2, 1, t("2026-01-01 10:10:00"), 2.50),
+      SessEv(3, 1, t("2026-01-01 10:40:00"), 4.00), // exactly +30 → merged
+      SessEv(4, 2, t("2026-01-01 09:00:00"), 1.00),
+      SessEv(5, 2, t("2026-01-01 09:29:00"), 1.00),
+      SessEv(6, 3, t("2026-01-01 08:00:00"), 2.00),
+      SessEv(7, 3, t("2026-01-01 08:31:00"), 3.00), // +31 → new session
+      // sentinel far ahead advances the watermark so all windows close
+      SessEv(8, 9, t("2026-01-02 10:00:00"), 0.0))
+    val input = MemoryStream[SessEv]
+    val q = graft.streaming.Sessions.streamingSessions(input.toDF())
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(evs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("sess_stream").collect()
+        .filter(_.getAs[Long]("user_id") != 9L)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString.stripSuffix(".0"),
+          r.getAs[Timestamp]("session_end").toString.stripSuffix(".0"),
+          r.getAs[Long]("event_ct"), r.getAs[Long]("value_cents"))).toSet
+    } finally q.stop()
+    // anchor: the oracle-checked batch SQL over the same events
+    evs.filter(_.user_id != 9).toDF()
+      .createOrReplaceTempView("__graft_sess_spec")
+    val batch = spark.sql(
+      graft.streaming.Sessions.sql("__graft_sess_spec")(graft.oracle.SparkDialect))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("session_start"), r.getAs[String]("session_end"),
+        r.getAs[Long]("event_ct"), r.getAs[Long]("value_cents"))).toSet
+    assert(batch.size == 4, s"expected 4 batch sessions, got $batch")
+    assert(streamed == batch,
+      s"streaming sessions $streamed != batch sessions $batch")
   }
 }

@@ -175,9 +175,11 @@ object SparkDialect extends Dialect {
        |   THEN sequence(1, $nExpr) END) p AS pos""".stripMargin
   def regexpCount(x: String, re: String): String =
     s"size(regexp_extract_all($x, '${esc(re)}', 0))"
-  def dotProduct(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+  // the native graft_dot expression (registered by Tables.load /
+  // tunePerf on every session) — bit-identical to the HOF rendering
+  // `aggregate(zip_with(a, b, x*y), 0d, acc+v)` it replaced, without
+  // the per-pair zipped allocation + lambda walk (DotExprSpec)
+  def dotProduct(a: String, b: String): String = s"graft_dot($a, $b)"
   def arrayAggOrdered(valExpr: String, ordExpr: String): String =
     s"transform(array_sort(collect_list(named_struct('o', $ordExpr, 'v', $valExpr))), s -> s.v)"
   def arrayPosRel(table: String, keyCol: String, arrCol: String): String =

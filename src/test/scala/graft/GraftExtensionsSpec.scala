@@ -1,0 +1,66 @@
+package graft
+
+import graft.plans.DotProductRewrite
+
+/** The optimizer rewrite: user-spelled HOF dot products upgrade to the
+  * native kernel with bit-identical values. Installed here via
+  * `experimental.extraOptimizations` (the per-session form of what
+  * `spark.sql.extensions=graft.plans.GraftExtensions` does at
+  * deployment). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private val hofDot =
+    "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
+      " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  test("rule rewrites the HOF dot pattern to graft_dot, values unchanged") {
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__graft_ext_emb")
+    val sql =
+      s"""SELECT vec_id, ${hofDot.format("embedding", "embedding")} AS sq
+         |  FROM __graft_ext_emb ORDER BY vec_id""".stripMargin
+    val before = spark.sql(sql).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sq"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_dot"),
+        s"rewrite did not fire:\n${plan.take(600)}")
+      assert(!plan.contains("aggregate(zip_with"),
+        "HOF form survived the rewrite")
+      val after = df.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sq"))
+      assert(after.length == before.length)
+      before.zip(after).foreach { case ((id1, v1), (id2, v2)) =>
+        assert(id1 == id2)
+        assert(java.lang.Double.doubleToRawLongBits(v1) ==
+          java.lang.Double.doubleToRawLongBits(v2),
+          s"value drift at vec $id1: $v1 vs $v2")
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
+    }
+  }
+
+  test("rule leaves non-dot aggregates untouched") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try {
+      // sum (not product) and a non-zero seed — must NOT rewrite
+      val r = spark.sql(
+        """SELECT aggregate(zip_with(array(1.0D, 2.0D), array(3.0D, 4.0D),
+          |  (x, y) -> x + y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS s,
+          |  aggregate(zip_with(array(1.0D), array(2.0D),
+          |  (x, y) -> x * y), CAST(5 AS DOUBLE), (acc, v) -> acc + v) AS seeded
+          |""".stripMargin).collect()(0)
+      assert(r.getAs[Double]("s") == 10.0)
+      assert(r.getAs[Double]("seeded") == 7.0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
+    }
+  }
+}

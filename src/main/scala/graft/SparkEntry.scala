@@ -113,6 +113,12 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runHybrid(s, dir))) +
       ("retrieval_quality" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runQuality(s, dir))) +
+      ("knn_filtered" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runFiltered(s, dir))) +
+      ("event_funnel" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runFunnel(s, dir))) +
+      ("event_retention" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRetention(s, dir))) +
       ("source_mixture" ->
         ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.run(s, dir))) +
       ("boilerplate_ngrams" ->
@@ -303,6 +309,9 @@ object SparkEntry {
       ("bm25_retrieval" -> graft.pipeline.Retrieval.duckBm25Sql()) +
       ("hybrid_retrieval" -> graft.pipeline.Retrieval.duckHybridSql()) +
       ("retrieval_quality" -> graft.pipeline.Retrieval.duckQualitySql()) +
+      ("knn_filtered" -> graft.pipeline.Similarity.filteredSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("event_funnel" -> graft.streaming.EventAnalytics.duckFunnelSql()) +
+      ("event_retention" -> graft.streaming.EventAnalytics.duckRetentionSql()) +
       ("source_mixture" -> graft.pipeline.SourceMixture.duckSql()) +
       ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
       ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +

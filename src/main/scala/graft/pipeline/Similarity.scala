@@ -471,6 +471,44 @@ object Similarity {
       "quantized_bf" -> spark.sql(quantizedSql(v.base)(d)))
   }
 
+  /** Metadata-FILTERED vector search — the "vector search with a WHERE
+    * clause" every retrieval deployment eventually needs (tenant, date
+    * range, source filters): top-k by cosine among only the corpus
+    * vectors passing the predicate (fixture: `label % 2 = 0`). Shape:
+    * the filter applies to the CORPUS side before scoring — post-
+    * filtering an unfiltered top-k silently under-fills k — and the
+    * query side stays broadcast-sized. At scale the predicate pushes
+    * into the index scan (partition/bucket pruning when the index is
+    * partitioned on the filter column — see [[writeIndex]]). */
+  def filteredSql(table: String, nQueries: Int = 5, k: Int = 5,
+                  predicate: String = "label % 2 = 0")(d: Dialect): String = {
+    val qcCos = cosine(d, "q.embedding", "c.embedding")
+    s"""WITH fq AS (
+       |  SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries
+       |),
+       |fc AS (
+       |  SELECT vec_id, embedding FROM $table
+       |   WHERE ($predicate)
+       |),
+       |fpairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $qcCos AS cos
+       |    FROM fq q JOIN fc c ON c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine, CAST(rk AS INT) AS rank
+       |  FROM (SELECT p.*,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                  ORDER BY cos DESC, neighbor_id) AS rk
+       |          FROM fpairs p) z
+       | WHERE rk <= $k
+       | ORDER BY query_id, rank""".stripMargin
+  }
+
+  def runFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val v = hitsView(spark, dir, "filtered")(v => filteredSql(v.base)(d))
+    spark.sql(s"SELECT * FROM $v ORDER BY query_id, rank")
+  }
+
   /** Semantic deduplication (the SemDeDup recipe of embedding-space
     * curation): block the corpus by its IVF seed assignment — vectors
     * can only be semantic duplicates of vectors whose nearest seed

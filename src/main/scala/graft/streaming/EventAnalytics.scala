@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Classic event-analytics operators over the `events` stream table —
+  * the companions of gap sessionization ([[Sessions]]):
+  *
+  *  - Funnel analysis ([[funnelSql]]): ordered step conversion — a
+  *    user counts at step k when their earliest step-k event falls
+  *    strictly after their earliest qualifying step-(k−1) event and
+  *    within the conversion window. Each step is one per-user MIN
+  *    aggregate equi-joined to the previous step's relation: k small
+  *    aggregates over the (already user-bucketed) event shuffle, never
+  *    a per-user sequence sort.
+  *
+  *  - Cohort retention ([[retentionSql]]): users grouped by first-seen
+  *    week, the classic triangle of "active in week n after their
+  *    cohort week". Two per-user rollups and one broadcast-sized join —
+  *    cohort×week cells are metadata-sized at any event volume.
+  *
+  * Percentages round with the integer half-up trick (cross-engine
+  * exact); week truncation is ISO-Monday `date_trunc('week', …)` in
+  * both engines.
+  */
+object EventAnalytics {
+
+  /** The funnel's ordered steps over `event_type`. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "purchase")
+  /** Conversion window in days between consecutive steps. */
+  val WindowDays = 7
+
+  def funnelSql(table: String, steps: Seq[String] = FunnelSteps,
+                windowDays: Int = WindowDays)(d: Dialect): String = {
+    val stepCtes = steps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s0 AS (
+           |  SELECT user_id, MIN(ts) AS t0 FROM $table
+           |   WHERE event_type = '$step' GROUP BY user_id
+           |)""".stripMargin
+      else
+        s"""s$i AS (
+           |  SELECT e.user_id, MIN(e.ts) AS t$i
+           |    FROM $table e
+           |    JOIN s${i - 1} p ON p.user_id = e.user_id
+           |   WHERE e.event_type = '$step'
+           |     AND e.ts > p.t${i - 1}
+           |     AND CAST(e.ts AS DATE) <= ${d.dateAddDays(s"p.t${i - 1}", windowDays)}
+           |   GROUP BY e.user_id
+           |)""".stripMargin
+    }
+    val unions = steps.zipWithIndex.map { case (step, i) =>
+      s"SELECT $i AS step_idx, '$step' AS step, COUNT(*) AS users FROM s$i"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${stepCtes.mkString(",\n")},
+       |f AS (
+       |  $unions
+       |),
+       |base AS (SELECT users AS u0 FROM f WHERE step_idx = 0)
+       |SELECT CAST(step_idx AS INT) AS step_idx, step,
+       |       CAST(users AS BIGINT) AS user_ct,
+       |       CAST(${d.intDiv("2 * 10000 * users + u0", "2 * u0")} / 10000.0
+       |            AS DOUBLE) AS conversion
+       |  FROM f CROSS JOIN base
+       | ORDER BY step_idx""".stripMargin
+  }
+
+  def runFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_funnel_events")
+    spark.sql(funnelSql("__graft_funnel_events")(SparkDialect))
+  }
+
+  def duckFunnelSql(): String = funnelSql("events")(DuckDialect)
+
+  def retentionSql(table: String)(d: Dialect): String =
+    s"""WITH firstw AS (
+       |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+       |    FROM $table GROUP BY user_id
+       |),
+       |activity AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+       |    FROM $table
+       |),
+       |cells AS (
+       |  SELECT f.cohort, ${d.dateDiffWeek("f.cohort", "a.w")} AS week_n,
+       |         COUNT(*) AS users
+       |    FROM activity a JOIN firstw f ON f.user_id = a.user_id
+       |   GROUP BY f.cohort, ${d.dateDiffWeek("f.cohort", "a.w")}
+       |),
+       |base AS (SELECT cohort, users AS u0 FROM cells WHERE week_n = 0)
+       |SELECT c.cohort, CAST(c.week_n AS INT) AS week_n,
+       |       CAST(c.users AS BIGINT) AS user_ct,
+       |       CAST(${d.intDiv("2 * 10000 * c.users + b.u0", "2 * b.u0")} / 10000.0
+       |            AS DOUBLE) AS retention
+       |  FROM cells c JOIN base b ON b.cohort = c.cohort
+       | ORDER BY c.cohort, c.week_n""".stripMargin
+
+  def runRetention(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_ret_events")
+    spark.sql(retentionSql("__graft_ret_events")(SparkDialect))
+  }
+
+  def duckRetentionSql(): String = retentionSql("events")(DuckDialect)
+}

@@ -275,6 +275,47 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel user counts are monotone down the steps") {
+    val rows = graft.streaming.EventAnalytics.runFunnel(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("step_idx"))
+    assert(rows.length == 3)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("user_ct") <= a.getAs[Long]("user_ct"),
+          "a later funnel step cannot gain users")
+      case _ =>
+    }
+    assert(rows.head.getAs[Double]("conversion") == 1.0)
+    rows.foreach(r => assert(r.getAs[Double]("conversion") <= 1.0))
+  }
+
+  test("retention is 1.0 in the cohort week and bounded after") {
+    val rows = graft.streaming.EventAnalytics.runRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Int]("week_n") == 0)
+      .foreach(r => assert(r.getAs[Double]("retention") == 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("week_n") >= 0)
+      assert(r.getAs[Double]("retention") <= 1.0)
+    }
+  }
+
+  test("filtered knn returns only corpus vectors passing the predicate") {
+    val rows = graft.pipeline.Similarity.runFiltered(spark, sfDir).collect()
+    val labels = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) % 2 == 0, s"neighbor $n fails the predicate")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rs.length))
+    }
+  }
+
   test("cdc boundaries re-align after a prefix edit (the CDC property)") {
     import spark.implicits._
     val base = graft.core.Tables.load(spark, sfDir, "documents")

@@ -564,13 +564,40 @@ object Similarity {
     * independently readable slice. [[readBucket]] is the probe-side
     * read; PlanSpec asserts the bucket predicate lands in the scan's
     * PartitionFilters (pruned at the source, not filtered after). */
-  def writeIndex(spark: SparkSession, dir: String, outPath: String): Unit =
-    spark.table(annViews(spark, dir).base)
+  def writeIndex(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val v = annViews(spark, dir)
+    spark.table(v.base)
       .write.mode("overwrite").partitionBy("bucket").parquet(outPath)
+    // freeze the seed sample beside the index — [[appendIndex]] assigns
+    // future batches against exactly these
+    spark.table(v.seeds)
+      .write.mode("overwrite").parquet(s"${outPath}_seeds")
+  }
 
   def readBucket(spark: SparkSession, outPath: String, bucket: Int): DataFrame =
     spark.read.parquet(outPath)
       .where(org.apache.spark.sql.functions.col("bucket") === bucket)
+
+  /** Incremental index maintenance — the daily-batch shape: new vectors
+    * append into the SAME bucket-partitioned layout without touching
+    * (or re-reading) the landed index. The sign-LSH bucket is a pure
+    * per-row expression, and the seed assignment reuses the seeds
+    * PERSISTED at build time (`<path>_seeds`) — seeds must stay frozen
+    * across appends or every previously landed assignment silently
+    * invalidates; re-seeding is a full rebuild by design. Append-mode
+    * partitionBy writes only the touched bucket directories; probes
+    * keep partition-pruning over old + new files alike. */
+  def appendIndex(spark: SparkSession, batch: DataFrame, outPath: String): Unit = {
+    batch.createOrReplaceTempView("__graft_append_batch")
+    spark.read.parquet(s"${outPath}_seeds")
+      .createOrReplaceTempView("__graft_append_seeds")
+    spark.sql(
+      s"""WITH ${assignCte("__graft_append_batch", "__graft_append_seeds")(d)}
+         |SELECT vec_id, label, embedding,
+         |       ${bucketExpr("embedding")(d)} AS bucket, seed_id
+         |  FROM assign""".stripMargin)
+      .write.mode("append").partitionBy("bucket").parquet(outPath)
+  }
 
   def runBruteForce(spark: SparkSession, dir: String): DataFrame =
     spark.sql(s"SELECT * FROM ${bruteView(spark, dir)} ORDER BY query_id, rank")

@@ -119,6 +119,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runFunnel(s, dir))) +
       ("event_retention" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRetention(s, dir))) +
+      ("event_pattern" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPattern(s, dir))) +
       ("source_mixture" ->
         ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.run(s, dir))) +
       ("boilerplate_ngrams" ->
@@ -312,6 +314,7 @@ object SparkEntry {
       ("knn_filtered" -> graft.pipeline.Similarity.filteredSql("embeddings")(graft.oracle.DuckDialect)) +
       ("event_funnel" -> graft.streaming.EventAnalytics.duckFunnelSql()) +
       ("event_retention" -> graft.streaming.EventAnalytics.duckRetentionSql()) +
+      ("event_pattern" -> graft.streaming.EventAnalytics.duckPatternSql()) +
       ("source_mixture" -> graft.pipeline.SourceMixture.duckSql()) +
       ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
       ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +

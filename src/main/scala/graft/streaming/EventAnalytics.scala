@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
@@ -104,4 +105,98 @@ object EventAnalytics {
   }
 
   def duckRetentionSql(): String = retentionSql("events")(DuckDialect)
+
+  /** Sequence-pattern detection (CEP / MATCH_RECOGNIZE-lite): per user,
+    * the first `signup` followed by the first later `purchase`, with a
+    * `clean` flag when no `error` event falls strictly between them —
+    * the "converted without incident" cohort every funnel analysis
+    * drills into next. Three per-user aggregates over the same
+    * user-bucketed shuffle (first A, first B-after-A, error-existence
+    * between) — never a per-user ordered scan, so a user with millions
+    * of events costs three combiner groups, not a sort. */
+  def patternSql(table: String)(d: Dialect): String =
+    s"""WITH a AS (
+       |  SELECT user_id, MIN(ts) AS a_ts FROM $table
+       |   WHERE event_type = 'signup' GROUP BY user_id
+       |),
+       |b AS (
+       |  SELECT e.user_id, MIN(e.ts) AS b_ts
+       |    FROM $table e JOIN a ON a.user_id = e.user_id
+       |   WHERE e.event_type = 'purchase' AND e.ts > a.a_ts
+       |   GROUP BY e.user_id
+       |),
+       |err AS (
+       |  SELECT DISTINCT e.user_id
+       |    FROM $table e
+       |    JOIN a ON a.user_id = e.user_id
+       |    JOIN b ON b.user_id = e.user_id
+       |   WHERE e.event_type = 'error' AND e.ts > a.a_ts AND e.ts < b.b_ts
+       |)
+       |SELECT a.user_id,
+       |       ${d.fmtTs("a.a_ts")} AS signup_ts,
+       |       ${d.fmtTs("b.b_ts")} AS purchase_ts,
+       |       CAST(${d.dateDiffMinutes("a.a_ts", "b.b_ts")} AS BIGINT)
+       |         AS minutes_to_convert,
+       |       CAST(CASE WHEN err.user_id IS NULL THEN 1 ELSE 0 END AS INT)
+       |         AS clean
+       |  FROM a JOIN b ON b.user_id = a.user_id
+       |  LEFT JOIN err ON err.user_id = a.user_id
+       | ORDER BY a.user_id""".stripMargin
+
+  def runPattern(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_pat_events")
+    spark.sql(patternSql("__graft_pat_events")(SparkDialect))
+  }
+
+  def duckPatternSql(): String = patternSql("events")(DuckDialect)
+
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                               event_type: String)
+  /** Epoch-micros of each step reached so far (length = furthest+1). */
+  final case class FunnelState(reached: Seq[Long])
+  final case class FunnelAdvance(user_id: Long, step_idx: Int, step: String,
+                                 ts: java.sql.Timestamp)
+
+  /** Streaming funnel — the keyed-state twin of [[funnelSql]]: per
+    * user, a tiny `flatMapGroupsWithState` state machine holding the
+    * timestamp each step was reached; an event advances the funnel
+    * when it is the NEXT step, strictly after the previous step's
+    * commit, inside the window — and each advance emits immediately
+    * (the batch SQL only reports after the fact). State is
+    * O(steps) longs per active user. Advances commit greedily in
+    * event-time order within each micro-batch; cross-batch
+    * out-of-order delivery commits to the first qualifying event seen
+    * — the standard streaming-CEP trade the replay spec pins against
+    * the batch counts on an ordered replay. */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+                      steps: Seq[String] = FunnelSteps,
+                      windowDays: Int = WindowDays): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    // the batch SQL's window is DATE-grain (CAST(ts AS DATE) <=
+    // prev_date + windowDays, UTC) — mirror it exactly
+    def utcDay(us: Long): Long = Math.floorDiv(us, 86400L * 1000000L)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var reached = state.getOption.map(_.reached).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+          for (e <- it.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_type))) {
+            val next = reached.length
+            if (next < steps.length && e.event_type == steps(next)) {
+              val us = e.ts.getTime * 1000
+              val ok = next == 0 ||
+                (us > reached.last &&
+                  utcDay(us) <= utcDay(reached.last) + windowDays)
+              if (ok) {
+                reached = reached :+ us
+                out += FunnelAdvance(user, next, steps(next), e.ts)
+              }
+            }
+          }
+          state.update(FunnelState(reached))
+          out.iterator
+      }
+  }
 }

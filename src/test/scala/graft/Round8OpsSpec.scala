@@ -316,6 +316,32 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("pattern matches order steps and the clean flag excludes errors between") {
+    val rows = graft.streaming.EventAnalytics.runPattern(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = java.sql.Timestamp.valueOf(r.getAs[String]("signup_ts"))
+      val p = java.sql.Timestamp.valueOf(r.getAs[String]("purchase_ts"))
+      assert(p.after(s), "purchase must follow signup")
+      assert(r.getAs[Long]("minutes_to_convert") >= 0)
+      assert(Set(0, 1).contains(r.getAs[Int]("clean")))
+    }
+    // cross-check one user's clean flag against the raw events
+    val sample = rows.head
+    val uid = sample.getAs[Long]("user_id")
+    // second-formatted strings compare chronologically
+    val evs = graft.core.Tables.load(spark, sfDir, "events")
+      .where(s"user_id = $uid")
+      .selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS t", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val s0 = sample.getAs[String]("signup_ts")
+    val p0 = sample.getAs[String]("purchase_ts")
+    val errBetween = evs.exists { case (t, ty) =>
+      ty == "error" && t > s0 && t < p0
+    }
+    assert((sample.getAs[Int]("clean") == 1) == !errBetween)
+  }
+
   test("cdc boundaries re-align after a prefix edit (the CDC property)") {
     import spark.implicits._
     val base = graft.core.Tables.load(spark, sfDir, "documents")

@@ -387,4 +387,32 @@ class StreamMonitorsSpec extends SparkSpec {
     assert(streamed == batch,
       s"streaming sessions $streamed != batch sessions $batch")
   }
+
+  test("streaming funnel advances match the batch step counts on replay") {
+    import graft.streaming.EventAnalytics
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real fixture, replayed in one ordered batch
+    val evs = graft.core.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "ts", "event_type").as[EventAnalytics.FunnelEvent]
+      .collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[EventAnalytics.FunnelEvent]
+    val q = EventAnalytics.streamingFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    val advances = try {
+      input.addData(evs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("funnel_stream").collect()
+    } finally q.stop()
+    val streamedCounts = advances.groupBy(_.getAs[Int]("step_idx"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("user_id")).distinct.length }
+    val batch = EventAnalytics.runFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("user_ct").toInt)
+      .toMap
+    assert(batch.nonEmpty && batch(0) > 0)
+    assert(streamedCounts == batch,
+      s"streaming funnel $streamedCounts != batch $batch")
+  }
 }

@@ -254,7 +254,21 @@ object SparkEntry {
       ("score_card_categories" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardCategories(s, dir))) +
       ("query_test_prevalence" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runQueryPrevalence(s, dir)))
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runQueryPrevalence(s, dir))) +
+      ("doc_outliers" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.DocStats.runOutliers(s, dir))) +
+      ("readability" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.DocStats.runReadability(s, dir))) +
+      ("bpe_pairs" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.run(s, dir))) +
+      ("embedding_outliers" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runOutliers(s, dir))) +
+      ("decontaminate_semantic" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateSemantic(s, dir))) +
+      ("event_rate_anomaly" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))) +
+      ("event_props_stats" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPropsStats(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -389,5 +403,12 @@ object SparkEntry {
       ("score_card_issues_impact" -> graft.scoring.Scoring.duckScoreCardIssuesImpactSql()) +
       ("score_card_history_columns" -> graft.scoring.Scoring.duckScoreHistoryColumnsSql()) +
       ("score_card_categories" -> graft.scoring.Scoring.duckScoreCardCategoriesSql()) +
-      ("query_test_prevalence" -> graft.scoring.Scoring.duckQueryPrevalenceSql())
+      ("query_test_prevalence" -> graft.scoring.Scoring.duckQueryPrevalenceSql()) +
+      ("doc_outliers" -> graft.pipeline.DocStats.duckOutliersSql()) +
+      ("readability" -> graft.pipeline.DocStats.duckReadabilitySql()) +
+      ("bpe_pairs" -> graft.pipeline.BpeMerges.duckSql()) +
+      ("embedding_outliers" -> graft.pipeline.Similarity.outliersSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("decontaminate_semantic" -> graft.pipeline.Dedup.decontaminateSemanticSql("embeddings")(graft.oracle.DuckDialect)) +
+      ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()) +
+      ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql())
 }

@@ -47,6 +47,8 @@ sealed trait Dialect {
   def dow(x: String): String
   /** Add whole months to a date/timestamp expression. */
   def addMonths(x: String, n: Int): String
+  /** Extract a JSON field as text (NULL on absent path / invalid JSON). */
+  def jsonExtract(x: String, path: String): String
   /** 1-based position of substring, 0 if absent (Postgres STRPOS). */
   def strpos(x: String, sub: String): String
   /** strpos with the needle as an expression rather than a literal. */
@@ -151,6 +153,8 @@ object SparkDialect extends Dialect {
   def addMonths(x: String, n: Int): String = s"add_months($x, $n)"
   def strpos(x: String, sub: String): String = s"instr($x, '${esc(sub)}')"
   def strposExpr(x: String, subExpr: String): String = s"instr($x, $subExpr)"
+  def jsonExtract(x: String, path: String): String =
+    s"get_json_object($x, '${esc(path)}')"
   def hexToLong(h: String): String = s"CAST(CONV($h, 16, 10) AS BIGINT)"
   def elementAt(arr: String, i: Int): String = s"CAST(element_at($arr, $i) AS DOUBLE)"
   def arrayLen(arr: String): String = s"size($arr)"
@@ -221,6 +225,8 @@ object DuckDialect extends Dialect {
     s"(CAST($x AS TIMESTAMP) + INTERVAL '$n months')"
   def strpos(x: String, sub: String): String = s"strpos($x, '${esc(sub)}')"
   def strposExpr(x: String, subExpr: String): String = s"strpos($x, $subExpr)"
+  def jsonExtract(x: String, path: String): String =
+    s"json_extract_string($x, '${esc(path)}')"
   def hexToLong(h: String): String = s"CAST(CAST('0x' || $h AS UBIGINT) AS BIGINT)"
   def elementAt(arr: String, i: Int): String = s"CAST(($arr)[$i] AS DOUBLE)"
   def arrayLen(arr: String): String = s"len($arr)"

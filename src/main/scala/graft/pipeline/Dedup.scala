@@ -371,6 +371,56 @@ object Dedup {
     spark.sql(embeddingLshSql("__graft_emb_lsh")(SparkDialect))
   }
 
+  /** SEMANTIC decontamination — the embedding-space companion to the
+    * fingerprint [[decontaminateSql]]: paraphrased or re-formatted eval
+    * items share no 40-char winnow gram with their training twin but DO
+    * land nearby in embedding space, so benchmark leakage audits run
+    * both screens. Eval membership is a deterministic fixture role
+    * (`vec_id % 41 = 0` stands in for the benchmark embedding table);
+    * candidates block on a sign-LSH bucket and score by exact cosine.
+    *
+    * Fewer planes than the dedup path (4 vs 8): decontamination is
+    * recall-critical — a missed leak poisons the benchmark, a spurious
+    * candidate merely costs one exact-cosine check — so the bucket
+    * gate is twice as permissive and production stacks several
+    * independent bucket tables on top.
+    *
+    * Scale shape: the eval side is benchmark-sized (broadcast); the
+    * training corpus shuffles ZERO times — each row computes its
+    * bucket, probes the broadcast eval buckets, and only colliding
+    * rows reach the cosine. Fixture threshold 0.25, same adjudication
+    * as the 0.30/0.40 embedding-dedup entries (production 0.9+). */
+  def decontaminateSemanticSql(table: String, threshold: Double = 0.25,
+                               nPlanes: Int = 4, dim: Int = 64)
+                              (d: Dialect): String = {
+    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
+    s"""WITH demb AS (
+       |  SELECT vec_id, $bucket AS bucket, embedding,
+       |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm,
+       |         (vec_id % 41 = 0) AS is_eval
+       |    FROM $table
+       |),
+       |dpairs AS (
+       |  SELECT /*+ BROADCAST(e) */ t.vec_id AS train_id,
+       |         e.vec_id AS eval_id, t.bucket,
+       |         ${d.dotProduct("t.embedding", "e.embedding")}
+       |           / NULLIF(t.nrm * e.nrm, 0) AS cos
+       |    FROM demb t JOIN demb e
+       |      ON t.bucket = e.bucket AND e.is_eval AND NOT t.is_eval
+       |)
+       |SELECT train_id, eval_id, bucket,
+       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
+       |  FROM dpairs
+       | WHERE cos >= $threshold
+       | ORDER BY train_id, eval_id""".stripMargin
+  }
+
+  def runDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("__graft_emb_decon")
+    spark.sql(decontaminateSemanticSql("__graft_emb_decon")(SparkDialect))
+  }
+
   /** Winnowing fingerprint dedup (the MOSS rolling-hash scheme,
     * Schleimer/Wilkerson/Aiken 2003): hash every `k`-char gram of the
     * normalized text, keep each `w`-window's MINIMUM hash, and the

@@ -555,6 +555,50 @@ object Similarity {
   def runSemantic(spark: SparkSession, dir: String): DataFrame =
     spark.sql(semanticBody(annViews(spark, dir).base, 0.30)(d))
 
+  /** Embedding-space outliers — the out-of-distribution screen a
+    * curation pipeline runs before training: vectors whose cosine to
+    * their assigned (seeded-IVF) centroid falls below the cluster's
+    * 10th percentile are flagged as distributional stragglers (wrong-
+    * modality embeds, corrupt rows, genuinely novel content — all
+    * reviewed before they steer the mixture). Cosines are rounded to
+    * 6 dp BEFORE the quantile so both engines rank identical inputs.
+    *
+    * Scale shape: one broadcast join of the corpus against the K seed
+    * vectors (the assignment relation is already landed per session),
+    * a K-row quantile rollup, and a broadcast fence join — the corpus
+    * shuffles zero times. */
+  private def outliersBody(assignRel: String, seedsRel: String)
+                          (d: Dialect): String = {
+    val cos = cosine(d, "a.embedding", "s.centroid")
+    s"""WITH oc AS (
+       |  SELECT /*+ BROADCAST(s) */ a.vec_id, a.seed_id,
+       |         ROUND($cos, 6) AS cos
+       |    FROM $assignRel a JOIN $seedsRel s ON a.seed_id = s.seed_id
+       |),
+       |ost AS (
+       |  SELECT seed_id, ${d.quantileCont("cos", 0.1)} AS p10
+       |    FROM oc GROUP BY seed_id
+       |)
+       |SELECT o.vec_id, CAST(o.seed_id AS BIGINT) AS seed_id,
+       |       CAST(o.cos AS DOUBLE) AS cos_sim,
+       |       CAST(ROUND(st.p10, 6) AS DOUBLE) AS cluster_p10
+       |  FROM oc o JOIN ost st ON o.seed_id = st.seed_id
+       | WHERE o.cos < st.p10
+       | ORDER BY o.vec_id""".stripMargin
+  }
+
+  def outliersSql(table: String,
+                  nCentroids: Int = DefaultCentroids)(d: Dialect): String =
+    s"""WITH ${seedsCte(table, nCentroids)(d)},
+       |${assignCte(table, "seeds")(d)},
+       |${outliersBody("assign", "seeds")(d).stripPrefix("WITH ")}""".stripMargin
+
+  /** Spark path: reads the memoized landed index base + frozen seeds. */
+  def runOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = annViews(spark, dir)
+    spark.sql(outliersBody(v.base, v.seeds)(d))
+  }
+
   /** Persist the ANN index BUCKET-PARTITIONED — the cluster-scale
     * serving path the in-session checkpoints stand in for: the base
     * relation (vec_id, label, embedding, seed_id) written

@@ -151,6 +151,91 @@ object EventAnalytics {
 
   def duckPatternSql(): String = patternSql("events")(DuckDialect)
 
+  /** Event-rate anomaly detection — the volume-band monitor at event
+    * grain: hourly counts per event type scored against a trailing
+    * 24-hour window (mean ± [[AnomalyZ]]·stddev, warm-up of 12 hours
+    * before any verdict). The hour grid is whatever hours actually have
+    * events (a fully-silent hour surfaces through the freshness-gap
+    * monitors, which own absence; this screen owns rate CHANGE).
+    *
+    * Scale shape: the raw stream collapses to (event_type, hour) counts
+    * in one map-side-combined aggregate — everything after that is
+    * window arithmetic over a relation with one row per type-hour,
+    * metadata-sized at any event volume, partitioned by type. */
+  def rateAnomalySql(table: String, z: Double = AnomalyZ)(d: Dialect): String =
+    s"""WITH hc AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS ct
+       |    FROM $table
+       |   GROUP BY event_type, date_trunc('hour', ts)
+       |),
+       |w AS (
+       |  SELECT event_type, hr, ct,
+       |         AVG(CAST(ct AS DOUBLE)) OVER trail AS mu,
+       |         STDDEV(CAST(ct AS DOUBLE)) OVER trail AS sd,
+       |         COUNT(*) OVER trail AS nwin
+       |    FROM hc
+       |  WINDOW trail AS (PARTITION BY event_type ORDER BY hr
+       |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_type, ${d.fmtTs("hr")} AS hour_ts,
+       |       CAST(ct AS BIGINT) AS event_ct,
+       |       CAST(ROUND(mu, 4) AS DOUBLE) AS trail_avg,
+       |       CAST(ROUND(sd, 4) AS DOUBLE) AS trail_sd,
+       |       CAST(ROUND((ct - mu) / sd, 2) AS DOUBLE) AS z_score,
+       |       CASE WHEN ct > mu THEN 'SPIKE' ELSE 'DROP' END AS direction
+       |  FROM w
+       | WHERE nwin >= 12 AND sd > 0 AND ABS(ct - mu) > $z * sd
+       | ORDER BY event_type, hr""".stripMargin
+
+  val AnomalyZ = 3.0
+
+  def runRateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_rate_events")
+    spark.sql(rateAnomalySql("__graft_rate_events")(SparkDialect))
+  }
+
+  def duckRateAnomalySql(): String = rateAnomalySql("events")(DuckDialect)
+
+  /** Semi-structured property extraction + rollup — the JSON-bag shape
+    * every event pipeline carries (`props` here is the tracking
+    * payload): pull typed fields out of the JSON string with the
+    * engine's native path extractor (`get_json_object` /
+    * `json_extract_string` — codegen'd, no UDF), then roll up per
+    * event type. Averages divide exact integer sums and monetary
+    * values aggregate as exact cents, so no float accumulation order
+    * can differ across partitions or engines.
+    *
+    * Scale shape: extraction is per-row in the scan projection; the
+    * rollup is a map-side-combined groupBy on event_type — one
+    * shuffle of a types-sized relation. */
+  def propsStatsSql(table: String)(d: Dialect): String =
+    s"""WITH x AS (
+       |  SELECT event_type,
+       |         TRY_CAST(${d.jsonExtract("props", "$.k")} AS BIGINT) AS k,
+       |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+       |    FROM $table
+       |)
+       |SELECT event_type,
+       |       CAST(COUNT(*) AS BIGINT) AS event_ct,
+       |       CAST(COUNT(k) AS BIGINT) AS k_present_ct,
+       |       CAST(MIN(k) AS BIGINT) AS k_min,
+       |       CAST(MAX(k) AS BIGINT) AS k_max,
+       |       CAST(ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS DOUBLE) AS k_avg,
+       |       CAST(${d.quantileCont("k", 0.5)} AS DOUBLE) AS k_p50,
+       |       CAST(SUM(cents) AS BIGINT) AS value_cents
+       |  FROM x
+       | GROUP BY event_type
+       | ORDER BY event_type""".stripMargin
+
+  def runPropsStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_props_events")
+    spark.sql(propsStatsSql("__graft_props_events")(SparkDialect))
+  }
+
+  def duckPropsStatsSql(): String = propsStatsSql("events")(DuckDialect)
+
   final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
                                event_type: String)
   /** Epoch-micros of each step reached so far (length = furthest+1). */

@@ -1,0 +1,124 @@
+package graft
+
+/** Semantic + plan assertions for the corpus-screen additions: per-source
+  * length outliers, readability, BPE merge pairs, embedding-space
+  * outliers, semantic decontamination, and event-rate anomalies. */
+class CurationOpsSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("doc outliers sit outside their source's quartile fence") {
+    val rows = graft.pipeline.DocStats.runOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chars").toDouble
+      val med = r.getAs[Double]("median_chars")
+      val side = r.getAs[String]("side")
+      // HIGH rows are above the median, LOW rows below — the fence is
+      // strictly outside the box on the flagged side
+      if (side == "HIGH") assert(n > med, s"HIGH outlier $n not above median $med")
+      else assert(n < med, s"LOW outlier $n not below median $med")
+      assert(r.getAs[Double]("iqr") >= 0)
+    }
+    // a screen that flags most of the corpus is not an outlier screen
+    val total = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length < total / 5, s"${rows.length} of $total flagged")
+  }
+
+  test("doc outliers plan: broadcast fence join, no cartesian") {
+    val p = plan(graft.pipeline.DocStats.runOutliers(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "fence join should broadcast")
+  }
+
+  test("readability bands agree with the integer-exact ease value") {
+    val rows = graft.pipeline.DocStats.runReadability(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fe = r.getAs[Double]("flesch_ease")
+      val band = r.getAs[String]("band")
+      val expect =
+        if (fe >= 70) "EASY" else if (fe >= 50) "STANDARD" else "DIFFICULT"
+      // the 2-dp rounded ease can only disagree with the integer-exact
+      // band within half an ulp of the threshold itself
+      if (math.abs(fe - 70) > 0.01 && math.abs(fe - 50) > 0.01)
+        assert(band == expect, s"band $band vs ease $fe")
+      assert(r.getAs[Long]("word_ct") > 0)
+      assert(r.getAs[Long]("sentence_ct") >= 1)
+      assert(r.getAs[Long]("syllable_ct") >= 1)
+    }
+  }
+
+  test("bpe merge pairs are deterministically ranked and bounded") {
+    val rows = graft.pipeline.BpeMerges.run(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.pipeline.BpeMerges.TopK)
+    val cts = rows.map(_.getAs[Long]("pair_ct"))
+    assert(cts.zip(cts.tail).forall { case (a, b) => a >= b }, "not sorted by count")
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("left_tok") + "_" + r.getAs[String]("right_tok"))
+    }
+  }
+
+  test("bpe merge pairs plan has no self-join of the token stream") {
+    // adjacency comes from a per-document LEAD window, not a join
+    val p = plan(graft.pipeline.BpeMerges.run(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), "pair derivation should be join-free")
+  }
+
+  test("embedding outliers fall below their cluster's p10 fence") {
+    val rows = graft.pipeline.Similarity.runOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") < r.getAs[Double]("cluster_p10"))
+    }
+    // p10 fence ⇒ roughly a tenth of the corpus, never a majority
+    val total = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.length < total / 5, s"${rows.length} of $total flagged")
+  }
+
+  test("semantic decontamination respects the eval/train role split") {
+    val rows = graft.pipeline.Dedup.runDecontaminateSemantic(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eval_id") % 41 == 0)
+      assert(r.getAs[Long]("train_id") % 41 != 0)
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.25 && c <= 1.0001)
+    }
+  }
+
+  test("semantic decontamination plans a bucket equi-join, never all-pairs") {
+    val p = plan(graft.pipeline.Dedup.runDecontaminateSemantic(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination pair join must stay bucket-blocked")
+  }
+
+  test("props extraction rollup is complete and integer-exact") {
+    val rows = graft.streaming.EventAnalytics.runPropsStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("event_ct")).sum
+    assert(total == graft.core.Tables.load(spark, sfDir, "events").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_present_ct") <= r.getAs[Long]("event_ct"))
+      assert(r.getAs[Long]("k_min") <= r.getAs[Long]("k_max"))
+      val avg = r.getAs[Double]("k_avg")
+      assert(avg >= r.getAs[Long]("k_min") && avg <= r.getAs[Long]("k_max"))
+    }
+  }
+
+  test("event rate anomalies exceed the trailing z fence on the flagged side") {
+    val rows = graft.streaming.EventAnalytics.runRateAnomaly(spark, sfDir).collect()
+    rows.foreach { r =>
+      val ct = r.getAs[Long]("event_ct").toDouble
+      val mu = r.getAs[Double]("trail_avg")
+      val sd = r.getAs[Double]("trail_sd")
+      assert(sd > 0)
+      assert(math.abs(ct - mu) > 2.9 * sd, s"|$ct - $mu| within ${2.9 * sd}")
+      val dir = r.getAs[String]("direction")
+      assert(if (ct > mu) dir == "SPIKE" else dir == "DROP")
+    }
+  }
+}

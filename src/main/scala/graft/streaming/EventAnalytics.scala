@@ -284,4 +284,70 @@ object EventAnalytics {
           out.iterator
       }
   }
+
+  final case class RateEvent(ts: java.sql.Timestamp, event_type: String)
+  /** `ring` = the trailing (up to 24) CLOSED hourly counts, ascending;
+    * `open` = counts for hours not yet closed by a later hour. */
+  final case class RateState(ring: Seq[(Long, Long)], open: Map[Long, Long])
+  final case class RateAlert(event_type: String, hour_ts: String,
+                             event_ct: Long, trail_avg: Double,
+                             trail_sd: Double, z_score: Double,
+                             direction: String)
+
+  /** Streaming twin of [[rateAnomalySql]]: per event type, a keyed
+    * state machine holds the current open hourly counts plus a ring of
+    * the trailing 24 CLOSED hourly counts — an hour closes when a
+    * later hour for the same type is observed, exactly the "next
+    * present hour" semantics of the batch window's `ROWS 24 PRECEDING`
+    * over present type-hours. A closing hour is scored against the
+    * ring (mean ± z·sample-stddev, 12-hour warm-up) and an alert emits
+    * immediately; the hour then joins the ring and the ring trims to
+    * 24 — state is O(25) longs per type no matter how long the stream
+    * runs. Events for hours at or before the last closed hour are
+    * late-after-close and are dropped (the batch relation re-reads
+    * everything; the replay spec pins the ordered-replay parity). */
+  def streamingRateAnomalies(events: Dataset[RateEvent],
+                             z: Double = AnomalyZ): Dataset[RateAlert] = {
+    import events.sparkSession.implicits._
+    def hourOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 3600000L)
+    def fmtHour(h: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(h * 3600000L))
+    def r(x: Double, s: Double) = math.rint(x * s) / s
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[RateEvent],
+         state: org.apache.spark.sql.streaming.GroupState[RateState]) =>
+          val st = state.getOption.getOrElse(RateState(Seq.empty, Map.empty))
+          var open = st.open
+          var ring = st.ring
+          val lastClosed = ring.lastOption.map(_._1).getOrElse(Long.MinValue)
+          for (e <- it) {
+            val h = hourOf(e.ts)
+            if (h > lastClosed) open += h -> (open.getOrElse(h, 0L) + 1L)
+          }
+          val out = scala.collection.mutable.ArrayBuffer[RateAlert]()
+          if (open.nonEmpty) {
+            val maxH = open.keys.max
+            for (h <- open.keys.filter(_ < maxH).toSeq.sorted) {
+              val ct = open(h)
+              if (ring.length >= 12) {
+                val mu = ring.map(_._2.toDouble).sum / ring.length
+                val sd = math.sqrt(ring.map { case (_, c) =>
+                  (c - mu) * (c - mu) }.sum / (ring.length - 1))
+                if (sd > 0 && math.abs(ct - mu) > z * sd)
+                  out += RateAlert(typ, fmtHour(h), ct, r(mu, 1e4), r(sd, 1e4),
+                    r((ct - mu) / sd, 100), if (ct > mu) "SPIKE" else "DROP")
+              }
+              ring = (ring :+ (h -> ct)).takeRight(24)
+              open -= h
+            }
+          }
+          state.update(RateState(ring, open))
+          out.iterator
+      }
+  }
 }

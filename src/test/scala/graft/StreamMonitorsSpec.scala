@@ -415,4 +415,57 @@ class StreamMonitorsSpec extends SparkSpec {
     assert(streamedCounts == batch,
       s"streaming funnel $streamedCounts != batch $batch")
   }
+
+  test("streaming rate anomalies match the batch screen on a two-chunk replay") {
+    import graft.streaming.EventAnalytics
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.01 has a dense-enough hour grid to produce real anomalies
+    val dir = "/root/testdata/sf0.01"
+    val evs = graft.core.Tables.load(spark, dir, "events", parallelize = false)
+      .selectExpr("ts", "event_type").as[EventAnalytics.RateEvent]
+      .collect().sortBy(_.ts.getTime)
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[EventAnalytics.RateEvent]
+    val q = EventAnalytics.streamingRateAnomalies(input.toDS())
+      .writeStream.format("memory").queryName("rate_stream")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("rate_stream").collect()
+    } finally q.stop()
+    val skey = streamed.map(r => (r.getAs[String]("event_type"),
+      r.getAs[String]("hour_ts"), r.getAs[Long]("event_ct"),
+      r.getAs[String]("direction"))).toSet
+    // batch relation = the oracle-checked entry; drop each type's final
+    // hour, which the stream cannot close without a later observation
+    val batchRows = graft.streaming.EventAnalytics.runRateAnomaly(spark, dir).collect()
+    def hourStr(epochHour: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(epochHour * 3600000L))
+    val lastHour = evs.groupBy(_.event_type).view
+      .mapValues(es => hourStr(es.map(e =>
+        Math.floorDiv(e.ts.getTime, 3600000L)).max)).toMap
+    // 'yyyy-MM-dd HH:mm:ss' compares chronologically as a string
+    val bkey = batchRows.filter { r =>
+      r.getAs[String]("hour_ts") < lastHour(r.getAs[String]("event_type"))
+    }.map(r => (r.getAs[String]("event_type"), r.getAs[String]("hour_ts"),
+      r.getAs[Long]("event_ct"), r.getAs[String]("direction"))).toSet
+    assert(bkey.nonEmpty, "fixture produced no batch anomalies")
+    assert(skey == bkey, s"stream ${skey.size} vs batch ${bkey.size} alerts")
+    // z-scores agree to rounding (batch uses Spark's STDDEV aggregate,
+    // the stream a two-pass sample stddev — same estimator)
+    val bz = batchRows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[String]("hour_ts")) -> r.getAs[Double]("z_score")).toMap
+    streamed.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[String]("hour_ts"))
+      assert(math.abs(r.getAs[Double]("z_score") - bz(k)) <= 0.011,
+        s"z mismatch at $k")
+    }
+  }
 }

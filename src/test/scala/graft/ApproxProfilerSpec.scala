@@ -1,0 +1,62 @@
+package graft
+
+import graft.profiling.{ApproxProfiler, Profiler}
+
+/** Pins the sketch profiler's error against the exact profile, and the
+  * plan shape that justifies it at 100 TB (one scan, no Expand, no
+  * distinct-value shuffle). */
+class ApproxProfilerSpec extends SparkSpec {
+
+  test("sketched distinct counts land within 5% of the exact profile") {
+    for (table <- Seq("lineitem", "documents")) {
+      val exact = Profiler.profile(spark, sfDir, table).collect()
+        .map(r => r.getAs[String]("column_name") ->
+          r.getAs[Long]("distinct_value_ct")).toMap
+      val approx = ApproxProfiler.profile(spark, sfDir, table).collect()
+      assert(approx.nonEmpty)
+      approx.foreach { r =>
+        val name = r.getAs[String]("column_name")
+        val a = r.getAs[Long]("distinct_value_ct")
+        val e = exact(name)
+        assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+          s"$table.$name: approx $a vs exact $e")
+        // exact counts stay exact in the sketch pass
+        assert(r.getAs[Long]("value_ct") + r.getAs[Long]("null_value_ct") ==
+          r.getAs[Long]("record_ct"))
+      }
+    }
+  }
+
+  test("sketched percentiles rank-agree with the data") {
+    val table = "lineitem"
+    val approx = ApproxProfiler.profile(spark, sfDir, table).collect()
+      .filter(_.getAs[String]("general_type") == "N")
+    assert(approx.nonEmpty)
+    val df = graft.core.Tables.load(spark, sfDir, table)
+    approx.foreach { r =>
+      val name = r.getAs[String]("column_name")
+      if (!r.isNullAt(r.fieldIndex("percentile_50"))) {
+        val p50 = r.getAs[Double]("percentile_50")
+        assert(p50 >= r.getAs[Double]("min_value") &&
+          p50 <= r.getAs[Double]("max_value"))
+        val n = df.where(s"`$name` IS NOT NULL").count().toDouble
+        val below = df.where(s"CAST(`$name` AS DOUBLE) <= $p50").count()
+        // the sketch's median must split the column near the middle
+        assert(below / n >= 0.40 && below / n <= 0.65,
+          s"$name: approx p50 $p50 sits at rank ${below / n}")
+      }
+    }
+  }
+
+  test("the sketch profile is one scan with no Expand and no value shuffle") {
+    val p = ApproxProfiler.aggregateFrame(spark, sfDir, "lineitem")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), "multi-distinct Expand crept in")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    // the only exchange is the single-partition merge of partial
+    // sketches — never a hash partitioning of column values
+    assert(!p.contains("hashpartitioning"),
+      "sketch aggregation should not shuffle values")
+  }
+}

@@ -96,6 +96,19 @@ class CurationOpsSpec extends SparkSpec {
       "decontamination pair join must stay bucket-blocked")
   }
 
+  test("retrieval harness reads landed hit lists, not the corpus") {
+    // prime the landed views, then assert the harness plan touches no
+    // parquet at all — every consumer reads the checkpointed hit lists
+    graft.pipeline.Retrieval.runBm25(spark, sfDir).collect()
+    graft.pipeline.Retrieval.runHybrid(spark, sfDir).collect()
+    val p = plan(graft.pipeline.Retrieval.runQuality(spark, sfDir))
+    // the label-relevance oracle legitimately reads the (tiny)
+    // embeddings table; the expensive side — the documents word-explode
+    // inverted index — must come from the landed bm/kn/hy relations
+    assert(!p.contains("documents.parquet"),
+      "quality harness re-derives the inverted index instead of reading landed hits")
+  }
+
   test("props extraction rollup is complete and integer-exact") {
     val rows = graft.streaming.EventAnalytics.runPropsStats(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -268,7 +268,11 @@ object SparkEntry {
       ("event_rate_anomaly" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))) +
       ("event_props_stats" ->
-        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPropsStats(s, dir)))
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPropsStats(s, dir))) +
+      ("lookup_rate_anomaly" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runLookupRateAnomaly(s, dir))) +
+      ("skew_report" ->
+        ((s: SparkSession, dir: String) => graft.core.SkewReport.run(s, dir)))
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -410,5 +414,7 @@ object SparkEntry {
       ("embedding_outliers" -> graft.pipeline.Similarity.outliersSql("embeddings")(graft.oracle.DuckDialect)) +
       ("decontaminate_semantic" -> graft.pipeline.Dedup.decontaminateSemanticSql("embeddings")(graft.oracle.DuckDialect)) +
       ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()) +
-      ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql())
+      ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()) +
+      ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()) +
+      ("skew_report" -> graft.core.SkewReport.duckSql())
 }

@@ -197,6 +197,48 @@ object EventAnalytics {
 
   def duckRateAnomalySql(): String = rateAnomalySql("events")(DuckDialect)
 
+  /** Drill-down for the rate-anomaly screen — the reference's
+    * lookup-query pattern (every finding links to the rows behind it,
+    * `testgen/common/source_data_service.py` shape) applied to the
+    * event grain: for each anomalous (type, hour), the first
+    * [[LookupRows]] underlying events by id. The anomaly relation is
+    * metadata-sized, so the event join broadcasts it; the per-finding
+    * row bound keeps the result a review page, not an export. */
+  def lookupRateAnomalySql(table: String, z: Double = AnomalyZ,
+                           rows: Int = LookupRows)(d: Dialect): String =
+    s"""WITH anom AS (
+       |  ${rateAnomalySql(table, z)(d).replace("\n", "\n  ")}
+       |),
+       |ev AS (
+       |  SELECT /*+ BROADCAST(a) */ e.event_id, e.ts, e.user_id,
+       |         e.event_type, e.value, a.hour_ts, a.z_score, a.direction,
+       |         ROW_NUMBER() OVER (PARTITION BY a.event_type, a.hour_ts
+       |                            ORDER BY e.event_id) AS rn
+       |    FROM $table e
+       |    JOIN anom a
+       |      ON a.event_type = e.event_type
+       |     AND a.hour_ts = ${d.fmtTs("date_trunc('hour', e.ts)")}
+       |)
+       |SELECT event_type, hour_ts, z_score, direction,
+       |       CAST(rn AS INT) AS rn, CAST(event_id AS BIGINT) AS event_id,
+       |       ${d.fmtTs("ts")} AS event_ts,
+       |       CAST(user_id AS BIGINT) AS user_id,
+       |       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+       |  FROM ev
+       | WHERE rn <= $rows
+       | ORDER BY event_type, hour_ts, rn""".stripMargin
+
+  val LookupRows = 20
+
+  def runLookupRateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_rate_events")
+    spark.sql(lookupRateAnomalySql("__graft_rate_events")(SparkDialect))
+  }
+
+  def duckLookupRateAnomalySql(): String =
+    lookupRateAnomalySql("events")(DuckDialect)
+
   /** Semi-structured property extraction + rollup — the JSON-bag shape
     * every event pipeline carries (`props` here is the tracking
     * payload): pull typed fields out of the JSON string with the

@@ -122,6 +122,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("skew report advice is consistent with the measured distribution") {
+    val rows = graft.core.SkewReport.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      val advice = r.getAs[String]("advice")
+      val distinct = r.getAs[Long]("distinct_keys")
+      assert(share > 0 && share <= 1.0)
+      assert(r.getAs[Double]("skew_ratio") >= 0.99,
+        "max/avg ratio cannot be below 1")
+      if (r.getAs[Int]("rank") == 1) {
+        if (share > 0.011) assert(advice == "SALT", s"share $share → $advice")
+        if (advice == "BROADCAST") assert(distinct <= 1000)
+      }
+    }
+    // every declared key reports, each with at most 5 heavy hitters
+    val byKey = rows.groupBy(_.getAs[String]("join_key"))
+    assert(byKey.keySet == graft.core.SkewReport.Keys.map(_._3).toSet)
+    byKey.values.foreach(g => assert(g.length <= 5))
+  }
+
+  test("rate-anomaly drill-down rows sit inside their flagged hour") {
+    val rows = graft.streaming.EventAnalytics
+      .runLookupRateAnomaly(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("rn") <= graft.streaming.EventAnalytics.LookupRows)
+      // the event's hour prefix matches the finding's hour
+      val hr = r.getAs[String]("hour_ts").substring(0, 13)
+      assert(r.getAs[String]("event_ts").startsWith(hr))
+    }
+  }
+
   test("event rate anomalies exceed the trailing z fence on the flagged side") {
     val rows = graft.streaming.EventAnalytics.runRateAnomaly(spark, sfDir).collect()
     rows.foreach { r =>

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
@@ -641,6 +641,62 @@ object Similarity {
          |       ${bucketExpr("embedding")(d)} AS bucket, seed_id
          |  FROM assign""".stripMargin)
       .write.mode("append").partitionBy("bucket").parquet(outPath)
+  }
+
+  /** The landed index base / frozen seeds, for specs and the streaming
+    * ingest twin's parity anchor. */
+  private[graft] def indexBase(spark: SparkSession, dir: String): DataFrame =
+    spark.table(annViews(spark, dir).base)
+  private[graft] def indexSeeds(spark: SparkSession, dir: String): DataFrame =
+    spark.table(annViews(spark, dir).seeds)
+
+  final case class VecIn(vec_id: Long, label: Int, embedding: Seq[Float])
+  final case class VecAssigned(vec_id: Long, label: Int,
+                               embedding: Seq[Float], bucket: Int,
+                               seed_id: Long)
+
+  /** Streaming index ingestion — the continuous form of [[appendIndex]]:
+    * a stream of vectors is assigned against the FROZEN seed sample and
+    * sign-LSH-bucketed per row, producing exactly the bucket-partitioned
+    * index layout rows (`writeStream.partitionBy("bucket")` appends only
+    * touched bucket directories). Stateless — assignment needs only the
+    * broadcast K seeds, so there is no streaming state at all and the
+    * operator scales to any ingest rate.
+    *
+    * Numeric parity: the dot product accumulates left-to-right over
+    * float→double-widened elements and the bucket folds projections in
+    * ascending-dimension order — the SAME association orders as the
+    * `graft_dot` expression and [[bucketExpr]], so a replayed stream
+    * lands rows BIT-IDENTICAL to the batch assignment (spec-pinned). */
+  def streamingIndexIngest(vectors: Dataset[VecIn],
+                           seeds: Seq[(Long, Seq[Float])],
+                           nPlanes: Int = 8, dim: Int = 64): Dataset[VecAssigned] = {
+    import vectors.sparkSession.implicits._
+    val planes = hyperplanes(nPlanes, dim)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0; val n = a.length
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }; acc
+    }
+    val sorted = seeds.sortBy(_._1)
+    vectors.map { v =>
+      // nearest frozen seed, ties to the lowest seed id (the batch
+      // ROW_NUMBER's ORDER BY cos DESC, seed_id)
+      var bestId = -1L; var bestCos = Double.NegativeInfinity
+      for ((sid, c) <- sorted) {
+        val cos = dot(v.embedding, c) /
+          (math.sqrt(dot(v.embedding, v.embedding)) * math.sqrt(dot(c, c)))
+        if (cos > bestCos) { bestCos = cos; bestId = sid }
+      }
+      var bucket = 0
+      for ((w, p) <- planes.zipWithIndex) {
+        var proj = 0.0; var i = 0
+        while (i < dim && i < v.embedding.length) {
+          proj += v.embedding(i).toDouble * w(i); i += 1
+        }
+        if (proj >= 0) bucket |= (1 << p)
+      }
+      VecAssigned(v.vec_id, v.label, v.embedding, bucket, bestId)
+    }
   }
 
   def runBruteForce(spark: SparkSession, dir: String): DataFrame =

@@ -416,6 +416,37 @@ class StreamMonitorsSpec extends SparkSpec {
       s"streaming funnel $streamedCounts != batch $batch")
   }
 
+  test("streaming index ingestion lands rows identical to the batch assignment") {
+    import graft.pipeline.Similarity
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seeds = Similarity.indexSeeds(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("seed_id"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toSeq)).toSeq
+    assert(seeds.nonEmpty)
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings", parallelize = false)
+      .selectExpr("vec_id", "label", "embedding").as[Similarity.VecIn]
+      .collect().toSeq
+    val (a, b) = vecs.splitAt(vecs.length / 2)
+    val input = MemoryStream[Similarity.VecIn]
+    val q = Similarity.streamingIndexIngest(input.toDS(), seeds)
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      spark.table("ingest_stream")
+        .select("vec_id", "seed_id", "bucket")
+        .as[(Long, Long, Int)].collect().toSet
+    } finally q.stop()
+    val batch = Similarity.indexBase(spark, sfDir)
+      .select("vec_id", "seed_id", "bucket")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} assignments differ")
+  }
+
   test("streaming rate anomalies match the batch screen on a two-chunk replay") {
     import graft.streaming.EventAnalytics
     val spark2 = spark

@@ -38,241 +38,245 @@ object SparkEntry {
       graft.querytests.QueryTests.tests.map { qt =>
         s"query_${qt.name}" ->
           ((s: SparkSession, dir: String) => graft.querytests.QueryTests.run(s, dir, qt.name))
-      }.toMap +
+      }.toMap ++
+      Seq[(String, (SparkSession, String) => DataFrame)](
       ("functional_datatype" ->
-        ((s: SparkSession, dir: String) => graft.inference.FunctionalType.infer(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.inference.FunctionalType.infer(s, dir))),
       ("hygiene_screens" ->
-        ((s: SparkSession, dir: String) => graft.inference.HygieneScreens.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.inference.HygieneScreens.run(s, dir))),
       ("test_generation" ->
-        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.run(s, dir))),
       ("test_prevalence" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runTestPrevalence(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runTestPrevalence(s, dir))),
       ("dq_scores" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir))),
       ("text_analysis" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.TextAnalysis.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.TextAnalysis.run(s, dir))),
       ("text_repetition" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Repetition.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Repetition.run(s, dir))),
       ("corpus_stats" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.run(s, dir))),
       ("pii_scrub" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.PiiScrub.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.PiiScrub.run(s, dir))),
       ("sample_stratified" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.StratifiedSample.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.StratifiedSample.run(s, dir))),
       ("embedding_stats" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingStats.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingStats.run(s, dir))),
       ("chunk_documents" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.run(s, dir))),
       ("pack_chunks" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Packer.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.run(s, dir))),
       ("pack_chunks_exact" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runExact(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runExact(s, dir))),
       ("dedup_chunks" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runDup(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runDup(s, dir))),
       ("dedup_chunks_fuzzy" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runFuzzyChunks(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runFuzzyChunks(s, dir))),
       ("doc_keywords" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Keywords.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Keywords.run(s, dir))),
       ("dedup_exact" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runExact(s, dir))),
       ("dedup_jaccard" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runJaccard(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runJaccard(s, dir))),
       ("dedup_minhash" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runMinhash(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runMinhash(s, dir))),
       ("dedup_simhash" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhash(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhash(s, dir))),
       ("dedup_winnow" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runWinnow(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runWinnow(s, dir))),
       ("dedup_clusters" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runClusters(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runClusters(s, dir))),
       ("dedup_source_matrix" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSourceMatrix(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSourceMatrix(s, dir))),
       ("dedup_containment" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runContainment(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runContainment(s, dir))),
       ("dedup_lsh_recall" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runLshRecall(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runLshRecall(s, dir))),
       ("dedup_semantic" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runSemantic(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runSemantic(s, dir))),
       ("corpus_percentiles" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runPercentiles(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runPercentiles(s, dir))),
       ("corpus_drift" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.CorpusDrift.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusDrift.run(s, dir))),
       ("pack_epochs" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runEpochs(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runEpochs(s, dir))),
       ("quality_classifier" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.QualityClassifier.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.QualityClassifier.run(s, dir))),
       ("chunk_cdc" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runCdc(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runCdc(s, dir))),
       ("event_sessions" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Sessions.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Sessions.run(s, dir))),
       ("vocab_coverage" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.VocabCoverage.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.VocabCoverage.run(s, dir))),
       ("bm25_retrieval" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runBm25(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runBm25(s, dir))),
       ("hybrid_retrieval" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runHybrid(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runHybrid(s, dir))),
       ("retrieval_quality" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runQuality(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runQuality(s, dir))),
       ("knn_filtered" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runFiltered(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runFiltered(s, dir))),
       ("event_funnel" ->
-        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runFunnel(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runFunnel(s, dir))),
       ("event_retention" ->
-        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRetention(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRetention(s, dir))),
       ("event_pattern" ->
-        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPattern(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPattern(s, dir))),
       ("source_mixture" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.run(s, dir))),
       ("boilerplate_ngrams" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Boilerplate.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Boilerplate.run(s, dir))),
       ("quality_gate" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.QualityGate.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.QualityGate.run(s, dir))),
       ("corpus_kept_stats" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runKept(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runKept(s, dir))),
       ("lang_id_confusion" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runConfusion(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusStats.runConfusion(s, dir))),
       ("token_histogram" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.TokenHistogram.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.TokenHistogram.run(s, dir))),
       ("chunk_lang_consistency" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runLangConsistency(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Chunker.runLangConsistency(s, dir))),
       ("decontaminate" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminate(s, dir))),
       ("dedup_incremental" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runIncremental(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runIncremental(s, dir))),
       ("decontaminate_report" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateReport(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateReport(s, dir))),
       ("batch_novelty" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runBatchNovelty(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runBatchNovelty(s, dir))),
       ("knn_bruteforce" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runBruteForce(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runBruteForce(s, dir))),
       ("knn_ivf" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvf(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvf(s, dir))),
       ("knn_ivf_seeded" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfSeeded(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfSeeded(s, dir))),
       ("knn_ivf_probe" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfProbe(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runIvfProbe(s, dir))),
       ("knn_quantized" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runQuantized(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runQuantized(s, dir))),
       ("knn_recall" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runRecall(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runRecall(s, dir))),
       ("monitor_volume_bands" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runVolumeBands(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runVolumeBands(s, dir))),
       ("monitor_freshness" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshness(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshness(s, dir))),
       ("multimodal_features" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.run(s, dir))),
       ("lookup_duplicates" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDuplicates(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDuplicates(s, dir))),
       ("lookup_duplicates_sampled" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDuplicatesSampled(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDuplicatesSampled(s, dir))),
       ("lookup_min_date_sampled" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDateSampled(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDateSampled(s, dir))),
       ("lookup_max_length" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMaxLength(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMaxLength(s, dir))),
       ("lookup_masked" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMasked(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMasked(s, dir))),
       ("profile_masked" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runProfileMasked(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runProfileMasked(s, dir))),
       ("lookup_recency" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runRecency(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runRecency(s, dir))),
       ("lookup_outliers" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runOutliers(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runOutliers(s, dir))),
       ("dedup_embedding" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbedding(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbedding(s, dir))),
       ("dedup_embedding_lsh" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingLsh(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingLsh(s, dir))),
       ("monitor_trend_forecast" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runTrendForecast(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runTrendForecast(s, dir))),
       ("monitor_metric_trend" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runMetricTrend(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runMetricTrend(s, dir))),
       ("monitor_freshness_gaps" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshnessGaps(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runFreshnessGaps(s, dir))),
       ("contingency_rules" ->
-        ((s: SparkSession, dir: String) => graft.inference.Contingency.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.inference.Contingency.run(s, dir))),
       ("score_cards" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCard(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCard(s, dir))),
       ("schema_drift" ->
-        ((s: SparkSession, dir: String) => graft.inference.SchemaDrift.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.inference.SchemaDrift.run(s, dir))),
       ("monitor_sarimax" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSarimax(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSarimax(s, dir))),
       ("profile_sampled" ->
-        ((s: SparkSession, dir: String) => graft.profiling.SampledProfiler.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.profiling.SampledProfiler.run(s, dir))),
       ("data_chars" ->
-        ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))),
       // include/exclude LIKE masks (refresh_data_chars_query.py:67-101):
       // keep tables containing 'e', drop tables ending in 's'
       ("data_chars_masked" ->
         ((s: SparkSession, dir: String) =>
-          graft.core.DataChars.run(s, dir, Some("%e%"), Some("%s")))) +
+          graft.core.DataChars.run(s, dir, Some("%e%"), Some("%s")))),
       ("test_validation" ->
-        ((s: SparkSession, dir: String) => graft.generation.TestValidation.runChecked(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.generation.TestValidation.runChecked(s, dir))),
       ("functional_tabletype" ->
-        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.runTableType(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.generation.TestGenerator.runTableType(s, dir))),
       ("lookup_dupe_rows" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDupeRows(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runDupeRows(s, dir))),
       ("lookup_email_format" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runEmailFormat(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runEmailFormat(s, dir))),
       ("lookup_min_date" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runMinDate(s, dir))),
       ("lookup_failed_tests" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runFailedTests(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runFailedTests(s, dir))),
       ("lookup_query_tests" ->
-        ((s: SparkSession, dir: String) => graft.querytests.QueryTests.runLookupAll(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.querytests.QueryTests.runLookupAll(s, dir))),
       ("lookup_hygiene" ->
-        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runHygieneLookup(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.lookup.DrillDown.runHygieneLookup(s, dir))),
       ("knn_lsh" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLsh(s, dir))),
       // production-dims bucket form (Spark HOFs — no DuckDB oracle;
       // PipelineSpec asserts bit-identity with the oracle-checked form)
       ("knn_lsh_fold" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLshFold(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runLshFold(s, dir))),
       ("monitor_schedule" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSchedule(s, dir))),
       ("monitor_history_thresholds" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runHistoryThresholds(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runHistoryThresholds(s, dir))),
       // PREDICT-mode SARIMAX tolerances over landed signal history —
-      // iterative model fit, not SQL-expressible (rows-only check +
+      // iterative model fit, not SQL-expressible (rows-only check,
       // MonitorsSpec parity + RunHistorySpec multi-run landing)
       ("monitor_predict_thresholds" ->
-        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runPredictThresholds(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.Monitors.runPredictThresholds(s, dir))),
       ("dq_scores_weighted" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runWeightedScoreRollup(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runWeightedScoreRollup(s, dir))),
       ("score_card_columns" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardColumns(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardColumns(s, dir))),
       ("score_card_dimensions" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardDimensions(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardDimensions(s, dir))),
       ("score_card_history" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistory(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistory(s, dir))),
       ("score_card_issues" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssues(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssues(s, dir))),
       ("score_card_issues_dimensions" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssuesDimensions(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssuesDimensions(s, dir))),
       ("score_card_issues_impact" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssuesImpact(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardIssuesImpact(s, dir))),
       ("score_card_history_columns" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistoryColumns(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreHistoryColumns(s, dir))),
       ("score_card_categories" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardCategories(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreCardCategories(s, dir))),
       ("query_test_prevalence" ->
-        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runQueryPrevalence(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.scoring.Scoring.runQueryPrevalence(s, dir))),
       ("doc_outliers" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.DocStats.runOutliers(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.DocStats.runOutliers(s, dir))),
       ("readability" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.DocStats.runReadability(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.DocStats.runReadability(s, dir))),
       ("bpe_pairs" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.run(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.run(s, dir))),
       ("embedding_outliers" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runOutliers(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runOutliers(s, dir))),
       ("decontaminate_semantic" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateSemantic(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateSemantic(s, dir))),
       ("event_rate_anomaly" ->
-        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))),
       ("event_props_stats" ->
-        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPropsStats(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runPropsStats(s, dir))),
       ("lookup_rate_anomaly" ->
-        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runLookupRateAnomaly(s, dir))) +
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runLookupRateAnomaly(s, dir))),
       ("skew_report" ->
-        ((s: SparkSession, dir: String) => graft.core.SkewReport.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.core.SkewReport.run(s, dir))),
+      ("pack_curriculum" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runCurriculum(s, dir)))
+      ).toMap
 
   def oracleSql: Map[String, String] =
     Tables.names.map { t =>
@@ -286,135 +290,138 @@ object SparkEntry {
       }.toMap ++
       graft.querytests.QueryTests.tests.map { qt =>
         s"query_${qt.name}" -> graft.querytests.QueryTests.duckSql(qt.name)
-      }.toMap +
-      ("functional_datatype" -> graft.inference.FunctionalType.duckSql()) +
-      ("hygiene_screens" -> graft.inference.HygieneScreens.duckSql()) +
-      ("test_generation" -> graft.generation.TestGenerator.duckSql()) +
-      ("test_prevalence" -> graft.scoring.Scoring.duckTestPrevalenceSql()) +
-      ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql()) +
-      ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()) +
-      ("text_repetition" -> graft.pipeline.Repetition.duckSql()) +
-      ("corpus_stats" -> graft.pipeline.CorpusStats.duckSql()) +
-      ("pii_scrub" -> graft.pipeline.PiiScrub.duckSql()) +
-      ("sample_stratified" -> graft.pipeline.StratifiedSample.duckSql()) +
-      ("embedding_stats" -> graft.pipeline.EmbeddingStats.duckSql()) +
-      ("chunk_documents" -> graft.pipeline.Chunker.duckSql()) +
-      ("pack_chunks" -> graft.pipeline.Packer.duckSql()) +
-      ("pack_chunks_exact" -> graft.pipeline.Packer.duckExactSql()) +
-      ("dedup_chunks" -> graft.pipeline.Chunker.duckDupSql()) +
-      ("dedup_chunks_fuzzy" -> graft.pipeline.Dedup.fuzzyChunksSql("documents")(graft.oracle.DuckDialect)) +
-      ("doc_keywords" -> graft.pipeline.Keywords.duckSql()) +
-      ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_simhash" -> graft.pipeline.Dedup.simhashSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_winnow" -> graft.pipeline.Dedup.winnowSql("documents")(graft.oracle.DuckDialect)) +
+      }.toMap ++
+      Seq[(String, String)](
+      ("functional_datatype" -> graft.inference.FunctionalType.duckSql()),
+      ("hygiene_screens" -> graft.inference.HygieneScreens.duckSql()),
+      ("test_generation" -> graft.generation.TestGenerator.duckSql()),
+      ("test_prevalence" -> graft.scoring.Scoring.duckTestPrevalenceSql()),
+      ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql()),
+      ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()),
+      ("text_repetition" -> graft.pipeline.Repetition.duckSql()),
+      ("corpus_stats" -> graft.pipeline.CorpusStats.duckSql()),
+      ("pii_scrub" -> graft.pipeline.PiiScrub.duckSql()),
+      ("sample_stratified" -> graft.pipeline.StratifiedSample.duckSql()),
+      ("embedding_stats" -> graft.pipeline.EmbeddingStats.duckSql()),
+      ("chunk_documents" -> graft.pipeline.Chunker.duckSql()),
+      ("pack_chunks" -> graft.pipeline.Packer.duckSql()),
+      ("pack_chunks_exact" -> graft.pipeline.Packer.duckExactSql()),
+      ("dedup_chunks" -> graft.pipeline.Chunker.duckDupSql()),
+      ("dedup_chunks_fuzzy" -> graft.pipeline.Dedup.fuzzyChunksSql("documents")(graft.oracle.DuckDialect)),
+      ("doc_keywords" -> graft.pipeline.Keywords.duckSql()),
+      ("dedup_exact" -> graft.pipeline.Dedup.exactSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_jaccard" -> graft.pipeline.Dedup.jaccardSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_minhash" -> graft.pipeline.Dedup.minhashSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_simhash" -> graft.pipeline.Dedup.simhashSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_winnow" -> graft.pipeline.Dedup.winnowSql("documents")(graft.oracle.DuckDialect)),
       // dedup_clusters: the oracle resolves connected components with a
       // recursive transitive closure; the engine runs distributed
       // min-label propagation — same deterministic fixpoint.
-      ("dedup_clusters" -> graft.pipeline.Dedup.clustersSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_source_matrix" -> graft.pipeline.Dedup.sourceMatrixSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_containment" -> graft.pipeline.Dedup.containmentSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_lsh_recall" -> graft.pipeline.Dedup.lshRecallSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_semantic" -> graft.pipeline.Similarity.semanticSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("corpus_percentiles" -> graft.pipeline.CorpusStats.duckPercentilesSql()) +
+      ("dedup_clusters" -> graft.pipeline.Dedup.clustersSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_source_matrix" -> graft.pipeline.Dedup.sourceMatrixSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_containment" -> graft.pipeline.Dedup.containmentSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_lsh_recall" -> graft.pipeline.Dedup.lshRecallSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_semantic" -> graft.pipeline.Similarity.semanticSql("embeddings")(graft.oracle.DuckDialect)),
+      ("corpus_percentiles" -> graft.pipeline.CorpusStats.duckPercentilesSql()),
       // corpus_drift: like schema_drift, the Spark run lands both
       // snapshots first; DuckDB diffs the same landed files.
-      ("corpus_drift" -> graft.pipeline.CorpusDrift.duckSql()) +
-      ("pack_epochs" -> graft.pipeline.Packer.duckEpochsSql()) +
-      ("quality_classifier" -> graft.pipeline.QualityClassifier.duckSql()) +
-      ("chunk_cdc" -> graft.pipeline.Chunker.duckCdcSql()) +
-      ("event_sessions" -> graft.streaming.Sessions.duckSql()) +
-      ("vocab_coverage" -> graft.pipeline.VocabCoverage.duckSql()) +
-      ("bm25_retrieval" -> graft.pipeline.Retrieval.duckBm25Sql()) +
-      ("hybrid_retrieval" -> graft.pipeline.Retrieval.duckHybridSql()) +
-      ("retrieval_quality" -> graft.pipeline.Retrieval.duckQualitySql()) +
-      ("knn_filtered" -> graft.pipeline.Similarity.filteredSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("event_funnel" -> graft.streaming.EventAnalytics.duckFunnelSql()) +
-      ("event_retention" -> graft.streaming.EventAnalytics.duckRetentionSql()) +
-      ("event_pattern" -> graft.streaming.EventAnalytics.duckPatternSql()) +
-      ("source_mixture" -> graft.pipeline.SourceMixture.duckSql()) +
-      ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()) +
-      ("quality_gate" -> graft.pipeline.QualityGate.duckSql()) +
-      ("corpus_kept_stats" -> graft.pipeline.CorpusStats.duckKeptSql()) +
-      ("lang_id_confusion" -> graft.pipeline.CorpusStats.duckConfusionSql()) +
-      ("token_histogram" -> graft.pipeline.TokenHistogram.duckSql()) +
-      ("chunk_lang_consistency" -> graft.pipeline.Chunker.duckLangConsistencySql()) +
-      ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)) +
-      ("dedup_incremental" -> graft.pipeline.Dedup.incrementalSql("documents")(graft.oracle.DuckDialect)) +
-      ("decontaminate_report" -> graft.pipeline.Dedup.decontaminateReportFullSql("documents")(graft.oracle.DuckDialect)) +
-      ("batch_novelty" -> graft.pipeline.Dedup.batchNoveltyFullSql("documents")(graft.oracle.DuckDialect)) +
-      ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("knn_ivf_probe" -> graft.pipeline.Similarity.ivfSeededSql("embeddings", nProbe = 2)(graft.oracle.DuckDialect)) +
-      ("knn_quantized" -> graft.pipeline.Similarity.quantizedSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("knn_recall" -> graft.pipeline.Similarity.recallSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()) +
-      ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()) +
-      ("multimodal_features" -> graft.pipeline.Multimodal.duckSql()) +
-      ("lookup_duplicates" -> graft.lookup.DrillDown.duckDuplicatesSql()) +
-      ("lookup_duplicates_sampled" -> graft.lookup.DrillDown.duckDuplicatesSampledSql()) +
-      ("lookup_min_date_sampled" -> graft.lookup.DrillDown.duckMinDateSampledSql()) +
-      ("lookup_max_length" -> graft.lookup.DrillDown.duckMaxLengthSql()) +
-      ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()) +
-      ("profile_masked" -> graft.lookup.DrillDown.duckProfileMaskedSql()) +
-      ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()) +
-      ("lookup_failed_tests" -> graft.lookup.DrillDown.duckFailedTestsSql()) +
-      ("lookup_query_tests" -> graft.querytests.QueryTests.duckLookupAllSql()) +
-      ("lookup_hygiene" -> graft.lookup.DrillDown.duckHygieneLookupSql()) +
-      ("monitor_history_thresholds" -> graft.streaming.Monitors.duckHistoryThresholdsSql()) +
-      ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()) +
-      ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("dedup_embedding_lsh" -> graft.pipeline.Dedup.embeddingLshSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()) +
-      ("monitor_metric_trend" -> graft.streaming.Monitors.duckMetricTrendSql()) +
-      ("monitor_freshness_gaps" -> graft.streaming.Monitors.duckFreshnessGapsSql()) +
-      ("contingency_rules" -> graft.inference.Contingency.duckSql()) +
+      ("corpus_drift" -> graft.pipeline.CorpusDrift.duckSql()),
+      ("pack_epochs" -> graft.pipeline.Packer.duckEpochsSql()),
+      ("quality_classifier" -> graft.pipeline.QualityClassifier.duckSql()),
+      ("chunk_cdc" -> graft.pipeline.Chunker.duckCdcSql()),
+      ("event_sessions" -> graft.streaming.Sessions.duckSql()),
+      ("vocab_coverage" -> graft.pipeline.VocabCoverage.duckSql()),
+      ("bm25_retrieval" -> graft.pipeline.Retrieval.duckBm25Sql()),
+      ("hybrid_retrieval" -> graft.pipeline.Retrieval.duckHybridSql()),
+      ("retrieval_quality" -> graft.pipeline.Retrieval.duckQualitySql()),
+      ("knn_filtered" -> graft.pipeline.Similarity.filteredSql("embeddings")(graft.oracle.DuckDialect)),
+      ("event_funnel" -> graft.streaming.EventAnalytics.duckFunnelSql()),
+      ("event_retention" -> graft.streaming.EventAnalytics.duckRetentionSql()),
+      ("event_pattern" -> graft.streaming.EventAnalytics.duckPatternSql()),
+      ("source_mixture" -> graft.pipeline.SourceMixture.duckSql()),
+      ("boilerplate_ngrams" -> graft.pipeline.Boilerplate.duckSql()),
+      ("quality_gate" -> graft.pipeline.QualityGate.duckSql()),
+      ("corpus_kept_stats" -> graft.pipeline.CorpusStats.duckKeptSql()),
+      ("lang_id_confusion" -> graft.pipeline.CorpusStats.duckConfusionSql()),
+      ("token_histogram" -> graft.pipeline.TokenHistogram.duckSql()),
+      ("chunk_lang_consistency" -> graft.pipeline.Chunker.duckLangConsistencySql()),
+      ("decontaminate" -> graft.pipeline.Dedup.decontaminateSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_incremental" -> graft.pipeline.Dedup.incrementalSql("documents")(graft.oracle.DuckDialect)),
+      ("decontaminate_report" -> graft.pipeline.Dedup.decontaminateReportFullSql("documents")(graft.oracle.DuckDialect)),
+      ("batch_novelty" -> graft.pipeline.Dedup.batchNoveltyFullSql("documents")(graft.oracle.DuckDialect)),
+      ("knn_bruteforce" -> graft.pipeline.Similarity.bruteForceSql("embeddings")(graft.oracle.DuckDialect)),
+      ("knn_ivf" -> graft.pipeline.Similarity.ivfSql("embeddings")(graft.oracle.DuckDialect)),
+      ("knn_ivf_seeded" -> graft.pipeline.Similarity.ivfSeededSql("embeddings")(graft.oracle.DuckDialect)),
+      ("knn_ivf_probe" -> graft.pipeline.Similarity.ivfSeededSql("embeddings", nProbe = 2)(graft.oracle.DuckDialect)),
+      ("knn_quantized" -> graft.pipeline.Similarity.quantizedSql("embeddings")(graft.oracle.DuckDialect)),
+      ("knn_recall" -> graft.pipeline.Similarity.recallSql("embeddings")(graft.oracle.DuckDialect)),
+      ("monitor_volume_bands" -> graft.streaming.Monitors.duckVolumeBandsSql()),
+      ("monitor_freshness" -> graft.streaming.Monitors.duckFreshnessSql()),
+      ("multimodal_features" -> graft.pipeline.Multimodal.duckSql()),
+      ("lookup_duplicates" -> graft.lookup.DrillDown.duckDuplicatesSql()),
+      ("lookup_duplicates_sampled" -> graft.lookup.DrillDown.duckDuplicatesSampledSql()),
+      ("lookup_min_date_sampled" -> graft.lookup.DrillDown.duckMinDateSampledSql()),
+      ("lookup_max_length" -> graft.lookup.DrillDown.duckMaxLengthSql()),
+      ("lookup_masked" -> graft.lookup.DrillDown.duckMaskedSql()),
+      ("profile_masked" -> graft.lookup.DrillDown.duckProfileMaskedSql()),
+      ("lookup_recency" -> graft.lookup.DrillDown.duckRecencySql()),
+      ("lookup_failed_tests" -> graft.lookup.DrillDown.duckFailedTestsSql()),
+      ("lookup_query_tests" -> graft.querytests.QueryTests.duckLookupAllSql()),
+      ("lookup_hygiene" -> graft.lookup.DrillDown.duckHygieneLookupSql()),
+      ("monitor_history_thresholds" -> graft.streaming.Monitors.duckHistoryThresholdsSql()),
+      ("lookup_outliers" -> graft.lookup.DrillDown.duckOutliersSql()),
+      ("dedup_embedding" -> graft.pipeline.Dedup.embeddingSql("embeddings")(graft.oracle.DuckDialect)),
+      ("dedup_embedding_lsh" -> graft.pipeline.Dedup.embeddingLshSql("embeddings")(graft.oracle.DuckDialect)),
+      ("monitor_trend_forecast" -> graft.streaming.Monitors.duckTrendForecastSql()),
+      ("monitor_metric_trend" -> graft.streaming.Monitors.duckMetricTrendSql()),
+      ("monitor_freshness_gaps" -> graft.streaming.Monitors.duckFreshnessGapsSql()),
+      ("contingency_rules" -> graft.inference.Contingency.duckSql()),
       // schema_drift: the Spark run lands both data_chars snapshots as
       // parquet (Verify executes queries before the driver runs the
       // oracle), so DuckDB diffs the same landed files.
-      ("schema_drift" -> graft.inference.SchemaDrift.duckSql()) +
+      ("schema_drift" -> graft.inference.SchemaDrift.duckSql()),
       // The iterative-fit monitors are not SQL-expressible, but each is a
       // deterministic function of the fixed gate fixture — frozen VALUES
       // oracles (cross-validated by FreshnessSpec / TimeSeriesSpec /
       // MonitorsSpec model parity tests) let rows+schema+hash all check.
-      ("monitor_schedule" -> graft.streaming.Monitors.duckScheduleSql()) +
-      ("monitor_sarimax" -> graft.streaming.Monitors.duckSarimaxSql()) +
-      ("monitor_predict_thresholds" -> graft.streaming.Monitors.duckPredictThresholdsSql()) +
+      ("monitor_schedule" -> graft.streaming.Monitors.duckScheduleSql()),
+      ("monitor_sarimax" -> graft.streaming.Monitors.duckSarimaxSql()),
+      ("monitor_predict_thresholds" -> graft.streaming.Monitors.duckPredictThresholdsSql()),
       // knn_lsh_fold emits BIT-IDENTICAL rows to knn_lsh (PipelineSpec
       // asserts it), so the unrolled form's DuckDB rendering is its oracle
-      ("knn_lsh_fold" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()) +
-      ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()) +
-      ("data_chars" -> graft.core.DataChars.duckSql()) +
-      ("data_chars_masked" -> graft.core.DataChars.duckSql(Some("%e%"), Some("%s"))) +
-      ("test_validation" -> graft.generation.TestValidation.duckSql()) +
-      ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql()) +
-      ("lookup_dupe_rows" -> graft.lookup.DrillDown.duckDupeRowsSql()) +
-      ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()) +
-      ("lookup_min_date" -> graft.lookup.DrillDown.duckMinDateSql()) +
-      ("knn_lsh" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("dq_scores_weighted" -> graft.scoring.Scoring.duckWeightedScoreRollupSql()) +
-      ("score_card_columns" -> graft.scoring.Scoring.duckScoreCardColumnsSql()) +
-      ("score_card_dimensions" -> graft.scoring.Scoring.duckScoreCardDimensionsSql()) +
+      ("knn_lsh_fold" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect)),
+      ("score_cards" -> graft.scoring.Scoring.duckScoreCardSql()),
+      ("profile_sampled" -> graft.profiling.SampledProfiler.duckSql()),
+      ("data_chars" -> graft.core.DataChars.duckSql()),
+      ("data_chars_masked" -> graft.core.DataChars.duckSql(Some("%e%"), Some("%s"))),
+      ("test_validation" -> graft.generation.TestValidation.duckSql()),
+      ("functional_tabletype" -> graft.generation.TestGenerator.duckTableTypeSql()),
+      ("lookup_dupe_rows" -> graft.lookup.DrillDown.duckDupeRowsSql()),
+      ("lookup_email_format" -> graft.lookup.DrillDown.duckEmailFormatSql()),
+      ("lookup_min_date" -> graft.lookup.DrillDown.duckMinDateSql()),
+      ("knn_lsh" -> graft.pipeline.Similarity.lshSql("embeddings")(graft.oracle.DuckDialect)),
+      ("dq_scores_weighted" -> graft.scoring.Scoring.duckWeightedScoreRollupSql()),
+      ("score_card_columns" -> graft.scoring.Scoring.duckScoreCardColumnsSql()),
+      ("score_card_dimensions" -> graft.scoring.Scoring.duckScoreCardDimensionsSql()),
       // score_card_history: the oracle recomputes both runs' score detail
       // from first principles (raw tables + the same dismissal list), so
       // the landed trend values are independently verified
-      ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql()) +
-      ("score_card_issues" -> graft.scoring.Scoring.duckScoreCardIssuesSql()) +
-      ("score_card_issues_dimensions" -> graft.scoring.Scoring.duckScoreCardIssuesDimensionsSql()) +
-      ("score_card_issues_impact" -> graft.scoring.Scoring.duckScoreCardIssuesImpactSql()) +
-      ("score_card_history_columns" -> graft.scoring.Scoring.duckScoreHistoryColumnsSql()) +
-      ("score_card_categories" -> graft.scoring.Scoring.duckScoreCardCategoriesSql()) +
-      ("query_test_prevalence" -> graft.scoring.Scoring.duckQueryPrevalenceSql()) +
-      ("doc_outliers" -> graft.pipeline.DocStats.duckOutliersSql()) +
-      ("readability" -> graft.pipeline.DocStats.duckReadabilitySql()) +
-      ("bpe_pairs" -> graft.pipeline.BpeMerges.duckSql()) +
-      ("embedding_outliers" -> graft.pipeline.Similarity.outliersSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("decontaminate_semantic" -> graft.pipeline.Dedup.decontaminateSemanticSql("embeddings")(graft.oracle.DuckDialect)) +
-      ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()) +
-      ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()) +
-      ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()) +
-      ("skew_report" -> graft.core.SkewReport.duckSql())
+      ("score_card_history" -> graft.scoring.Scoring.duckScoreHistorySql()),
+      ("score_card_issues" -> graft.scoring.Scoring.duckScoreCardIssuesSql()),
+      ("score_card_issues_dimensions" -> graft.scoring.Scoring.duckScoreCardIssuesDimensionsSql()),
+      ("score_card_issues_impact" -> graft.scoring.Scoring.duckScoreCardIssuesImpactSql()),
+      ("score_card_history_columns" -> graft.scoring.Scoring.duckScoreHistoryColumnsSql()),
+      ("score_card_categories" -> graft.scoring.Scoring.duckScoreCardCategoriesSql()),
+      ("query_test_prevalence" -> graft.scoring.Scoring.duckQueryPrevalenceSql()),
+      ("doc_outliers" -> graft.pipeline.DocStats.duckOutliersSql()),
+      ("readability" -> graft.pipeline.DocStats.duckReadabilitySql()),
+      ("bpe_pairs" -> graft.pipeline.BpeMerges.duckSql()),
+      ("embedding_outliers" -> graft.pipeline.Similarity.outliersSql("embeddings")(graft.oracle.DuckDialect)),
+      ("decontaminate_semantic" -> graft.pipeline.Dedup.decontaminateSemanticSql("embeddings")(graft.oracle.DuckDialect)),
+      ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()),
+      ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
+      ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),
+      ("skew_report" -> graft.core.SkewReport.duckSql()),
+      ("pack_curriculum" -> graft.pipeline.Packer.duckCurriculumSql())
+      ).toMap
 }

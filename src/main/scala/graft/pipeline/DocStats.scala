@@ -106,6 +106,32 @@ object DocStats {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc FK grade as an EXACT x100 integer (`fk_x100`) — the
+    * difficulty key the curriculum packer sorts on; same integer
+    * half-away rounding as [[readabilitySql]], so both engines order
+    * packs identically. Documents with no tokens are omitted (they
+    * cannot be packed either). */
+  def fkX100Sql(table: String)(d: Dialect): String = {
+    val words = s"CAST(${d.regexpCount("text", "\\S+")} AS BIGINT)"
+    val sents = s"CAST(GREATEST(1, ${d.regexpCount("text", "[.!?]+")}) AS BIGINT)"
+    val sylls = s"CAST(GREATEST(1, ${d.regexpCount("LOWER(text)", "[aeiouy]+")}) AS BIGINT)"
+    s"""SELECT doc_id,
+       |       CASE WHEN fk_num >= 0
+       |            THEN ${d.intDiv("200 * fk_num + fe_den", "2 * fe_den")}
+       |            ELSE -${d.intDiv("200 * -(fk_num) + fe_den", "2 * fe_den")}
+       |       END AS fk_x100
+       |  FROM (
+       |  SELECT doc_id,
+       |         390 * words * words + 11800 * sylls * sents
+       |           - 15590 * sents * words AS fk_num,
+       |         1000 * sents * words AS fe_den
+       |    FROM (
+       |    SELECT doc_id, $words AS words, $sents AS sents, $sylls AS sylls
+       |      FROM $table
+       |  ) c WHERE words > 0
+       |) t""".stripMargin
+  }
+
   private def register(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_docstats")

@@ -40,9 +40,12 @@ object Packer {
   val MinShards = 16
   val TargetChunksPerShard = 65536
 
-  def sql(table: String, budget: Int = Budget,
-          tokenRe: String = Chunker.WsTokenRe)(d: Dialect): String =
-    s"""WITH chunks AS (
+  /** CTE list ending in `assigned(shard, ns, pack_id, doc_id,
+    * token_ct)` — shared by the manifest entry and the curriculum
+    * ordering below. */
+  private def packCtes(table: String, budget: Int,
+                       tokenRe: String)(d: Dialect): String =
+    s"""chunks AS (
        |${Chunker.sql(table, tokenRe = tokenRe)(d)}
        |),
        |nsh AS (
@@ -66,7 +69,11 @@ object Packer {
        |  SELECT shard, ns, ${d.intDiv("cum - token_ct", s"$budget")} AS pack_id,
        |         doc_id, token_ct
        |    FROM cum
-       |)
+       |)""".stripMargin
+
+  def sql(table: String, budget: Int = Budget,
+          tokenRe: String = Chunker.WsTokenRe)(d: Dialect): String =
+    s"""WITH ${packCtes(table, budget, tokenRe)(d)}
        |SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
        |       CAST(COUNT(*) AS BIGINT) AS chunk_ct,
        |       CAST(SUM(token_ct) AS BIGINT) AS token_ct,
@@ -75,6 +82,47 @@ object Packer {
        |  FROM assigned
        | GROUP BY shard, pack_id
        | ORDER BY shard, pack_id""".stripMargin
+
+  /** Curriculum ordering — the easy-to-hard training schedule
+    * (Bengio et al. 2009) at pack grain: each pack's difficulty is the
+    * exact integer mean of its chunks' FK reading grade
+    * ([[DocStats.fkX100Sql]], weighted by chunk since that is what the
+    * model consumes), and `curriculum_pos` is the global rank easy →
+    * hard with deterministic ties. The difficulty join and rank run
+    * over the pack MANIFEST (metadata-sized at any corpus scale — one
+    * row per pack), so the single global ordering window is free; the
+    * chunk-level rollup partitions by (shard, pack). */
+  def curriculumSql(table: String, budget: Int = Budget,
+                    tokenRe: String = Chunker.WsTokenRe)(d: Dialect): String =
+    s"""WITH ${packCtes(table, budget, tokenRe)(d)},
+       |fk AS (
+       |${DocStats.fkX100Sql(table)(d)}
+       |),
+       |pd AS (
+       |  SELECT a.shard, a.pack_id,
+       |         COUNT(*) AS chunk_ct,
+       |         SUM(a.token_ct) AS token_ct,
+       |         SUM(f.fk_x100) AS fk_sum
+       |    FROM assigned a
+       |    JOIN fk f ON f.doc_id = a.doc_id
+       |   GROUP BY a.shard, a.pack_id
+       |),
+       |graded AS (
+       |  SELECT shard, pack_id, chunk_ct, token_ct,
+       |         CASE WHEN fk_sum >= 0
+       |              THEN ${d.intDiv("2 * fk_sum + chunk_ct", "2 * chunk_ct")}
+       |              ELSE -${d.intDiv("2 * -(fk_sum) + chunk_ct", "2 * chunk_ct")}
+       |         END AS avg_fk_x100
+       |    FROM pd
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY avg_fk_x100, shard, pack_id)
+       |            AS BIGINT) AS curriculum_pos,
+       |       shard, CAST(pack_id AS BIGINT) AS pack_id,
+       |       CAST(chunk_ct AS BIGINT) AS chunk_ct,
+       |       CAST(token_ct AS BIGINT) AS token_ct,
+       |       CAST(avg_fk_x100 AS BIGINT) AS avg_fk_x100
+       |  FROM graded
+       | ORDER BY curriculum_pos""".stripMargin
 
   private def registered(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "documents")
@@ -92,6 +140,10 @@ object Packer {
   def duckSql(): String = sql("documents")(DuckDialect)
   def duckExactSql(): String =
     sql("documents", tokenRe = Chunker.ExactTokenRe)(DuckDialect)
+
+  def runCurriculum(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(curriculumSql(registered(spark, dir))(SparkDialect))
+  def duckCurriculumSql(): String = curriculumSql("documents")(DuckDialect)
 
   /** Epoch shuffling — the training-order assignment a data loader
     * consumes: every pack is dealt to a data-parallel worker and given

@@ -122,6 +122,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("curriculum is an easy-to-hard permutation of the pack manifest") {
+    val cur = graft.pipeline.Packer.runCurriculum(spark, sfDir).collect()
+    assert(cur.nonEmpty)
+    val grades = cur.map(_.getAs[Long]("avg_fk_x100"))
+    assert(grades.zip(grades.tail).forall { case (a, b) => a <= b },
+      "curriculum positions not monotone in difficulty")
+    assert(cur.map(_.getAs[Long]("curriculum_pos")).toSeq ==
+      (1L to cur.length).toSeq)
+    val manifest = graft.pipeline.Packer.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("pack_id"))).toSet
+    assert(cur.map(r => (r.getAs[Int]("shard"),
+      r.getAs[Long]("pack_id"))).toSet == manifest,
+      "curriculum drops or invents packs")
+  }
+
   test("skew report advice is consistent with the measured distribution") {
     val rows = graft.core.SkewReport.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -275,7 +275,9 @@ object SparkEntry {
       ("skew_report" ->
         ((s: SparkSession, dir: String) => graft.core.SkewReport.run(s, dir))),
       ("pack_curriculum" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runCurriculum(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Packer.runCurriculum(s, dir))),
+      ("bpe_apply" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runApply(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -422,6 +424,7 @@ object SparkEntry {
       ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),
       ("skew_report" -> graft.core.SkewReport.duckSql()),
-      ("pack_curriculum" -> graft.pipeline.Packer.duckCurriculumSql())
+      ("pack_curriculum" -> graft.pipeline.Packer.duckCurriculumSql()),
+      ("bpe_apply" -> graft.pipeline.BpeMerges.duckApplySql())
       ).toMap
 }

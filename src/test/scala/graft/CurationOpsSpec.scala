@@ -122,6 +122,24 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe apply compresses with greedy non-overlapping semantics") {
+    val rows = graft.pipeline.BpeMerges.runApply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var anyApplied = false
+    rows.foreach { r =>
+      val before = r.getAs[Long]("tokens_before")
+      val applied = r.getAs[Long]("merges_applied")
+      val after = r.getAs[Long]("tokens_after")
+      assert(after == before - applied)
+      // non-overlapping merges can at most halve the stream
+      assert(applied <= before / 2, s"applied $applied of $before tokens")
+      if (applied > 0) anyApplied = true
+      val c = r.getAs[Double]("compression")
+      assert(c > 0 && c <= 1.0)
+    }
+    assert(anyApplied, "merge table never fired on its own corpus")
+  }
+
   test("curriculum is an easy-to-hard permutation of the pack manifest") {
     val cur = graft.pipeline.Packer.runCurriculum(spark, sfDir).collect()
     assert(cur.nonEmpty)

@@ -26,9 +26,11 @@ object Tables {
     * default ICU semantics stay untouched. */
   def tunePerf(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
-    // SparkDialect.dotProduct renders graft_dot — make it resolvable on
-    // every session that runs engine SQL (idempotent)
+    // SparkDialect.dotProduct renders graft_dot and the LSH paths render
+    // graft_bucket — make both resolvable on every session that runs
+    // engine SQL (idempotent)
     graft.functions.DotExpr.register(spark)
+    graft.functions.BucketExpr.register(spark)
     spark
   }
 
@@ -42,8 +44,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String,
            parallelize: Boolean = true): DataFrame = {
     // belt-and-braces: every engine entry loads a table before running
-    // SQL, so graft_dot resolves even on a session that skipped tunePerf
+    // SQL, so the native functions resolve even on a session that
+    // skipped tunePerf
     graft.functions.DotExpr.register(spark)
+    graft.functions.BucketExpr.register(spark)
     // Some driver parquet (events.ts) is TIMESTAMP(NANOS), which Spark's
     // vectorized reader rejects outright. Read nanos as long and restore a
     // (microsecond) timestamp column — set lazily so it also applies when

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Native sign-LSH bucket: `graft_bucket(vec[, nPlanes, dim])` — the
+  * same bucket id as the unrolled SQL rendering
+  * ([[graft.pipeline.Similarity.unrolledBucketExpr]]): for each fixed
+  * hyperplane, project the vector (left-to-right accumulation over
+  * double-widened elements — the unrolled `a + b + c` chain's exact
+  * association order) and set the plane's bit when the projection is
+  * ≥ 0. Bit-identical to the SQL form (BucketExprSpec), which remains
+  * the DuckDB oracle's rendering.
+  *
+  * Why an Expression: the unrolled form is nPlanes × dim arithmetic
+  * TERMS in the plan — 512 at the 8×64 defaults, ~6k at production
+  * dims — which dominates analysis/codegen time for every LSH consumer
+  * (the ANN views, embedding dedup blocking, semantic decontamination).
+  * Here the plan carries ONE compact call; the loop runs inside
+  * whole-stage codegen via a static method, and the hyperplanes are
+  * computed once per (nPlanes, dim) and cached.
+  *
+  * NULL semantics mirror the SQL: a missing/short array or a null
+  * element makes every projection NULL, and `CASE WHEN NULL >= 0` is
+  * false — so the bucket is 0, never NULL.
+  */
+case class BucketExpr(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bucket"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BucketExpr.compute(input.asInstanceOf[ArrayData], nPlanes, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BucketExpr.compute($a, $nPlanes, $dim, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): BucketExpr =
+    copy(child = newChild)
+}
+
+object BucketExpr {
+
+  /** The shared deterministic hyperplane source (an LCG over
+    * [-0.999, 0.999] thousandths) — [[graft.pipeline.Similarity
+    * .hyperplanes]] renders the same sequence into the SQL forms. */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var s = 0x5DEECE66DL
+    def next(): Double = {
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      (((s >>> 33) % 1999).toInt - 999) / 1000.0
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanes, dim), _ => planes(nPlanes, dim))
+
+  def compute(a: ArrayData, nPlanes: Int, dim: Int, aFloat: Boolean): Int = {
+    // short array / null element ⇒ every projection is SQL-NULL ⇒ no
+    // bit ever sets
+    if (a.numElements() < dim) return 0
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return 0
+      i += 1
+    }
+    val ws = planesFor(nPlanes, dim)
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      val w = ws(p)
+      var proj = 0.0
+      var j = 0
+      while (j < dim) {
+        val v = if (aFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        proj += v * w(j)
+        j += 1
+      }
+      if (proj >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.core.SessionCache.getOrElseUpdate(spark, "bucketfn", "reg") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bucket",
+        (children: Seq[Expression]) => {
+          def lit(i: Int, dflt: Int): Int =
+            children.lift(i).map(_.eval().asInstanceOf[Number].intValue)
+              .getOrElse(dflt)
+          BucketExpr(children.head, lit(1, 8), lit(2, 64))
+        },
+        "scala_udf")
+      true
+    }
+}

@@ -203,21 +203,28 @@ object Similarity {
   /** Deterministic random hyperplanes (fixed LCG seed) for sign-LSH.
     * Components are short decimal literals so both engines parse the
     * exact same doubles. */
-  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    var s = 0x5DEECE66DL
-    def next(): Double = {
-      s = (s * 6364136223846793005L + 1442695040888963407L)
-      (((s >>> 33) % 1999).toInt - 999) / 1000.0
-    }
-    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
-  }
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    graft.functions.BucketExpr.planes(nPlanes, dim).map(_.toSeq).toSeq
 
   /** The sign-LSH bucket id of `vec` as a dialect-neutral expression
     * (unrolled element sums — both engines evaluate the same addition
     * order, so buckets are bit-identical). Shared by the ANN path below
     * and the LSH-blocked embedding dedup
     * ([[graft.pipeline.Dedup.embeddingLshSql]]). */
-  def bucketExpr(vec: String, nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String = {
+  def bucketExpr(vec: String, nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String =
+    d match {
+      // Spark side: ONE compact native call (the unrolled form is
+      // nPlanes × dim plan terms — it dominates analysis/codegen time
+      // for every LSH consumer). Bit-identical to the unrolled
+      // rendering (BucketExprSpec), which stays the oracle's form.
+      case SparkDialect => s"graft_bucket($vec, $nPlanes, $dim)"
+      case _            => unrolledBucketExpr(vec, nPlanes, dim)(d)
+    }
+
+  /** The unrolled element-sum rendering — the DuckDB oracle's form and
+    * the parity anchor for the native expression. */
+  def unrolledBucketExpr(vec: String, nPlanes: Int = 8, dim: Int = 64)
+                        (d: Dialect): String = {
     val planes = hyperplanes(nPlanes, dim)
     def proj(w: Seq[Double]): String =
       w.zipWithIndex.map { case (wv, i) =>

@@ -1,0 +1,41 @@
+package graft
+
+import graft.oracle.SparkDialect
+import graft.pipeline.Similarity
+
+/** The native `graft_bucket` must be BIT-IDENTICAL to the unrolled SQL
+  * rendering (the DuckDB oracle's form) — every LSH consumer's hash
+  * parity rides on this. */
+class BucketExprSpec extends SparkSpec {
+
+  test("native bucket is bit-identical to the unrolled SQL form on the fixture") {
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__bexpr_emb")
+    for ((np, dim) <- Seq((8, 64), (4, 64))) {
+      val mism = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM __bexpr_emb
+           | WHERE graft_bucket(embedding, $np, $dim) <>
+           |       ${Similarity.unrolledBucketExpr("embedding", np, dim)(SparkDialect)}""".stripMargin)
+        .head().getAs[Long]("n")
+      assert(mism == 0L, s"$mism mismatching buckets at nPlanes=$np")
+    }
+  }
+
+  test("native bucket spreads vectors over many buckets") {
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__bexpr_emb")
+    val n = spark.sql(
+      "SELECT COUNT(DISTINCT graft_bucket(embedding, 8, 64)) AS n FROM __bexpr_emb")
+      .head().getAs[Long]("n")
+    assert(n > 16, s"only $n buckets used")
+  }
+
+  test("short or null-element arrays bucket to 0 like the SQL NULL case") {
+    val r = spark.sql(
+      """SELECT graft_bucket(array(CAST(1.0 AS FLOAT)), 8, 64) AS short,
+        |       graft_bucket(CAST(NULL AS ARRAY<FLOAT>), 8, 64) AS whole_null
+        |""".stripMargin).head()
+    assert(r.getAs[Int]("short") == 0)
+    assert(r.isNullAt(r.fieldIndex("whole_null")))
+  }
+}

@@ -277,7 +277,9 @@ object SparkEntry {
       ("pack_curriculum" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Packer.runCurriculum(s, dir))),
       ("bpe_apply" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runApply(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runApply(s, dir))),
+      ("profile_correlations" ->
+        ((s: SparkSession, dir: String) => graft.profiling.Correlations.run(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -425,6 +427,7 @@ object SparkEntry {
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),
       ("skew_report" -> graft.core.SkewReport.duckSql()),
       ("pack_curriculum" -> graft.pipeline.Packer.duckCurriculumSql()),
-      ("bpe_apply" -> graft.pipeline.BpeMerges.duckApplySql())
+      ("bpe_apply" -> graft.pipeline.BpeMerges.duckApplySql()),
+      ("profile_correlations" -> graft.profiling.Correlations.duckSql())
       ).toMap
 }

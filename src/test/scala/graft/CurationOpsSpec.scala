@@ -122,6 +122,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("correlation profile agrees with Spark's CORR to float tolerance") {
+    val rows = graft.profiling.Correlations.run(spark, sfDir).collect()
+    assert(rows.length ==
+      graft.profiling.Correlations.Cols.size * (graft.profiling.Correlations.Cols.size - 1) / 2)
+    val df = graft.core.Tables.load(spark, sfDir, "lineitem")
+    rows.foreach { r =>
+      val (x, y) = (r.getAs[String]("col_x"), r.getAs[String]("col_y"))
+      val exact = r.getAs[Double]("r")
+      assert(exact >= -1.0001 && exact <= 1.0001)
+      // the built-in CORR over raw doubles is the (order-unstable)
+      // estimator this entry replaces; the cents-grain exact form must
+      // agree to well inside the scaling error
+      val corr = df.selectExpr(s"corr($x, $y)").head().getDouble(0)
+      assert(math.abs(exact - corr) < 1e-3, s"$x~$y: $exact vs corr $corr")
+    }
+  }
+
   test("bpe apply compresses with greedy non-overlapping semantics") {
     val rows = graft.pipeline.BpeMerges.runApply(spark, sfDir).collect()
     assert(rows.nonEmpty)

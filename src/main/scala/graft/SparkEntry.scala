@@ -279,7 +279,9 @@ object SparkEntry {
       ("bpe_apply" ->
         ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runApply(s, dir))),
       ("profile_correlations" ->
-        ((s: SparkSession, dir: String) => graft.profiling.Correlations.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.profiling.Correlations.run(s, dir))),
+      ("dedup_survivor_audit" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSurvivorAudit(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -428,6 +430,7 @@ object SparkEntry {
       ("skew_report" -> graft.core.SkewReport.duckSql()),
       ("pack_curriculum" -> graft.pipeline.Packer.duckCurriculumSql()),
       ("bpe_apply" -> graft.pipeline.BpeMerges.duckApplySql()),
-      ("profile_correlations" -> graft.profiling.Correlations.duckSql())
+      ("profile_correlations" -> graft.profiling.Correlations.duckSql()),
+      ("dedup_survivor_audit" -> graft.pipeline.Dedup.survivorAuditSql("documents")(graft.oracle.DuckDialect))
       ).toMap
 }

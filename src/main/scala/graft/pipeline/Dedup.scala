@@ -815,7 +815,8 @@ object Dedup {
     * transitive closure (`WITH RECURSIVE` + UNION-dedup terminates on the
     * cyclic dup graph), cluster id = min reachable id. The engine itself
     * never runs this — see [[runClusters]] for the distributed form. */
-  def clustersSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+  private def clusterCompCtes(table: String, threshold: Double)
+                             (d: Dialect): String =
     s"""WITH RECURSIVE ${shinglesCte(d, table)},
        |sigs AS (
        |${minhashSigsSql("shf")}
@@ -826,8 +827,73 @@ object Dedup {
        |  UNION
        |  SELECT rc.id, e.dst AS r FROM reach rc JOIN edges e ON e.src = rc.r
        |),
-       |comp AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id)
+       |comp AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id)""".stripMargin
+
+  def clustersSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+    s"""${clusterCompCtes(table, threshold)(d)}
        |${clusterOutSql("comp")}""".stripMargin
+
+  /** Survivor-policy audit — the check a curation run does before
+    * trusting min-id survivor selection: for every duplicate cluster,
+    * the min-id survivor's quality vs the best-quality member. A
+    * cluster where they differ (`policy_loss > 0`) is one where the
+    * deterministic id policy is throwing away the better copy — the
+    * standard refinement is to switch the survivor ORDER BY to
+    * (quality DESC, id), and this relation measures exactly how much
+    * that would buy. Tail is shared verbatim between the oracle's
+    * recursive form and the Spark run over the landed component
+    * labels; quality comes from the single-scan `text_analysis`
+    * metrics. */
+  private def survivorAuditTail(compRel: String, table: String)
+                               (d: Dialect): String =
+    s"""qx AS (
+       |  SELECT doc_id, quality_score FROM (
+       |${TextAnalysis.sql(table, ordered = false)(d)}
+       |  ) tq
+       |),
+       |jq AS (
+       |  SELECT c.id, c.cid, q.quality_score
+       |    FROM $compRel c JOIN qx q ON q.doc_id = c.id
+       |),
+       |best AS (
+       |  SELECT cid, id AS best_id, quality_score AS best_quality FROM (
+       |    SELECT cid, id, quality_score,
+       |           ROW_NUMBER() OVER (PARTITION BY cid
+       |                              ORDER BY quality_score DESC, id) AS rn
+       |      FROM jq) b
+       |   WHERE rn = 1
+       |),
+       |sv AS (
+       |  SELECT cid, quality_score AS survivor_quality
+       |    FROM jq WHERE id = cid
+       |),
+       |szs AS (SELECT cid, COUNT(*) AS cluster_sz FROM jq GROUP BY cid)
+       |SELECT b.cid AS cluster_id,
+       |       CAST(z.cluster_sz AS BIGINT) AS cluster_sz,
+       |       CAST(b.cid AS BIGINT) AS survivor_id,
+       |       CAST(s.survivor_quality AS DOUBLE) AS survivor_quality,
+       |       CAST(b.best_id AS BIGINT) AS best_id,
+       |       CAST(b.best_quality AS DOUBLE) AS best_quality,
+       |       CAST(ROUND(b.best_quality - s.survivor_quality, 4) AS DOUBLE)
+       |         AS policy_loss,
+       |       CAST(CASE WHEN b.best_id <> b.cid THEN 1 ELSE 0 END AS INT)
+       |         AS policy_suboptimal
+       |  FROM best b
+       |  JOIN sv s ON s.cid = b.cid
+       |  JOIN szs z ON z.cid = b.cid
+       | ORDER BY cluster_id""".stripMargin
+
+  def survivorAuditSql(table: String, threshold: Double = 0.5)
+                      (d: Dialect): String =
+    s"""${clusterCompCtes(table, threshold)(d)},
+       |${survivorAuditTail("comp", table)(d)}""".stripMargin
+
+  def runSurvivorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = register(spark, dir)
+    val comp = clusterCompView(spark, dir)
+    spark.sql(
+      s"""WITH ${survivorAuditTail(comp, t)(SparkDialect)}""".stripMargin)
+  }
 
   /** Distributed connected components: min-label propagation to a
     * fixpoint — each round every node takes the minimum of its own and

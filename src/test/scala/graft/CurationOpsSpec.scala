@@ -122,6 +122,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("survivor audit: best member never scores below the survivor") {
+    val rows = graft.pipeline.Dedup.runSurvivorAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("best_quality") >=
+        r.getAs[Double]("survivor_quality") - 1e-9)
+      assert(r.getAs[Double]("policy_loss") >= -1e-9)
+      assert(r.getAs[Long]("cluster_sz") >= 2,
+        "audit should only cover real duplicate clusters")
+      val subopt = r.getAs[Int]("policy_suboptimal")
+      if (subopt == 0)
+        assert(r.getAs[Long]("best_id") == r.getAs[Long]("survivor_id"))
+    }
+  }
+
   test("correlation profile agrees with Spark's CORR to float tolerance") {
     val rows = graft.profiling.Correlations.run(spark, sfDir).collect()
     assert(rows.length ==

@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Runner {
   private val allStages = Seq("chars", "drift", "profile", "infer", "hygiene",
-    "generate", "execute", "score", "monitor")
+    "generate", "execute", "score", "monitor", "curate", "index")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -128,6 +128,33 @@ object Runner {
           land("monitor", "monitor_predict_thresholds",
             graft.streaming.Monitors.predictThresholdsFrom(spark,
               sigRuns.map(r => graft.core.RunStore.runPath(historyRoot, r, "monitor_signals"))))
+      case "curate" =>
+        // the training-data curation lifecycle over the documents
+        // corpus: per-doc signals → composite gate → dedup clusters +
+        // survivor audit → budgets → chunks → packs → curriculum
+        land("curate", "text_analysis",
+          graft.pipeline.TextAnalysis.run(spark, dataDir))
+        land("curate", "quality_gate",
+          graft.pipeline.QualityGate.run(spark, dataDir))
+        land("curate", "dedup_clusters",
+          graft.pipeline.Dedup.runClusters(spark, dataDir))
+        land("curate", "dedup_survivor_audit",
+          graft.pipeline.Dedup.runSurvivorAudit(spark, dataDir))
+        land("curate", "corpus_kept_stats",
+          graft.pipeline.CorpusStats.runKept(spark, dataDir))
+        land("curate", "chunks", graft.pipeline.Chunker.run(spark, dataDir))
+        land("curate", "packs", graft.pipeline.Packer.run(spark, dataDir))
+        land("curate", "pack_curriculum",
+          graft.pipeline.Packer.runCurriculum(spark, dataDir))
+        land("curate", "pack_epochs",
+          graft.pipeline.Packer.runEpochs(spark, dataDir))
+      case "index" =>
+        // build + persist the bucket-partitioned ANN index, then report
+        // the recall of every probe path against the exact baseline
+        graft.pipeline.Similarity.writeIndex(spark, dataDir, s"$outDir/ann_index")
+        println(s"[graft] index: bucket-partitioned index -> $outDir/ann_index")
+        land("index", "knn_recall",
+          graft.pipeline.Similarity.runRecall(spark, dataDir))
       case other =>
         println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
     }

@@ -281,7 +281,9 @@ object SparkEntry {
       ("profile_correlations" ->
         ((s: SparkSession, dir: String) => graft.profiling.Correlations.run(s, dir))),
       ("dedup_survivor_audit" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSurvivorAudit(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSurvivorAudit(s, dir))),
+      ("knn_pq" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runPq(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -431,6 +433,7 @@ object SparkEntry {
       ("pack_curriculum" -> graft.pipeline.Packer.duckCurriculumSql()),
       ("bpe_apply" -> graft.pipeline.BpeMerges.duckApplySql()),
       ("profile_correlations" -> graft.profiling.Correlations.duckSql()),
-      ("dedup_survivor_audit" -> graft.pipeline.Dedup.survivorAuditSql("documents")(graft.oracle.DuckDialect))
+      ("dedup_survivor_audit" -> graft.pipeline.Dedup.survivorAuditSql("documents")(graft.oracle.DuckDialect)),
+      ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings")(graft.oracle.DuckDialect))
       ).toMap
 }

@@ -59,6 +59,8 @@ sealed trait Dialect {
   def elementAt(arr: String, i: Int): String
   /** Number of elements of an array expression. */
   def arrayLen(arr: String): String
+  /** 1-based, `len`-element subarray of an array expression. */
+  def arraySlice(arr: String, start1: Int, len: Int): String
   /** Relation exploding `expr` (split by the separator SQL expression
     * `sepSql`, e.g. "CHR(10)") into one row per piece, carrying `cols`
     * through; the piece column is named `piece`. */
@@ -158,6 +160,8 @@ object SparkDialect extends Dialect {
   def hexToLong(h: String): String = s"CAST(CONV($h, 16, 10) AS BIGINT)"
   def elementAt(arr: String, i: Int): String = s"CAST(element_at($arr, $i) AS DOUBLE)"
   def arrayLen(arr: String): String = s"size($arr)"
+  def arraySlice(arr: String, start1: Int, len: Int): String =
+    s"slice($arr, $start1, $len)"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")}, sp.piece FROM $rel
        | LATERAL VIEW explode(split($expr, $sepSql)) sp AS piece""".stripMargin
@@ -230,6 +234,8 @@ object DuckDialect extends Dialect {
   def hexToLong(h: String): String = s"CAST(CAST('0x' || $h AS UBIGINT) AS BIGINT)"
   def elementAt(arr: String, i: Int): String = s"CAST(($arr)[$i] AS DOUBLE)"
   def arrayLen(arr: String): String = s"len($arr)"
+  def arraySlice(arr: String, start1: Int, len: Int): String =
+    s"list_slice($arr, $start1, ${start1 + len - 1})"
   def splitRel(rel: String, cols: Seq[String], expr: String, sepSql: String): String =
     s"""SELECT ${cols.mkString(", ")},
        | unnest(string_split($expr, $sepSql)) AS piece FROM $rel""".stripMargin

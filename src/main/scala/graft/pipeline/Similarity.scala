@@ -326,6 +326,87 @@ object Similarity {
     s"""WITH ${quantizedCorpusCtes(table)(d)},
        |${bruteTail("deq", nQueries, k)(d).stripPrefix("WITH ")}""".stripMargin
 
+  /** Product quantization (the IVF-PQ memory path, Jégou et al. 2011):
+    * split each vector into [[PqSub]] subspaces, code each subvector as
+    * its nearest codeword (the md5-drawn seed sample's subvectors — a
+    * deterministic 1-iteration codebook, same adjudication as seeded
+    * IVF), and score queries by ASYMMETRIC DISTANCE: the query
+    * precomputes its nQueries × nSub × K lookup table of exact
+    * subspace distances and every corpus vector's distance is a
+    * TABLE-LOOKUP SUM over its codes — the corpus's floats are never
+    * touched at query time, which is the whole point: a 64-dim float
+    * corpus serves from nSub bytes per vector (32× memory), and at
+    * 100 TB the scoring scan reads codes, not embeddings.
+    *
+    * Determinism: each subspace distance is micro-unit-rounded BEFORE
+    * the cross-subspace SUM, so the ADC total is exact integer math
+    * with no accumulation order; code assignment ranks the same
+    * micro-int with seed-id ties. */
+  private def pqBody(corpusRel: String, seedsRel: String,
+                     nQueries: Int, k: Int, nSub: Int, subDim: Int)
+                    (d: Dialect): String = {
+    def sl(arr: String, s: Int) = d.arraySlice(arr, s * subDim + 1, subDim)
+    val subV = (0 until nSub).map(s =>
+      s"SELECT vec_id, $s AS sub, ${sl("embedding", s)} AS sv FROM $corpusRel")
+      .mkString("\n  UNION ALL\n  ")
+    val subC = (0 until nSub).map(s =>
+      s"SELECT seed_id, $s AS sub, ${sl("centroid", s)} AS cv FROM $seedsRel")
+      .mkString("\n  UNION ALL\n  ")
+    val d2 = s"CAST(ROUND((${d.dotProduct("v.sv", "v.sv")}" +
+      s" - 2 * ${d.dotProduct("v.sv", "c.cv")}" +
+      s" + ${d.dotProduct("c.cv", "c.cv")}) * 1000000) AS BIGINT)"
+    s"""WITH pv AS (
+       |  $subV
+       |),
+       |pc AS (
+       |  $subC
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, seed_id AS code FROM (
+       |    SELECT v.vec_id, v.sub, c.seed_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |                              ORDER BY $d2, c.seed_id) AS rn
+       |      FROM pv v JOIN pc c ON c.sub = v.sub
+       |  ) a WHERE rn = 1
+       |),
+       |qd AS (
+       |  SELECT v.vec_id AS query_id, c.sub, c.seed_id, $d2 AS dmicro
+       |    FROM pv v JOIN pc c ON c.sub = v.sub
+       |   WHERE v.vec_id < $nQueries
+       |),
+       |adc AS (
+       |  SELECT /*+ BROADCAST(q) */ q.query_id, co.vec_id AS neighbor_id,
+       |         SUM(q.dmicro) AS dist_micro
+       |    FROM codes co
+       |    JOIN qd q ON q.sub = co.sub AND q.seed_id = co.code
+       |   WHERE co.vec_id <> q.query_id
+       |   GROUP BY q.query_id, co.vec_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(dist_micro AS BIGINT) AS dist_micro,
+       |       CAST(rk AS INT) AS rank
+       |  FROM (SELECT a.*,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                  ORDER BY dist_micro, neighbor_id) AS rk
+       |          FROM adc a) z
+       | WHERE rk <= $k
+       | ORDER BY query_id, rank""".stripMargin
+  }
+
+  val PqSub = 4
+  val PqSubDim = 16
+
+  def pqSql(table: String, nQueries: Int = 5, k: Int = 5,
+            nSub: Int = PqSub, subDim: Int = PqSubDim,
+            nCentroids: Int = DefaultCentroids)(d: Dialect): String =
+    s"""WITH ${seedsCte(table, nCentroids)(d)},
+       |${pqBody(table, "seeds", nQueries, k, nSub, subDim)(d).stripPrefix("WITH ")}""".stripMargin
+
+  private def pqView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "pq")(v => pqBody(v.base, v.seeds, 5, 5, PqSub, PqSubDim)(d))
+
+  def runPq(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM ${pqView(spark, dir)} ORDER BY query_id, rank")
+
   /** ANN quality measurement — recall@k of each approximate method
     * against the exact brute-force baseline, per query and method: the
     * number every ANN deployment reports before trading exactness for
@@ -342,7 +423,8 @@ object Similarity {
         "ivf_seeded" -> ivfSeededSql(table, k = k)(d),
         "ivf_seeded_p2" -> ivfSeededSql(table, k = k, nProbe = 2)(d),
         "lsh" -> lshSql(table, k = k)(d),
-        "quantized_bf" -> quantizedSql(table, k = k)(d)),
+        "quantized_bf" -> quantizedSql(table, k = k)(d),
+        "pq_adc" -> pqSql(table, k = k)(d)),
       k)(d)
 
   private def recallBody(truthSql: String, methods: Seq[(String, String)],
@@ -440,7 +522,8 @@ object Similarity {
       "ivf_seeded" -> seededView(spark, dir),
       "ivf_seeded_p2" -> probeView(spark, dir),
       "lsh" -> lshView(spark, dir),
-      "quantized_bf" -> quantView(spark, dir)).map { case (m, v) =>
+      "quantized_bf" -> quantView(spark, dir),
+      "pq_adc" -> pqView(spark, dir)).map { case (m, v) =>
       m -> s"SELECT * FROM $v"
     }
     spark.sql(recallBody(truth, methods, k)(d))

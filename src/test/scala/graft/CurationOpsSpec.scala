@@ -122,6 +122,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq ADC hits are ranked by exact-integer distance and measured for recall") {
+    val rows = graft.pipeline.Similarity.runPq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val ds = sorted.map(_.getAs[Long]("dist_micro"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "ADC distances not monotone in rank")
+      assert(ds.forall(_ >= 0))
+    }
+    // the recall harness measures the pq path alongside the others
+    val methods = graft.pipeline.Similarity.runRecall(spark, sfDir).collect()
+      .map(_.getAs[String]("method")).toSet
+    assert(methods.contains("pq_adc"), s"recall methods: $methods")
+  }
+
   test("survivor audit: best member never scores below the survivor") {
     val rows = graft.pipeline.Dedup.runSurvivorAudit(spark, sfDir).collect()
     assert(rows.nonEmpty)

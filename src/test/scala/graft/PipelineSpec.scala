@@ -506,7 +506,7 @@ class PipelineSpec extends SparkSpec {
     val rows = graft.pipeline.Similarity.runRecall(spark, sfDir).collect()
     val methods = rows.map(_.getAs[String]("method")).distinct.sorted
     assert(methods.sameElements(
-      Array("ivf", "ivf_seeded", "ivf_seeded_p2", "lsh", "quantized_bf")))
+      Array("ivf", "ivf_seeded", "ivf_seeded_p2", "lsh", "pq_adc", "quantized_bf")))
     rows.foreach { r =>
       val recall = r.getAs[Double]("recall_at_5")
       assert(recall >= 0.0 && recall <= 1.0)

@@ -283,7 +283,15 @@ object SparkEntry {
       ("dedup_survivor_audit" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSurvivorAudit(s, dir))),
       ("knn_pq" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runPq(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runPq(s, dir))),
+      ("dsir_weights" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runDsir(s, dir))),
+      ("substring_duplication" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSubstringDup(s, dir))),
+      ("kmeans_refine" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runKmeansRefine(s, dir))),
+      ("sample_cluster_balanced" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runClusterSample(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -434,6 +442,10 @@ object SparkEntry {
       ("bpe_apply" -> graft.pipeline.BpeMerges.duckApplySql()),
       ("profile_correlations" -> graft.profiling.Correlations.duckSql()),
       ("dedup_survivor_audit" -> graft.pipeline.Dedup.survivorAuditSql("documents")(graft.oracle.DuckDialect)),
-      ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings")(graft.oracle.DuckDialect))
+      ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings")(graft.oracle.DuckDialect)),
+      ("dsir_weights" -> graft.pipeline.Selection.dsirDuckSql()),
+      ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
+      ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),
+      ("sample_cluster_balanced" -> graft.pipeline.Similarity.clusterSampleSql("embeddings")(graft.oracle.DuckDialect))
       ).toMap
 }

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Data-selection operators over `documents` — the curation steps that
+  * decide WHICH raw documents reach training, beyond dedup and quality
+  * gating:
+  *
+  *  - DSIR-style importance scoring: rank raw documents by how
+  *    target-like their hashed n-gram feature distribution is
+  *    (importance resampling with hashed features — Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling").
+  *    The scorer here is the integer-exact cross-multiplied linear form
+  *    of the smoothed likelihood ratio, so both engines agree bit-for-
+  *    bit without a single log or float.
+  *
+  *  - repeated-substring screen: per-document fraction of 13-word
+  *    grams that occur in 2+ documents (the memorization/dup-span
+  *    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+  *    Language Models Better" — word-gram granularity).
+  *
+  * All hashing is md5 so Spark and the DuckDB oracle score identically.
+  */
+object Selection {
+
+  /** Hashed-feature buckets. Real DSIR uses 10^4..10^6 buckets; the
+    * fixture corpus is small so 64 keeps features non-degenerate. */
+  val Buckets = 64
+
+  /** The target slice: documents from this source define the
+    * distribution we want the selected corpus to match. */
+  val TargetSource = "src0"
+
+  val SelectTop = 100
+
+  /** Per-word hashed feature id in [0, B). */
+  private def featExpr(d: Dialect): String =
+    s"(${d.hexToLong("SUBSTRING(MD5('dsir:' || word), 1, 15)")} % $Buckets)"
+
+  /** DSIR importance scores for every candidate (non-target) document.
+    *
+    * For word feature f: target count t_f over target docs, raw count
+    * r_f over candidate docs, totals T and R. The per-occurrence
+    * contribution of the +1-smoothed log ratio
+    * `log((t_f+1)/(T+B)) - log((r_f+1)/(R+B))` is monotone in the
+    * integer `(t_f+1)*(R+B) - (r_f+1)*(T+B)` cross-multiplication ONLY
+    * per-feature, so the summed surrogate is the linearized (first-
+    * order) form of the ratio — deterministic, order-independent
+    * BIGINT arithmetic that both engines reproduce exactly. Documents
+    * are ranked by their summed surrogate; `selected` marks the top
+    * [[SelectTop]].
+    *
+    * Scale shape: the feature relation is one word-explode scan; the
+    * two count rollups are map-side-partial groupBys over B-bounded
+    * keys; the per-doc score is one more groupBy after a broadcast
+    * join against the B-row count tables (B rows — ALWAYS broadcast-
+    * sized, by construction); and the totals are a 1-row cross join.
+    * Nothing here pair-joins or re-scans the corpus — at 100 TB this
+    * is two passes over the text (count, score), each embarrassingly
+    * parallel, which is why hashed-feature DSIR is the standard
+    * trillion-token selection pass. At real scale `Buckets` rises to
+    * 10^5 and the count tables stay broadcast-sized. */
+  def dsirSql(table: String)(d: Dialect): String = {
+    val f = featExpr(d)
+    s"""WITH words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |feat AS (
+       |  SELECT w.id, $f AS f,
+       |         CASE WHEN dd.source = '$TargetSource' THEN 1 ELSE 0 END AS is_tgt
+       |    FROM words w JOIN $table dd ON dd.doc_id = w.id
+       |),
+       |tcnt AS (SELECT f, COUNT(*) AS t_ct FROM feat WHERE is_tgt = 1 GROUP BY f),
+       |rcnt AS (SELECT f, COUNT(*) AS r_ct FROM feat WHERE is_tgt = 0 GROUP BY f),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM feat WHERE is_tgt = 1) AS tt,
+       |         (SELECT COUNT(*) FROM feat WHERE is_tgt = 0) AS rr
+       |),
+       |scored AS (
+       |  SELECT fe.id AS doc_id, COUNT(*) AS token_ct,
+       |         SUM((COALESCE(t.t_ct, 0) + 1) * (tot.rr + $Buckets)
+       |             - (COALESCE(r.r_ct, 0) + 1) * (tot.tt + $Buckets)) AS dsir_score
+       |    FROM feat fe
+       |    CROSS JOIN tot
+       |    LEFT JOIN tcnt t ON t.f = fe.f
+       |    LEFT JOIN rcnt r ON r.f = fe.f
+       |   WHERE fe.is_tgt = 0
+       |   GROUP BY fe.id
+       |)
+       |SELECT doc_id, CAST(token_ct AS BIGINT) AS token_ct,
+       |       CAST(dsir_score AS BIGINT) AS dsir_score,
+       |       CAST(CASE WHEN rnk <= $SelectTop THEN 1 ELSE 0 END AS INT) AS selected
+       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rnk
+       |          FROM scored) r
+       | ORDER BY doc_id""".stripMargin
+  }
+
+  def runDsir(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_dsir_docs")
+    spark.sql(dsirSql("__graft_dsir_docs")(SparkDialect))
+  }
+
+  def dsirDuckSql(): String = dsirSql("documents")(DuckDialect)
+
+  /** Gram width of the repeated-substring screen (words). */
+  val GramWords = 13
+
+  /** Per-document repeated-13-gram fraction: a gram is "duplicated"
+    * when it occurs in 2 or more DISTINCT documents; the fraction is
+    * the share of a document's grams that are duplicated. Documents
+    * shorter than 13 words carry zero grams and a zero fraction.
+    *
+    * Scale shape: grams are built by LEAD windows partitioned per doc
+    * (one shuffle on doc id, no self-join), hashed to fixed-width md5
+    * so the global duplicate census is a groupBy over 16-byte keys
+    * with map-side partials — the census never joins doc-to-doc, which
+    * is what distinguishes this screen from pairwise dedup and keeps
+    * it linear at 100 TB (Lee et al. run the equivalent census with a
+    * suffix array; the hashed-gram census is the shuffle-native form). */
+  def substringDupSql(table: String)(d: Dialect): String = {
+    val leads = (1 to (GramWords - 1)).map(i =>
+      s"LEAD(word, $i) OVER w AS w$i").mkString(",\n       |         ")
+    val concat = (1 to (GramWords - 1)).map(i => s"w$i").mkString(
+      "word || ' ' || ", " || ' ' || ", "")
+    s"""WITH words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |lagged AS (
+       |  SELECT id, word,
+       |         $leads
+       |    FROM words
+       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
+       |),
+       |grams AS (
+       |  SELECT id, MD5($concat) AS gh
+       |    FROM lagged WHERE w${GramWords - 1} IS NOT NULL
+       |),
+       |census AS (
+       |  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT id) >= 2
+       |),
+       |per_doc AS (
+       |  SELECT g.id, COUNT(*) AS gram_ct,
+       |         SUM(CASE WHEN c.gh IS NULL THEN 0 ELSE 1 END) AS dup_ct
+       |    FROM grams g LEFT JOIN census c ON c.gh = g.gh
+       |   GROUP BY g.id
+       |)
+       |SELECT dd.doc_id,
+       |       CAST(COALESCE(p.gram_ct, 0) AS BIGINT) AS gram_ct,
+       |       CAST(COALESCE(p.dup_ct, 0) AS BIGINT) AS dup_gram_ct,
+       |       CAST(CASE WHEN COALESCE(p.gram_ct, 0) = 0 THEN 0.0
+       |            ELSE ROUND(CAST(p.dup_ct AS DOUBLE) / p.gram_ct, 4)
+       |            END AS DOUBLE) AS dup_fraction
+       |  FROM $table dd LEFT JOIN per_doc p ON p.id = dd.doc_id
+       | ORDER BY dd.doc_id""".stripMargin
+  }
+
+  def runSubstringDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_ssd_docs")
+    spark.sql(substringDupSql("__graft_ssd_docs")(SparkDialect))
+  }
+
+  def substringDupDuckSql(): String = substringDupSql("documents")(DuckDialect)
+}

@@ -645,6 +645,114 @@ object Similarity {
   def runSemantic(spark: SparkSession, dir: String): DataFrame =
     spark.sql(semanticBody(annViews(spark, dir).base, 0.30)(d))
 
+  // ---------------------------------------------------------------------
+  // Lloyd refinement — one k-means iteration past the seeded shortcut.
+  // ---------------------------------------------------------------------
+
+  /** One Lloyd iteration over the seeded assignment: recompute each
+    * cluster's centroid as the mean of its assigned vectors, then
+    * reassign every vector to its nearest refined centroid (ties on
+    * seed id, as in [[assignCte]]). The emitted rows are the per-seed
+    * movement ledger — iteration-1 size, iteration-2 size, and how many
+    * vectors stayed — i.e. the convergence signal a full distributed
+    * k-means loop would monitor each round.
+    *
+    * Scale shape: the refinement is ONE explode+groupBy over the landed
+    * assignment (map-side partial means per (seed, pos)), the refined
+    * centroids are K tiny rows broadcast against the corpus for
+    * reassignment, and the ledger is a K-row rollup — per iteration the
+    * corpus is read once and never pair-joined, which is exactly the
+    * Lloyd step a 100 TB curation run executes a handful of times
+    * before freezing its IVF index. */
+  private def kmeansRefineBody(table: String, assignRel: String,
+                               seedsRel: String)(d: Dialect): String = {
+    val esCos = cosine(d, "e.embedding", "s.centroid")
+    s"""WITH flat2 AS (
+       |  SELECT seed_id, pos, val FROM (
+       |    ${d.arrayPosRel(assignRel, "seed_id", "embedding")}
+       |  ) t
+       |),
+       |centroids2 AS (
+       |  SELECT seed_id, ${d.arrayAggOrdered("avgv", "pos")} AS centroid FROM (
+       |    SELECT seed_id, pos, AVG(val) AS avgv FROM flat2 GROUP BY seed_id, pos
+       |  ) g GROUP BY seed_id
+       |),
+       |assign2 AS (
+       |  SELECT vec_id, seed_id FROM (
+       |    SELECT e.vec_id, s.seed_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $esCos DESC, s.seed_id) AS rn
+       |      FROM $table e CROSS JOIN centroids2 s
+       |  ) a WHERE rn = 1
+       |),
+       |moves AS (
+       |  SELECT a1.vec_id, a1.seed_id AS s1, a2.seed_id AS s2
+       |    FROM $assignRel a1 JOIN assign2 a2 ON a2.vec_id = a1.vec_id
+       |),
+       |c1 AS (SELECT s1 AS seed_id, COUNT(*) AS n1 FROM moves GROUP BY s1),
+       |c2 AS (SELECT s2 AS seed_id, COUNT(*) AS n2 FROM moves GROUP BY s2),
+       |cs AS (SELECT s1 AS seed_id, COUNT(*) AS ns FROM moves
+       |        WHERE s1 = s2 GROUP BY s1)
+       |SELECT s.seed_id,
+       |       CAST(COALESCE(c1.n1, 0) AS BIGINT) AS n_iter1,
+       |       CAST(COALESCE(c2.n2, 0) AS BIGINT) AS n_iter2,
+       |       CAST(COALESCE(cs.ns, 0) AS BIGINT) AS n_stayed
+       |  FROM $seedsRel s
+       |  LEFT JOIN c1 ON c1.seed_id = s.seed_id
+       |  LEFT JOIN c2 ON c2.seed_id = s.seed_id
+       |  LEFT JOIN cs ON cs.seed_id = s.seed_id
+       | ORDER BY s.seed_id""".stripMargin
+  }
+
+  def kmeansRefineSql(table: String,
+                      nCentroids: Int = DefaultCentroids)(d: Dialect): String =
+    s"""WITH ${seedsCte(table, nCentroids)(d)},
+       |${assignCte(table, "seeds")(d)},
+       |${kmeansRefineBody(table, "assign", "seeds")(d).stripPrefix("WITH ")}""".stripMargin
+
+  /** Spark path: iteration 1 is the landed index base. */
+  def runKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val v = annViews(spark, dir)
+    spark.sql(kmeansRefineBody(register(spark, dir), v.base, v.seeds)(d))
+  }
+
+  // ---------------------------------------------------------------------
+  // Cluster-balanced sampling — diversity-preserving downsampling.
+  // ---------------------------------------------------------------------
+
+  /** Draw up to `perCluster` vectors from EVERY seeded-IVF cluster by a
+    * deterministic md5 order — the cluster-balanced downsample a
+    * curation pipeline uses to keep semantic coverage while shrinking
+    * the corpus (the uniform draw over-samples dense modes; sampling
+    * per cluster caps each mode's share). The draw is the same md5
+    * trick as [[graft.pipeline.StratifiedSample]], so reruns and the
+    * oracle pick identical rows.
+    *
+    * Scale shape: the assignment relation is already landed; the draw
+    * is one window per seed partition over it — no joins, no second
+    * corpus pass, and the window key is the cluster id, so the sort is
+    * partition-local after a single shuffle on seed_id. */
+  private def clusterSampleBody(assignRel: String, perCluster: Int)
+                               (d: Dialect): String =
+    s"""SELECT CAST(seed_id AS BIGINT) AS seed_id, vec_id, CAST(rn AS INT) AS draw_rank
+       |  FROM (
+       |    SELECT seed_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY seed_id
+       |                              ORDER BY MD5(${d.castText("vec_id")}), vec_id) AS rn
+       |      FROM $assignRel
+       |  ) s
+       | WHERE rn <= $perCluster
+       | ORDER BY seed_id, draw_rank""".stripMargin
+
+  def clusterSampleSql(table: String, perCluster: Int = 5,
+                       nCentroids: Int = DefaultCentroids)(d: Dialect): String =
+    s"""WITH ${seedsCte(table, nCentroids)(d)},
+       |${assignCte(table, "seeds")(d)}
+       |${clusterSampleBody("assign", perCluster)(d)}""".stripMargin
+
+  def runClusterSample(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(clusterSampleBody(annViews(spark, dir).base, 5)(d))
+
   /** Embedding-space outliers — the out-of-distribution screen a
     * curation pipeline runs before training: vectors whose cosine to
     * their assigned (seeded-IVF) centroid falls below the cluster's

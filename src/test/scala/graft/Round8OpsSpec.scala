@@ -360,4 +360,66 @@ class Round8OpsSpec extends SparkSpec {
     assert(shared >= h1.size - 2,
       s"edit destroyed chunk alignment: only $shared of ${h1.size} chunks survive")
   }
+
+  test("dsir scores every candidate doc and selects exactly the top slice") {
+    val rows = graft.pipeline.Selection.runDsir(spark, sfDir).collect()
+    val nTarget = graft.core.Tables.load(spark, sfDir, "documents")
+      .where(s"source = '${graft.pipeline.Selection.TargetSource}'").count()
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
+    // one row per candidate (non-target) doc
+    assert(rows.length == (nDocs - nTarget).toInt)
+    val selected = rows.filter(_.getAs[Int]("selected") == 1)
+    assert(selected.length == math.min(graft.pipeline.Selection.SelectTop, rows.length))
+    // the selection IS the top of the score order: every selected score
+    // >= every unselected score
+    val minSel = selected.map(_.getAs[Long]("dsir_score")).min
+    val unsel = rows.filter(_.getAs[Int]("selected") == 0)
+    assert(unsel.isEmpty || unsel.map(_.getAs[Long]("dsir_score")).max <= minSel)
+    rows.foreach(r => assert(r.getAs[Long]("token_ct") > 0))
+  }
+
+  test("substring screen covers every doc with a consistent dup fraction") {
+    val rows = graft.pipeline.Selection.runSubstringDup(spark, sfDir).collect()
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs.toInt)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gram_ct"); val d = r.getAs[Long]("dup_gram_ct")
+      assert(d <= g)
+      val f = r.getAs[Double]("dup_fraction")
+      if (g == 0) assert(f == 0.0)
+      else assert(math.abs(f - d.toDouble / g) < 1e-3)
+    }
+    // the near-dup fixture pairs share long spans — the screen must
+    // light up somewhere
+    assert(rows.exists(_.getAs[Long]("dup_gram_ct") > 0))
+  }
+
+  test("lloyd refinement conserves the corpus and only shrinks movement") {
+    val rows = graft.pipeline.Similarity.runKmeansRefine(spark, sfDir).collect()
+    assert(rows.length == graft.pipeline.Similarity.DefaultCentroids)
+    val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_iter1")).sum == n)
+    assert(rows.map(_.getAs[Long]("n_iter2")).sum == n)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_stayed")
+      assert(s <= r.getAs[Long]("n_iter1") && s <= r.getAs[Long]("n_iter2"))
+    }
+    // refined centroids are the means of their members — most vectors
+    // stay put after one Lloyd step on a clustered fixture
+    val stayed = rows.map(_.getAs[Long]("n_stayed")).sum
+    assert(stayed * 2 > n, s"Lloyd step moved most of the corpus: $stayed of $n stayed")
+  }
+
+  test("cluster-balanced sample draws a capped, deterministic slice per cluster") {
+    val rows = graft.pipeline.Similarity.runClusterSample(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("seed_id"))
+    assert(byCluster.size == graft.pipeline.Similarity.DefaultCentroids)
+    byCluster.values.foreach { c =>
+      assert(c.length <= 5)
+      assert(c.map(_.getAs[Int]("draw_rank")).sorted.toSeq == (1 to c.length))
+    }
+    // deterministic: a second run draws the identical rows
+    val again = graft.pipeline.Similarity.runClusterSample(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }

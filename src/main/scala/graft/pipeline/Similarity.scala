@@ -664,8 +664,11 @@ object Similarity {
     * corpus is read once and never pair-joined, which is exactly the
     * Lloyd step a 100 TB curation run executes a handful of times
     * before freezing its IVF index. */
-  private def kmeansRefineBody(table: String, assignRel: String,
-                               seedsRel: String)(d: Dialect): String = {
+  /** The (iter1-seed, iter2-seed) transition counts — the expensive
+    * part: one explode+groupBy for the refined centroids, one corpus
+    * pass for reassignment, one vec-keyed join, one K²-bounded rollup. */
+  private def kmeansPairsBody(table: String, assignRel: String)
+                             (d: Dialect): String = {
     val esCos = cosine(d, "e.embedding", "s.centroid")
     s"""WITH flat2 AS (
        |  SELECT seed_id, pos, val FROM (
@@ -684,14 +687,20 @@ object Similarity {
        |                              ORDER BY $esCos DESC, s.seed_id) AS rn
        |      FROM $table e CROSS JOIN centroids2 s
        |  ) a WHERE rn = 1
-       |),
-       |moves AS (
-       |  SELECT a1.vec_id, a1.seed_id AS s1, a2.seed_id AS s2
-       |    FROM $assignRel a1 JOIN assign2 a2 ON a2.vec_id = a1.vec_id
-       |),
-       |c1 AS (SELECT s1 AS seed_id, COUNT(*) AS n1 FROM moves GROUP BY s1),
-       |c2 AS (SELECT s2 AS seed_id, COUNT(*) AS n2 FROM moves GROUP BY s2),
-       |cs AS (SELECT s1 AS seed_id, COUNT(*) AS ns FROM moves
+       |)
+       |SELECT a1.seed_id AS s1, a2.seed_id AS s2, COUNT(*) AS ct
+       |  FROM $assignRel a1 JOIN assign2 a2 ON a2.vec_id = a1.vec_id
+       | GROUP BY a1.seed_id, a2.seed_id""".stripMargin
+  }
+
+  /** The movement ledger over a (K²-bounded) transition relation. The
+    * three rollups read `pairsRel` three times — which is why the Spark
+    * path lands it first (CTEs inline in Spark; re-deriving the corpus
+    * pass per rollup would triple the scan, PlanSpec-tripwired). */
+  private def kmeansLedgerBody(pairsRel: String, seedsRel: String): String =
+    s"""WITH c1 AS (SELECT s1 AS seed_id, SUM(ct) AS n1 FROM $pairsRel GROUP BY s1),
+       |c2 AS (SELECT s2 AS seed_id, SUM(ct) AS n2 FROM $pairsRel GROUP BY s2),
+       |cs AS (SELECT s1 AS seed_id, SUM(ct) AS ns FROM $pairsRel
        |        WHERE s1 = s2 GROUP BY s1)
        |SELECT s.seed_id,
        |       CAST(COALESCE(c1.n1, 0) AS BIGINT) AS n_iter1,
@@ -702,18 +711,27 @@ object Similarity {
        |  LEFT JOIN c2 ON c2.seed_id = s.seed_id
        |  LEFT JOIN cs ON cs.seed_id = s.seed_id
        | ORDER BY s.seed_id""".stripMargin
-  }
 
   def kmeansRefineSql(table: String,
                       nCentroids: Int = DefaultCentroids)(d: Dialect): String =
     s"""WITH ${seedsCte(table, nCentroids)(d)},
        |${assignCte(table, "seeds")(d)},
-       |${kmeansRefineBody(table, "assign", "seeds")(d).stripPrefix("WITH ")}""".stripMargin
+       |pairs AS (
+       |${kmeansPairsBody(table, "assign")(d)}
+       |),
+       |${kmeansLedgerBody("pairs", "seeds").stripPrefix("WITH ")}""".stripMargin
 
-  /** Spark path: iteration 1 is the landed index base. */
+  /** Spark path: iteration 1 is the landed index base; the K²-bounded
+    * transition counts land once, the ledger reads them. */
   def runKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     val v = annViews(spark, dir)
-    spark.sql(kmeansRefineBody(register(spark, dir), v.base, v.seeds)(d))
+    val pv = graft.core.SessionCache.getOrElseUpdate(spark, "kmeanspairs", dir) {
+      val name = s"__graft_km_pairs_${java.lang.Integer.toHexString(dir.hashCode)}"
+      spark.sql(kmeansPairsBody(register(spark, dir), v.base)(d))
+        .localCheckpoint(eager = true).createOrReplaceTempView(name)
+      name
+    }
+    spark.sql(kmeansLedgerBody(pv, v.seeds))
   }
 
   // ---------------------------------------------------------------------

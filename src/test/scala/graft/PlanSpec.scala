@@ -327,4 +327,36 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian")
     }
   }
+
+  test("dsir joins the B-row count tables broadcast, never a cartesian") {
+    val p = plan(graft.pipeline.Selection.runDsir(spark, dir))
+    // the feature-count side relations are bounded at Buckets rows by
+    // construction — they must come in as broadcast joins
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins against the count tables:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "dsir plans a cartesian")
+  }
+
+  test("substring screen censuses grams by groupBy — no doc-to-doc join") {
+    val p = plan(graft.pipeline.Selection.runSubstringDup(spark, dir))
+    assert(!p.contains("CartesianProduct"), "substring screen plans a cartesian")
+    // the census is an aggregate over gram hashes, joined back per-gram:
+    // a SortMergeJoin keyed on the doc id pair would be the quadratic
+    // dedup shape leaking in
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "expected the gram census aggregate")
+  }
+
+  test("cluster sample and lloyd refinement read the landed index base") {
+    val ps = plan(graft.pipeline.Similarity.runClusterSample(spark, dir))
+    assert(!ps.contains("FileScan parquet"),
+      "cluster sample re-scanned parquet instead of the landed assignment")
+    // the ledger reads the landed K²-bounded transition relation —
+    // re-deriving the corpus pass per rollup (CTE inlining) would show
+    // up as parquet scans here
+    val pk = plan(graft.pipeline.Similarity.runKmeansRefine(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(pk).length
+    assert(scans == 0, s"lloyd ledger re-scans parquet $scans times")
+    assert(!pk.contains("CartesianProduct"), "lloyd ledger plans a cartesian")
+  }
 }

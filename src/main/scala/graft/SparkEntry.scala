@@ -291,7 +291,11 @@ object SparkEntry {
       ("kmeans_refine" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runKmeansRefine(s, dir))),
       ("sample_cluster_balanced" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runClusterSample(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runClusterSample(s, dir))),
+      ("dedup_canonical" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runCanonical(s, dir))),
+      ("tokenizer_fertility" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.TokenizerFertility.run(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -446,6 +450,8 @@ object SparkEntry {
       ("dsir_weights" -> graft.pipeline.Selection.dsirDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),
-      ("sample_cluster_balanced" -> graft.pipeline.Similarity.clusterSampleSql("embeddings")(graft.oracle.DuckDialect))
+      ("sample_cluster_balanced" -> graft.pipeline.Similarity.clusterSampleSql("embeddings")(graft.oracle.DuckDialect)),
+      ("dedup_canonical" -> graft.pipeline.Dedup.canonicalSql("documents")(graft.oracle.DuckDialect)),
+      ("tokenizer_fertility" -> graft.pipeline.TokenizerFertility.duckSql())
       ).toMap
 }

@@ -82,6 +82,39 @@ object Dedup {
        | GROUP BY MD5(text) HAVING COUNT(*) > 1
        | ORDER BY content_hash""".stripMargin
 
+  /** Canonical-form text: casefolded, punctuation stripped, whitespace
+    * collapsed — the normalization pass that makes `"Hello,  World!"`
+    * and `"hello world"` the same document. */
+  private def canonExpr(d: Dialect): String = {
+    val noPunct = d.regexpReplace("LOWER(text)", "[^a-z0-9\\s]", "")
+    s"TRIM(${d.regexpReplace(noPunct, "\\s+", " ")})"
+  }
+
+  /** Exact dedup over the CANONICAL form — catches the formatting
+    * variants (case, punctuation, whitespace reflow) that raw-byte
+    * md5 grouping misses but that are still verbatim duplicates, the
+    * first screen crawl pipelines run before any fuzzy pass.
+    * `raw_variant_ct` counts how many distinct RAW texts collapsed
+    * into the group — > 1 means the canonicalization did work the
+    * exact pass could not.
+    *
+    * Scale shape: identical to exact dedup — one codegen'd
+    * normalize+hash scan, one groupBy with map-side partials; no
+    * joins. */
+  def canonicalSql(table: String)(d: Dialect): String =
+    s"""SELECT MD5(${canonExpr(d)}) AS canon_hash, COUNT(*) AS dupe_ct,
+       |       COUNT(DISTINCT MD5(text)) AS raw_variant_ct,
+       |       MIN(doc_id) AS keep_id
+       |  FROM $table
+       | GROUP BY MD5(${canonExpr(d)}) HAVING COUNT(*) > 1
+       | ORDER BY canon_hash""".stripMargin
+
+  def runCanonical(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents", parallelize = false)
+      .createOrReplaceTempView("__graft_docs_canon")
+    spark.sql(canonicalSql("__graft_docs_canon")(SparkDialect))
+  }
+
   /** Jaccard verification body over (inter, sizes) relations. */
   private def jaccardBody(interRel: String, sizesRel: String, threshold: Double): String =
     s"""SELECT i.doc_a, i.doc_b,

@@ -410,6 +410,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(stayed * 2 > n, s"Lloyd step moved most of the corpus: $stayed of $n stayed")
   }
 
+  test("canonical dedup collapses formatting variants the exact pass misses") {
+    import spark.implicits._
+    Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO WORLD."),
+      (4L, "something else"), (5L, "something else")
+    ).toDF("doc_id", "text").createOrReplaceTempView("__graft_canon_spec")
+    val rows = spark.sql(
+      graft.pipeline.Dedup.canonicalSql("__graft_canon_spec")(SparkDialect))
+      .collect()
+    assert(rows.length == 2)
+    val hello = rows.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(hello.getAs[Long]("dupe_ct") == 3)
+    // three distinct raw texts collapsed — work exact md5 cannot do
+    assert(hello.getAs[Long]("raw_variant_ct") == 3)
+    val same = rows.find(_.getAs[Long]("keep_id") == 4L).get
+    assert(same.getAs[Long]("dupe_ct") == 2 && same.getAs[Long]("raw_variant_ct") == 1)
+  }
+
+  test("tokenizer fertility covers every language with consistent ratios") {
+    val rows = graft.pipeline.TokenizerFertility.run(spark, sfDir).collect()
+    val langs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("lang").distinct().count()
+    assert(rows.length == langs.toInt)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("word_ct"); val t = r.getAs[Long]("subtoken_ct")
+      // punct/number splitting only ever adds segments
+      assert(t >= w, s"lang ${r.getString(0)}: subtokens $t < words $w")
+      val f = r.getAs[Double]("fertility")
+      assert(math.abs(f - t.toDouble / w) < 1e-3)
+      assert(r.getAs[Double]("chars_per_subtoken") > 0)
+    }
+  }
+
   test("cluster-balanced sample draws a capped, deterministic slice per cluster") {
     val rows = graft.pipeline.Similarity.runClusterSample(spark, sfDir).collect()
     val byCluster = rows.groupBy(_.getAs[Long]("seed_id"))

@@ -551,9 +551,25 @@ object FunctionalType {
     perTable.mkString("(\n", "\nUNION ALL\n", "\n)")
   }
 
-  /** Spark execution: union per-table profile+freq metrics, run cascade. */
-  def infer(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(cascadeSql(registerProfileAll(spark, dir))(SparkDialect))
+  /** Spark execution: union per-table profile+freq metrics, run cascade.
+    * The cascade's 22 CTE stages cross-reference each other, so Catalyst's
+    * CTE inlining expands the analyzed tree combinatorially — ~3 s of
+    * pure planning per read over a 51-row relation. The inferred result
+    * is itself metadata-sized (one row per column) and every consumer
+    * (generation, runner landing, repeated entry reads) wants the same
+    * rows, so it lands ONCE per (session, dir) and reads are
+    * checkpoint scans — the same discipline as the ANN hit relations. */
+  def infer(spark: SparkSession, dir: String): DataFrame = {
+    val view = graft.core.SessionCache.getOrElseUpdate(spark, "functional_inferred", dir) {
+      val v = s"__graft_functional_${java.lang.Integer.toHexString(dir.hashCode)}"
+      spark.sql(cascadeSql(registerProfileAll(spark, dir))(SparkDialect))
+        .localCheckpoint(eager = true).createOrReplaceTempView(v)
+      v
+    }
+    // the landed relation preserves the cascade's output order only
+    // per-partition; re-assert the entry's deterministic order
+    spark.sql(s"SELECT * FROM $view ORDER BY table_name, column_name")
+  }
 
   /** DuckDB oracle: same cascade over the duck-rendered profile+freq. */
   def duckSql(): String = cascadeSql(duckProfileAllRel())(DuckDialect)

@@ -295,7 +295,9 @@ object SparkEntry {
       ("dedup_canonical" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runCanonical(s, dir))),
       ("tokenizer_fertility" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.TokenizerFertility.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.TokenizerFertility.run(s, dir))),
+      ("substring_rewrite" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSubstringRewrite(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -452,6 +454,7 @@ object SparkEntry {
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),
       ("sample_cluster_balanced" -> graft.pipeline.Similarity.clusterSampleSql("embeddings")(graft.oracle.DuckDialect)),
       ("dedup_canonical" -> graft.pipeline.Dedup.canonicalSql("documents")(graft.oracle.DuckDialect)),
-      ("tokenizer_fertility" -> graft.pipeline.TokenizerFertility.duckSql())
+      ("tokenizer_fertility" -> graft.pipeline.TokenizerFertility.duckSql()),
+      ("substring_rewrite" -> graft.pipeline.Selection.substringRewriteDuckSql())
       ).toMap
 }

@@ -164,4 +164,88 @@ object Selection {
   }
 
   def substringDupDuckSql(): String = substringDupSql("documents")(DuckDialect)
+
+  /** The span-removal REWRITE — the transform behind the census above:
+    * every non-first occurrence of a duplicated 13-gram is elided (the
+    * corpus-wide first occurrence, by (doc_id, pos), survives — Lee et
+    * al.'s keep-one policy), where eliding a gram occurrence drops its
+    * full 13-word span. Emits the per-doc rewrite ledger with an md5 of
+    * the retained text, not the text itself.
+    *
+    * Scale shape: the keeper election is one window over the gram
+    * relation partitioned by gram hash; span coverage is the running-
+    * max islands trick — `MAX(dup_start_end) OVER (per doc ORDER BY
+    * pos)` — so no word-to-span range join ever forms; the rebuild is
+    * one ordered string_agg per doc. Three window passes and a
+    * groupBy, all linear, no doc-to-doc joins. */
+  def substringRewriteSql(table: String)(d: Dialect): String = {
+    val leads = (1 to (GramWords - 1)).map(i =>
+      s"LEAD(word, $i) OVER w AS w$i").mkString(",\n       |         ")
+    val concat = (1 to (GramWords - 1)).map(i => s"w$i").mkString(
+      "word || ' ' || ", " || ' ' || ", "")
+    s"""WITH words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |lagged AS (
+       |  SELECT id, pos, word,
+       |         $leads
+       |    FROM words
+       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
+       |),
+       |grams AS (
+       |  SELECT id, pos, MD5($concat) AS gh
+       |    FROM lagged WHERE w${GramWords - 1} IS NOT NULL
+       |),
+       |dupg AS (
+       |  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+       |),
+       |occ AS (
+       |  SELECT id, pos,
+       |         CASE WHEN in_dup = 1 AND rn > 1 THEN 1 ELSE 0 END AS is_dup
+       |    FROM (
+       |      SELECT g.id, g.pos,
+       |             CASE WHEN dg.gh IS NULL THEN 0 ELSE 1 END AS in_dup,
+       |             ROW_NUMBER() OVER (PARTITION BY g.gh
+       |                                ORDER BY g.id, g.pos) AS rn
+       |        FROM grams g LEFT JOIN dupg dg ON dg.gh = g.gh
+       |    ) x
+       |),
+       |cover AS (
+       |  SELECT w.id, w.pos, w.word,
+       |         MAX(CASE WHEN o.is_dup = 1 THEN o.pos + ${GramWords - 1} END)
+       |           OVER (PARTITION BY w.id ORDER BY w.pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS dup_end
+       |    FROM words w
+       |    LEFT JOIN occ o ON o.id = w.id AND o.pos = w.pos
+       |),
+       |kept AS (
+       |  SELECT id, pos, word,
+       |         CASE WHEN dup_end IS NOT NULL AND dup_end >= pos
+       |              THEN 0 ELSE 1 END AS keep
+       |    FROM cover
+       |)
+       |SELECT dd.doc_id,
+       |       CAST(COALESCE(k.word_ct, 0) AS BIGINT) AS word_ct,
+       |       CAST(COALESCE(k.kept_ct, 0) AS BIGINT) AS kept_word_ct,
+       |       CAST(COALESCE(k.word_ct, 0) - COALESCE(k.kept_ct, 0) AS BIGINT)
+       |         AS removed_word_ct,
+       |       COALESCE(k.retained_hash, MD5('')) AS retained_hash
+       |  FROM $table dd
+       |  LEFT JOIN (
+       |    SELECT id, COUNT(*) AS word_ct, SUM(keep) AS kept_ct,
+       |           MD5(${d.stringAgg("CASE WHEN keep = 1 THEN word END", " ", "pos")})
+       |             AS retained_hash
+       |      FROM kept GROUP BY id
+       |  ) k ON k.id = dd.doc_id
+       | ORDER BY dd.doc_id""".stripMargin
+  }
+
+  def runSubstringRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_ssr_docs")
+    spark.sql(substringRewriteSql("__graft_ssr_docs")(SparkDialect))
+  }
+
+  def substringRewriteDuckSql(): String = substringRewriteSql("documents")(DuckDialect)
 }

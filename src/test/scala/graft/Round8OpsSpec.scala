@@ -410,6 +410,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(stayed * 2 > n, s"Lloyd step moved most of the corpus: $stayed of $n stayed")
   }
 
+  test("substring rewrite keeps first occurrences and elides later spans") {
+    import spark.implicits._
+    val span = (1 to 13).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"unrelated words here $span trailing tail"),
+      (3L, "totally distinct content with no duplication at all")
+    ).toDF("doc_id", "text").createOrReplaceTempView("__graft_ssr_spec")
+    val rows = spark.sql(graft.pipeline.Selection
+        .substringRewriteSql("__graft_ssr_spec")(SparkDialect))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 holds the corpus-first occurrence — everything survives
+    assert(rows(1L).getAs[Long]("removed_word_ct") == 0)
+    // doc 2's copy of the span is elided: exactly the 13 shared words
+    assert(rows(2L).getAs[Long]("removed_word_ct") == 13)
+    assert(rows(2L).getAs[Long]("kept_word_ct") ==
+      rows(2L).getAs[Long]("word_ct") - 13)
+    // untouched doc: retained hash is the hash of its own word stream
+    assert(rows(3L).getAs[Long]("removed_word_ct") == 0)
+    // fixture ledger invariants: counts reconcile per doc, and the
+    // near-dup fixture pairs make at least one span removal happen
+    // (the rewrite also elides WITHIN-doc gram repeats the cross-doc
+    // census cannot see, so census-zero does not imply removal-zero)
+    val ledger = graft.pipeline.Selection.runSubstringRewrite(spark, sfDir).collect()
+    ledger.foreach { r =>
+      assert(r.getAs[Long]("kept_word_ct") + r.getAs[Long]("removed_word_ct") ==
+        r.getAs[Long]("word_ct"))
+    }
+    assert(ledger.exists(_.getAs[Long]("removed_word_ct") > 0))
+  }
+
   test("canonical dedup collapses formatting variants the exact pass misses") {
     import spark.implicits._
     Seq(

@@ -297,7 +297,13 @@ object SparkEntry {
       ("tokenizer_fertility" ->
         ((s: SparkSession, dir: String) => graft.pipeline.TokenizerFertility.run(s, dir))),
       ("substring_rewrite" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSubstringRewrite(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSubstringRewrite(s, dir))),
+      ("corpus_doc_drift" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.DocDrift.run(s, dir))),
+      ("split_leakage_free" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSplit(s, dir))),
+      ("quality_calibration" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runCalibration(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -455,6 +461,9 @@ object SparkEntry {
       ("sample_cluster_balanced" -> graft.pipeline.Similarity.clusterSampleSql("embeddings")(graft.oracle.DuckDialect)),
       ("dedup_canonical" -> graft.pipeline.Dedup.canonicalSql("documents")(graft.oracle.DuckDialect)),
       ("tokenizer_fertility" -> graft.pipeline.TokenizerFertility.duckSql()),
-      ("substring_rewrite" -> graft.pipeline.Selection.substringRewriteDuckSql())
+      ("substring_rewrite" -> graft.pipeline.Selection.substringRewriteDuckSql()),
+      ("corpus_doc_drift" -> graft.pipeline.DocDrift.duckSql()),
+      ("split_leakage_free" -> graft.pipeline.Selection.splitSql("documents")(graft.oracle.DuckDialect)),
+      ("quality_calibration" -> graft.pipeline.Selection.calibrationSql("documents")(graft.oracle.DuckDialect))
       ).toMap
 }

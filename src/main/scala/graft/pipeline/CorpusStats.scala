@@ -330,6 +330,80 @@ object CorpusDrift {
   }
 }
 
+/** Doc-grain run-over-run corpus CDC — [[CorpusDrift]] reports budget
+  * drift per (source, lang); this classifies every DOCUMENT across two
+  * landed snapshots as ADDED / REMOVED / CHANGED / UNCHANGED (changed =
+  * same id, different content hash) and rolls the classes up per
+  * source — the daily-crawl diff that tells an incremental pipeline
+  * exactly how much re-processing the new snapshot costs.
+  *
+  * Scale shape: snapshots land as (doc_id, source, content_hash) —
+  * 24 bytes/doc, never the text; the diff is ONE full-outer equi-join
+  * on doc_id over the two landed relations plus a metadata-sized
+  * rollup. At 100 TB the snapshots are <0.1% of the corpus and the
+  * join shuffles only them. */
+object DocDrift {
+
+  /** The landed doc-grain snapshot. */
+  def snapshotSql(table: String): String =
+    s"""SELECT doc_id, source, MD5(text) AS content_hash
+       |  FROM $table""".stripMargin
+
+  /** Deterministic prior corpus: every-7th doc missing (→ ADDED now),
+    * src0 doubled under shifted ids (→ REMOVED now), every-11th doc's
+    * text suffixed (→ CHANGED now). */
+  def priorSql(table: String): String =
+    s"""SELECT doc_id, source,
+       |       CASE WHEN doc_id % 11 = 0 THEN text || ' vLEGACY' ELSE text END AS text
+       |  FROM $table
+       | WHERE doc_id % 7 <> 0
+       |UNION ALL
+       |SELECT doc_id + 1000000 AS doc_id, source, text
+       |  FROM $table WHERE source = 'src0'""".stripMargin
+
+  def diffSql(priorPath: String, currentPath: String)(d: Dialect): String =
+    s"""WITH prior AS (SELECT * FROM ${d.readParquet(priorPath)}),
+       |cur AS (SELECT * FROM ${d.readParquet(currentPath)}),
+       |j AS (
+       |  SELECT COALESCE(p.source, c.source) AS source,
+       |         CASE WHEN p.doc_id IS NULL THEN 'ADDED'
+       |              WHEN c.doc_id IS NULL THEN 'REMOVED'
+       |              WHEN p.content_hash <> c.content_hash THEN 'CHANGED'
+       |              ELSE 'UNCHANGED' END AS change_type
+       |    FROM prior p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+       |)
+       |SELECT source,
+       |       CAST(SUM(CASE WHEN change_type = 'ADDED' THEN 1 ELSE 0 END) AS BIGINT) AS added_ct,
+       |       CAST(SUM(CASE WHEN change_type = 'REMOVED' THEN 1 ELSE 0 END) AS BIGINT) AS removed_ct,
+       |       CAST(SUM(CASE WHEN change_type = 'CHANGED' THEN 1 ELSE 0 END) AS BIGINT) AS changed_ct,
+       |       CAST(SUM(CASE WHEN change_type = 'UNCHANGED' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged_ct
+       |  FROM j
+       | GROUP BY source
+       | ORDER BY source""".stripMargin
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.RunStore
+    val docs = "__graft_docdrift_docs"
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView(docs)
+    val root = RunStore.root
+    val p0 = RunStore.land(
+      spark.sql(snapshotSql(s"(${priorSql(docs)})")),
+      root, "run_000", "doc_snapshot")
+    val p1 = RunStore.land(
+      spark.sql(snapshotSql(docs)),
+      root, "run_001", "doc_snapshot")
+    spark.sql(diffSql(p0, p1)(SparkDialect))
+  }
+
+  def duckSql(): String = {
+    import graft.core.RunStore
+    val root = RunStore.root
+    diffSql(RunStore.runPath(root, "run_000", "doc_snapshot"),
+      RunStore.runPath(root, "run_001", "doc_snapshot"))(DuckDialect)
+  }
+}
+
 /** Temperature-based source mixing weights — the standard multinomial
   * alpha-sampling of multilingual/multi-source pretraining (weight ∝
   * corpus_share^alpha, alpha = 0.5): flattens the source distribution

@@ -848,7 +848,7 @@ object Dedup {
     * transitive closure (`WITH RECURSIVE` + UNION-dedup terminates on the
     * cyclic dup graph), cluster id = min reachable id. The engine itself
     * never runs this — see [[runClusters]] for the distributed form. */
-  private def clusterCompCtes(table: String, threshold: Double)
+  private[pipeline] def clusterCompCtes(table: String, threshold: Double)
                              (d: Dialect): String =
     s"""WITH RECURSIVE ${shinglesCte(d, table)},
        |sigs AS (

@@ -248,4 +248,114 @@ object Selection {
   }
 
   def substringRewriteDuckSql(): String = substringRewriteSql("documents")(DuckDialect)
+
+  /** Train share of the leakage-free split, out of 10 md5 buckets. */
+  val TrainBuckets = 9
+
+  /** Leakage-free train/heldout split: the assignment unit is the
+    * near-dup CLUSTER (a doc outside any cluster is its own unit), so
+    * two near-duplicate documents can never land on opposite sides of
+    * the split — the standard guard against eval contamination that a
+    * uniform per-doc split silently violates. The unit's md5 decides
+    * the side, so the split is reproducible and any future member of
+    * an existing cluster follows its cluster.
+    *
+    * Scale shape: one LEFT equi-join of the corpus against the landed
+    * component labels (metadata-sized), a per-row md5, and a 2-row
+    * rollup. */
+  private def splitCtes(table: String, compRel: String)(d: Dialect): String = {
+    val tokens = d.regexpCount("text", "\\S+")
+    val draw = d.hexToLong(
+      s"SUBSTRING(MD5('split:' || ${d.castText("unit_id")}), 1, 15)")
+    s"""su AS (
+       |  SELECT dd.doc_id, COALESCE(c.cid, dd.doc_id) AS unit_id,
+       |         CAST($tokens AS BIGINT) AS tk
+       |    FROM $table dd LEFT JOIN $compRel c ON c.id = dd.doc_id
+       |),
+       |sp AS (
+       |  SELECT doc_id, unit_id, tk,
+       |         CASE WHEN ($draw % 10) < $TrainBuckets
+       |              THEN 'train' ELSE 'heldout' END AS split
+       |    FROM su
+       |)""".stripMargin
+  }
+
+  private def splitTail(table: String, compRel: String)(d: Dialect): String =
+    s"""${splitCtes(table, compRel)(d)}
+       |SELECT split,
+       |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |       CAST(COUNT(DISTINCT unit_id) AS BIGINT) AS unit_ct,
+       |       CAST(SUM(tk) AS BIGINT) AS token_ct
+       |  FROM sp
+       | GROUP BY split
+       | ORDER BY split""".stripMargin
+
+  def splitSql(table: String)(d: Dialect): String =
+    s"""${Dedup.clusterCompCtes(table, 0.5)(d)},
+       |${splitTail(table, "comp")(d)}""".stripMargin
+
+  /** Spark path: reads the landed component labels. */
+  def runSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_split_docs")
+    val comp = Dedup.clusterCompView(spark, dir)
+    spark.sql(s"WITH ${splitTail("__graft_split_docs", comp)(SparkDialect)}")
+  }
+
+  /** Per-doc split assignment — the relation the spec audits for
+    * straddling clusters; not an oracle entry (the rollup is). */
+  private[graft] def splitAssignments(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_split_docs")
+    val comp = Dedup.clusterCompView(spark, dir)
+    spark.sql(s"""WITH ${splitCtes("__graft_split_docs", comp)(SparkDialect)}
+                 |SELECT doc_id, unit_id, split FROM sp""".stripMargin)
+  }
+
+  /** Quality-score calibration against duplication — score deciles vs
+    * the share of dup-cluster members per decile: a well-calibrated
+    * quality score should dislike duplicated boilerplate, and this is
+    * the report that shows whether it does (flat dup-share across
+    * deciles = the score carries no dedup signal; falling = it does).
+    * Deciles tie-break on doc_id so both engines bucket identically.
+    *
+    * Scale shape: quality comes from the single-scan text metrics, dup
+    * membership from the landed component labels (metadata-sized LEFT
+    * join), the decile is one global window over (score, id) — at
+    * 100 TB swap NTILE for a pre-computed quantile fence join, same
+    * rows. */
+  private def calibrationTail(table: String, compRel: String)
+                             (d: Dialect): String =
+    s"""qx AS (
+       |  SELECT doc_id, quality_score FROM (
+       |${graft.pipeline.TextAnalysis.sql(table, ordered = false)(d)}
+       |  ) tq
+       |),
+       |dq AS (
+       |  SELECT q.doc_id, q.quality_score,
+       |         CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS is_dup,
+       |         NTILE(10) OVER (ORDER BY q.quality_score, q.doc_id) AS decile
+       |    FROM qx q LEFT JOIN $compRel c ON c.id = q.doc_id
+       |)
+       |SELECT CAST(decile AS INT) AS decile,
+       |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |       CAST(SUM(is_dup) AS BIGINT) AS dup_doc_ct,
+       |       CAST(ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+       |         AS dup_share,
+       |       CAST(MIN(quality_score) AS DOUBLE) AS min_quality,
+       |       CAST(MAX(quality_score) AS DOUBLE) AS max_quality
+       |  FROM dq
+       | GROUP BY decile
+       | ORDER BY decile""".stripMargin
+
+  def calibrationSql(table: String)(d: Dialect): String =
+    s"""${Dedup.clusterCompCtes(table, 0.5)(d)},
+       |${calibrationTail(table, "comp")(d)}""".stripMargin
+
+  def runCalibration(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_calib_docs")
+    val comp = Dedup.clusterCompView(spark, dir)
+    spark.sql(s"WITH ${calibrationTail("__graft_calib_docs", comp)(SparkDialect)}")
+  }
 }

@@ -410,6 +410,59 @@ class Round8OpsSpec extends SparkSpec {
     assert(stayed * 2 > n, s"Lloyd step moved most of the corpus: $stayed of $n stayed")
   }
 
+  test("leakage-free split never strands a dup cluster across the boundary") {
+    val roll = graft.pipeline.Selection.runSplit(spark, sfDir).collect()
+    val n = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(roll.map(_.getAs[Long]("doc_ct")).sum == n)
+    assert(roll.map(_.getAs[String]("split")).sorted.toSeq == Seq("heldout", "train"))
+    // the leakage property itself: every assignment unit lives on ONE side
+    val assigns = graft.pipeline.Selection.splitAssignments(spark, sfDir).collect()
+    val byUnit = assigns.groupBy(_.getAs[Long]("unit_id"))
+    byUnit.foreach { case (u, docs) =>
+      assert(docs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"unit $u straddles the split")
+    }
+    // and clusters really are multi-doc units somewhere on the fixture
+    assert(byUnit.exists(_._2.length > 1))
+  }
+
+  test("doc drift classifies the synthetic prior's add/remove/change exactly") {
+    val rows = graft.pipeline.DocDrift.run(spark, sfDir).collect()
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    import org.apache.spark.sql.functions.{col, expr}
+    // derive the expected class counts from the same arithmetic the
+    // prior derivation uses
+    val added = docs.where("doc_id % 7 = 0").count()
+    val removed = docs.where("source = 'src0'").count()
+    val changed = docs.where("doc_id % 11 = 0 AND doc_id % 7 <> 0").count()
+    assert(rows.map(_.getAs[Long]("added_ct")).sum == added)
+    assert(rows.map(_.getAs[Long]("removed_ct")).sum == removed)
+    assert(rows.map(_.getAs[Long]("changed_ct")).sum == changed)
+    val total = rows.map(r => r.getAs[Long]("added_ct") + r.getAs[Long]("removed_ct") +
+      r.getAs[Long]("changed_ct") + r.getAs[Long]("unchanged_ct")).sum
+    assert(total == docs.count() + removed)
+  }
+
+  test("quality calibration fills ten deciles covering the whole corpus") {
+    val rows = graft.pipeline.Selection.runCalibration(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("decile")).sorted.toSeq == (1 to 10))
+    val n = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("doc_ct")).sum == n)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("dup_share")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Long]("dup_doc_ct") <= r.getAs[Long]("doc_ct"))
+      assert(r.getAs[Double]("min_quality") <= r.getAs[Double]("max_quality"))
+    }
+    // deciles are ordered by score: each decile's max <= the next's min
+    // (ties can equalize, never invert)
+    rows.sortBy(_.getAs[Int]("decile")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_quality") <= b.getAs[Double]("min_quality") + 1e-9)
+      case _ =>
+    }
+  }
+
   test("substring rewrite keeps first occurrences and elides later spans") {
     import spark.implicits._
     val span = (1 to 13).map(i => s"shared$i").mkString(" ")

@@ -130,16 +130,25 @@ object Runner {
               sigRuns.map(r => graft.core.RunStore.runPath(historyRoot, r, "monitor_signals"))))
       case "curate" =>
         // the training-data curation lifecycle over the documents
-        // corpus: per-doc signals → composite gate → dedup clusters +
-        // survivor audit → budgets → chunks → packs → curriculum
+        // corpus: per-doc signals → selection scores → composite gate →
+        // dedup clusters + survivor audit + span rewrite → leakage-free
+        // split + calibration → budgets → chunks → packs → curriculum
         land("curate", "text_analysis",
           graft.pipeline.TextAnalysis.run(spark, dataDir))
+        land("curate", "dsir_weights",
+          graft.pipeline.Selection.runDsir(spark, dataDir))
         land("curate", "quality_gate",
           graft.pipeline.QualityGate.run(spark, dataDir))
         land("curate", "dedup_clusters",
           graft.pipeline.Dedup.runClusters(spark, dataDir))
         land("curate", "dedup_survivor_audit",
           graft.pipeline.Dedup.runSurvivorAudit(spark, dataDir))
+        land("curate", "substring_rewrite",
+          graft.pipeline.Selection.runSubstringRewrite(spark, dataDir))
+        land("curate", "split_leakage_free",
+          graft.pipeline.Selection.runSplit(spark, dataDir))
+        land("curate", "quality_calibration",
+          graft.pipeline.Selection.runCalibration(spark, dataDir))
         land("curate", "corpus_kept_stats",
           graft.pipeline.CorpusStats.runKept(spark, dataDir))
         land("curate", "chunks", graft.pipeline.Chunker.run(spark, dataDir))

@@ -103,6 +103,49 @@ object Selection {
     spark.sql(dsirSql("__graft_dsir_docs")(SparkDialect))
   }
 
+  /** The FROZEN per-feature weight table the batch scorer implies:
+    * feature f → `(t_f+1)*(R+B) - (r_f+1)*(T+B)`. B rows, collected
+    * driver-side (metadata-sized by construction) — this is the
+    * artifact a streaming ingest scorer broadcasts so arriving docs
+    * score row-locally against the landed corpus statistics (see
+    * [[graft.streaming.StreamMonitors.ingestDsirScore]]). */
+  def dsirWeightMap(spark: SparkSession, dir: String): Map[Long, Long] = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_dsir_docs")
+    val d: Dialect = SparkDialect
+    val f = featExpr(d)
+    val rows = spark.sql(
+      s"""WITH words AS (
+         |  ${d.wordsRel("__graft_dsir_docs", "doc_id", "text")}
+         |),
+         |feat AS (
+         |  SELECT w.id, $f AS f,
+         |         CASE WHEN dd.source = '$TargetSource' THEN 1 ELSE 0 END AS is_tgt
+         |    FROM words w JOIN __graft_dsir_docs dd ON dd.doc_id = w.id
+         |),
+         |tot AS (
+         |  SELECT (SELECT COUNT(*) FROM feat WHERE is_tgt = 1) AS tt,
+         |         (SELECT COUNT(*) FROM feat WHERE is_tgt = 0) AS rr
+         |)
+         |SELECT f,
+         |       SUM(CASE WHEN is_tgt = 1 THEN 1 ELSE 0 END) AS t_ct,
+         |       SUM(CASE WHEN is_tgt = 0 THEN 1 ELSE 0 END) AS r_ct,
+         |       MAX(tot.tt) AS tt, MAX(tot.rr) AS rr
+         |  FROM feat CROSS JOIN tot GROUP BY f""".stripMargin).collect()
+    val (tt, rr) =
+      if (rows.isEmpty) (0L, 0L)
+      else (rows.head.getAs[Long]("tt"), rows.head.getAs[Long]("rr"))
+    val present = rows.map { r =>
+      r.getAs[Long]("f") ->
+        ((r.getAs[Long]("t_ct") + 1) * (rr + Buckets)
+          - (r.getAs[Long]("r_ct") + 1) * (tt + Buckets))
+    }.toMap
+    // buckets no word hashed into still carry the smoothing-only weight
+    (0L until Buckets.toLong).map { f =>
+      f -> present.getOrElse(f, (rr + Buckets) - (tt + Buckets))
+    }.toMap
+  }
+
   def dsirDuckSql(): String = dsirSql("documents")(DuckDialect)
 
   /** Gram width of the repeated-substring screen (words). */

@@ -263,4 +263,29 @@ object StreamMonitors {
       .filter(col("count") >= minShared)
       .withColumnRenamed("count", "shared_fp_ct")
   }
+
+  /** Streaming DSIR scoring at ingest — the production shape of
+    * [[graft.pipeline.Selection.runDsir]]: the per-feature weight table
+    * is FROZEN from the landed corpus (B entries — see
+    * `Selection.dsirWeightMap`) and ships as a literal map, so every
+    * arriving (doc_id, text) row scores ROW-LOCALLY with one
+    * higher-order-function fold over its own words — no explode, no
+    * shuffle, no state, stream-legal in append mode at any rate. The
+    * word split, md5 feature hash and integer weight arithmetic mirror
+    * the batch scorer expression for expression, so a replayed row's
+    * score is BIT-IDENTICAL to the oracle-checked batch relation
+    * (StreamMonitorsSpec). */
+  def ingestDsirScore(docs: org.apache.spark.sql.DataFrame,
+                      weights: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, typedLit}
+    val wmap = typedLit(weights)
+    val words = "filter(split(LOWER(text), '\\\\s+'), w -> w <> '')"
+    val f = s"(CAST(CONV(SUBSTRING(MD5('dsir:' || w), 1, 15), 16, 10) AS BIGINT) % ${graft.pipeline.Selection.Buckets})"
+    docs
+      .withColumn("__wmap", wmap)
+      .withColumn("token_ct", expr(s"CAST(size($words) AS BIGINT)"))
+      .withColumn("dsir_score",
+        expr(s"aggregate($words, CAST(0 AS BIGINT), (acc, w) -> acc + coalesce(element_at(__wmap, $f), CAST(0 AS BIGINT)))"))
+      .select(col("doc_id"), col("token_ct"), col("dsir_score"))
+  }
 }

@@ -305,6 +305,36 @@ class StreamMonitorsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dsir scorer replays bit-identical to the batch relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val weights = graft.pipeline.Selection.dsirWeightMap(spark, sfDir)
+    val cands = graft.core.Tables.load(spark, sfDir, "documents")
+      .where(s"source <> '${graft.pipeline.Selection.TargetSource}'")
+      .select("doc_id", "text").collect()
+      .map(r => GateDoc(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[GateDoc]
+    val q = StreamMonitors.ingestDsirScore(input.toDF(), weights)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    val out = try {
+      input.addData(cands.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("dsir_stream").collect()
+    } finally q.stop()
+    val batch = graft.pipeline.Selection.runDsir(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("token_ct"), r.getAs[Long]("dsir_score"))).toMap
+    assert(out.length == batch.size)
+    out.foreach { r =>
+      val (tk, sc) = batch(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("token_ct") == tk)
+      assert(r.getAs[Long]("dsir_score") == sc,
+        s"score drifted for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("streaming incremental-ingest dedup matches the oracle near relation") {
     val spark2 = spark
     import spark2.implicits._

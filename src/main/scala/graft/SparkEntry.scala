@@ -303,7 +303,11 @@ object SparkEntry {
       ("split_leakage_free" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSplit(s, dir))),
       ("quality_calibration" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runCalibration(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runCalibration(s, dir))),
+      ("dedup_threshold_sweep" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runThresholdSweep(s, dir))),
+      ("decontaminate_ngram" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runNgramDecontaminate(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -464,6 +468,8 @@ object SparkEntry {
       ("substring_rewrite" -> graft.pipeline.Selection.substringRewriteDuckSql()),
       ("corpus_doc_drift" -> graft.pipeline.DocDrift.duckSql()),
       ("split_leakage_free" -> graft.pipeline.Selection.splitSql("documents")(graft.oracle.DuckDialect)),
-      ("quality_calibration" -> graft.pipeline.Selection.calibrationSql("documents")(graft.oracle.DuckDialect))
+      ("quality_calibration" -> graft.pipeline.Selection.calibrationSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_threshold_sweep" -> graft.pipeline.Dedup.thresholdSweepSql("documents")(graft.oracle.DuckDialect)),
+      ("decontaminate_ngram" -> graft.pipeline.Selection.ngramDecontaminateDuckSql())
       ).toMap
 }

@@ -334,6 +334,82 @@ object Dedup {
     val k = registerShingleRels(spark, dir)
     spark.sql(s"WITH ${minhashBody(s"__graft_minhash_sigs_$k", s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)}")
   }
+
+  /** Dedup thresholds the sweep reports — the banding design point
+    * (0.5) upward; below 0.5 the 4×3 bands lose recall, so sweeping
+    * there would misreport. */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** The threshold tuning curve — per candidate-verification threshold,
+    * how many near-dup pairs fire and how many documents they touch:
+    * the report a curation run reads before committing to a dedup
+    * threshold (too low eats distinct paraphrases, too high leaves
+    * templated spam in).
+    *
+    * Scale shape: the verified-jaccard candidate relation is computed
+    * ONCE (band-bucket candidates only, hot-cutoff bounded — never an
+    * all-pairs join), and the sweep is a 5-row threshold relation
+    * cross-joined against it: 5·|cands| comparisons over an
+    * already-small relation, zero extra corpus passes. */
+  private def thresholdSweepTail(cinterRel: String, sizesRel: String): String =
+    s"""jp AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) AS j
+       |    FROM $cinterRel i
+       |    JOIN $sizesRel sa ON sa.id = i.doc_a
+       |    JOIN $sizesRel sb ON sb.id = i.doc_b
+       |),
+       |th AS (
+       |  ${SweepThresholds.map(t => s"SELECT CAST($t AS DOUBLE) AS th")
+           .mkString("\n  UNION ALL\n  ")}
+       |),
+       |hits AS (
+       |  SELECT t.th, p.doc_a, p.doc_b
+       |    FROM th t JOIN jp p ON p.j >= t.th
+       |),
+       |docs AS (
+       |  SELECT th, doc_a AS d FROM hits
+       |  UNION
+       |  SELECT th, doc_b AS d FROM hits
+       |)
+       |SELECT t.th AS threshold,
+       |       CAST(COALESCE(pc.pair_ct, 0) AS BIGINT) AS pair_ct,
+       |       CAST(COALESCE(dc.doc_ct, 0) AS BIGINT) AS affected_doc_ct
+       |  FROM th t
+       |  LEFT JOIN (SELECT th, COUNT(*) AS pair_ct FROM hits GROUP BY th) pc
+       |    ON pc.th = t.th
+       |  LEFT JOIN (SELECT th, COUNT(*) AS doc_ct FROM docs GROUP BY th) dc
+       |    ON dc.th = t.th
+       | ORDER BY threshold""".stripMargin
+
+  def thresholdSweepSql(table: String)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)},
+       |sigs AS (
+       |${minhashSigsSql("shf")}
+       |),
+       |${minhashCandsCtes("sigs")},
+       |${candInterCte("shf")},
+       |${thresholdSweepTail("cinter", "sizes")}""".stripMargin
+
+  def runThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val k = registerShingleRels(spark, dir)
+    registerCandInterRel(spark, k)
+    spark.sql(s"WITH ${thresholdSweepTail(s"__graft_cinter_$k", s"__graft_sizes_$k")}")
+  }
+
+  /** The candidate-restricted intersection, landed once per shingle-rel
+    * generation — the sweep reads it 3× (pairs, docs, rollup) and CTE
+    * inlining would otherwise re-derive the band join per read. */
+  private def registerCandInterRel(spark: SparkSession, k: Int): Unit =
+    graft.core.SessionCache.getOrElseUpdate(spark, "dedup_cinter", k) {
+      spark.sql(
+        s"""WITH ${minhashCandsCtes(s"__graft_minhash_sigs_$k")},
+           |${candInterCte(s"__graft_shf_$k")}
+           |SELECT * FROM cinter""".stripMargin)
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(s"__graft_cinter_$k")
+      true
+    }
   /** The simhash signature relation, memoized per (session, dir) — the
     * same landed-index discipline as [[winnowFpsView]]: the native
     * signature expression (SimHashSpec asserts bit-identity with the

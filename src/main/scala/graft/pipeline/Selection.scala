@@ -290,6 +290,68 @@ object Selection {
     spark.sql(substringRewriteSql("__graft_ssr_docs")(SparkDialect))
   }
 
+  /** 13-gram eval decontamination — the canonical published
+    * contamination check (the GPT-3 appendix-C n-gram overlap method):
+    * an eval document is contaminated when any of its 13-word grams
+    * appears verbatim in a training document. Complements the
+    * winnow-fingerprint (`decontaminate`) and embedding
+    * (`decontaminate_semantic`) screens with the exact-n-gram form
+    * most eval suites publish against. Eval split: `doc_id %
+    * ${Dedup}.EvalMod = 0`, matching the fingerprint screen.
+    *
+    * Scale shape: train-side grams collapse to a DISTINCT hash set
+    * (groupBy, map-side partials); the check is one equi-join of the
+    * (tiny) eval gram relation against it — never doc-to-doc. */
+  def ngramDecontaminateSql(table: String)(d: Dialect): String = {
+    val leads = (1 to (GramWords - 1)).map(i =>
+      s"LEAD(word, $i) OVER w AS w$i").mkString(",\n       |         ")
+    val concat = (1 to (GramWords - 1)).map(i => s"w$i").mkString(
+      "word || ' ' || ", " || ' ' || ", "")
+    val evalMod = Dedup.EvalMod
+    s"""WITH words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |lagged AS (
+       |  SELECT id, word,
+       |         $leads
+       |    FROM words
+       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
+       |),
+       |grams AS (
+       |  SELECT id, MD5($concat) AS gh
+       |    FROM lagged WHERE w${GramWords - 1} IS NOT NULL
+       |),
+       |train_g AS (
+       |  SELECT DISTINCT gh FROM grams WHERE id % $evalMod <> 0
+       |),
+       |eval_g AS (
+       |  SELECT id, gh FROM grams WHERE id % $evalMod = 0
+       |),
+       |hits AS (
+       |  SELECT e.id, COUNT(*) AS gram_ct,
+       |         SUM(CASE WHEN t.gh IS NULL THEN 0 ELSE 1 END) AS contam_ct
+       |    FROM eval_g e LEFT JOIN train_g t ON t.gh = e.gh
+       |   GROUP BY e.id
+       |)
+       |SELECT dd.doc_id AS eval_doc_id,
+       |       CAST(COALESCE(h.gram_ct, 0) AS BIGINT) AS gram_ct,
+       |       CAST(COALESCE(h.contam_ct, 0) AS BIGINT) AS contaminated_gram_ct,
+       |       CAST(CASE WHEN COALESCE(h.contam_ct, 0) > 0 THEN 1 ELSE 0 END AS INT)
+       |         AS contaminated
+       |  FROM $table dd LEFT JOIN hits h ON h.id = dd.doc_id
+       | WHERE dd.doc_id % $evalMod = 0
+       | ORDER BY eval_doc_id""".stripMargin
+  }
+
+  def runNgramDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_ngd_docs")
+    spark.sql(ngramDecontaminateSql("__graft_ngd_docs")(SparkDialect))
+  }
+
+  def ngramDecontaminateDuckSql(): String =
+    ngramDecontaminateSql("documents")(DuckDialect)
+
   def substringRewriteDuckSql(): String = substringRewriteSql("documents")(DuckDialect)
 
   /** Train share of the leakage-free split, out of 10 md5 buckets. */

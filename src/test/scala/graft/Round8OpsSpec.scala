@@ -410,6 +410,36 @@ class Round8OpsSpec extends SparkSpec {
     assert(stayed * 2 > n, s"Lloyd step moved most of the corpus: $stayed of $n stayed")
   }
 
+  test("threshold sweep is monotone and anchors to the minhash entry at 0.5") {
+    val rows = graft.pipeline.Dedup.runThresholdSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      graft.pipeline.Dedup.SweepThresholds)
+    // raising the bar can only lose pairs and docs
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("pair_ct") >= b.getAs[Long]("pair_ct"))
+        assert(a.getAs[Long]("affected_doc_ct") >= b.getAs[Long]("affected_doc_ct"))
+      case _ =>
+    }
+    // the 0.5 row IS the oracle-checked minhash relation's pair count
+    val mh = graft.pipeline.Dedup.runMinhash(spark, sfDir).count()
+    assert(rows.head.getAs[Long]("pair_ct") == mh)
+  }
+
+  test("ngram decontamination covers the eval split with bounded counts") {
+    val rows = graft.pipeline.Selection.runNgramDecontaminate(spark, sfDir).collect()
+    val evalCt = graft.core.Tables.load(spark, sfDir, "documents")
+      .where(s"doc_id % ${graft.pipeline.Dedup.EvalMod} = 0").count()
+    assert(rows.length == evalCt.toInt)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eval_doc_id") % graft.pipeline.Dedup.EvalMod == 0)
+      val c = r.getAs[Long]("contaminated_gram_ct")
+      assert(c <= r.getAs[Long]("gram_ct"))
+      assert((r.getAs[Int]("contaminated") == 1) == (c > 0))
+    }
+  }
+
   test("leakage-free split never strands a dup cluster across the boundary") {
     val roll = graft.pipeline.Selection.runSplit(spark, sfDir).collect()
     val n = graft.core.Tables.load(spark, sfDir, "documents").count()

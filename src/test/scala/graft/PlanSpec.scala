@@ -328,6 +328,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("threshold sweep reads the landed candidate relation, no re-derivation") {
+    graft.pipeline.Dedup.runMinhash(spark, dir).count() // land the rels
+    val p = plan(graft.pipeline.Dedup.runThresholdSweep(spark, dir))
+    assert(!p.contains("FileScan parquet"),
+      "sweep re-scanned parquet instead of the landed candidate relation")
+    assert(!p.contains("CartesianProduct") ||
+      // the 5-row threshold relation legitimately cross-joins
+      "CartesianProduct".r.findAllIn(p).length <= 2,
+      "sweep plans an unexpected cartesian beyond the 5-row threshold join")
+  }
+
   test("dsir joins the B-row count tables broadcast, never a cartesian") {
     val p = plan(graft.pipeline.Selection.runDsir(spark, dir))
     // the feature-count side relations are bounded at Buckets rows by

@@ -307,7 +307,11 @@ object SparkEntry {
       ("dedup_threshold_sweep" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runThresholdSweep(s, dir))),
       ("decontaminate_ngram" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runNgramDecontaminate(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runNgramDecontaminate(s, dir))),
+      ("ann_occupancy" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runOccupancy(s, dir))),
+      ("lookup_dedup_pairs" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runPairLookup(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -470,6 +474,8 @@ object SparkEntry {
       ("split_leakage_free" -> graft.pipeline.Selection.splitSql("documents")(graft.oracle.DuckDialect)),
       ("quality_calibration" -> graft.pipeline.Selection.calibrationSql("documents")(graft.oracle.DuckDialect)),
       ("dedup_threshold_sweep" -> graft.pipeline.Dedup.thresholdSweepSql("documents")(graft.oracle.DuckDialect)),
-      ("decontaminate_ngram" -> graft.pipeline.Selection.ngramDecontaminateDuckSql())
+      ("decontaminate_ngram" -> graft.pipeline.Selection.ngramDecontaminateDuckSql()),
+      ("ann_occupancy" -> graft.pipeline.Similarity.occupancySql("embeddings")(graft.oracle.DuckDialect)),
+      ("lookup_dedup_pairs" -> graft.pipeline.Dedup.pairLookupSql("documents")(graft.oracle.DuckDialect))
       ).toMap
 }

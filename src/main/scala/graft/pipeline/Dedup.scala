@@ -397,6 +397,53 @@ object Dedup {
     spark.sql(s"WITH ${thresholdSweepTail(s"__graft_cinter_$k", s"__graft_sizes_$k")}")
   }
 
+  /** Near-dup pair drill-down — the reference's lookup-query pattern
+    * (`testgen/common/source_data_service.py:26,50-54`: top-k evidence
+    * rows per finding) carried into the dedup domain: the top verified
+    * pairs by jaccard with their shared-shingle evidence and text
+    * previews, the rows a reviewer reads before trusting a threshold.
+    *
+    * Scale shape: the verified pair relation is landed (tiny); only
+    * the top-k pairs join back to the corpus for previews — two
+    * broadcast-sized joins, never a corpus shuffle. */
+  private def pairLookupTail(cinterRel: String, sizesRel: String,
+                             table: String, limit: Int): String =
+    s"""jp AS (
+       |  SELECT i.doc_a, i.doc_b, i.ict,
+       |         CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4) AS DOUBLE) AS jaccard
+       |    FROM $cinterRel i
+       |    JOIN $sizesRel sa ON sa.id = i.doc_a
+       |    JOIN $sizesRel sb ON sb.id = i.doc_b
+       |   WHERE CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict) >= 0.5
+       |),
+       |topk AS (
+       |  SELECT * FROM jp ORDER BY jaccard DESC, doc_a, doc_b LIMIT $limit
+       |)
+       |SELECT t.doc_a, t.doc_b, t.jaccard,
+       |       CAST(t.ict AS BIGINT) AS shared_shingle_ct,
+       |       SUBSTRING(da.text, 1, 60) AS preview_a,
+       |       SUBSTRING(db.text, 1, 60) AS preview_b
+       |  FROM topk t
+       |  JOIN $table da ON da.doc_id = t.doc_a
+       |  JOIN $table db ON db.doc_id = t.doc_b
+       | ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin
+
+  def pairLookupSql(table: String, limit: Int = 20)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)},
+       |sigs AS (
+       |${minhashSigsSql("shf")}
+       |),
+       |${minhashCandsCtes("sigs")},
+       |${candInterCte("shf")},
+       |${pairLookupTail("cinter", "sizes", table, limit)}""".stripMargin
+
+  def runPairLookup(spark: SparkSession, dir: String): DataFrame = {
+    val k = registerShingleRels(spark, dir)
+    registerCandInterRel(spark, k)
+    val docs = register(spark, dir)
+    spark.sql(s"WITH ${pairLookupTail(s"__graft_cinter_$k", s"__graft_sizes_$k", docs, 20)}")
+  }
+
   /** The candidate-restricted intersection, landed once per shingle-rel
     * generation — the sweep reads it 3× (pairs, docs, rollup) and CTE
     * inlining would otherwise re-derive the band join per read. */

@@ -771,6 +771,50 @@ object Similarity {
   def runClusterSample(spark: SparkSession, dir: String): DataFrame =
     spark.sql(clusterSampleBody(annViews(spark, dir).base, 5)(d))
 
+  // ---------------------------------------------------------------------
+  // Index occupancy — the report behind the nProbe / nPlanes knobs.
+  // ---------------------------------------------------------------------
+
+  /** Partition-occupancy statistics of BOTH index layouts — per
+    * sign-LSH bucket and per IVF seed, how many vectors land there and
+    * what share of the corpus a single-probe query therefore scans.
+    * Skewed occupancy is the failure mode of both layouts (a hot
+    * bucket makes its probes slow and its recall cheap; an empty one
+    * wastes a partition), and this is the report that decides whether
+    * to add planes, reseed, or raise nProbe.
+    *
+    * Scale shape: the landed index base already carries both ids —
+    * two metadata-sized groupBys over it, zero corpus scans. */
+  private def occupancyBody(baseRel: String): String =
+    s"""WITH occ AS (
+       |  SELECT 'lsh' AS layout, CAST(bucket AS BIGINT) AS partition_id,
+       |         COUNT(*) AS vec_ct
+       |    FROM $baseRel GROUP BY bucket
+       |  UNION ALL
+       |  SELECT 'ivf' AS layout, CAST(seed_id AS BIGINT) AS partition_id,
+       |         COUNT(*) AS vec_ct
+       |    FROM $baseRel GROUP BY seed_id
+       |),
+       |tot AS (SELECT layout, SUM(vec_ct) AS n FROM occ GROUP BY layout)
+       |SELECT o.layout AS layout, o.partition_id,
+       |       CAST(o.vec_ct AS BIGINT) AS vec_ct,
+       |       CAST(ROUND(CAST(o.vec_ct AS DOUBLE) / t.n, 4) AS DOUBLE) AS corpus_share
+       |  FROM occ o JOIN tot t ON t.layout = o.layout
+       | ORDER BY o.layout, o.partition_id""".stripMargin
+
+  def occupancySql(table: String, nCentroids: Int = DefaultCentroids)
+                  (d: Dialect): String =
+    s"""WITH ${seedsCte(table, nCentroids)(d)},
+       |${assignCte(table, "seeds")(d)},
+       |b AS (
+       |  SELECT vec_id, seed_id,
+       |         ${bucketExpr("embedding")(d)} AS bucket FROM assign
+       |),
+       |${occupancyBody("b").stripPrefix("WITH ")}""".stripMargin
+
+  def runOccupancy(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(occupancyBody(annViews(spark, dir).base))
+
   /** Embedding-space outliers — the out-of-distribution screen a
     * curation pipeline runs before training: vectors whose cosine to
     * their assigned (seeded-IVF) centroid falls below the cluster's

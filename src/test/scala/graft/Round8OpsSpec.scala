@@ -410,6 +410,42 @@ class Round8OpsSpec extends SparkSpec {
     assert(stayed * 2 > n, s"Lloyd step moved most of the corpus: $stayed of $n stayed")
   }
 
+  test("index occupancy accounts for the whole corpus in both layouts") {
+    val rows = graft.pipeline.Similarity.runOccupancy(spark, sfDir).collect()
+    val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    Seq("lsh", "ivf").foreach { layout =>
+      val part = rows.filter(_.getAs[String]("layout") == layout)
+      assert(part.nonEmpty, s"no $layout partitions")
+      assert(part.map(_.getAs[Long]("vec_ct")).sum == n,
+        s"$layout occupancy loses vectors")
+      val share = part.map(_.getAs[Double]("corpus_share")).sum
+      assert(math.abs(share - 1.0) < 0.01)
+    }
+    // ivf partitions = the seed count
+    assert(rows.count(_.getAs[String]("layout") == "ivf") ==
+      graft.pipeline.Similarity.DefaultCentroids)
+  }
+
+  test("dedup pair lookup serves the top verified pairs with evidence") {
+    val rows = graft.pipeline.Dedup.runPairLookup(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.forall(_ >= 0.5))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("shared_shingle_ct") > 0)
+      assert(r.getAs[String]("preview_a").nonEmpty)
+      assert(r.getAs[String]("preview_b").nonEmpty)
+    }
+    // the served pairs ARE verified near-dups: subset of the minhash relation
+    val mh = graft.pipeline.Dedup.runMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    rows.foreach { r =>
+      assert(mh.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    }
+  }
+
   test("threshold sweep is monotone and anchors to the minhash entry at 0.5") {
     val rows = graft.pipeline.Dedup.runThresholdSweep(spark, sfDir).collect()
       .sortBy(_.getAs[Double]("threshold"))

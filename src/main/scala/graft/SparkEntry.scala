@@ -311,7 +311,9 @@ object SparkEntry {
       ("ann_occupancy" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runOccupancy(s, dir))),
       ("lookup_dedup_pairs" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runPairLookup(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runPairLookup(s, dir))),
+      ("curation_funnel" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runFunnel(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -476,6 +478,7 @@ object SparkEntry {
       ("dedup_threshold_sweep" -> graft.pipeline.Dedup.thresholdSweepSql("documents")(graft.oracle.DuckDialect)),
       ("decontaminate_ngram" -> graft.pipeline.Selection.ngramDecontaminateDuckSql()),
       ("ann_occupancy" -> graft.pipeline.Similarity.occupancySql("embeddings")(graft.oracle.DuckDialect)),
-      ("lookup_dedup_pairs" -> graft.pipeline.Dedup.pairLookupSql("documents")(graft.oracle.DuckDialect))
+      ("lookup_dedup_pairs" -> graft.pipeline.Dedup.pairLookupSql("documents")(graft.oracle.DuckDialect)),
+      ("curation_funnel" -> graft.pipeline.Selection.funnelSql("documents")(graft.oracle.DuckDialect))
       ).toMap
 }

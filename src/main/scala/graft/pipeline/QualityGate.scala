@@ -87,12 +87,15 @@ object QualityGate {
       v
     }
 
-  def duckSql(): String = {
-    val d: Dialect = DuckDialect
-    bodySql("documents",
-      s"(${TextAnalysis.sql("documents")(d)})",
-      s"(${Repetition.sql("documents")(d)})",
-      s"(${Boilerplate.sql("documents")(d)})",
-      s"(${Dedup.clustersSql("documents")(d)})")
-  }
+  /** The gate as one self-contained statement over `table` — every
+    * signal relation nested inline (the oracle's form; the Spark run
+    * path composes landed views instead). */
+  def gateSql(table: String)(d: Dialect): String =
+    bodySql(table,
+      s"(${TextAnalysis.sql(table)(d)})",
+      s"(${Repetition.sql(table)(d)})",
+      s"(${Boilerplate.sql(table)(d)})",
+      s"(${Dedup.clustersSql(table)(d)})")
+
+  def duckSql(): String = gateSql("documents")(DuckDialect)
 }

@@ -352,6 +352,90 @@ object Selection {
   def ngramDecontaminateDuckSql(): String =
     ngramDecontaminateSql("documents")(DuckDialect)
 
+  /** The curation FUNNEL — the one-page account of where the corpus
+    * went: raw → canonical-exact dedup survivors → near-dup cluster
+    * survivors → quality-gate keepers → the train side of the
+    * leakage-free split, each stage with doc/token counts and the
+    * retained share of the raw corpus. This is the artifact a data
+    * lead reads before signing off a training set — every count here
+    * reconciles against its stage's own oracle-checked relation.
+    *
+    * Scale shape: every stage is an id-keyed semi-join against a landed
+    * metadata-sized relation (canon keepers, component labels, gate
+    * flags); tokens ride one regexp-count scan joined per stage by id.
+    * Nothing rescans text beyond that one pass. */
+  private def funnelTail(table: String, compRel: String, gateRel: String)
+                        (d: Dialect): String = {
+    val tokens = d.regexpCount("text", "\\S+")
+    val noPunct = d.regexpReplace("LOWER(text)", "[^a-z0-9\\s]", "")
+    val canon = s"TRIM(${d.regexpReplace(noPunct, "\\s+", " ")})"
+    val draw = d.hexToLong(
+      s"SUBSTRING(MD5('split:' || ${d.castText("unit_id")}), 1, 15)")
+    s"""tok AS (
+       |  SELECT doc_id, CAST($tokens AS BIGINT) AS tk,
+       |         MD5($canon) AS canon_hash
+       |    FROM $table
+       |),
+       |s1 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY canon_hash
+       |                                      ORDER BY doc_id) AS rn
+       |      FROM tok) c WHERE rn = 1
+       |),
+       |s2 AS (
+       |  SELECT s1.doc_id FROM s1 LEFT JOIN $compRel c ON c.id = s1.doc_id
+       |   WHERE c.id IS NULL OR c.cid = s1.doc_id
+       |),
+       |s3 AS (
+       |  SELECT s2.doc_id FROM s2 JOIN $gateRel g ON g.doc_id = s2.doc_id
+       |   WHERE g.too_short + g.too_long + g.low_quality
+       |         + g.repetitive + g.boilerplate = 0
+       |),
+       |s4 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT s3.doc_id, COALESCE(c.cid, s3.doc_id) AS unit_id
+       |      FROM s3 LEFT JOIN $compRel c ON c.id = s3.doc_id
+       |  ) u WHERE ($draw % 10) < $TrainBuckets
+       |),
+       |stages AS (
+       |  SELECT 0 AS stage_ord, 'raw' AS stage, doc_id FROM tok
+       |  UNION ALL SELECT 1, 'post_exact_dedup', doc_id FROM s1
+       |  UNION ALL SELECT 2, 'post_near_dedup', doc_id FROM s2
+       |  UNION ALL SELECT 3, 'post_quality_gate', doc_id FROM s3
+       |  UNION ALL SELECT 4, 'train_split', doc_id FROM s4
+       |),
+       |agg AS (
+       |  SELECT s.stage_ord, s.stage,
+       |         COUNT(*) AS doc_ct, SUM(t.tk) AS token_ct
+       |    FROM stages s JOIN tok t ON t.doc_id = s.doc_id
+       |   GROUP BY s.stage_ord, s.stage
+       |),
+       |raw AS (SELECT token_ct AS raw_tokens FROM agg WHERE stage_ord = 0)
+       |SELECT CAST(a.stage_ord AS INT) AS stage_ord, a.stage,
+       |       CAST(a.doc_ct AS BIGINT) AS doc_ct,
+       |       CAST(a.token_ct AS BIGINT) AS token_ct,
+       |       CAST(ROUND(CAST(a.token_ct AS DOUBLE) / r.raw_tokens, 4) AS DOUBLE)
+       |         AS token_share
+       |  FROM agg a CROSS JOIN raw r
+       | ORDER BY stage_ord""".stripMargin
+  }
+
+  def funnelSql(table: String)(d: Dialect): String =
+    s"""${Dedup.clusterCompCtes(table, 0.5)(d)},
+       |gate AS (
+       |${graft.pipeline.QualityGate.gateSql(table)(d)}
+       |),
+       |${funnelTail(table, "comp", "gate")(d)}""".stripMargin
+
+  /** Spark path: every stage input is a landed relation. */
+  def runFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_funnel_docs")
+    val comp = Dedup.clusterCompView(spark, dir)
+    val gate = graft.pipeline.QualityGate.outView(spark, dir)
+    spark.sql(s"WITH ${funnelTail("__graft_funnel_docs", comp, gate)(SparkDialect)}")
+  }
+
   def substringRewriteDuckSql(): String = substringRewriteSql("documents")(DuckDialect)
 
   /** Train share of the leakage-free split, out of 10 md5 buckets. */

@@ -410,6 +410,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(stayed * 2 > n, s"Lloyd step moved most of the corpus: $stayed of $n stayed")
   }
 
+  test("curation funnel stages shrink monotonically and reconcile per stage") {
+    val rows = graft.pipeline.Selection.runFunnel(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("stage_ord"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "post_exact_dedup", "post_near_dedup", "post_quality_gate", "train_split"))
+    val n = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.head.getAs[Long]("doc_ct") == n)
+    assert(math.abs(rows.head.getAs[Double]("token_share") - 1.0) < 1e-9)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("doc_ct") >= b.getAs[Long]("doc_ct"))
+        assert(a.getAs[Long]("token_ct") >= b.getAs[Long]("token_ct"))
+      case _ =>
+    }
+    // stage 2's drop reconciles with the cluster relation: every
+    // non-survivor member (of a canonical keeper) leaves exactly there
+    val survivors = graft.pipeline.Dedup.runClusters(spark, sfDir).collect()
+      .filter(_.getAs[Int]("is_survivor") == 0).map(_.getAs[Long]("doc_id")).toSet
+    val s1 = rows(1).getAs[Long]("doc_ct"); val s2 = rows(2).getAs[Long]("doc_ct")
+    assert(s1 - s2 <= survivors.size)
+  }
+
   test("index occupancy accounts for the whole corpus in both layouts") {
     val rows = graft.pipeline.Similarity.runOccupancy(spark, sfDir).collect()
     val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()

@@ -157,6 +157,8 @@ object Runner {
           graft.pipeline.Packer.runCurriculum(spark, dataDir))
         land("curate", "pack_epochs",
           graft.pipeline.Packer.runEpochs(spark, dataDir))
+        land("curate", "curation_funnel",
+          graft.pipeline.Selection.runFunnel(spark, dataDir))
       case "index" =>
         // build + persist the bucket-partitioned ANN index, then report
         // the recall of every probe path against the exact baseline

@@ -313,7 +313,9 @@ object SparkEntry {
       ("lookup_dedup_pairs" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runPairLookup(s, dir))),
       ("curation_funnel" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runFunnel(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runFunnel(s, dir))),
+      ("dedup_embedding_sweep" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingSweep(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -479,6 +481,7 @@ object SparkEntry {
       ("decontaminate_ngram" -> graft.pipeline.Selection.ngramDecontaminateDuckSql()),
       ("ann_occupancy" -> graft.pipeline.Similarity.occupancySql("embeddings")(graft.oracle.DuckDialect)),
       ("lookup_dedup_pairs" -> graft.pipeline.Dedup.pairLookupSql("documents")(graft.oracle.DuckDialect)),
-      ("curation_funnel" -> graft.pipeline.Selection.funnelSql("documents")(graft.oracle.DuckDialect))
+      ("curation_funnel" -> graft.pipeline.Selection.funnelSql("documents")(graft.oracle.DuckDialect)),
+      ("dedup_embedding_sweep" -> graft.pipeline.Dedup.embeddingSweepSql("embeddings")(graft.oracle.DuckDialect))
       ).toMap
 }

@@ -527,6 +527,82 @@ object Dedup {
     spark.sql(embeddingLshSql("__graft_emb_lsh")(SparkDialect))
   }
 
+  /** Cosine thresholds the embedding sweep reports — 0.30 is the
+    * operating point the LSH-blocked entry ships with; above it the
+    * curve shows what stricter semantic-dup definitions would keep. */
+  val EmbeddingSweepThresholds: Seq[Double] = Seq(0.30, 0.50, 0.70, 0.85, 0.95)
+
+  /** The embedding-dedup threshold curve — the semantic companion of
+    * [[runThresholdSweep]]: per cosine threshold, candidate-pair count
+    * and distinct vectors touched, over the SAME bucket-blocked pair
+    * relation the `dedup_embedding_lsh` entry verifies (landed once;
+    * the sweep is a 5-row cross join against it — no second bucket
+    * join, no corpus pass). */
+  private def embeddingSweepTail(pairsRel: String): String =
+    s"""th AS (
+       |  ${EmbeddingSweepThresholds.map(t => s"SELECT CAST($t AS DOUBLE) AS th")
+           .mkString("\n  UNION ALL\n  ")}
+       |),
+       |hits AS (
+       |  SELECT t.th, p.vec_a, p.vec_b
+       |    FROM th t JOIN $pairsRel p ON p.cos >= t.th
+       |),
+       |vs AS (
+       |  SELECT th, vec_a AS v FROM hits
+       |  UNION
+       |  SELECT th, vec_b AS v FROM hits
+       |)
+       |SELECT t.th AS threshold,
+       |       CAST(COALESCE(pc.pair_ct, 0) AS BIGINT) AS pair_ct,
+       |       CAST(COALESCE(vc.vec_ct, 0) AS BIGINT) AS affected_vec_ct
+       |  FROM th t
+       |  LEFT JOIN (SELECT th, COUNT(*) AS pair_ct FROM hits GROUP BY th) pc
+       |    ON pc.th = t.th
+       |  LEFT JOIN (SELECT th, COUNT(*) AS vec_ct FROM vs GROUP BY th) vc
+       |    ON vc.th = t.th
+       | ORDER BY threshold""".stripMargin
+
+  def embeddingSweepSql(table: String, nPlanes: Int = 8, dim: Int = 64)
+                       (d: Dialect): String = {
+    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
+    s"""WITH emb AS (
+       |  SELECT vec_id, $bucket AS bucket, embedding,
+       |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
+       |    FROM $table
+       |),
+       |ep AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${d.dotProduct("a.embedding", "b.embedding")} / NULLIF(a.nrm * b.nrm, 0) AS cos
+       |    FROM emb a JOIN emb b
+       |      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |${embeddingSweepTail("ep")}""".stripMargin
+  }
+
+  def runEmbeddingSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pv = graft.core.SessionCache.getOrElseUpdate(spark, "embpairs", dir) {
+      graft.core.Tables.load(spark, dir, "embeddings")
+        .createOrReplaceTempView("__graft_emb_lsh")
+      val name = s"__graft_emb_pairs_${java.lang.Integer.toHexString(dir.hashCode)}"
+      // the UNFILTERED bucket-blocked pair relation (threshold 0 keeps
+      // every candidate the bucket gate admits) — landed once
+      spark.sql(
+        s"""WITH emb AS (
+           |  SELECT vec_id, ${Similarity.bucketExpr("embedding")(SparkDialect)} AS bucket,
+           |         embedding,
+           |         SQRT(${SparkDialect.dotProduct("embedding", "embedding")}) AS nrm
+           |    FROM __graft_emb_lsh
+           |)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       ${SparkDialect.dotProduct("a.embedding", "b.embedding")} / NULLIF(a.nrm * b.nrm, 0) AS cos
+           |  FROM emb a JOIN emb b
+           |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin)
+        .localCheckpoint(eager = true).createOrReplaceTempView(name)
+      name
+    }
+    spark.sql(s"WITH ${embeddingSweepTail(pv)}")
+  }
+
   /** SEMANTIC decontamination — the embedding-space companion to the
     * fingerprint [[decontaminateSql]]: paraphrased or re-formatted eval
     * items share no 40-char winnow gram with their training twin but DO

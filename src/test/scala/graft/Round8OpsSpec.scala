@@ -468,6 +468,22 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding sweep is monotone and anchors to the lsh dedup entry at 0.30") {
+    val rows = graft.pipeline.Dedup.runEmbeddingSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      graft.pipeline.Dedup.EmbeddingSweepThresholds)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("pair_ct") >= b.getAs[Long]("pair_ct"))
+        assert(a.getAs[Long]("affected_vec_ct") >= b.getAs[Long]("affected_vec_ct"))
+      case _ =>
+    }
+    // the 0.30 row IS the oracle-checked LSH-blocked dedup relation
+    val lsh = graft.pipeline.Dedup.runEmbeddingLsh(spark, sfDir).count()
+    assert(rows.head.getAs[Long]("pair_ct") == lsh)
+  }
+
   test("threshold sweep is monotone and anchors to the minhash entry at 0.5") {
     val rows = graft.pipeline.Dedup.runThresholdSweep(spark, sfDir).collect()
       .sortBy(_.getAs[Double]("threshold"))

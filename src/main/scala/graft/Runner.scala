@@ -26,6 +26,12 @@ object Runner {
       .appName("graft-runner")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // install the engine's optimizer rewrites so USER SQL against a
+      // Runner session gets the native kernels (HOF dot -> graft_dot),
+      // not just engine-authored queries. withExtensions (not the
+      // spark.sql.extensions static conf) so the rules land even when
+      // the builder reuses an existing SparkContext.
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -135,7 +141,7 @@ object Runner {
         // split + calibration → budgets → chunks → packs → curriculum
         land("curate", "text_analysis",
           graft.pipeline.TextAnalysis.run(spark, dataDir))
-        land("curate", "dsir_weights",
+        land("curate", "dsir_scores",
           graft.pipeline.Selection.runDsir(spark, dataDir))
         land("curate", "quality_gate",
           graft.pipeline.QualityGate.run(spark, dataDir))

@@ -284,7 +284,7 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSurvivorAudit(s, dir))),
       ("knn_pq" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runPq(s, dir))),
-      ("dsir_weights" ->
+      ("dsir_scores" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runDsir(s, dir))),
       ("substring_duplication" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSubstringDup(s, dir))),
@@ -467,7 +467,7 @@ object SparkEntry {
       ("profile_correlations" -> graft.profiling.Correlations.duckSql()),
       ("dedup_survivor_audit" -> graft.pipeline.Dedup.survivorAuditSql("documents")(graft.oracle.DuckDialect)),
       ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings")(graft.oracle.DuckDialect)),
-      ("dsir_weights" -> graft.pipeline.Selection.dsirDuckSql()),
+      ("dsir_scores" -> graft.pipeline.Selection.dsirDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),
       ("sample_cluster_balanced" -> graft.pipeline.Similarity.clusterSampleSql("embeddings")(graft.oracle.DuckDialect)),

@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
@@ -22,15 +24,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * whole-stage codegen via a static method, and the hyperplanes are
   * computed once per (nPlanes, dim) and cached.
   *
-  * NULL semantics mirror the SQL: a missing/short array or a null
+  * NULL semantics mirror the SQL: a NULL/missing/short array or a null
   * element makes every projection NULL, and `CASE WHEN NULL >= 0` is
-  * false — so the bucket is 0, never NULL.
+  * false — so the bucket is 0, never NULL. That includes a NULL input
+  * vector: eval/doGenCode bypass the default null propagation so the
+  * expression is non-nullable, exactly like the unrolled CASE chain.
   */
 case class BucketExpr(child: Expression, nPlanes: Int, dim: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_bucket"
 
   private def isFloat: Boolean = child.dataType match {
@@ -38,12 +42,24 @@ case class BucketExpr(child: Expression, nPlanes: Int, dim: Int)
     case _                       => false
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    BucketExpr.compute(input.asInstanceOf[ArrayData], nPlanes, dim, isFloat)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else BucketExpr.compute(v.asInstanceOf[ArrayData], nPlanes, dim, isFloat)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.BucketExpr.compute($a, $nPlanes, $dim, $isFloat);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        int ${ev.value} = ${childGen.isNull}
+          ? 0
+          : graft.functions.BucketExpr.compute(
+              ${childGen.value}, $nPlanes, $dim, $isFloat);
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): BucketExpr =
     copy(child = newChild)

@@ -86,7 +86,12 @@ object Dedup {
     * collapsed — the normalization pass that makes `"Hello,  World!"`
     * and `"hello world"` the same document. */
   private def canonExpr(d: Dialect): String = {
-    val noPunct = d.regexpReplace("LOWER(text)", "[^a-z0-9\\s]", "")
+    // Unicode-aware strip: keep letters/digits in ANY script (\p{L}\p{N}),
+    // not just ASCII — an [^a-z0-9] class would canonicalize every
+    // non-Latin document to "" and collapse a multilingual corpus's
+    // non-English content into one bogus duplicate group. Java regex and
+    // DuckDB's RE2 both treat \p{L}/\p{N} as the Unicode categories.
+    val noPunct = d.regexpReplace("LOWER(text)", "[^\\p{L}\\p{N}\\s]", "")
     s"TRIM(${d.regexpReplace(noPunct, "\\s+", " ")})"
   }
 

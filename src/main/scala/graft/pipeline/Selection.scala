@@ -39,7 +39,11 @@ object Selection {
   private def featExpr(d: Dialect): String =
     s"(${d.hexToLong("SUBSTRING(MD5('dsir:' || word), 1, 15)")} % $Buckets)"
 
-  /** DSIR importance scores for every candidate (non-target) document.
+  /** DSIR importance scores for every candidate (non-target) document —
+    * including empty/whitespace-only candidates, which produce no word
+    * features and land as token_ct=0, score 0, selected 0 rows (the
+    * candidate table is LEFT-JOINed back so no document silently
+    * disappears from the relation).
     *
     * For word feature f: target count t_f over target docs, raw count
     * r_f over candidate docs, totals T and R. The per-occurrence
@@ -89,12 +93,16 @@ object Selection {
        |   WHERE fe.is_tgt = 0
        |   GROUP BY fe.id
        |)
-       |SELECT doc_id, CAST(token_ct AS BIGINT) AS token_ct,
-       |       CAST(dsir_score AS BIGINT) AS dsir_score,
-       |       CAST(CASE WHEN rnk <= $SelectTop THEN 1 ELSE 0 END AS INT) AS selected
-       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rnk
-       |          FROM scored) r
-       | ORDER BY doc_id""".stripMargin
+       |SELECT c.doc_id,
+       |       CAST(COALESCE(r.token_ct, 0) AS BIGINT) AS token_ct,
+       |       CAST(COALESCE(r.dsir_score, 0) AS BIGINT) AS dsir_score,
+       |       CAST(COALESCE(CASE WHEN r.rnk <= $SelectTop THEN 1 ELSE 0 END, 0)
+       |            AS INT) AS selected
+       |  FROM (SELECT doc_id FROM $table
+       |         WHERE source <> '$TargetSource') c
+       |  LEFT JOIN (SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rnk
+       |               FROM scored) r ON r.doc_id = c.doc_id
+       | ORDER BY c.doc_id""".stripMargin
   }
 
   def runDsir(spark: SparkSession, dir: String): DataFrame = {
@@ -367,7 +375,8 @@ object Selection {
   private def funnelTail(table: String, compRel: String, gateRel: String)
                         (d: Dialect): String = {
     val tokens = d.regexpCount("text", "\\S+")
-    val noPunct = d.regexpReplace("LOWER(text)", "[^a-z0-9\\s]", "")
+    // Unicode-aware, mirroring Dedup.canonExpr — see the note there
+    val noPunct = d.regexpReplace("LOWER(text)", "[^\\p{L}\\p{N}\\s]", "")
     val canon = s"TRIM(${d.regexpReplace(noPunct, "\\s+", " ")})"
     val draw = d.hexToLong(
       s"SUBSTRING(MD5('split:' || ${d.castText("unit_id")}), 1, 15)")

@@ -940,20 +940,33 @@ object Similarity {
     val sorted = seeds.sortBy(_._1)
     vectors.map { v =>
       // nearest frozen seed, ties to the lowest seed id (the batch
-      // ROW_NUMBER's ORDER BY cos DESC, seed_id)
-      var bestId = -1L; var bestCos = Double.NegativeInfinity
+      // ROW_NUMBER's ORDER BY cos DESC, seed_id). Degenerate inputs
+      // mirror the batch SQL exactly: a zero-norm vector makes every
+      // cosine NULL (the NULLIF(norm, 0) guard), and DESC NULLS LAST
+      // ordering then falls through to seed_id ASC — the LOWEST seed id
+      // wins, never a -1 sentinel row in the index.
+      var bestId = sorted.head._1
+      var bestCos = Double.NegativeInfinity
+      var any = false
       for ((sid, c) <- sorted) {
-        val cos = dot(v.embedding, c) /
-          (math.sqrt(dot(v.embedding, v.embedding)) * math.sqrt(dot(c, c)))
-        if (cos > bestCos) { bestCos = cos; bestId = sid }
-      }
-      var bucket = 0
-      for ((w, p) <- planes.zipWithIndex) {
-        var proj = 0.0; var i = 0
-        while (i < dim && i < v.embedding.length) {
-          proj += v.embedding(i).toDouble * w(i); i += 1
+        val denom =
+          math.sqrt(dot(v.embedding, v.embedding)) * math.sqrt(dot(c, c))
+        if (denom > 0) {
+          val cos = dot(v.embedding, c) / denom
+          if (!any || cos > bestCos) { bestCos = cos; bestId = sid; any = true }
         }
-        if (proj >= 0) bucket |= (1 << p)
+      }
+      if (!any) bestId = sorted.head._1
+      // sign-LSH bucket with BucketExpr.compute's short-array guard: a
+      // vector shorter than `dim` buckets to 0 (the SQL CASE-NULL path),
+      // never to a partial-projection bucket that batch replay can't hit
+      var bucket = 0
+      if (v.embedding.length >= dim) {
+        for ((w, p) <- planes.zipWithIndex) {
+          var proj = 0.0; var i = 0
+          while (i < dim) { proj += v.embedding(i).toDouble * w(i); i += 1 }
+          if (proj >= 0) bucket |= (1 << p)
+        }
       }
       VecAssigned(v.vec_id, v.label, v.embedding, bucket, bestId)
     }

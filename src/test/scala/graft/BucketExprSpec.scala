@@ -30,12 +30,24 @@ class BucketExprSpec extends SparkSpec {
     assert(n > 16, s"only $n buckets used")
   }
 
-  test("short or null-element arrays bucket to 0 like the SQL NULL case") {
+  test("short, null-element and NULL arrays all bucket to 0 like the SQL NULL case") {
+    // the unrolled CASE chain yields 0 for a NULL vector (CASE WHEN
+    // NULL >= 0 is false) — the native form must match, not return NULL
     val r = spark.sql(
       """SELECT graft_bucket(array(CAST(1.0 AS FLOAT)), 8, 64) AS short,
         |       graft_bucket(CAST(NULL AS ARRAY<FLOAT>), 8, 64) AS whole_null
         |""".stripMargin).head()
     assert(r.getAs[Int]("short") == 0)
-    assert(r.isNullAt(r.fieldIndex("whole_null")))
+    assert(!r.isNullAt(r.fieldIndex("whole_null")) &&
+      r.getAs[Int]("whole_null") == 0)
+  }
+
+  test("NULL vector matches the unrolled SQL form bit-for-bit") {
+    val unrolled = Similarity.unrolledBucketExpr(
+      "CAST(NULL AS ARRAY<FLOAT>)", 4, 8)(SparkDialect)
+    val r = spark.sql(
+      s"""SELECT graft_bucket(CAST(NULL AS ARRAY<FLOAT>), 4, 8) AS nat,
+         |       $unrolled AS sql""".stripMargin).head()
+    assert(r.getAs[Int]("nat") == r.getAs[Int]("sql"))
   }
 }

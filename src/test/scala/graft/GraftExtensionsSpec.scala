@@ -45,6 +45,34 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("a Runner-style session (builder.withExtensions) rewrites user HOF dot") {
+    import org.apache.spark.sql.SparkSession
+    // build a session exactly the way Runner/Bench do — withExtensions
+    // at session construction, nothing injected by hand (the static
+    // spark.sql.extensions conf form cannot apply on a reused
+    // SparkContext, which is exactly why the builders use withExtensions)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      graft.core.Tables.load(s2, sfDir, "embeddings")
+        .createOrReplaceTempView("__graft_ext_emb2")
+      val df = s2.sql(
+        s"""SELECT vec_id, ${hofDot.format("embedding", "embedding")} AS sq
+           |  FROM __graft_ext_emb2""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_dot"),
+        s"Runner-style session did not rewrite:\n${plan.take(600)}")
+      assert(df.count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("rule leaves non-dot aggregates untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ DotProductRewrite

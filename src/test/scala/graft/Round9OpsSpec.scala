@@ -1,0 +1,73 @@
+package graft
+
+import graft.oracle.SparkDialect
+
+/** Round-9 regression pins for the advisor findings: Unicode-aware
+  * canonicalization, wordless-candidate DSIR rows, NULL-vector bucket
+  * parity, and streaming-ingest degenerate-input guards. */
+class Round9OpsSpec extends SparkSpec {
+
+  test("canonical dedup keeps non-Latin scripts distinct (Unicode classes)") {
+    import spark.implicits._
+    // an ASCII-only [^a-z0-9] strip would canonicalize all four
+    // non-Latin docs to "" and report them as one duplicate group
+    Seq(
+      (1L, "你好，世界！"), (2L, "Привет, мир!"), (3L, "مرحبا بالعالم"),
+      (4L, "こんにちは世界"), (5L, "你好世界！！"), (6L, "Héllo,  Wörld!"),
+      (7L, "héllo wörld")
+    ).toDF("doc_id", "text").createOrReplaceTempView("__graft_canon_uni")
+    val rows = spark.sql(
+      graft.pipeline.Dedup.canonicalSql("__graft_canon_uni")(SparkDialect))
+      .collect()
+    // exactly two groups collapse: the CJK pair (both punctuation-strip
+    // to "你好世界") and the accented-Latin pair; other scripts stay apart
+    assert(rows.length == 2, s"got ${rows.length} groups: ${rows.mkString(";")}")
+    assert(rows.forall(_.getAs[Long]("dupe_ct") == 2))
+    assert(rows.map(_.getAs[Long]("keep_id")).toSet == Set(1L, 6L))
+  }
+
+  test("dsir emits a token_ct=0 row for a wordless candidate document") {
+    import spark.implicits._
+    val tgt = graft.pipeline.Selection.TargetSource
+    Seq(
+      (1L, "the quick brown fox", tgt),
+      (2L, "lazy dog sleeps here", "web"),
+      (3L, "", "web"),
+      (4L, "   ", "web")
+    ).toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("__graft_dsir_empty")
+    val rows = spark.sql(
+      graft.pipeline.Selection.dsirSql("__graft_dsir_empty")(SparkDialect))
+      .collect()
+    // every candidate (non-target) doc appears, wordless ones included
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 3L, 4L))
+    val empty = rows.filter(r => r.getAs[Long]("doc_id") >= 3L)
+    empty.foreach { r =>
+      assert(r.getAs[Long]("token_ct") == 0L)
+      assert(r.getAs[Long]("dsir_score") == 0L)
+      assert(r.getAs[Int]("selected") == 0)
+    }
+    assert(rows.find(_.getAs[Long]("doc_id") == 2L).get.getAs[Long]("token_ct") == 4L)
+  }
+
+  test("streaming index ingest guards zero-norm and short vectors like the batch SQL") {
+    import spark.implicits._
+    val seeds = Seq(
+      (10L, Seq.fill(64)(0.1f)),
+      (20L, (0 until 64).map(i => if (i % 2 == 0) 0.2f else -0.1f)))
+    val vecs = Seq(
+      graft.pipeline.Similarity.VecIn(1L, 0, Seq.fill(64)(0.0f)),   // zero norm
+      graft.pipeline.Similarity.VecIn(2L, 0, Seq.fill(3)(0.5f)),    // shorter than dim
+      graft.pipeline.Similarity.VecIn(3L, 0, Seq.fill(64)(0.3f))    // healthy
+    ).toDS()
+    val out = graft.pipeline.Similarity
+      .streamingIndexIngest(vecs, seeds).collect().sortBy(_.vec_id)
+    // zero-norm: every cosine is NULL in the batch SQL, DESC NULLS LAST
+    // falls through to seed_id ASC — lowest seed id, never -1
+    assert(out(0).seed_id == 10L)
+    // short vector: graft_bucket / the unrolled CASE chain yield 0
+    assert(out(1).bucket == 0)
+    // healthy vector still gets a genuine assignment
+    assert(out(2).seed_id == 10L || out(2).seed_id == 20L)
+  }
+}

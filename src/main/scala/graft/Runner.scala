@@ -66,10 +66,18 @@ object Runner {
             println("[graft] drift: fewer than two landed runs — nothing to diff yet")
         }
       case "profile" =>
+        // GRAFT_PROFILE_MODE=approx routes every table through the
+        // sketch profiler — the selectable at-scale path (one scan per
+        // table, no distinct-value shuffle)
+        val mode = graft.profiling.Profiler.defaultMode
+        if (mode != "exact") println(s"[graft] profile: mode=$mode")
         graft.core.Tables.names.foreach { t =>
           land("profile", s"profile_results_$t",
-            graft.profiling.Profiler.profile(spark, dataDir, t))
+            graft.profiling.Profiler.profile(spark, dataDir, t, mode = mode))
         }
+        if (mode == "approx")
+          land("profile", "profile_approx_report",
+            graft.profiling.ApproxProfiler.report(spark, dataDir, "lineitem"))
       case "infer" =>
         land("infer", "functional_datatype",
           graft.inference.FunctionalType.infer(spark, dataDir))

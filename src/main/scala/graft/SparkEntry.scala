@@ -198,6 +198,9 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.streaming.Monitors.runSarimax(s, dir))),
       ("profile_sampled" ->
         ((s: SparkSession, dir: String) => graft.profiling.SampledProfiler.run(s, dir))),
+      ("profile_approx_report" ->
+        ((s: SparkSession, dir: String) =>
+          graft.profiling.ApproxProfiler.report(s, dir, "lineitem"))),
       ("data_chars" ->
         ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))),
       // include/exclude LIKE masks (refresh_data_chars_query.py:67-101):
@@ -322,6 +325,9 @@ object SparkEntry {
     Tables.names.map { t =>
       s"profile_$t" -> Profiler.duckSql(t, Tables.schemas(t))
     }.toMap ++
+      Map("profile_approx_report" ->
+        graft.profiling.ApproxProfiler.reportDuckSql(
+          "lineitem", Tables.schemas("lineitem"))) ++
       aTables.map { t =>
         s"freq_profile_$t" -> FreqProfiler.duckSql(t, Tables.schemas(t))
       }.toMap ++

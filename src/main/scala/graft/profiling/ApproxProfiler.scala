@@ -26,7 +26,13 @@ import org.apache.spark.sql.types._
 object ApproxProfiler {
 
   def profile(spark: SparkSession, dir: String, table: String,
-              rsd: Double = 0.02, pctAccuracy: Int = 10000): DataFrame = {
+              rsd: Double = 0.02, pctAccuracy: Int = 10000): DataFrame =
+    graft.core.SessionCache.getOrElseUpdate(
+      spark, "approxprofiler", (dir, table, rsd, pctAccuracy))(
+      compute(spark, dir, table, rsd, pctAccuracy))
+
+  private def compute(spark: SparkSession, dir: String, table: String,
+                      rsd: Double, pctAccuracy: Int): DataFrame = {
     val df = graft.core.Tables.load(spark, dir, table)
     val v = s"__graft_approx_$table"
     df.createOrReplaceTempView(v)
@@ -77,6 +83,71 @@ object ApproxProfiler {
         pct(0), pct(1), pct(2))
     }
     spark.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
+  /** Approx-vs-exact bounds report — the oracle-checkable face of the
+    * sketch profiler: per column, the EXACT distinct count (which both
+    * engines compute identically) plus two integer verdicts computed
+    * engine-side from the real sketches: the HLL++ distinct estimate
+    * within 10% (5 standard deviations at the 2% rsd default) of exact,
+    * and the sketched median inside the exact inter-quartile range.
+    * The DuckDB oracle asserts the EXPECTED verdicts (all within
+    * bounds) — a sketch drifting out of its published error bound flips
+    * a flag and fails the hash compare, the same expected-value
+    * anchoring the SARIMAX parity entries use.
+    *
+    * Scale shape: both inputs are the already-landed per-column profile
+    * relations (the sketch pass is one scan; the exact pass is the
+    * memoized three-job profile every other consumer shares) — the
+    * report itself is a driver-side zip of two column-count-sized rows,
+    * no new table scan. */
+  def report(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val approx = profile(spark, dir, table).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    // mode pinned to exact: the report compares against the true
+    // profile even when GRAFT_PROFILE_MODE=approx routes everything else
+    val exact = Profiler.profile(spark, dir, table, mode = "exact").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val schema = StructType(Seq(
+      StructField("column_name", StringType),
+      StructField("general_type", StringType),
+      StructField("exact_distinct", LongType),
+      StructField("distinct_within_bound", IntegerType, nullable = false),
+      StructField("median_within_iqr", IntegerType)))
+    val rows = approx.keys.toSeq.sorted.map { name =>
+      val a = approx(name); val e = exact(name)
+      val aDist = a.getAs[Long]("distinct_value_ct")
+      val eDist = e.getAs[Long]("distinct_value_ct")
+      val dOk =
+        if (math.abs(aDist - eDist) <= math.max(4L, math.ceil(0.10 * eDist).toLong)) 1
+        else 0
+      val isN = a.getAs[String]("general_type") == "N"
+      val mOk: Any =
+        if (!isN || a.isNullAt(a.fieldIndex("percentile_50"))) null
+        else {
+          val p50 = a.getAs[Double]("percentile_50")
+          val lo = e.getAs[Double]("percentile_25")
+          val hi = e.getAs[Double]("percentile_75")
+          if (p50 >= lo - 1e-4 && p50 <= hi + 1e-4) Int.box(1) else Int.box(0)
+        }
+      Row(name, a.getAs[String]("general_type"), eDist, dOk, mOk)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** DuckDB oracle for [[report]]: exact distincts computed natively,
+    * verdict flags as the EXPECTED literals (all in-bound). */
+  def reportDuckSql(table: String, schema: StructType): String = {
+    val selects = schema.fields.sortBy(_.name).map { f =>
+      val gt = GeneralType.of(f.dataType)
+      val med = if (gt == "N") "CAST(1 AS INT)" else "CAST(NULL AS INT)"
+      s"""SELECT '${f.name}' AS column_name, '$gt' AS general_type,
+         |  CAST(COUNT(DISTINCT ${f.name}) AS BIGINT) AS exact_distinct,
+         |  CAST(1 AS INT) AS distinct_within_bound,
+         |  $med AS median_within_iqr
+         |FROM $table""".stripMargin
+    }
+    selects.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
   }
 
   /** The single fused aggregate frame (pre-collect) — exposed so the

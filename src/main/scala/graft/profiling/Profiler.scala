@@ -58,10 +58,25 @@ object Profiler {
   def duckSql(table: String, schema: StructType): String =
     duckSqlBody(table, schema) + "\nORDER BY column_name"
 
-  /** Execute (memoized per session) the three-job profile for one table. */
+  /** Profiling mode gate — the Spark analogue of the reference's
+    * profiling sampling gate (`profiling_query.py:22-53`, wired into
+    * every profiling run): `GRAFT_PROFILE_MODE=approx` (or an explicit
+    * `mode = "approx"` argument) swaps every profile to the
+    * [[ApproxProfiler]] sketch pass — the one-scan, no-value-shuffle
+    * shape that holds at 100 TB, where the exact distinct job's
+    * distinct-value shuffle is the only super-linear cost left. */
+  def defaultMode: String = sys.env.getOrElse("GRAFT_PROFILE_MODE", "exact")
+
+  /** Execute (memoized per session) the three-job profile for one table.
+    * `mode = "approx"` (default from `GRAFT_PROFILE_MODE`) routes to the
+    * sketch profiler — note the narrower per-column schema documented
+    * on [[ApproxProfiler.profile]]. */
   def profile(spark: SparkSession, dir: String, table: String,
-              sampleFraction: Option[Double] = None): DataFrame =
-    graft.core.SessionCache.getOrElseUpdate(
+              sampleFraction: Option[Double] = None,
+              mode: String = defaultMode): DataFrame =
+    if (mode == "approx")
+      ApproxProfiler.profile(spark, dir, table)
+    else graft.core.SessionCache.getOrElseUpdate(
       spark, "profiler", (dir, table, sampleFraction))(
       compute(spark, dir, table, sampleFraction))
 

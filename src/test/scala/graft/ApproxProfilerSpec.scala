@@ -48,6 +48,36 @@ class ApproxProfilerSpec extends SparkSpec {
     }
   }
 
+  test("approx-vs-exact report lands every column in bound on the fixture") {
+    for (table <- Seq("lineitem", "documents")) {
+      val rows = ApproxProfiler.report(spark, sfDir, table).collect()
+      assert(rows.length ==
+        graft.core.Tables.schemas(table).fields.length)
+      rows.foreach { r =>
+        assert(r.getAs[Int]("distinct_within_bound") == 1,
+          s"$table.${r.getString(0)}: distinct estimate out of bound")
+        if (!r.isNullAt(r.fieldIndex("median_within_iqr")))
+          assert(r.getAs[Int]("median_within_iqr") == 1,
+            s"$table.${r.getString(0)}: sketched median outside IQR")
+        assert(r.getAs[Long]("exact_distinct") >= 0L)
+      }
+      // numeric columns carry a median verdict, others don't
+      rows.foreach { r =>
+        val isN = r.getAs[String]("general_type") == "N"
+        assert(r.isNullAt(r.fieldIndex("median_within_iqr")) != isN)
+      }
+    }
+  }
+
+  test("profile mode gate routes to the sketch profiler") {
+    val approx = Profiler.profile(spark, sfDir, "nation", mode = "approx")
+    // the sketch profile's narrower schema is the tell
+    assert(approx.columns.contains("distinct_value_ct"))
+    assert(!approx.columns.contains("distinct_std_value_ct"))
+    val exact = Profiler.profile(spark, sfDir, "nation", mode = "exact")
+    assert(exact.columns.contains("distinct_std_value_ct"))
+  }
+
   test("the sketch profile is one scan with no Expand and no value shuffle") {
     val p = ApproxProfiler.aggregateFrame(spark, sfDir, "lineitem")
       .queryExecution.executedPlan.toString

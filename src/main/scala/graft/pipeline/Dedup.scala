@@ -336,8 +336,12 @@ object Dedup {
     spark.sql(jaccardBody(s"__graft_inter_$k", s"__graft_sizes_$k", 0.5))
   }
   def runMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // read the LANDED skew-dispatched verify relation (shared with the
+    // sweep/lookup consumers) instead of re-deriving the band join +
+    // intersection inline — same rows, one less derivation per read
     val k = registerShingleRels(spark, dir)
-    spark.sql(s"WITH ${minhashBody(s"__graft_minhash_sigs_$k", s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)}")
+    registerCandInterRel(spark, k)
+    spark.sql(jaccardBody(s"__graft_cinter_$k", s"__graft_sizes_$k", 0.5))
   }
 
   /** Dedup thresholds the sweep reports — the banding design point
@@ -449,15 +453,49 @@ object Dedup {
     spark.sql(s"WITH ${pairLookupTail(s"__graft_cinter_$k", s"__graft_sizes_$k", docs, 20)}")
   }
 
+  /** The candidate-verify intersection as a skew-dispatched DataFrame —
+    * row-identical to [[candInterCte]] (the DuckDB oracle's form;
+    * SkewJoinSpec pins the parity): cands equi-join the shingle
+    * relation per side, grouped to shared-shingle counts. The doc-id
+    * key of the a-side join is where templated near-dup HUBS skew: one
+    * doc in thousands of candidate pairs lands every pair row on one
+    * task. The advisor measures the candidate relation's doc_a
+    * histogram ([[graft.core.SkewJoin.hotKeys]], >1% of pairs) and
+    * routes hot hubs through the two-tier salted join; the b-side join
+    * keys on (doc_b, shingle) — the shingle component spreads it, so it
+    * stays plain. The salted join is row-multiset-identical and the
+    * GROUP BY is order-independent, so results (and the oracle hash)
+    * never depend on the dispatch. */
+  private[graft] def candInterFrame(spark: SparkSession, cands: DataFrame,
+                                       shf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val hot = graft.core.SkewJoin.hotKeys(cands, "doc_a", 0.01)
+    val aSide = shf.select(col("id").as("doc_a"), col("shingle"))
+    val joinedA =
+      if (hot.nonEmpty) graft.core.SkewJoin.saltedJoinHot(cands, aSide, "doc_a", hot)
+      else cands.join(aSide, Seq("doc_a"))
+    val bSide = shf.select(col("id").as("__doc_b2"), col("shingle").as("__shingle_b"))
+    joinedA
+      .join(bSide, col("doc_b") === col("__doc_b2") &&
+        col("shingle") === col("__shingle_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("ict"))
+  }
+
   /** The candidate-restricted intersection, landed once per shingle-rel
     * generation — the sweep reads it 3× (pairs, docs, rollup) and CTE
-    * inlining would otherwise re-derive the band join per read. */
+    * inlining would otherwise re-derive the band join per read. The
+    * candidate pairs land first (checkpointed), the advisor reads their
+    * key histogram, and the verify join dispatches through
+    * [[candInterFrame]]. */
   private def registerCandInterRel(spark: SparkSession, k: Int): Unit =
     graft.core.SessionCache.getOrElseUpdate(spark, "dedup_cinter", k) {
-      spark.sql(
-        s"""WITH ${minhashCandsCtes(s"__graft_minhash_sigs_$k")},
-           |${candInterCte(s"__graft_shf_$k")}
-           |SELECT * FROM cinter""".stripMargin)
+      val cands = spark.sql(
+        s"""WITH ${minhashCandsCtes(s"__graft_minhash_sigs_$k")}
+           |SELECT * FROM cands""".stripMargin)
+        .localCheckpoint(eager = true)
+      cands.createOrReplaceTempView(s"__graft_cands_$k")
+      candInterFrame(spark, cands, spark.table(s"__graft_shf_$k"))
         .localCheckpoint(eager = true)
         .createOrReplaceTempView(s"__graft_cinter_$k")
       true
@@ -961,10 +999,44 @@ object Dedup {
        |  FROM batch b JOIN landf l ON l.fp = b.fp
        | GROUP BY b.id, l.id HAVING COUNT(*) >= $minShared""".stripMargin
 
+  /** [[incrementalHitsSql]] as a skew-dispatched DataFrame — the
+    * landed-side fingerprint join is where a daily batch skews: a
+    * boilerplate fingerprint shared across the landed corpus (hot but
+    * under the 50-doc cutoff) lands every matching landed row on one
+    * task. The advisor reads the landed fingerprint histogram and
+    * routes hot fingerprints through the two-tier salted join (the
+    * batch side replicates `salt` ways for hot keys only). Row-identical
+    * to the SQL form — the shared-count GROUP BY is order-independent,
+    * so the dispatch never changes results (SkewJoinSpec parity). */
+  private[graft] def incrementalHitsFrame(spark: SparkSession, fpsRel: String,
+                                             minShared: Int = 3,
+                                             hotCutoff: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val fps = spark.table(fpsRel)
+    val landed = fps.where(col("id") % BatchMod =!= BatchRem)
+    val batch = fps.where(col("id") % BatchMod === BatchRem)
+      .select(col("id").as("batch_id"), col("fp"))
+    val ok = landed.groupBy("fp").agg(count(lit(1)).as("__ct"))
+      .where(col("__ct") <= hotCutoff).select("fp")
+    val landf = landed.join(ok, Seq("fp"))
+      .select(col("id").as("corpus_id"), col("fp"))
+    val hot = graft.core.SkewJoin.hotKeys(landf, "fp", 0.01)
+    val joined =
+      if (hot.nonEmpty) graft.core.SkewJoin.saltedJoinHot(landf, batch, "fp", hot)
+      else landf.join(batch, Seq("fp"))
+    joined.groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_fp_ct"))
+      .where(col("shared_fp_ct") >= minShared)
+      .select(col("batch_id"), col("corpus_id"), col("shared_fp_ct"))
+  }
+
   def incrementalBodySql(fpsRel: String, docsRel: String,
-                         minShared: Int = 3, hotCutoff: Int = 50): String =
+                         minShared: Int = 3, hotCutoff: Int = 50,
+                         hitsRel: Option[String] = None): String =
     s"""WITH hits AS (
-       |  SELECT * FROM (${incrementalHitsSql(fpsRel, minShared, hotCutoff)}) h
+       |  ${hitsRel.fold(
+              s"SELECT * FROM (${incrementalHitsSql(fpsRel, minShared, hotCutoff)}) h")(
+              r => s"SELECT * FROM $r")}
        |),
        |sizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel GROUP BY id),
        |near AS (
@@ -996,8 +1068,20 @@ object Dedup {
     s"""WITH fps AS (${winnowFpsSql(table)(d)}),
        |${incrementalBodySql("fps", table).stripPrefix("WITH ")}""".stripMargin
 
-  def runIncremental(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(incrementalBodySql(winnowFpsView(spark, dir), register(spark, dir)))
+  def runIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val fpsRel = winnowFpsView(spark, dir)
+    val docsRel = register(spark, dir)
+    // the near-hit relation lands once per (session, dir) through the
+    // skew-dispatched frame; the presentation tail reads the landed view
+    val hitsView = graft.core.SessionCache.getOrElseUpdate(
+      spark, "incrhits", dir) {
+      val v = s"__graft_incr_hits_${dir.hashCode.toHexString}"
+      incrementalHitsFrame(spark, fpsRel)
+        .localCheckpoint(eager = true).createOrReplaceTempView(v)
+      v
+    }
+    spark.sql(incrementalBodySql(fpsRel, docsRel, hitsRel = Some(hitsView)))
+  }
 
   /** Duplicate-CLUSTER resolution — pair lists are not actionable dedup;
     * a pipeline drops duplicates by (a) grouping dup pairs into connected

@@ -37,6 +37,61 @@ class SkewJoinSpec extends SparkSpec {
     assert(canon(salted) == canon(plain))
   }
 
+  test("incremental hits frame: salted dispatch engages on a hot fp and matches the SQL") {
+    import spark.implicits._
+    // synthetic skewed fingerprint relation: fp "hot" shared by 40
+    // LANDED docs (4% of landed rows — above the 1% advisor threshold,
+    // under the 50-doc cutoff) plus a unique fp per doc. Batch docs are
+    // id % 10 == 7.
+    val rows = (1L to 100L).flatMap { id =>
+      Seq((id, s"u$id"), (id, s"u${id}b"), (id, s"u${id}c")) ++
+        (if (id <= 40 && id % 10 != 7) Seq((id, "hot")) else Nil) ++
+        (if (id % 10 == 7 && id <= 40) Seq((id, "hot"), (id, s"u${id - 1}"),
+          (id, s"u${id - 1}b")) else Nil)
+    }
+    rows.toDF("id", "fp").createOrReplaceTempView("__skew_fps")
+    // the advisor must fire on the synthetic histogram
+    val landf = spark.table("__skew_fps")
+      .where("id % 10 <> 7")
+    assert(SkewJoin.hotKeys(landf, "fp", 0.01).contains("hot"),
+      "fixture does not trip the advisor")
+    val viaFrame = graft.pipeline.Dedup
+      .incrementalHitsFrame(spark, "__skew_fps", minShared = 2)
+    // the salted two-tier join is IN the engaged plan
+    val p = viaFrame.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salted dispatch did not engage:\n${p.take(800)}")
+    val viaSql = spark.sql(
+      graft.pipeline.Dedup.incrementalHitsSql("__skew_fps", minShared = 2))
+    assert(canon(viaFrame) == canon(viaSql),
+      "skew-dispatched hits diverge from the SQL relation")
+    assert(viaFrame.count() > 0, "fixture produced no hits")
+  }
+
+  test("candidate-verify frame: salted dispatch engages on a hub doc and matches the SQL") {
+    import spark.implicits._
+    // synthetic hub: doc 1 is a candidate pair with every other doc
+    // (>1% of all pairs), a few background pairs keep the histogram real
+    val cands = ((2L to 60L).map(b => (1L, b)) ++
+      Seq((2L, 3L), (4L, 5L), (6L, 7L))).toDF("doc_a", "doc_b")
+    val shf = (1L to 60L).flatMap { id =>
+      Seq((id, "s1"), (id, s"s$id"), (id, s"t${id % 7}"))
+    }.toDF("id", "shingle")
+    cands.createOrReplaceTempView("__skew_cands")
+    shf.createOrReplaceTempView("__skew_shf")
+    assert(SkewJoin.hotKeys(cands, "doc_a", 0.01).contains(1L))
+    val viaFrame = graft.pipeline.Dedup.candInterFrame(spark, cands, shf)
+    val p = viaFrame.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salted dispatch did not engage:\n${p.take(800)}")
+    val viaSql = spark.sql(
+      """SELECT c.doc_a, c.doc_b, COUNT(*) AS ict
+        |  FROM __skew_cands c
+        |  JOIN __skew_shf a ON a.id = c.doc_a
+        |  JOIN __skew_shf b ON b.id = c.doc_b AND b.shingle = a.shingle
+        | GROUP BY c.doc_a, c.doc_b""".stripMargin)
+    assert(canon(viaFrame) == canon(viaSql),
+      "skew-dispatched verify join diverges from the SQL relation")
+  }
+
   test("salt draw is deterministic across recomputation") {
     val big = Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_quantity")

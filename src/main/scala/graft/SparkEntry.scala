@@ -472,7 +472,7 @@ object SparkEntry {
       ("bpe_apply" -> graft.pipeline.BpeMerges.duckApplySql()),
       ("profile_correlations" -> graft.profiling.Correlations.duckSql()),
       ("dedup_survivor_audit" -> graft.pipeline.Dedup.survivorAuditSql("documents")(graft.oracle.DuckDialect)),
-      ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings")(graft.oracle.DuckDialect)),
+      ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings", trained = true)(graft.oracle.DuckDialect)),
       ("dsir_scores" -> graft.pipeline.Selection.dsirDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),

@@ -343,7 +343,8 @@ object Similarity {
     * with no accumulation order; code assignment ranks the same
     * micro-int with seed-id ties. */
   private def pqBody(corpusRel: String, seedsRel: String,
-                     nQueries: Int, k: Int, nSub: Int, subDim: Int)
+                     nQueries: Int, k: Int, nSub: Int, subDim: Int,
+                     trained: Boolean = false)
                     (d: Dialect): String = {
     def sl(arr: String, s: Int) = d.arraySlice(arr, s * subDim + 1, subDim)
     val subV = (0 until nSub).map(s =>
@@ -355,12 +356,48 @@ object Similarity {
     val d2 = s"CAST(ROUND((${d.dotProduct("v.sv", "v.sv")}" +
       s" - 2 * ${d.dotProduct("v.sv", "c.cv")}" +
       s" + ${d.dotProduct("c.cv", "c.cv")}) * 1000000) AS BIGINT)"
+    // One Lloyd iteration per subspace (the k-means step a trained PQ
+    // codebook is, Jégou et al. §III): assign every subvector to its
+    // nearest SEED codeword, recenter each codeword to the mean of its
+    // assignments (micro-rounded to a fixed 1e-6 grid so cross-engine
+    // float-sum order can't flip the downstream integer ADC), and keep
+    // the seed codeword where nothing assigned. Same recenter step as
+    // [[kmeansRefineSql]], applied per subspace.
+    val codebook =
+      if (!trained) "pc AS (\n  SELECT * FROM pc0\n)"
+      else
+        s"""codes0 AS (
+           |  SELECT vec_id, sub, code, sv FROM (
+           |    SELECT v.vec_id, v.sub, v.sv, c.seed_id AS code,
+           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+           |                              ORDER BY $d2, c.seed_id) AS rn
+           |      FROM pv v JOIN pc0 c ON c.sub = v.sub
+           |  ) t0 WHERE rn = 1
+           |),
+           |cflat AS (
+           |  ${d.arrayPosRel("codes0", "sub, code", "sv")}
+           |),
+           |cavg AS (
+           |  SELECT sub, code, pos, ROUND(AVG(val), 6) AS cval
+           |    FROM cflat GROUP BY sub, code, pos
+           |),
+           |cnew AS (
+           |  SELECT sub, code AS seed_id,
+           |         ${d.arrayAggOrdered("cval", "pos")} AS cv
+           |    FROM cavg GROUP BY sub, code
+           |),
+           |pc AS (
+           |  SELECT c0.sub, c0.seed_id, COALESCE(n.cv, c0.cv) AS cv
+           |    FROM pc0 c0 LEFT JOIN cnew n
+           |      ON n.sub = c0.sub AND n.seed_id = c0.seed_id
+           |)""".stripMargin
     s"""WITH pv AS (
        |  $subV
        |),
-       |pc AS (
+       |pc0 AS (
        |  $subC
        |),
+       |$codebook,
        |codes AS (
        |  SELECT vec_id, sub, seed_id AS code FROM (
        |    SELECT v.vec_id, v.sub, c.seed_id,
@@ -397,15 +434,23 @@ object Similarity {
 
   def pqSql(table: String, nQueries: Int = 5, k: Int = 5,
             nSub: Int = PqSub, subDim: Int = PqSubDim,
-            nCentroids: Int = DefaultCentroids)(d: Dialect): String =
+            nCentroids: Int = DefaultCentroids,
+            trained: Boolean = false)(d: Dialect): String =
     s"""WITH ${seedsCte(table, nCentroids)(d)},
-       |${pqBody(table, "seeds", nQueries, k, nSub, subDim)(d).stripPrefix("WITH ")}""".stripMargin
+       |${pqBody(table, "seeds", nQueries, k, nSub, subDim, trained)(d).stripPrefix("WITH ")}""".stripMargin
 
   private def pqView(spark: SparkSession, dir: String): String =
-    hitsView(spark, dir, "pq")(v => pqBody(v.base, v.seeds, 5, 5, PqSub, PqSubDim)(d))
+    hitsView(spark, dir, "pq")(v =>
+      pqBody(v.base, v.seeds, 5, 5, PqSub, PqSubDim)(d))
+  private def pqTrainedView(spark: SparkSession, dir: String): String =
+    hitsView(spark, dir, "pqtrain")(v =>
+      pqBody(v.base, v.seeds, 5, 5, PqSub, PqSubDim, trained = true)(d))
 
+  /** The PQ entry serves the TRAINED codebook (one Lloyd iteration per
+    * subspace); the recall harness reports both it and the seed
+    * codebook so the training gain is an oracle-checked output. */
   def runPq(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(s"SELECT * FROM ${pqView(spark, dir)} ORDER BY query_id, rank")
+    spark.sql(s"SELECT * FROM ${pqTrainedView(spark, dir)} ORDER BY query_id, rank")
 
   /** ANN quality measurement — recall@k of each approximate method
     * against the exact brute-force baseline, per query and method: the
@@ -424,7 +469,8 @@ object Similarity {
         "ivf_seeded_p2" -> ivfSeededSql(table, k = k, nProbe = 2)(d),
         "lsh" -> lshSql(table, k = k)(d),
         "quantized_bf" -> quantizedSql(table, k = k)(d),
-        "pq_adc" -> pqSql(table, k = k)(d)),
+        "pq_adc" -> pqSql(table, k = k)(d),
+        "pq_adc_trained" -> pqSql(table, k = k, trained = true)(d)),
       k)(d)
 
   private def recallBody(truthSql: String, methods: Seq[(String, String)],
@@ -523,7 +569,8 @@ object Similarity {
       "ivf_seeded_p2" -> probeView(spark, dir),
       "lsh" -> lshView(spark, dir),
       "quantized_bf" -> quantView(spark, dir),
-      "pq_adc" -> pqView(spark, dir)).map { case (m, v) =>
+      "pq_adc" -> pqView(spark, dir),
+      "pq_adc_trained" -> pqTrainedView(spark, dir)).map { case (m, v) =>
       m -> s"SELECT * FROM $v"
     }
     spark.sql(recallBody(truth, methods, k)(d))

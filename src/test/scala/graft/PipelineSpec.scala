@@ -506,7 +506,8 @@ class PipelineSpec extends SparkSpec {
     val rows = graft.pipeline.Similarity.runRecall(spark, sfDir).collect()
     val methods = rows.map(_.getAs[String]("method")).distinct.sorted
     assert(methods.sameElements(
-      Array("ivf", "ivf_seeded", "ivf_seeded_p2", "lsh", "pq_adc", "quantized_bf")))
+      Array("ivf", "ivf_seeded", "ivf_seeded_p2", "lsh", "pq_adc",
+        "pq_adc_trained", "quantized_bf")))
     rows.foreach { r =>
       val recall = r.getAs[Double]("recall_at_5")
       assert(recall >= 0.0 && recall <= 1.0)
@@ -522,6 +523,11 @@ class PipelineSpec extends SparkSpec {
     }
     assert(mean("ivf_seeded_p2") >= mean("ivf_seeded"),
       s"probe-2 recall ${mean("ivf_seeded_p2")} < probe-1 ${mean("ivf_seeded")}")
+    // the Lloyd-trained codebook must not lose recall vs the raw seed
+    // draw — recentering codewords to their assignment means only
+    // tightens quantization error on the fixture
+    assert(mean("pq_adc_trained") >= mean("pq_adc"),
+      s"trained PQ recall ${mean("pq_adc_trained")} < seed ${mean("pq_adc")}")
   }
 
   test("lsh fold form holds at production dims (768)") {

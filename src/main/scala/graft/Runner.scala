@@ -178,6 +178,11 @@ object Runner {
         // the recall of every probe path against the exact baseline
         graft.pipeline.Similarity.writeIndex(spark, dataDir, s"$outDir/ann_index")
         println(s"[graft] index: bucket-partitioned index -> $outDir/ann_index")
+        // maintenance pass: a re-invoked Runner (or appended batches)
+        // accumulates files per bucket; rewrite the overgrown ones
+        val compacted = graft.pipeline.Similarity
+          .compactIndex(spark, s"$outDir/ann_index")
+        println(s"[graft] index: compaction rewrote ${compacted.size} buckets")
         land("index", "knn_recall",
           graft.pipeline.Similarity.runRecall(spark, dataDir))
       case other =>

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
@@ -831,21 +832,27 @@ object Similarity {
     * to add planes, reseed, or raise nProbe.
     *
     * Scale shape: the landed index base already carries both ids —
-    * two metadata-sized groupBys over it, zero corpus scans. */
+    * two metadata-sized groupBys over it, zero corpus scans.
+    * `cross_spread` is the other layout's distinct-id count inside the
+    * partition (seeds per LSH bucket / buckets per IVF cell) — how far
+    * a single-partition probe fans across the other layout's cells. */
   private def occupancyBody(baseRel: String): String =
     s"""WITH occ AS (
        |  SELECT 'lsh' AS layout, CAST(bucket AS BIGINT) AS partition_id,
-       |         COUNT(*) AS vec_ct
+       |         COUNT(*) AS vec_ct,
+       |         COUNT(DISTINCT seed_id) AS cross_spread
        |    FROM $baseRel GROUP BY bucket
        |  UNION ALL
        |  SELECT 'ivf' AS layout, CAST(seed_id AS BIGINT) AS partition_id,
-       |         COUNT(*) AS vec_ct
+       |         COUNT(*) AS vec_ct,
+       |         COUNT(DISTINCT bucket) AS cross_spread
        |    FROM $baseRel GROUP BY seed_id
        |),
        |tot AS (SELECT layout, SUM(vec_ct) AS n FROM occ GROUP BY layout)
        |SELECT o.layout AS layout, o.partition_id,
        |       CAST(o.vec_ct AS BIGINT) AS vec_ct,
-       |       CAST(ROUND(CAST(o.vec_ct AS DOUBLE) / t.n, 4) AS DOUBLE) AS corpus_share
+       |       CAST(ROUND(CAST(o.vec_ct AS DOUBLE) / t.n, 4) AS DOUBLE) AS corpus_share,
+       |       CAST(o.cross_spread AS BIGINT) AS cross_spread
        |  FROM occ o JOIN tot t ON t.layout = o.layout
        | ORDER BY o.layout, o.partition_id""".stripMargin
 
@@ -948,6 +955,61 @@ object Similarity {
          |       ${bucketExpr("embedding")(d)} AS bucket, seed_id
          |  FROM assign""".stripMargin)
       .write.mode("append").partitionBy("bucket").parquet(outPath)
+  }
+
+  /** Per-bucket FILE count of the persisted index — the small-files
+    * health report for the append-mode layout: every [[appendIndex]]
+    * batch adds at least one file per touched bucket directory, and at
+    * a daily cadence a hot bucket accumulates hundreds of files whose
+    * per-file open/footer overhead eventually dominates its probes.
+    * Read from the filesystem listing (metadata-only, no data scan). */
+  def indexFileReport(spark: SparkSession, outPath: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(new Path(outPath)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map { s =>
+        val files = fs.listStatus(s.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        Row(s.getPath.getName.stripPrefix("bucket=").toInt, files.toLong)
+      }
+    spark.createDataFrame(
+      rows.sortBy(_.getInt(0)).asJava,
+      StructType(Seq(
+        StructField("bucket", IntegerType),
+        StructField("file_ct", LongType))))
+  }
+
+  /** Compact the persisted index: rewrite every bucket directory whose
+    * file count exceeds `maxFiles` down to `targetFiles` files, leaving
+    * all other buckets' files untouched — the maintenance pass that
+    * keeps an append-mode index probe-efficient. The rewrite is
+    * per-bucket (read the bucket's rows, write compacted beside it,
+    * swap) so a run only ever touches the overgrown directories; at
+    * 100 TB `targetFiles` rises so each file stays near the scan's
+    * maxPartitionBytes rather than literally 1. Probes stay partition-
+    * pruned across the swap — the layout (bucket=N directories) never
+    * changes (BucketingSpec). Returns the compacted bucket ids. */
+  def compactIndex(spark: SparkSession, outPath: String,
+                   maxFiles: Int = 8, targetFiles: Int = 1): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val overgrown = indexFileReport(spark, outPath).collect()
+      .filter(_.getAs[Long]("file_ct") > maxFiles)
+      .map(_.getAs[Int]("bucket")).toSeq
+    overgrown.foreach { b =>
+      val bucketDir = s"$outPath/bucket=$b"
+      val tmp = s"${outPath}__compact_b$b"
+      spark.read.parquet(bucketDir)
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp)
+      fs.delete(new Path(bucketDir), true)
+      fs.rename(new Path(tmp), new Path(bucketDir))
+    }
+    overgrown
   }
 
   /** The landed index base / frozen seeds, for specs and the streaming

@@ -55,4 +55,44 @@ class BucketingSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(bucket"),
       s"bucket probe lost partition pruning:\n${p.take(600)}")
   }
+
+  test("index compaction rewrites overgrown buckets only; probes stay pruned") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_idx_compact").toString + "/idx"
+    graft.pipeline.Similarity.writeIndex(spark, sfDir, out)
+    // several append batches accumulate files per touched bucket
+    val dim = 64
+    val rnd = new scala.util.Random(23)
+    (0 until 4).foreach { b =>
+      val batch = (200000L + b * 50 until 200000L + b * 50 + 50).map(i =>
+        (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1), (i % 10).toInt))
+        .toDF("vec_id", "embedding", "label")
+      graft.pipeline.Similarity.appendIndex(spark, batch, out)
+    }
+    val report = graft.pipeline.Similarity.indexFileReport(spark, out)
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("file_ct")).toMap
+    assert(report.values.exists(_ > 1L), "appends produced no multi-file bucket")
+    val rowsBefore = spark.read.parquet(out)
+      .selectExpr("vec_id", "bucket", "seed_id").collect()
+      .map(_.mkString(",")).sorted.toSeq
+    // compact every bucket above 1 file down to a single file
+    val compacted = graft.pipeline.Similarity.compactIndex(spark, out, maxFiles = 1)
+    assert(compacted.nonEmpty)
+    val after = graft.pipeline.Similarity.indexFileReport(spark, out)
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("file_ct")).toMap
+    compacted.foreach(b => assert(after(b) == 1L, s"bucket $b still ${after(b)} files"))
+    // untouched buckets keep their exact file sets
+    report.filterNot { case (b, _) => compacted.contains(b) }
+      .foreach { case (b, ct) => assert(after(b) == ct, s"bucket $b was touched") }
+    // rows survive the swap bit-for-bit and probes stay partition-pruned
+    val rowsAfter = spark.read.parquet(out)
+      .selectExpr("vec_id", "bucket", "seed_id").collect()
+      .map(_.mkString(",")).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction changed the index rows")
+    val p = graft.pipeline.Similarity.readBucket(spark, out, compacted.head)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(bucket"),
+      s"compacted bucket probe lost partition pruning:\n${p.take(600)}")
+  }
 }

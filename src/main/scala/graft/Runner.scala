@@ -78,6 +78,10 @@ object Runner {
         if (mode == "approx")
           land("profile", "profile_approx_report",
             graft.profiling.ApproxProfiler.report(spark, dataDir, "lineitem"))
+        // doc-grain CDC-maintained corpus profile (full-recompute parity
+        // is the oracle contract — see IncrementalProfile)
+        land("profile", "profile_incremental",
+          graft.pipeline.IncrementalProfile.run(spark, dataDir))
       case "infer" =>
         land("infer", "functional_datatype",
           graft.inference.FunctionalType.infer(spark, dataDir))

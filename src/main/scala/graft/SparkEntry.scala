@@ -201,6 +201,9 @@ object SparkEntry {
       ("profile_approx_report" ->
         ((s: SparkSession, dir: String) =>
           graft.profiling.ApproxProfiler.report(s, dir, "lineitem"))),
+      ("profile_incremental" ->
+        ((s: SparkSession, dir: String) =>
+          graft.pipeline.IncrementalProfile.run(s, dir))),
       ("data_chars" ->
         ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))),
       // include/exclude LIKE masks (refresh_data_chars_query.py:67-101):
@@ -481,6 +484,7 @@ object SparkEntry {
       ("tokenizer_fertility" -> graft.pipeline.TokenizerFertility.duckSql()),
       ("substring_rewrite" -> graft.pipeline.Selection.substringRewriteDuckSql()),
       ("corpus_doc_drift" -> graft.pipeline.DocDrift.duckSql()),
+      ("profile_incremental" -> graft.pipeline.IncrementalProfile.duckSql()),
       ("split_leakage_free" -> graft.pipeline.Selection.splitSql("documents")(graft.oracle.DuckDialect)),
       ("quality_calibration" -> graft.pipeline.Selection.calibrationSql("documents")(graft.oracle.DuckDialect)),
       ("dedup_threshold_sweep" -> graft.pipeline.Dedup.thresholdSweepSql("documents")(graft.oracle.DuckDialect)),

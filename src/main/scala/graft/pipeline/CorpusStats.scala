@@ -404,6 +404,108 @@ object DocDrift {
   }
 }
 
+/** Incremental profile maintenance over the doc-grain CDC — the
+  * daily-crawl profiling shape: instead of re-profiling the whole
+  * corpus every run, update the LANDED per-source sufficient stats of
+  * run N−1 by recomputing text-level partials ONLY for the documents
+  * the CDC classifies as ADDED / REMOVED / CHANGED:
+  * `stats_N = stats_{N−1} − old(REMOVED ∪ CHANGED) + new(ADDED ∪
+  * CHANGED)`. The stats are additive integer sums (doc count, token
+  * count, char count) so the merge is exact at any aggregation order;
+  * derived ratios round once at the end.
+  *
+  * The DuckDB oracle is the FULL recompute over the current corpus —
+  * the hash match IS the proof that the incremental merge and the full
+  * pass agree, which is the whole contract of incremental maintenance.
+  *
+  * Scale shape: snapshots and landed stats are metadata-sized (24
+  * bytes/doc, one row/source); the only text scanned is the affected
+  * partials, semi-joined down to the CDC's id sets — at 100 TB a 1%
+  * daily delta costs 1% of a profile pass, not a full one. (The
+  * fixture derives run N−1's corpus inline; a real deployment reads it
+  * from the landed corpus of the prior run.) */
+object IncrementalProfile {
+
+  /** Per-source additive sufficient stats over a docs relation. */
+  private def statsSql(rel: String)(d: Dialect): String = {
+    val tokens = d.regexpCount("text", "\\S+")
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |       CAST(SUM(CAST($tokens AS BIGINT)) AS BIGINT) AS token_ct,
+       |       CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS char_ct
+       |  FROM $rel GROUP BY source""".stripMargin
+  }
+
+  private def presentSql(statsRel: String): String =
+    s"""SELECT source, doc_ct, token_ct, char_ct,
+       |       CAST(ROUND(CAST(char_ct AS DOUBLE) / doc_ct, 4) AS DOUBLE)
+       |         AS avg_chars
+       |  FROM $statsRel
+       | WHERE doc_ct > 0
+       | ORDER BY source""".stripMargin
+
+  /** Full-recompute oracle: the per-source profile of the CURRENT
+    * corpus, computed directly. */
+  def fullSql(table: String)(d: Dialect): String =
+    s"""WITH s AS (
+       |${statsSql(table)(d)}
+       |)
+       |${presentSql("s")}""".stripMargin
+
+  def duckSql(): String = fullSql("documents")(DuckDialect)
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.RunStore
+    val d: Dialect = SparkDialect
+    val docs = "__graft_incrprof_docs"
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView(docs)
+    val root = RunStore.root
+    val priorRel = s"(${DocDrift.priorSql(docs)})"
+    // run N−1's landed artifacts: sufficient stats + doc-grain snapshot
+    val statsPath = RunStore.land(
+      spark.sql(statsSql(priorRel)(d)), root, "run_000", "profile_stats")
+    val snapPath = RunStore.land(
+      spark.sql(DocDrift.snapshotSql(priorRel)), root, "run_000", "profile_snapshot")
+    val curSnapPath = RunStore.land(
+      spark.sql(DocDrift.snapshotSql(docs)), root, "run_001", "profile_snapshot")
+    spark.sql(
+      s"""WITH landed AS (SELECT * FROM ${d.readParquet(statsPath)}),
+         |pr AS (SELECT * FROM ${d.readParquet(snapPath)}),
+         |cu AS (SELECT * FROM ${d.readParquet(curSnapPath)}),
+         |cls AS (
+         |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+         |         CASE WHEN p.doc_id IS NULL THEN 'ADDED'
+         |              WHEN c.doc_id IS NULL THEN 'REMOVED'
+         |              WHEN p.content_hash <> c.content_hash THEN 'CHANGED'
+         |              ELSE 'UNCHANGED' END AS change_type
+         |    FROM pr p FULL OUTER JOIN cu c ON p.doc_id = c.doc_id
+         |),
+         |neg AS (
+         |${statsSql(s"""(SELECT o.* FROM $priorRel o
+         |   JOIN cls ON cls.doc_id = o.doc_id
+         |  WHERE cls.change_type IN ('REMOVED', 'CHANGED'))""")(d)}
+         |),
+         |pos AS (
+         |${statsSql(s"""(SELECT o.* FROM $docs o
+         |   JOIN cls ON cls.doc_id = o.doc_id
+         |  WHERE cls.change_type IN ('ADDED', 'CHANGED'))""")(d)}
+         |),
+         |merged AS (
+         |  SELECT COALESCE(l.source, p.source, n.source) AS source,
+         |         COALESCE(l.doc_ct, 0) + COALESCE(p.doc_ct, 0)
+         |           - COALESCE(n.doc_ct, 0) AS doc_ct,
+         |         COALESCE(l.token_ct, 0) + COALESCE(p.token_ct, 0)
+         |           - COALESCE(n.token_ct, 0) AS token_ct,
+         |         COALESCE(l.char_ct, 0) + COALESCE(p.char_ct, 0)
+         |           - COALESCE(n.char_ct, 0) AS char_ct
+         |    FROM landed l
+         |    FULL OUTER JOIN pos p ON p.source = l.source
+         |    FULL OUTER JOIN neg n ON n.source = COALESCE(l.source, p.source)
+         |)
+         |${presentSql("merged")}""".stripMargin)
+  }
+}
+
 /** Temperature-based source mixing weights — the standard multinomial
   * alpha-sampling of multilingual/multi-source pretraining (weight ∝
   * corpus_share^alpha, alpha = 0.5): flattens the source distribution

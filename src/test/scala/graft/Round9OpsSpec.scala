@@ -50,6 +50,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.find(_.getAs[Long]("doc_id") == 2L).get.getAs[Long]("token_ct") == 4L)
   }
 
+  test("incremental profile merge equals the full recompute per source") {
+    val inc = graft.pipeline.IncrementalProfile.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("doc_ct"), r.getAs[Long]("token_ct"),
+          r.getAs[Long]("char_ct"), r.getAs[Double]("avg_chars"))).toMap
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__graft_incrprof_full")
+    val full = spark.sql(graft.pipeline.IncrementalProfile
+      .fullSql("__graft_incrprof_full")(SparkDialect)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("doc_ct"), r.getAs[Long]("token_ct"),
+          r.getAs[Long]("char_ct"), r.getAs[Double]("avg_chars"))).toMap
+    assert(inc == full,
+      s"incremental merge drifted from full recompute:\ninc=$inc\nfull=$full")
+    // the fixture CDC actually exercises every class: the prior corpus
+    // has removed, changed AND missing (added-now) docs
+    assert(inc.nonEmpty)
+  }
+
   test("streaming index ingest guards zero-norm and short vectors like the batch SQL") {
     import spark.implicits._
     val seeds = Seq(

@@ -529,4 +529,61 @@ class StreamMonitorsSpec extends SparkSpec {
         s"z mismatch at $k")
     }
   }
+
+  test("file-source job recovers from a mid-stream kill with exactly-once output") {
+    // the durability shape MemoryStream can't exercise: a real file
+    // source + file sink + checkpoint, killed between batches and
+    // restarted on the SAME checkpoint — the offset log must skip the
+    // already-committed input files and the sink's transaction log must
+    // admit each output exactly once, landing bit-identical to batch
+    val spark2 = spark
+    import spark2.implicits._
+    val weights = graft.pipeline.Selection.dsirWeightMap(spark, sfDir)
+    val rows = graft.core.Tables.load(spark, sfDir, "documents")
+      .where(s"source <> '${graft.pipeline.Selection.TargetSource}'")
+      .select("doc_id", "text").collect()
+      .map(r => GateDoc(r.getLong(0), r.getString(1)))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_recovery").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    h1.toSeq.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamMonitors.ingestDsirScore(
+      spark.readStream.schema(schema).parquet(inDir), weights)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // first incarnation processes the first half, then dies
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the second half arrives while the job is down
+    h2.toSeq.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    // restart on the same checkpoint
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir).collect()
+    // exactly-once: every candidate exactly once, none reprocessed even
+    // though the first incarnation's input files are still in the dir
+    assert(out.length == rows.length,
+      s"expected ${rows.length} rows exactly once, got ${out.length}")
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length,
+      "restart reprocessed already-committed input")
+    // and the recovered output is bit-identical to the batch relation
+    val batch = graft.pipeline.Selection.runDsir(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("token_ct"), r.getAs[Long]("dsir_score"))).toMap
+    out.foreach { r =>
+      val (tk, sc) = batch(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("token_ct") == tk &&
+        r.getAs[Long]("dsir_score") == sc,
+        s"recovered score drifted for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }

@@ -37,10 +37,12 @@ object Runner {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.tunePerf(spark)
 
+    val landedRows = scala.collection.mutable.LinkedHashMap[String, Long]()
     def land(stage: String, name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       // row count from the written parquet footers — no second execution
       val n = spark.read.parquet(s"$outDir/$name").count()
+      landedRows(name) = n
       println(s"[graft] $stage: $name rows=$n -> $outDir/$name")
     }
 
@@ -53,7 +55,14 @@ object Runner {
       .format(java.time.LocalDateTime.now())
 
     val t0 = System.nanoTime()
-    stages.foreach {
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timedStage[T](stage: String)(body: => T): T = {
+      val s0 = System.nanoTime()
+      val r = body
+      stageSecs(stage) = (System.nanoTime() - s0) / 1e9
+      r
+    }
+    stages.foreach(stage => timedStage(stage)(stage match {
       case "chars" =>
         val chars = graft.core.DataChars.run(spark, dataDir)
         land("chars", "data_chars", chars)
@@ -191,8 +200,26 @@ object Runner {
           graft.pipeline.Similarity.runRecall(spark, dataDir))
       case other =>
         println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
+    }))
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    println(f"[graft] run complete in $totalSec%.1f s")
+    // Cold lifecycle record: per-stage wall time + landed row counts of
+    // THIS invocation. A fresh JVM running all 11 stages is the all-in
+    // cost the steady-state Bench (untimed warm-up + min-of-passes)
+    // cannot show — one-time JIT/codegen and the memoized-relation
+    // builds land here, so regressions in cold cost stay visible.
+    sys.env.get("SPARK_GRAFT_RUNNER_BENCH_OUT").foreach { path =>
+      def jnum(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val stagesJson = stageSecs
+        .map { case (s, t) => s""""$s":${jnum(t)}""" }.mkString("{", ",", "}")
+      val rowsJson = landedRows
+        .map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
+      val json = s"""{"metric":"runner_cold","value":${jnum(totalSec)},""" +
+        s""""unit":"sec","sf":"$dataDir","stages":$stagesJson,""" +
+        s""""landed_rows":$rowsJson}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      println(s"[graft] runner bench -> $path")
     }
-    println(f"[graft] run complete in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

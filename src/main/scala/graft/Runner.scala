@@ -32,6 +32,8 @@ object Runner {
       // spark.sql.extensions static conf) so the rules land even when
       // the builder reuses an existing SparkContext.
       .withExtensions(new graft.plans.GraftExtensions)
+      // bucketed signal tables land under the run's own warehouse
+      .config("spark.sql.warehouse.dir", s"$outDir/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -160,12 +162,22 @@ object Runner {
         // corpus: per-doc signals → selection scores → composite gate →
         // dedup clusters + survivor audit + span rewrite → leakage-free
         // split + calibration → budgets → chunks → packs → curriculum
-        land("curate", "text_analysis",
-          graft.pipeline.TextAnalysis.run(spark, dataDir))
+        val textAnalysis = graft.pipeline.TextAnalysis.run(spark, dataDir)
+        land("curate", "text_analysis", textAnalysis)
         land("curate", "dsir_scores",
           graft.pipeline.Selection.runDsir(spark, dataDir))
-        land("curate", "quality_gate",
-          graft.pipeline.QualityGate.run(spark, dataDir))
+        val qualityGate = graft.pipeline.QualityGate.run(spark, dataDir)
+        land("curate", "quality_gate", qualityGate)
+        // per-doc signal tables land BUCKETED on doc_id, and the joined
+        // doc_signals artifact comes from the co-located (zero-exchange)
+        // join — the storage-level strategy every later doc_id-keyed
+        // consumer of the landed store inherits for free
+        graft.core.Bucketing.writeBucketed(textAnalysis,
+          "graft_text_analysis_bk", "doc_id")
+        graft.core.Bucketing.writeBucketed(qualityGate,
+          "graft_quality_gate_bk", "doc_id")
+        land("curate", "doc_signals", graft.core.Bucketing.colocatedJoin(
+          spark, "graft_text_analysis_bk", "graft_quality_gate_bk", "doc_id"))
         land("curate", "dedup_clusters",
           graft.pipeline.Dedup.runClusters(spark, dataDir))
         land("curate", "dedup_survivor_audit",

@@ -204,6 +204,15 @@ object SparkEntry {
       ("profile_incremental" ->
         ((s: SparkSession, dir: String) =>
           graft.pipeline.IncrementalProfile.run(s, dir))),
+      ("knn_hard_negatives" ->
+        ((s: SparkSession, dir: String) =>
+          graft.pipeline.Similarity.runHardNegatives(s, dir))),
+      ("corpus_ngram_novelty" ->
+        ((s: SparkSession, dir: String) =>
+          graft.pipeline.NgramNovelty.run(s, dir))),
+      ("dedup_minhash_calibration" ->
+        ((s: SparkSession, dir: String) =>
+          graft.pipeline.Dedup.runMinhashCalibration(s, dir))),
       ("data_chars" ->
         ((s: SparkSession, dir: String) => graft.core.DataChars.run(s, dir))),
       // include/exclude LIKE masks (refresh_data_chars_query.py:67-101):
@@ -485,6 +494,11 @@ object SparkEntry {
       ("substring_rewrite" -> graft.pipeline.Selection.substringRewriteDuckSql()),
       ("corpus_doc_drift" -> graft.pipeline.DocDrift.duckSql()),
       ("profile_incremental" -> graft.pipeline.IncrementalProfile.duckSql()),
+      ("knn_hard_negatives" ->
+        graft.pipeline.Similarity.hardNegativesSql("embeddings")(graft.oracle.DuckDialect)),
+      ("corpus_ngram_novelty" -> graft.pipeline.NgramNovelty.duckSql()),
+      ("dedup_minhash_calibration" ->
+        graft.pipeline.Dedup.minhashCalibrationSql("documents")(graft.oracle.DuckDialect)),
       ("split_leakage_free" -> graft.pipeline.Selection.splitSql("documents")(graft.oracle.DuckDialect)),
       ("quality_calibration" -> graft.pipeline.Selection.calibrationSql("documents")(graft.oracle.DuckDialect)),
       ("dedup_threshold_sweep" -> graft.pipeline.Dedup.thresholdSweepSql("documents")(graft.oracle.DuckDialect)),

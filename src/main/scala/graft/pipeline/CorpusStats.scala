@@ -404,6 +404,70 @@ object DocDrift {
   }
 }
 
+/** Per-source n-gram novelty — the corpus-diversity report a data lead
+  * reads next to the budget rollups: per source, how many trigrams it
+  * contributes, how many are DISTINCT (trigram-grain type/token ratio —
+  * low means templated/repetitive text), and how many are EXCLUSIVE to
+  * the source (appear in no other source — the marginal diversity the
+  * source actually buys the mixture; a source with near-zero exclusive
+  * share is already covered by the rest of the corpus).
+  *
+  * Scale shape: grams are built with LEAD windows per doc (one shuffle
+  * on doc id, no self-join) and md5-hashed to fixed width before the
+  * census; both rollups are groupBys with map-side partials over the
+  * gram census — never a doc-to-doc or source-to-source join. */
+object NgramNovelty {
+
+  def sql(table: String)(d: Dialect): String =
+    s"""WITH words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |tg AS (
+       |  SELECT id, MD5(word || ' ' || w1 || ' ' || w2) AS gram FROM (
+       |    SELECT id, word,
+       |           LEAD(word, 1) OVER w AS w1, LEAD(word, 2) OVER w AS w2
+       |      FROM words
+       |    WINDOW w AS (PARTITION BY id ORDER BY pos)
+       |  ) x WHERE w2 IS NOT NULL
+       |),
+       |g AS (
+       |  SELECT s.source, t.gram FROM tg t
+       |  JOIN $table s ON s.doc_id = t.id
+       |),
+       |per AS (
+       |  SELECT source, COUNT(*) AS gram_ct,
+       |         COUNT(DISTINCT gram) AS distinct_ct
+       |    FROM g GROUP BY source
+       |),
+       |owners AS (
+       |  SELECT gram, COUNT(DISTINCT source) AS src_ct FROM g GROUP BY gram
+       |),
+       |excl AS (
+       |  SELECT g.source, COUNT(DISTINCT g.gram) AS exclusive_ct
+       |    FROM g JOIN owners o ON o.gram = g.gram
+       |   WHERE o.src_ct = 1
+       |   GROUP BY g.source
+       |)
+       |SELECT p.source,
+       |       CAST(p.gram_ct AS BIGINT) AS gram_ct,
+       |       CAST(p.distinct_ct AS BIGINT) AS distinct_gram_ct,
+       |       CAST(ROUND(CAST(p.distinct_ct AS DOUBLE) / p.gram_ct, 4)
+       |            AS DOUBLE) AS novelty_ratio,
+       |       CAST(COALESCE(e.exclusive_ct, 0) AS BIGINT) AS exclusive_gram_ct,
+       |       CAST(ROUND(CAST(COALESCE(e.exclusive_ct, 0) AS DOUBLE)
+       |                  / p.distinct_ct, 4) AS DOUBLE) AS exclusive_share
+       |  FROM per p LEFT JOIN excl e ON e.source = p.source
+       | ORDER BY p.source""".stripMargin
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_novelty_docs")
+    spark.sql(sql("__graft_novelty_docs")(SparkDialect))
+  }
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+}
+
 /** Incremental profile maintenance over the doc-grain CDC — the
   * daily-crawl profiling shape: instead of re-profiling the whole
   * corpus every run, update the LANDED per-source sufficient stats of

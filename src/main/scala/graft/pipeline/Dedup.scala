@@ -344,6 +344,51 @@ object Dedup {
     spark.sql(jaccardBody(s"__graft_cinter_$k", s"__graft_sizes_$k", 0.5))
   }
 
+  /** MinHash estimation calibration — per band-candidate pair, the
+    * signature-ESTIMATED Jaccard (matching minhash slots / 12, the
+    * collision-probability estimator banding is built on) next to the
+    * verified TRUE Jaccard and the signed estimation error. This is the
+    * tuning artifact behind the 12-hash / 4×3-band design point: a
+    * systematic positive error means the bands pass junk the verify
+    * join then pays for; heavy negative error means recall losses the
+    * LSH-recall harness will show. Reads only landed relations
+    * (signatures, candidate intersections, sizes) — zero corpus passes. */
+  private def minhashCalibrationBody(sigsRel: String, cinterRel: String,
+                                     sizesRel: String): String = {
+    val matched = (0 until 12)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT c.doc_a, c.doc_b,
+       |       CAST(ROUND(($matched) / 12.0, 4) AS DOUBLE) AS est_jaccard,
+       |       CAST(ROUND(CAST(c.ict AS DOUBLE)
+       |                  / (sa.sz + sb.sz - c.ict), 4) AS DOUBLE) AS true_jaccard,
+       |       CAST(ROUND(($matched) / 12.0
+       |                  - CAST(c.ict AS DOUBLE) / (sa.sz + sb.sz - c.ict), 4)
+       |            AS DOUBLE) AS est_err
+       |  FROM $cinterRel c
+       |  JOIN $sigsRel a ON a.id = c.doc_a
+       |  JOIN $sigsRel b ON b.id = c.doc_b
+       |  JOIN $sizesRel sa ON sa.id = c.doc_a
+       |  JOIN $sizesRel sb ON sb.id = c.doc_b
+       | ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def minhashCalibrationSql(table: String)(d: Dialect): String =
+    s"""WITH ${shinglesCte(d, table)},
+       |sigs AS (
+       |${minhashSigsSql("shf")}
+       |),
+       |${minhashCandsCtes("sigs")},
+       |${candInterCte("shf")}
+       |${minhashCalibrationBody("sigs", "cinter", "sizes")}""".stripMargin
+
+  def runMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val k = registerShingleRels(spark, dir)
+    registerCandInterRel(spark, k)
+    spark.sql(minhashCalibrationBody(
+      s"__graft_minhash_sigs_$k", s"__graft_cinter_$k", s"__graft_sizes_$k"))
+  }
+
   /** Dedup thresholds the sweep reports — the banding design point
     * (0.5) upward; below 0.5 the 4×3 bands lose recall, so sweeping
     * there would misreport. */

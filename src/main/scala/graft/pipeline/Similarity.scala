@@ -647,6 +647,50 @@ object Similarity {
     spark.sql(s"SELECT * FROM $v ORDER BY query_id, rank")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the top-k most-similar corpus vectors whose LABEL
+    * differs from the query's (the "looks like a positive, isn't one"
+    * examples a contrastive or reranker trainer wants), plus the margin
+    * to the nearest SAME-label vector — a negative with positive margin
+    * outranks every true positive and is the highest-value training
+    * pair. Shape: the query side is broadcast-sized; the corpus side is
+    * one label-filtered pass per class of the pair join — never more
+    * work than the brute-force baseline, and at scale the same
+    * bucket-pruned index probes serve it. */
+  def hardNegativesSql(table: String, nQueries: Int = 5, k: Int = 5)
+                      (d: Dialect): String = {
+    val qcCos = cosine(d, "q.embedding", "c.embedding")
+    s"""WITH hq AS (
+       |  SELECT vec_id, embedding, label FROM $table WHERE vec_id < $nQueries
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         c.label AS neg_label, q.label AS query_label,
+       |         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS same_label,
+       |         $qcCos AS cos
+       |    FROM hq q JOIN $table c ON c.vec_id <> q.vec_id
+       |),
+       |best_pos AS (
+       |  SELECT query_id, MAX(cos) AS best_pos_cos
+       |    FROM scored WHERE same_label = 1 GROUP BY query_id
+       |)
+       |SELECT s.query_id, s.neighbor_id, s.query_label, s.neg_label,
+       |       CAST(ROUND(s.cos, 4) AS DOUBLE) AS cosine,
+       |       CAST(ROUND(s.cos - b.best_pos_cos, 4) AS DOUBLE) AS margin_vs_best_pos,
+       |       CAST(rk AS INT) AS rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos DESC, neighbor_id) AS rk
+       |          FROM scored WHERE same_label = 0) s
+       |  JOIN best_pos b ON b.query_id = s.query_id
+       | WHERE rk <= $k
+       | ORDER BY s.query_id, rank""".stripMargin
+  }
+
+  def runHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = hitsView(spark, dir, "hardneg")(v => hardNegativesSql(v.base)(d))
+    spark.sql(s"SELECT * FROM $v ORDER BY query_id, rank")
+  }
+
   /** Semantic deduplication (the SemDeDup recipe of embedding-space
     * curation): block the corpus by its IVF seed assignment — vectors
     * can only be semantic duplicates of vectors whose nearest seed

@@ -69,6 +69,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("hard negatives: every mined pair crosses labels, ranked by cosine with margin") {
+    val rows = graft.pipeline.Similarity.runHardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("neg_label") != r.getAs[Int]("query_label"),
+        "a same-label vector leaked into the negatives")
+      // margin is vs the best SAME-label cosine — by definition
+      // cosine - margin must be constant per query
+      assert(r.getAs[Double]("cosine") >= -1.0 && r.getAs[Double]("cosine") <= 1.0)
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      // cosine and margin round to 4dp independently, so the implied
+      // anchor can wobble by up to 2e-4 across rows — never more
+      val anchors = g.map(r =>
+        r.getAs[Double]("cosine") - r.getAs[Double]("margin_vs_best_pos"))
+      assert(anchors.max - anchors.min <= 2.1e-4,
+        s"best-positive anchor drifted within a query: $anchors")
+    }
+  }
+
+  test("ngram novelty: census identities hold per source") {
+    val rows = graft.pipeline.NgramNovelty.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("gram_ct")
+      val dist = r.getAs[Long]("distinct_gram_ct")
+      val excl = r.getAs[Long]("exclusive_gram_ct")
+      assert(dist <= total && excl <= dist)
+      assert(r.getAs[Double]("novelty_ratio") > 0.0 &&
+        r.getAs[Double]("novelty_ratio") <= 1.0)
+      assert(r.getAs[Double]("exclusive_share") >= 0.0 &&
+        r.getAs[Double]("exclusive_share") <= 1.0)
+    }
+  }
+
+  test("minhash calibration: estimates are twelfths and errors reconcile") {
+    val rows = graft.pipeline.Dedup.runMinhashCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val tru = r.getAs[Double]("true_jaccard")
+      val err = r.getAs[Double]("est_err")
+      // the estimator only takes values k/12
+      assert(math.abs(est * 12 - math.round(est * 12)) < 0.02, s"est $est not a twelfth")
+      // every band candidate shares >= 3 minhash slots (one full band)
+      assert(est >= 3.0 / 12 - 1e-9, s"candidate with est $est below the band bound")
+      assert(tru > 0.0 && tru <= 1.0)
+      assert(math.abs(err - (est - tru)) <= 2e-4, "err != est - true")
+    }
+  }
+
   test("streaming index ingest guards zero-norm and short vectors like the batch SQL") {
     import spark.implicits._
     val seeds = Seq(

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Multi-format table IO — the engine's answer to "my corpus is not
+  * parquet yet": read any of the known tables from csv / json / orc /
+  * parquet with the SAME enforced schema and row semantics the parquet
+  * path serves (reference analogue: the flavor connectors that let
+  * testgen profile whatever store the data lives in,
+  * `testgen/common/database/database_service.py` — here the flavors are
+  * file formats, since the engine's store is the lake).
+  *
+  * Schema discipline: the static [[Tables.schemas]] schema is applied
+  * on read (never inferred — schema inference is a full extra pass at
+  * 100 TB and type-unstable between runs), with FAILFAST mode so a
+  * malformed row surfaces at the scan instead of as a silent NULL
+  * downstream. Timestamps round-trip through an explicit
+  * microsecond-precision format on the text formats (both the
+  * zone-aware and NTZ variants — the driver parquet carries NTZ).
+  *
+  * Scale notes: csv/json are row-major and uncompressed-column formats —
+  * fine for ingest, wrong for repeated analytics; [[convertToParquet]]
+  * is the one-pass landing every pipeline should run first (the scan
+  * then gets column pruning, predicate pushdown, and parallel row
+  * groups the text formats cannot give).
+  */
+object Sources {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Load `name` from `dir` in the given format, schema-enforced.
+    * `format = "parquet"` delegates to [[Tables.load]] (nanos handling,
+    * native-function registration). */
+  def load(spark: SparkSession, dir: String, name: String,
+           format: String = "parquet"): DataFrame = format match {
+    case "parquet" => Tables.load(spark, dir, name, parallelize = false)
+    case "csv" =>
+      spark.read
+        .schema(Tables.schemas(name))
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", TsFmt)
+        .option("timestampNTZFormat", TsFmt)
+        // text with embedded quotes/newlines survives round-trip
+        .option("multiLine", "true").option("escape", "\"")
+        .csv(s"$dir/$name.csv")
+    case "json" =>
+      spark.read
+        .schema(Tables.schemas(name))
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", TsFmt)
+        .option("timestampNTZFormat", TsFmt)
+        .json(s"$dir/$name.json")
+    case "orc" =>
+      spark.read.schema(Tables.schemas(name)).orc(s"$dir/$name.orc")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown source format '$other' (csv, json, orc, parquet)")
+  }
+
+  /** Write a table out in the given format (the test/fixture mirror of
+    * [[load]]; timestamp options match so round-trips are exact). */
+  def write(df: DataFrame, dir: String, name: String, format: String): Unit =
+    format match {
+      case "parquet" => df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      case "csv" =>
+        df.write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", TsFmt)
+          .option("timestampNTZFormat", TsFmt)
+          .option("escape", "\"")
+          .csv(s"$dir/$name.csv")
+      case "json" =>
+        df.write.mode("overwrite")
+          .option("timestampFormat", TsFmt)
+          .option("timestampNTZFormat", TsFmt)
+          .json(s"$dir/$name.json")
+      case "orc" => df.write.mode("overwrite").orc(s"$dir/$name.orc")
+      case other =>
+        throw new IllegalArgumentException(s"unknown sink format '$other'")
+    }
+
+  /** One-pass landing of a text-format table as parquet — the ingest
+    * step that buys every later scan column pruning + pushdown. */
+  def convertToParquet(spark: SparkSession, srcDir: String, name: String,
+                       format: String, outDir: String): Unit =
+    load(spark, srcDir, name, format)
+      .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+}

@@ -370,4 +370,22 @@ class PlanSpec extends SparkSpec {
     assert(scans == 0, s"lloyd ledger re-scans parquet $scans times")
     assert(!pk.contains("CartesianProduct"), "lloyd ledger plans a cartesian")
   }
+
+  test("ngram novelty rollups read the landed gram relation only") {
+    val p = plan(graft.pipeline.NgramNovelty.run(spark, dir))
+    // three rollups over a once-landed census: CTE inlining would show
+    // up here as repeated word-explode scans and window passes
+    assert(!p.contains("FileScan parquet"),
+      "novelty rollups re-derive the gram census from parquet")
+    assert(!p.contains("Window"), "novelty rollups re-run the gram windows")
+  }
+
+  test("incremental profile scans text only for the affected partials") {
+    val p = plan(graft.pipeline.IncrementalProfile.run(spark, dir))
+    // 2 prior-corpus derivations (the fixture unions two selects) + 1
+    // current-corpus pass for the added/changed side; everything else is
+    // landed metadata — more scans means a rollup re-derived a corpus
+    val scans = "documents.parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"incremental profile scans the corpus $scans times")
+  }
 }

@@ -275,6 +275,48 @@ object StreamMonitors {
     * the batch scorer expression for expression, so a replayed row's
     * score is BIT-IDENTICAL to the oracle-checked batch relation
     * (StreamMonitorsSpec). */
+  final case class ProfileDoc(doc_id: Long, source: String, text: String)
+  final case class ProfileState(doc_ct: Long, token_ct: Long, char_ct: Long)
+  final case class ProfileTotals(source: String, doc_ct: Long,
+                                 token_ct: Long, char_ct: Long,
+                                 avg_chars: Double)
+
+  /** Continuous corpus-profile maintenance — the streaming twin of
+    * [[graft.pipeline.IncrementalProfile]]: per-source keyed state
+    * holds the same additive sufficient stats (doc/token/char counts),
+    * each micro-batch folds its documents in, and the updated totals
+    * emit per batch. State is three longs per source — thousands of
+    * sources fit trivially, however long the stream runs. Token
+    * counting matches the batch `regexp_count('\\S+')` exactly
+    * (whitespace-split non-empty segments), so a replayed corpus lands
+    * totals BIT-IDENTICAL to the batch full recompute (replay spec).
+    * Works identically on batch frames via the same fold. */
+  def ingestProfileTotals(docs: Dataset[ProfileDoc]): Dataset[ProfileTotals] = {
+    import docs.sparkSession.implicits._
+    def tokens(text: String): Long =
+      text.split("\\s+").count(_.nonEmpty).toLong
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[ProfileState, ProfileTotals](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[ProfileDoc], state: GroupState[ProfileState]) =>
+          val prev = state.getOption.getOrElse(ProfileState(0L, 0L, 0L))
+          val next = rows.foldLeft(prev) { (acc, d) =>
+            ProfileState(acc.doc_ct + 1,
+              acc.token_ct + tokens(d.text),
+              // code points, not UTF-16 units — SQL LENGTH semantics
+              acc.char_ct + d.text.codePointCount(0, d.text.length).toLong)
+          }
+          state.update(next)
+          if (next.doc_ct == 0) Iterator.empty
+          else Iterator.single(ProfileTotals(source, next.doc_ct,
+            next.token_ct, next.char_ct,
+            // same once-at-the-end rounding as the batch presentation
+            math.rint(next.char_ct.toDouble / next.doc_ct * 1e4) / 1e4))
+      }
+  }
+
   def ingestDsirScore(docs: org.apache.spark.sql.DataFrame,
                       weights: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, typedLit}

@@ -530,6 +530,44 @@ class StreamMonitorsSpec extends SparkSpec {
     }
   }
 
+  test("streaming profile totals replay bit-identical to the batch full recompute") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamMonitors.ProfileDoc
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => ProfileDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    val (h1, h2) = docs.splitAt(docs.length / 3)
+    val input = MemoryStream[ProfileDoc]
+    val q = StreamMonitors.ingestProfileTotals(input.toDS())
+      .writeStream.format("memory").queryName("profile_stream")
+      .outputMode("append").start()
+    val rows = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("profile_stream").collect()
+    } finally q.stop()
+    // the LAST emission per source is the running total after the
+    // whole corpus streamed through
+    val last = rows.groupBy(_.getAs[String]("source"))
+      .map { case (s, g) => s -> g.maxBy(_.getAs[Long]("doc_ct")) }
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__graft_profstream_full")
+    val batch = spark.sql(graft.pipeline.IncrementalProfile
+      .fullSql("__graft_profstream_full")(graft.oracle.SparkDialect)).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(last.keySet == batch.keySet)
+    last.foreach { case (s, r) =>
+      val b = batch(s)
+      assert(r.getAs[Long]("doc_ct") == b.getAs[Long]("doc_ct"))
+      assert(r.getAs[Long]("token_ct") == b.getAs[Long]("token_ct"),
+        s"token drift for source $s")
+      assert(r.getAs[Long]("char_ct") == b.getAs[Long]("char_ct"))
+      assert(r.getAs[Double]("avg_chars") == b.getAs[Double]("avg_chars"))
+    }
+  }
+
   test("file-source job recovers from a mid-stream kill with exactly-once output") {
     // the durability shape MemoryStream can't exercise: a real file
     // source + file sink + checkpoint, killed between batches and

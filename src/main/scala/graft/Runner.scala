@@ -14,6 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Usage: runMain graft.Runner <dataDir> <outDir> [stage,stage,...]
   */
 object Runner {
+  // "ingest" is opt-in (not in the default lifecycle): it converts a
+  // text-format source corpus to parquet before everything else runs
   private val allStages = Seq("chars", "drift", "profile", "infer", "hygiene",
     "generate", "execute", "score", "monitor", "curate", "index")
 
@@ -65,6 +67,18 @@ object Runner {
       r
     }
     stages.foreach(stage => timedStage(stage)(stage match {
+      case "ingest" =>
+        // land a csv/json/orc source corpus as parquet ONCE, so every
+        // later stage scans a columnar layout (pruning + pushdown the
+        // text formats cannot give). GRAFT_SOURCE_FORMAT picks the
+        // format; the source dir is the run's dataDir, the landing is
+        // <outDir>/ingested (point later stages at it).
+        val fmt = sys.env.getOrElse("GRAFT_SOURCE_FORMAT", "csv")
+        graft.core.Tables.names.foreach { t =>
+          graft.sources.Sources.convertToParquet(
+            spark, dataDir, t, fmt, s"$outDir/ingested")
+          println(s"[graft] ingest: $t ($fmt) -> $outDir/ingested/$t.parquet")
+        }
       case "chars" =>
         val chars = graft.core.DataChars.run(spark, dataDir)
         land("chars", "data_chars", chars)

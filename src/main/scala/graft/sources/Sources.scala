@@ -30,6 +30,20 @@ object Sources {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  // CSV carries no nested types: array columns ride as JSON strings on
+  // the csv path (the standard interchange encoding) and parse back to
+  // their declared type on read. json/orc carry arrays natively.
+  private def arrayFields(name: String) =
+    Tables.schemas(name).fields.filter(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+
+  private def csvSchema(name: String) =
+    org.apache.spark.sql.types.StructType(Tables.schemas(name).fields.map {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      case f => f
+    })
+
   /** Load `name` from `dir` in the given format, schema-enforced.
     * `format = "parquet"` delegates to [[Tables.load]] (nanos handling,
     * native-function registration). */
@@ -37,8 +51,8 @@ object Sources {
            format: String = "parquet"): DataFrame = format match {
     case "parquet" => Tables.load(spark, dir, name, parallelize = false)
     case "csv" =>
-      spark.read
-        .schema(Tables.schemas(name))
+      val raw = spark.read
+        .schema(csvSchema(name))
         .option("header", "true")
         .option("mode", "FAILFAST")
         .option("timestampFormat", TsFmt)
@@ -46,6 +60,10 @@ object Sources {
         // text with embedded quotes/newlines survives round-trip
         .option("multiLine", "true").option("escape", "\"")
         .csv(s"$dir/$name.csv")
+      arrayFields(name).foldLeft(raw) { (df, f) =>
+        df.withColumn(f.name, org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.col(f.name), f.dataType))
+      }
     case "json" =>
       spark.read
         .schema(Tables.schemas(name))
@@ -66,7 +84,13 @@ object Sources {
     format match {
       case "parquet" => df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
       case "csv" =>
-        df.write.mode("overwrite")
+        val flat = df.schema.fields.foldLeft(df) {
+          case (acc, f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            acc.withColumn(f.name, org.apache.spark.sql.functions.to_json(
+              org.apache.spark.sql.functions.col(f.name)))
+          case (acc, _) => acc
+        }
+        flat.write.mode("overwrite")
           .option("header", "true")
           .option("timestampFormat", TsFmt)
           .option("timestampNTZFormat", TsFmt)

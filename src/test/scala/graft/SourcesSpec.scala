@@ -26,6 +26,17 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("array columns ride csv as JSON strings and parse back exactly (embeddings)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sources_arr").toString
+    val ref = graft.core.Tables.load(spark, sfDir, "embeddings", parallelize = false)
+    Sources.write(ref, base, "embeddings", "csv")
+    val got = Sources.load(spark, base, "embeddings", "csv")
+    assert(got.schema("embedding").dataType ==
+      graft.core.Tables.schemas("embeddings")("embedding").dataType)
+    assert(canon(got) == canon(ref), "embedding arrays drifted through csv")
+  }
+
   test("timestamp columns survive the text formats exactly (orders)") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_sources_ts").toString

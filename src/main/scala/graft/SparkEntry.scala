@@ -207,6 +207,9 @@ object SparkEntry {
       ("knn_hard_negatives" ->
         ((s: SparkSession, dir: String) =>
           graft.pipeline.Similarity.runHardNegatives(s, dir))),
+      ("event_asof_order" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.AsofJoin.run(s, dir))),
       ("corpus_ngram_novelty" ->
         ((s: SparkSession, dir: String) =>
           graft.pipeline.NgramNovelty.run(s, dir))),
@@ -496,6 +499,8 @@ object SparkEntry {
       ("profile_incremental" -> graft.pipeline.IncrementalProfile.duckSql()),
       ("knn_hard_negatives" ->
         graft.pipeline.Similarity.hardNegativesSql("embeddings")(graft.oracle.DuckDialect)),
+      ("event_asof_order" ->
+        graft.operators.AsofJoin.duckSql("events", "orders")),
       ("corpus_ngram_novelty" -> graft.pipeline.NgramNovelty.duckSql()),
       ("dedup_minhash_calibration" ->
         graft.pipeline.Dedup.minhashCalibrationSql("documents")(graft.oracle.DuckDialect)),

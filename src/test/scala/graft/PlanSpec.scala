@@ -371,6 +371,20 @@ class PlanSpec extends SparkSpec {
     assert(!pk.contains("CartesianProduct"), "lloyd ledger plans a cartesian")
   }
 
+  test("as-of join plans join-free: one union, one hash partition, windows") {
+    val p = plan(graft.operators.AsofJoin.run(spark, dir))
+    // the whole point of the union+window form: no join operator at
+    // all — the naive equi-key + ts-range spelling re-materializes
+    // every historical version per probe row
+    assert(!p.contains("Join"), s"as-of planned a join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+    // two hash exchanges: the per-(key, ts) tie-dedupe window on the
+    // orders side, then the single as-of window partition on the key —
+    // never a per-probe-row expansion
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"as-of shuffles $exchanges times, expected <= 2")
+  }
+
   test("ngram novelty rollups read the landed gram relation only") {
     val p = plan(graft.pipeline.NgramNovelty.run(spark, dir))
     // three rollups over a once-landed census: CTE inlining would show

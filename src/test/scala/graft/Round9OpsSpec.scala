@@ -124,6 +124,28 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("as-of join attaches exactly the latest order at-or-before each event") {
+    val rows = graft.operators.AsofJoin.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    import java.time.LocalDateTime
+    implicit val ldtOrd: Ordering[LocalDateTime] = Ordering.fromLessThan(_ isBefore _)
+    rows.take(500).foreach { r =>
+      val ts = r.getAs[LocalDateTime]("ts")
+      val cand = orders.getOrElse(r.getAs[Long]("user_id"), Array.empty)
+        .filter(o => !o.getAs[LocalDateTime]("o_orderdate").isAfter(ts))
+      assert(cand.nonEmpty, "as-of emitted an event with no prior order")
+      val latestTs = cand.map(_.getAs[LocalDateTime]("o_orderdate")).max
+      val expect = cand.filter(_.getAs[LocalDateTime]("o_orderdate") == latestTs)
+        .maxBy(_.getAs[Long]("o_orderkey"))
+      assert(r.getAs[Long]("order_key") == expect.getAs[Long]("o_orderkey"),
+        s"event ${r.getAs[Long]("event_id")}: wrong as-of order")
+      assert(r.getAs[Double]("order_price") == expect.getAs[Double]("o_totalprice"))
+    }
+  }
+
   test("streaming index ingest guards zero-norm and short vectors like the batch SQL") {
     import spark.implicits._
     val seeds = Seq(

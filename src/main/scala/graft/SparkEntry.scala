@@ -210,6 +210,9 @@ object SparkEntry {
       ("event_asof_order" ->
         ((s: SparkSession, dir: String) =>
           graft.operators.AsofJoin.run(s, dir))),
+      ("doc_signals" ->
+        ((s: SparkSession, dir: String) =>
+          graft.pipeline.QualityGate.runDocSignals(s, dir))),
       ("corpus_ngram_novelty" ->
         ((s: SparkSession, dir: String) =>
           graft.pipeline.NgramNovelty.run(s, dir))),
@@ -501,6 +504,7 @@ object SparkEntry {
         graft.pipeline.Similarity.hardNegativesSql("embeddings")(graft.oracle.DuckDialect)),
       ("event_asof_order" ->
         graft.operators.AsofJoin.duckSql("events", "orders")),
+      ("doc_signals" -> graft.pipeline.QualityGate.docSignalsDuckSql()),
       ("corpus_ngram_novelty" -> graft.pipeline.NgramNovelty.duckSql()),
       ("dedup_minhash_calibration" ->
         graft.pipeline.Dedup.minhashCalibrationSql("documents")(graft.oracle.DuckDialect)),

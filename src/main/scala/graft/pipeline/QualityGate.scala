@@ -98,4 +98,20 @@ object QualityGate {
       s"(${Dedup.clustersSql(table)(d)})")
 
   def duckSql(): String = gateSql("documents")(DuckDialect)
+
+  /** The joined per-doc signal relation (text metrics + gate flags) —
+    * the artifact the Runner lands from BUCKETED tables via the
+    * zero-exchange co-located join; this entry checks the same rows
+    * through the plain join so the landed artifact is oracle-anchored. */
+  def runDocSignals(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.run(spark, dir)
+      .join(run(spark, dir), Seq("doc_id"))
+      .orderBy("doc_id")
+
+  def docSignalsDuckSql(): String =
+    s"""SELECT ta.*, qg.too_short, qg.too_long, qg.low_quality,
+       |       qg.repetitive, qg.boilerplate, qg.dup_dropped, qg.keep
+       |  FROM (${TextAnalysis.duckSql()}) ta
+       |  JOIN (${duckSql()}) qg ON qg.doc_id = ta.doc_id
+       | ORDER BY ta.doc_id""".stripMargin
 }

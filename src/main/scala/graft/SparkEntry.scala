@@ -213,6 +213,9 @@ object SparkEntry {
       ("doc_signals" ->
         ((s: SparkSession, dir: String) =>
           graft.pipeline.QualityGate.runDocSignals(s, dir))),
+      ("event_range_burst" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.RangeJoin.run(s, dir))),
       ("corpus_ngram_novelty" ->
         ((s: SparkSession, dir: String) =>
           graft.pipeline.NgramNovelty.run(s, dir))),
@@ -505,6 +508,7 @@ object SparkEntry {
       ("event_asof_order" ->
         graft.operators.AsofJoin.duckSql("events", "orders")),
       ("doc_signals" -> graft.pipeline.QualityGate.docSignalsDuckSql()),
+      ("event_range_burst" -> graft.operators.RangeJoin.duckSql("events")),
       ("corpus_ngram_novelty" -> graft.pipeline.NgramNovelty.duckSql()),
       ("dedup_minhash_calibration" ->
         graft.pipeline.Dedup.minhashCalibrationSql("documents")(graft.oracle.DuckDialect)),

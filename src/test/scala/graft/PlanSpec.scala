@@ -385,6 +385,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"as-of shuffles $exchanges times, expected <= 2")
   }
 
+  test("range join plans as a bucket equi-join, never a nested loop") {
+    val p = plan(graft.operators.RangeJoin.run(spark, dir))
+    // the naive pure-inequality spelling plans BroadcastNestedLoopJoin —
+    // quadratic compares; the two-bucket expansion must keep this an
+    // equi-join on the bucket key
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ngram novelty rollups read the landed gram relation only") {
     val p = plan(graft.pipeline.NgramNovelty.run(spark, dir))
     // three rollups over a once-landed census: CTE inlining would show

@@ -146,6 +146,25 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("range join burst counts match a driver-side recompute") {
+    val rows = graft.operators.RangeJoin.run(spark, sfDir).collect()
+    val all = graft.core.Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_type").collect()
+    val allUs = all.map(_.getAs[Long]("us")).sorted
+    val signups = all.filter(_.getAs[String]("event_type") == "signup")
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("us")).toMap
+    assert(rows.length == signups.size, "one row per signup, always")
+    rows.take(300).foreach { r =>
+      val us = signups(r.getAs[Long]("event_id"))
+      val expect = allUs.count(u => u > us && u <= us + graft.operators.RangeJoin.WindowUs)
+      assert(r.getAs[Long]("burst_ct") == expect,
+        s"signup ${r.getAs[Long]("event_id")}: ${r.getAs[Long]("burst_ct")} vs $expect")
+    }
+    // the fixture genuinely exercises both populated and empty windows
+    assert(rows.exists(_.getAs[Long]("burst_ct") > 0))
+  }
+
   test("streaming index ingest guards zero-norm and short vectors like the batch SQL") {
     import spark.implicits._
     val seeds = Seq(

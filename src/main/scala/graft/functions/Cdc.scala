@@ -36,7 +36,7 @@ case class CdcChunksExpr(child: Expression, divisor: Int = 32, k: Int = 8)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      "org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(" +
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
         s"graft.functions.CdcChunksExpr.compute($c.toString(), $divisor, $k))")
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =

@@ -35,7 +35,7 @@ case class WinnowFpsExpr(child: Expression, k: Int = 8, w: Int = 4)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      "org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(" +
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
         s"graft.functions.WinnowFpsExpr.compute($c.toString(), $k, $w))")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =

@@ -66,9 +66,12 @@ object Selection {
     * parallel, which is why hashed-feature DSIR is the standard
     * trillion-token selection pass. At real scale `Buckets` rises to
     * 10^5 and the count tables stay broadcast-sized. */
-  def dsirSql(table: String)(d: Dialect): String = {
+  /** The `scored` relation CTE chain shared by the single-statement
+    * oracle form and the engine's cutoff-based plan: one row per
+    * candidate document with its word count and summed surrogate. */
+  private def dsirScoredCtes(table: String)(d: Dialect): String = {
     val f = featExpr(d)
-    s"""WITH words AS (
+    s"""words AS (
        |  ${d.wordsRel(table, "doc_id", "text")}
        |),
        |feat AS (
@@ -92,7 +95,15 @@ object Selection {
        |    LEFT JOIN rcnt r ON r.f = fe.f
        |   WHERE fe.is_tgt = 0
        |   GROUP BY fe.id
-       |)
+       |)""".stripMargin
+  }
+
+  /** Single-statement form — stays the DuckDB oracle rendering. The
+    * global ROW_NUMBER here is fine on the single-node oracle; the
+    * engine side uses the cutoff plan in [[runDsir]] instead, which
+    * produces the identical relation without a one-partition sort. */
+  def dsirSql(table: String)(d: Dialect): String =
+    s"""WITH ${dsirScoredCtes(table)(d)}
        |SELECT c.doc_id,
        |       CAST(COALESCE(r.token_ct, 0) AS BIGINT) AS token_ct,
        |       CAST(COALESCE(r.dsir_score, 0) AS BIGINT) AS dsir_score,
@@ -103,12 +114,62 @@ object Selection {
        |  LEFT JOIN (SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rnk
        |               FROM scored) r ON r.doc_id = c.doc_id
        | ORDER BY c.doc_id""".stripMargin
-  }
 
+  /** Engine-side scored relation, as its own statement (landed once by
+    * [[runDsir]] — it is read twice: cutoff election + final join). */
+  def dsirScoredSql(table: String)(d: Dialect): String =
+    s"""WITH ${dsirScoredCtes(table)(d)}
+       |SELECT doc_id, token_ct, dsir_score FROM scored""".stripMargin
+
+  /** Cutoff-based selection — the 100×-safe replacement for ranking
+    * every candidate through one global ROW_NUMBER (a single-partition
+    * sort of a per-document relation: at 10⁹+ docs one task would sort
+    * the whole corpus). Instead:
+    *
+    *  1. land `scored` once (localCheckpoint — it feeds two jobs);
+    *  2. elect the selection CUTOFF with `ORDER BY dsir_score DESC,
+    *     doc_id LIMIT K` — Spark plans TakeOrderedAndProject: per-
+    *     partition top-K, then a driver merge of K·P candidate rows,
+    *     never a global sort (PlanSpec pins the shape);
+    *  3. mark `selected` by comparing each row against the cutoff pair
+    *     `(score, doc_id)` — deterministic ties identical to the
+    *     ROW_NUMBER form, so the relation is bit-identical to the
+    *     oracle's.
+    *
+    * The K-row driver collect is metadata-sized (K = [[SelectTop]]).
+    * At a token-budgeted real-scale K this becomes an approx-quantile
+    * score threshold instead of an exact K-th element — same two-job
+    * shape, the cutoff just comes from percentile_approx. */
   def runDsir(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_dsir_docs")
-    spark.sql(dsirSql("__graft_dsir_docs")(SparkDialect))
+    graft.core.SessionCache.getOrElseUpdate(spark, "dsir_scored", dir) {
+      val scored = spark.sql(dsirScoredSql("__graft_dsir_docs")(SparkDialect))
+        .localCheckpoint(true)
+      scored.createOrReplaceTempView("__graft_dsir_scored")
+      true
+    }
+    val cut = spark.sql(
+      s"""SELECT dsir_score, doc_id FROM __graft_dsir_scored
+         | ORDER BY dsir_score DESC, doc_id LIMIT $SelectTop""".stripMargin)
+      .collect()
+    val selCond =
+      if (cut.isEmpty) "FALSE"
+      else {
+        val cs = cut.last.getLong(0)
+        val cd = cut.last.getLong(1)
+        s"(r.dsir_score > $cs OR (r.dsir_score = $cs AND r.doc_id <= $cd))"
+      }
+    spark.sql(
+      s"""SELECT c.doc_id,
+         |       CAST(COALESCE(r.token_ct, 0) AS BIGINT) AS token_ct,
+         |       CAST(COALESCE(r.dsir_score, 0) AS BIGINT) AS dsir_score,
+         |       CAST(COALESCE(CASE WHEN $selCond THEN 1 ELSE 0 END, 0)
+         |            AS INT) AS selected
+         |  FROM (SELECT doc_id FROM __graft_dsir_docs
+         |         WHERE source <> '$TargetSource') c
+         |  LEFT JOIN __graft_dsir_scored r ON r.doc_id = c.doc_id
+         | ORDER BY c.doc_id""".stripMargin)
   }
 
   /** The FROZEN per-feature weight table the batch scorer implies:

@@ -341,11 +341,26 @@ class PlanSpec extends SparkSpec {
 
   test("dsir joins the B-row count tables broadcast, never a cartesian") {
     val p = plan(graft.pipeline.Selection.runDsir(spark, dir))
-    // the feature-count side relations are bounded at Buckets rows by
-    // construction — they must come in as broadcast joins
-    assert(p.contains("BroadcastHashJoin"),
-      s"expected broadcast joins against the count tables:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct"), "dsir plans a cartesian")
+    // the feature-count side relations are bounded at Buckets rows by
+    // construction — the scored computation must join them broadcast
+    val scoredPlan = plan(spark.sql(graft.pipeline.Selection
+      .dsirScoredSql("__graft_dsir_docs")(graft.oracle.SparkDialect)))
+    assert(scoredPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins against the count tables:\n${scoredPlan.take(600)}")
+    // selection is cutoff-based: the final plan must carry NO window —
+    // the old global ROW_NUMBER was a single-partition sort of one row
+    // per corpus document
+    assert(!p.contains("Window"),
+      "dsir final plan ranks through a window again")
+    // the landed scored relation comes back as a checkpoint scan, and
+    // the cutoff election over it must plan TakeOrderedAndProject
+    // (per-partition top-K + driver merge), never a global sort
+    val cutPlan = plan(spark.sql(
+      """SELECT dsir_score, doc_id FROM __graft_dsir_scored
+        | ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin))
+    assert(cutPlan.contains("TakeOrderedAndProject"),
+      s"cutoff election is not a top-K:\n${cutPlan.take(600)}")
   }
 
   test("substring screen censuses grams by groupBy — no doc-to-doc join") {

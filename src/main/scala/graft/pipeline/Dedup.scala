@@ -1063,8 +1063,14 @@ object Dedup {
       .select(col("id").as("batch_id"), col("fp"))
     val ok = landed.groupBy("fp").agg(count(lit(1)).as("__ct"))
       .where(col("__ct") <= hotCutoff).select("fp")
+    // land landf before the advisor runs: hotKeys is two actions
+    // (count + histogram collect) and the join below is a third — on
+    // the raw lineage the fingerprint scan + hot-cutoff groupBy +
+    // ok-join would recompute once per action (same discipline as
+    // registerCandInterRel's checkpoint of cands)
     val landf = landed.join(ok, Seq("fp"))
       .select(col("id").as("corpus_id"), col("fp"))
+      .localCheckpoint(eager = true)
     val hot = graft.core.SkewJoin.hotKeys(landf, "fp", 0.01)
     val joined =
       if (hot.nonEmpty) graft.core.SkewJoin.saltedJoinHot(landf, batch, "fp", hot)

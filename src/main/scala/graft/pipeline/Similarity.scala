@@ -656,7 +656,10 @@ object Similarity {
     * pair. Shape: the query side is broadcast-sized; the corpus side is
     * one label-filtered pass per class of the pair join — never more
     * work than the brute-force baseline, and at scale the same
-    * bucket-pruned index probes serve it. */
+    * bucket-pruned index probes serve it. A query whose label has no
+    * other same-label vector keeps its top-k negatives with a NULL
+    * `margin_vs_best_pos` (best_pos is LEFT-joined) rather than
+    * silently vanishing from the relation. */
   def hardNegativesSql(table: String, nQueries: Int = 5, k: Int = 5)
                       (d: Dialect): String = {
     val qcCos = cosine(d, "q.embedding", "c.embedding")
@@ -681,7 +684,7 @@ object Similarity {
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                                     ORDER BY cos DESC, neighbor_id) AS rk
        |          FROM scored WHERE same_label = 0) s
-       |  JOIN best_pos b ON b.query_id = s.query_id
+       |  LEFT JOIN best_pos b ON b.query_id = s.query_id
        | WHERE rk <= $k
        | ORDER BY s.query_id, rank""".stripMargin
   }
@@ -1045,13 +1048,32 @@ object Similarity {
       .filter(_.getAs[Long]("file_ct") > maxFiles)
       .map(_.getAs[Int]("bucket")).toSeq
     overgrown.foreach { b =>
-      val bucketDir = s"$outPath/bucket=$b"
-      val tmp = s"${outPath}__compact_b$b"
-      spark.read.parquet(bucketDir)
+      val bucketDir = new Path(s"$outPath/bucket=$b")
+      val tmp = new Path(s"${outPath}__compact_b$b")
+      val old = new Path(s"${outPath}__old_b$b")
+      spark.read.parquet(bucketDir.toString)
         .coalesce(targetFiles)
-        .write.mode("overwrite").parquet(tmp)
-      fs.delete(new Path(bucketDir), true)
-      fs.rename(new Path(tmp), new Path(bucketDir))
+        .write.mode("overwrite").parquet(tmp.toString)
+      // crash-safe swap: move the live bucket ASIDE first, then the
+      // compacted files into place, and only then delete. A crash
+      // between steps leaves either the live bucket or the compacted
+      // one discoverable under __old_bN / __compact_bN — never a
+      // silently-absent bucket=N that partition discovery would skip
+      // without error. Rename return codes are checked: HDFS-style
+      // filesystems report failure via `false`, not an exception.
+      if (fs.exists(old) && !fs.delete(old, true))
+        sys.error(s"compactIndex: cannot clear stale $old")
+      if (!fs.rename(bucketDir, old))
+        sys.error(s"compactIndex: rename aside failed for $bucketDir")
+      if (!fs.rename(tmp, bucketDir)) {
+        // restore the live bucket before failing — the index must not
+        // be left without its bucket=N directory
+        fs.rename(old, bucketDir)
+        sys.error(s"compactIndex: swap-in failed for bucket $b")
+      }
+      if (!fs.delete(old, true))
+        sys.error(s"compactIndex: compacted bucket $b live, but stale" +
+          s" copy at $old could not be deleted")
     }
     overgrown
   }

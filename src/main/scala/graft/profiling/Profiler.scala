@@ -59,21 +59,29 @@ object Profiler {
     duckSqlBody(table, schema) + "\nORDER BY column_name"
 
   /** Profiling mode gate — the Spark analogue of the reference's
-    * profiling sampling gate (`profiling_query.py:22-53`, wired into
-    * every profiling run): `GRAFT_PROFILE_MODE=approx` (or an explicit
-    * `mode = "approx"` argument) swaps every profile to the
-    * [[ApproxProfiler]] sketch pass — the one-scan, no-value-shuffle
-    * shape that holds at 100 TB, where the exact distinct job's
-    * distinct-value shuffle is the only super-linear cost left. */
+    * profiling sampling gate (`profiling_query.py:22-53`):
+    * `GRAFT_PROFILE_MODE=approx` swaps the Runner's profile stage to
+    * the [[ApproxProfiler]] sketch pass — the one-scan, no-value-
+    * shuffle shape that holds at 100 TB, where the exact distinct
+    * job's distinct-value shuffle is the only super-linear cost left.
+    *
+    * Scoped to callers that OPT IN (the Runner profile stage passes
+    * `mode = defaultMode` explicitly): the approx pass emits a
+    * narrower per-column schema than the exact profile, so consumers
+    * that read exact-only metrics (FreqProfiler's length stats, the
+    * functional-type cascade, the `profile_*` oracle entries whose
+    * DuckDB SQL is the exact form) must never be silently routed
+    * through it by an ambient env var — `profile`'s default therefore
+    * stays `"exact"` regardless of the environment. */
   def defaultMode: String = sys.env.getOrElse("GRAFT_PROFILE_MODE", "exact")
 
   /** Execute (memoized per session) the three-job profile for one table.
-    * `mode = "approx"` (default from `GRAFT_PROFILE_MODE`) routes to the
-    * sketch profiler — note the narrower per-column schema documented
-    * on [[ApproxProfiler.profile]]. */
+    * `mode = "approx"` (explicit opt-in — see [[defaultMode]]) routes
+    * to the sketch profiler — note the narrower per-column schema
+    * documented on [[ApproxProfiler.profile]]. */
   def profile(spark: SparkSession, dir: String, table: String,
               sampleFraction: Option[Double] = None,
-              mode: String = defaultMode): DataFrame =
+              mode: String = "exact"): DataFrame =
     if (mode == "approx")
       ApproxProfiler.profile(spark, dir, table)
     else graft.core.SessionCache.getOrElseUpdate(

@@ -78,6 +78,16 @@ class ApproxProfilerSpec extends SparkSpec {
     assert(exact.columns.contains("distinct_std_value_ct"))
   }
 
+  test("profile() defaults to the exact schema — approx is explicit opt-in only") {
+    // GRAFT_PROFILE_MODE must never ambiently reroute default callers
+    // (FunctionalType cascade, freq profiler, profile_* oracle entries
+    // all require the exact per-column schema): the default-arg path
+    // has to produce exact-profile columns regardless of environment.
+    val p = Profiler.profile(spark, sfDir, "nation")
+    for (c <- Seq("max_length", "min_length", "avg_length", "distinct_std_value_ct"))
+      assert(p.columns.contains(c), s"default profile lost exact column $c")
+  }
+
   test("the sketch profile is one scan with no Expand and no value shuffle") {
     val p = ApproxProfiler.aggregateFrame(spark, sfDir, "lineitem")
       .queryExecution.executedPlan.toString

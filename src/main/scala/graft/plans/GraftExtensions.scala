@@ -2,13 +2,14 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayAggregate, Cast, Expression, LambdaFunction,
-  Literal, Multiply, NamedLambdaVariable, ZipWith}
+  Add, ArrayAggregate, CaseWhen, Cast, ElementAt, Expression, GetArrayItem,
+  GreaterThanOrEqual, If, LambdaFunction, Literal, Multiply,
+  NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{Decimal, DoubleType, IntegerType}
 
-import graft.functions.DotExpr
+import graft.functions.{BucketExpr, DotExpr}
 
 /** Catalyst optimizer rule: recognize the higher-order-function dot
   * product `aggregate(zip_with(a, b, (x, y) -> x * y), 0d,
@@ -75,12 +76,146 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     }
 }
 
+/** Catalyst optimizer rule: recognize the documented UNROLLED sign-LSH
+  * bucket SQL form ([[graft.pipeline.Similarity.unrolledBucketExpr]] —
+  * the portable rendering the DuckDB oracle executes and users copy
+  * from it):
+  *
+  * {{{ (CASE WHEN e[1]*w00 + … + e[dim]*w0(dim-1) >= 0 THEN 1 ELSE 0 END)
+  *   + (CASE WHEN … >= 0 THEN 2 ELSE 0 END) + … }}}
+  *
+  * and rewrite it to the native [[graft.functions.BucketExpr]] kernel.
+  * The unrolled form carries nPlanes × dim arithmetic TERMS in the plan
+  * (512 at the 8×64 defaults, ~6k at production dims) — it dominates
+  * analysis time and blows the JVM's 64 KB generated-method limit at
+  * real dims (the BucketExprSpec log shows exactly that failure), while
+  * the native kernel is ONE compact call inside whole-stage codegen.
+  *
+  * Guard discipline mirrors [[DotProductRewrite]]: the rewrite fires
+  * only when the match is EXACT — every plane a single-branch
+  * `CASE WHEN <proj> >= 0 THEN 2^p ELSE 0` (or the optimizer's `If`
+  * form), the plane bits a complete 2^0..2^(n-1) set, every projection
+  * a left-to-right chain of `element_at(vec, j) * w` over j = 1..dim on
+  * the SAME vector, and the weights bit-equal to the engine's fixed
+  * hyperplane sequence ([[BucketExpr.planes]]). Anything else — a
+  * different weight, a reordered element, a foreign bucket scheme — is
+  * left untouched. BucketExpr accumulates each projection left-to-right
+  * over double-widened elements, the unrolled chain's association
+  * order, so buckets are bit-identical (BucketExprSpec).
+  */
+object BucketRewrite extends Rule[LogicalPlan] {
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCast(c)
+    case other            => other
+  }
+
+  /** Left-assoc `a + b + c` parses as Add(Add(a, b), c) — flatten to
+    * the in-order term list. */
+  private def flattenAdd(e: Expression): Seq[Expression] = e match {
+    case a: Add => flattenAdd(a.left) ++ flattenAdd(a.right)
+    case other  => Seq(other)
+  }
+
+  private def litNum(e: Expression): Option[Double] = stripCast(e) match {
+    case Literal(v: Double, _)  => Some(v)
+    case Literal(v: Float, _)   => Some(v.toDouble)
+    case Literal(v: Int, _)     => Some(v.toDouble)
+    case Literal(v: Long, _)    => Some(v.toDouble)
+    case Literal(v: Decimal, _) => Some(v.toDouble)
+    case _                      => None
+  }
+
+  private def litBit(e: Expression): Option[Int] = stripCast(e) match {
+    case Literal(v: Int, _) => Some(v)
+    case _                  => None
+  }
+
+  /** `element_at(vec, j)` (1-based) or the equivalent GetArrayItem
+    * (0-based ordinal), possibly under analyzer casts. */
+  private def element(e: Expression): Option[(Expression, Int)] =
+    stripCast(e) match {
+      case ea: ElementAt =>
+        litBit(ea.right).filter(_ >= 1).map(j => (ea.left, j))
+      case g: GetArrayItem =>
+        litBit(g.right).map(j => (g.left, j + 1))
+      case _ => None
+    }
+
+  /** One plane: condition `proj >= 0`, value 2^p, else 0. Returns the
+    * vector expression, the plane's bit, and its weights in element
+    * order — or None when the shape is anything else. */
+  private def planeTerm(e: Expression): Option[(Expression, Int, Seq[Double])] = {
+    val parts: Option[(Expression, Expression, Expression)] = e match {
+      case cw: CaseWhen if cw.branches.size == 1 && cw.elseValue.isDefined =>
+        Some((cw.branches.head._1, cw.branches.head._2, cw.elseValue.get))
+      case iff: If =>
+        Some((iff.predicate, iff.trueValue, iff.falseValue))
+      case _ => None
+    }
+    parts.flatMap { case (cond, value, elseV) =>
+      (stripCast(cond), litBit(value), litBit(elseV)) match {
+        case (geq: GreaterThanOrEqual, Some(bit), Some(0))
+            if bit >= 1 && litNum(geq.right).contains(0.0) =>
+          val terms = flattenAdd(stripCast(geq.left)).map { t =>
+            stripCast(t) match {
+              case m: Multiply =>
+                for { (vec, j) <- element(m.left); w <- litNum(m.right) }
+                  yield (vec, j, w)
+              case _ => None
+            }
+          }
+          if (terms.exists(_.isEmpty) || terms.isEmpty) None
+          else {
+            val ts = terms.map(_.get)
+            val vec = ts.head._1
+            val inOrder = ts.zipWithIndex.forall { case ((v, j, _), i) =>
+              j == i + 1 && v.semanticEquals(vec)
+            }
+            if (inOrder) Some((vec, bit, ts.map(_._3))) else None
+          }
+        case _ => None
+      }
+    }
+  }
+
+  private object UnrolledBucket {
+    def unapply(e: Expression): Option[(Expression, Int, Int)] = {
+      if (e.dataType != IntegerType) return None
+      val terms = flattenAdd(e)
+      val n = terms.size
+      if (n < 2 || n > 30) return None
+      val parsed = terms.map(planeTerm)
+      if (parsed.exists(_.isEmpty)) return None
+      val ps = parsed.map(_.get)
+      val vec = ps.head._1
+      if (!ps.forall(_._1.semanticEquals(vec))) return None
+      val dim = ps.head._3.size
+      if (dim < 1 || !ps.forall(_._3.size == dim)) return None
+      if (ps.map(_._2).toSet != (0 until n).map(1 << _).toSet) return None
+      val byPlane = ps.sortBy(t => Integer.numberOfTrailingZeros(t._2)).map(_._3)
+      val expect = BucketExpr.planes(n, dim)
+      val weightsMatch = byPlane.zip(expect.toSeq).forall {
+        case (got, want) => got == want.toSeq
+      }
+      if (weightsMatch) Some((vec, n, dim)) else None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case UnrolledBucket(vec, n, dim) => BucketExpr(vec, n, dim)
+    }
+}
+
 /** Session-extension entry point — the deployment hook:
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`) installs the engine's
   * optimizer rewrites into any session, including ones the engine does
   * not own. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => BucketRewrite)
+  }
 }

@@ -73,6 +73,80 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("unrolled LSH bucket SQL rewrites to the native BucketExpr, buckets bit-identical") {
+    import graft.oracle.SparkDialect
+    import graft.pipeline.Similarity
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__graft_ext_bkt")
+    val unrolled = Similarity.unrolledBucketExpr("embedding", 8, 64)(SparkDialect)
+    val sql = s"SELECT vec_id, $unrolled AS bucket FROM __graft_ext_bkt"
+    // ground truth BEFORE installing the rule: the raw unrolled chain
+    val before = spark.sql(sql).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BucketRewrite
+    try {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_bucket"),
+        s"bucket rewrite did not fire:\n${plan.take(600)}")
+      assert(!plan.contains("CASE WHEN"), "unrolled CASE chain survived")
+      val after = df.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+      assert(after == before, "rewritten buckets drifted from the unrolled form")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BucketRewrite)
+    }
+  }
+
+  test("a Runner-style session rewrites pasted unrolled bucket SQL") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      graft.core.Tables.load(s2, sfDir, "embeddings")
+        .createOrReplaceTempView("__graft_ext_bkt2")
+      val unrolled = graft.pipeline.Similarity
+        .unrolledBucketExpr("embedding", 4, 64)(graft.oracle.SparkDialect)
+      val df = s2.sql(
+        s"SELECT vec_id, $unrolled AS bucket FROM __graft_ext_bkt2")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_bucket"),
+        s"Runner-style session did not rewrite the bucket form:\n${plan.take(600)}")
+      assert(df.count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("bucket rewrite leaves foreign bucket schemes untouched") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BucketRewrite
+    try {
+      // weights that are NOT the engine's hyperplane sequence — the
+      // guard must refuse (a rewrite would change this query's meaning)
+      val r = spark.sql(
+        """SELECT (CASE WHEN element_at(a, 1) * 0.5 + element_at(a, 2) * 0.25 >= 0
+          |             THEN 1 ELSE 0 END)
+          |     + (CASE WHEN element_at(a, 1) * 0.125 + element_at(a, 2) * 0.0625 >= 0
+          |             THEN 2 ELSE 0 END) AS b
+          |  FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)) AS a)
+          |""".stripMargin)
+      assert(!r.queryExecution.optimizedPlan.toString.contains("graft_bucket"),
+        "rewrite fired on foreign weights")
+      assert(r.collect()(0).getAs[Int]("b") == 3)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.BucketRewrite)
+    }
+  }
+
   test("rule leaves non-dot aggregates untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ DotProductRewrite

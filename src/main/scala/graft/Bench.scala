@@ -42,8 +42,11 @@ object Bench {
     // Per-query time = MIN across timed passes: the steady-state cost an
     // isolated warm run would show, robust to one-off GC/OS noise that a
     // single in-pass sample keeps picking up from its neighbors.
+    // Default min-of-4: back-to-back identical-build totals measured a
+    // ~10% per-entry swing with min-of-2 — too noisy to separate the
+    // 0.2-0.4 s regressions worth catching from a busy neighbor.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(_.toIntOption).getOrElse(2).max(1)
+      .flatMap(_.toIntOption).getOrElse(4).max(1)
     val timedRuns = (1 to passes).map(_ => runOnce(timed = true))
     val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
       name -> timedRuns.map(_(i)._2).min
@@ -51,7 +54,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The three lookup_* entries are the k-branch union VERIFICATION
+    // harness (every drill-down re-verified per test type) — a test rig,
+    // not a production query a user would issue; they are ~10% of the
+    // headline, so the production surface gets its own subtotal.
+    val harness = Set("lookup_query_tests", "lookup_failed_tests", "lookup_hygiene")
+    val productionTotal = results.collect {
+      case (k, v) if !harness.contains(k) => v
+    }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,"queries":$qs,"sf":"$sfDir"}""")
     // Full per-query record to a file: the driver's stdout tail capture
     // truncates the one-line summary, losing entries round-over-round;
     // the file keeps every query with its per-pass samples AND the min,
@@ -63,7 +74,7 @@ object Bench {
       s""""$name":{"min":${samples.min},"passes":[${samples.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_passes":$passes,"queries":$perQuery}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,"sf":"$sfDir","n_passes":$passes,"queries":$perQuery}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }

@@ -71,12 +71,15 @@ object Runner {
         // land a csv/json/orc source corpus as parquet ONCE, so every
         // later stage scans a columnar layout (pruning + pushdown the
         // text formats cannot give). GRAFT_SOURCE_FORMAT picks the
-        // format; the source dir is the run's dataDir, the landing is
-        // <outDir>/ingested (point later stages at it).
+        // format; the source dir is GRAFT_SOURCE_DIR when set (a text-
+        // format corpus usually lives apart from the parquet lake),
+        // else the run's dataDir; the landing is <outDir>/ingested
+        // (point later stages at it).
         val fmt = sys.env.getOrElse("GRAFT_SOURCE_FORMAT", "csv")
+        val srcDir = sys.env.getOrElse("GRAFT_SOURCE_DIR", dataDir)
         graft.core.Tables.names.foreach { t =>
           graft.sources.Sources.convertToParquet(
-            spark, dataDir, t, fmt, s"$outDir/ingested")
+            spark, srcDir, t, fmt, s"$outDir/ingested")
           println(s"[graft] ingest: $t ($fmt) -> $outDir/ingested/$t.parquet")
         }
       case "chars" =>
@@ -230,10 +233,12 @@ object Runner {
     val totalSec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run complete in $totalSec%.1f s")
     // Cold lifecycle record: per-stage wall time + landed row counts of
-    // THIS invocation. A fresh JVM running all 11 stages is the all-in
-    // cost the steady-state Bench (untimed warm-up + min-of-passes)
-    // cannot show — one-time JIT/codegen and the memoized-relation
-    // builds land here, so regressions in cold cost stay visible.
+    // THIS invocation. A fresh JVM running the full lifecycle (the 11
+    // default stages, 12 with the opt-in ingest prepended from a text
+    // fixture) is the all-in cost the steady-state Bench (untimed
+    // warm-up + min-of-passes) cannot show — one-time JIT/codegen and
+    // the memoized-relation builds land here, so regressions in cold
+    // cost stay visible.
     sys.env.get("SPARK_GRAFT_RUNNER_BENCH_OUT").foreach { path =>
       def jnum(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       val stagesJson = stageSecs

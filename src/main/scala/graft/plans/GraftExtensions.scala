@@ -181,7 +181,14 @@ object BucketRewrite extends Rule[LogicalPlan] {
 
   private object UnrolledBucket {
     def unapply(e: Expression): Option[(Expression, Int, Int)] = {
-      if (e.dataType != IntegerType) return None
+      // Type-gate ONLY behind the Add match: `dataType` is not total —
+      // e.g. WindowSpecDefinition throws INTERNAL_ERROR on it, and this
+      // unapply runs against every expression node in every plan.
+      val isIntAdd = e match {
+        case a: Add => a.resolved && a.dataType == IntegerType
+        case _      => false
+      }
+      if (!isIntAdd) return None
       val terms = flattenAdd(e)
       val n = terms.size
       if (n < 2 || n > 30) return None

@@ -119,6 +119,15 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(plan.contains("graft_bucket"),
         s"Runner-style session did not rewrite the bucket form:\n${plan.take(600)}")
       assert(df.count() > 0)
+      // regression: plans carrying WindowSpecDefinition must pass
+      // through the rules unscathed — `dataType` THROWS on that node
+      // (INTERNAL_ERROR), and the rewrite matcher runs against every
+      // expression in every plan of an extensions session (this exact
+      // shape crashed the Runner infer stage before the Add-gate)
+      val win = s2.sql(
+        """SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+          |  FROM __graft_ext_bkt2 LIMIT 5""".stripMargin)
+      assert(win.count() == 5)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -183,6 +183,8 @@ object Runner {
         land("curate", "text_analysis", textAnalysis)
         land("curate", "dsir_scores",
           graft.pipeline.Selection.runDsir(spark, dataDir))
+        land("curate", "dsir_token_budget",
+          graft.pipeline.Selection.runBudget(spark, dataDir))
         val qualityGate = graft.pipeline.QualityGate.run(spark, dataDir)
         land("curate", "quality_gate", qualityGate)
         // per-doc signal tables land BUCKETED on doc_id, and the joined
@@ -215,6 +217,8 @@ object Runner {
           graft.pipeline.Packer.runEpochs(spark, dataDir))
         land("curate", "curation_funnel",
           graft.pipeline.Selection.runFunnel(spark, dataDir))
+        land("curate", "curation_ledger",
+          graft.pipeline.Selection.runLedger(spark, dataDir))
       case "index" =>
         // build + persist the bucket-partitioned ANN index, then report
         // the recall of every probe path against the exact baseline

@@ -310,6 +310,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runPq(s, dir))),
       ("dsir_scores" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runDsir(s, dir))),
+      ("dsir_token_budget" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runBudget(s, dir))),
+      ("curation_ledger" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Selection.runLedger(s, dir))),
       ("substring_duplication" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runSubstringDup(s, dir))),
       ("kmeans_refine" ->
@@ -495,6 +499,8 @@ object SparkEntry {
       ("dedup_survivor_audit" -> graft.pipeline.Dedup.survivorAuditSql("documents")(graft.oracle.DuckDialect)),
       ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings", trained = true)(graft.oracle.DuckDialect)),
       ("dsir_scores" -> graft.pipeline.Selection.dsirDuckSql()),
+      ("dsir_token_budget" -> graft.pipeline.Selection.budgetDuckSql()),
+      ("curation_ledger" -> graft.pipeline.Selection.ledgerDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),
       ("sample_cluster_balanced" -> graft.pipeline.Similarity.clusterSampleSql("embeddings")(graft.oracle.DuckDialect)),

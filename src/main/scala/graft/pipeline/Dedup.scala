@@ -853,8 +853,8 @@ object Dedup {
 
   /** The shared decontamination CTE prefix — `fpf` (hot-cutoff-bounded
     * fingerprints), `hits` (corpus×eval shared counts), `esizes`. */
-  private def decontCtes(fpsRel: String, minShared: Int,
-                         hotCutoff: Int): String =
+  private[pipeline] def decontCtes(fpsRel: String, minShared: Int,
+                                   hotCutoff: Int): String =
     s"""fpf AS (
        |  SELECT f.id, f.fp FROM $fpsRel f
        |  JOIN (SELECT fp FROM $fpsRel GROUP BY fp HAVING COUNT(*) <= $hotCutoff) ok
@@ -912,6 +912,22 @@ object Dedup {
 
   def runDecontaminateReport(spark: SparkSession, dir: String): DataFrame =
     spark.sql(decontaminateReportSql(winnowFpsView(spark, dir)))
+
+  /** The raw decontamination hit relation (corpus_id, eval_id, shared),
+    * landed once per (session, dir) — the curation ledger (and any
+    * drill-down) reads the landed rows instead of re-running the
+    * fingerprint join per consumer. */
+  private[pipeline] def decontHitsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "deconthits", dir) {
+      val v = "__graft_decont_hits_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(
+        s"""WITH ${decontCtes(winnowFpsView(spark, dir), 3, 50)}
+           |SELECT corpus_id, eval_id, CAST(shared AS BIGINT) AS shared
+           |  FROM hits""".stripMargin)
+        .localCheckpoint(eager = true).createOrReplaceTempView(v)
+      v
+    }
 
   /** Batch fingerprint NOVELTY — the freshness complement of
     * [[runIncremental]]: per incoming-batch doc, the fraction of its

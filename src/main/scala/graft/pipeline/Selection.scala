@@ -140,7 +140,10 @@ object Selection {
     * At a token-budgeted real-scale K this becomes an approx-quantile
     * score threshold instead of an exact K-th element — same two-job
     * shape, the cutoff just comes from percentile_approx. */
-  def runDsir(spark: SparkSession, dir: String): DataFrame = {
+  /** The landed scored relation + candidate docs view, memoized per
+    * (session, dir) — runDsir's cutoff election, the final join, and
+    * the token-budget selection all read it. */
+  private def scoredView(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_dsir_docs")
     graft.core.SessionCache.getOrElseUpdate(spark, "dsir_scored", dir) {
@@ -149,6 +152,11 @@ object Selection {
       scored.createOrReplaceTempView("__graft_dsir_scored")
       true
     }
+    "__graft_dsir_scored"
+  }
+
+  def runDsir(spark: SparkSession, dir: String): DataFrame = {
+    scoredView(spark, dir)
     val cut = spark.sql(
       s"""SELECT dsir_score, doc_id FROM __graft_dsir_scored
          | ORDER BY dsir_score DESC, doc_id LIMIT $SelectTop""".stripMargin)
@@ -170,6 +178,171 @@ object Selection {
          |         WHERE source <> '$TargetSource') c
          |  LEFT JOIN __graft_dsir_scored r ON r.doc_id = c.doc_id
          | ORDER BY c.doc_id""".stripMargin)
+  }
+
+  /** Greedy token budget for [[runBudget]] — the data-mixing knob: take
+    * highest-importance documents until their token mass fills the
+    * budget. Sized so a nontrivial slice of the fixture corpus selects. */
+  val TokenBudget = 5000L
+
+  /** Histogram resolution of the engine's budget-threshold election. */
+  private val BudgetBuckets = 1024
+
+  /** Token-BUDGETED DSIR selection — real pipelines select to a token
+    * budget, not a document count: rank candidates by importance and
+    * keep every document that STARTS before the budget is exhausted
+    * (greedy in `(dsir_score DESC, doc_id)` order; the boundary doc
+    * that crosses the budget is kept — the standard first-fit rule).
+    *
+    * The oracle renders the direct form: a running `SUM(token_ct) OVER
+    * (ORDER BY score)` — a single-partition window, fine single-node.
+    * The engine elects the budget THRESHOLD instead ([[runBudget]]):
+    * a score-histogram pass finds the bucket where the cumulative
+    * token mass crosses the budget, and only that one ~1/[[BudgetBuckets]]
+    * corpus slice runs the exact windowed cumsum — the same two-phase
+    * weighted-quantile shape every distributed percentile uses. Output
+    * relations are identical: bucket boundaries respect the greedy
+    * order (score maps monotonically to bucket), so only the crossing
+    * bucket needs row-exact treatment. */
+  def budgetSql(table: String)(d: Dialect): String =
+    s"""WITH ${dsirScoredCtes(table)(d)},
+       |sel AS (
+       |  SELECT doc_id, token_ct, dsir_score,
+       |         SUM(token_ct) OVER (ORDER BY dsir_score DESC, doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM scored
+       |)
+       |SELECT c.doc_id,
+       |       CAST(COALESCE(s.token_ct, 0) AS BIGINT) AS token_ct,
+       |       CAST(COALESCE(s.dsir_score, 0) AS BIGINT) AS dsir_score,
+       |       CAST(COALESCE(CASE WHEN s.cum - s.token_ct < $TokenBudget
+       |                          THEN 1 ELSE 0 END, 0) AS INT) AS selected_budget
+       |  FROM (SELECT doc_id FROM $table
+       |         WHERE source <> '$TargetSource') c
+       |  LEFT JOIN sel s ON s.doc_id = c.doc_id
+       | ORDER BY c.doc_id""".stripMargin
+
+  def budgetDuckSql(): String = budgetSql("documents")(DuckDialect)
+
+  /** Engine-side budget selection: histogram threshold election + one
+    * bucket-slice window (see [[budgetSql]]). Driver collects are the
+    * 1-row score bounds and the ≤[[BudgetBuckets]]-row histogram —
+    * metadata-sized at any corpus size; the windowed slice is
+    * ~1/[[BudgetBuckets]] of the corpus by construction (PlanSpec
+    * asserts the single Window sits above the bucket filter). */
+  def runBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredView(spark, dir)
+    val bounds = spark.sql(
+      s"SELECT MIN(dsir_score) AS mn, MAX(dsir_score) AS mx FROM $scored")
+      .collect()(0)
+    val cands =
+      s"""(SELECT doc_id FROM __graft_dsir_docs
+         |  WHERE source <> '$TargetSource') c""".stripMargin
+    if (bounds.isNullAt(0))
+      // empty scored relation: every candidate lands unselected
+      return spark.sql(
+        s"""SELECT c.doc_id, CAST(0 AS BIGINT) AS token_ct,
+           |       CAST(0 AS BIGINT) AS dsir_score,
+           |       CAST(0 AS INT) AS selected_budget
+           |  FROM $cands ORDER BY c.doc_id""".stripMargin)
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    // bucket by score, highest scores in bucket 0; double math is fine
+    // here — bucketing only needs to be deterministic and monotone in
+    // the score, the exact boundary handling is row-level below
+    val span = (mx - mn).toDouble + 1.0
+    val bktExpr = s"CAST(FLOOR(($mx - dsir_score) * $BudgetBuckets.0 / $span) AS INT)"
+    val hist = spark.sql(
+      s"""SELECT $bktExpr AS __bb, SUM(token_ct) AS tk FROM $scored
+         | GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    // walk buckets in greedy (score-desc) order to the budget-crossing
+    // bucket; if the whole corpus fits the budget, the last bucket is
+    // the "crossing" one and its slice rule selects everything
+    var cum = 0L
+    var cb = hist.last.getInt(0)
+    var prior = 0L
+    var found = false
+    val it = hist.iterator
+    while (it.hasNext && !found) {
+      val r = it.next()
+      if (cum + r.getLong(1) >= TokenBudget) { cb = r.getInt(0); prior = cum; found = true }
+      else cum += r.getLong(1)
+    }
+    if (!found) prior = cum - hist.last.getLong(1)
+    spark.sql(
+      s"""WITH sb AS (
+         |  SELECT doc_id, token_ct, dsir_score, $bktExpr AS __bb FROM $scored
+         |),
+         |slice AS (
+         |  SELECT doc_id,
+         |         CASE WHEN $prior + SUM(token_ct)
+         |                OVER (ORDER BY dsir_score DESC, doc_id
+         |                      ROWS UNBOUNDED PRECEDING) - token_ct < $TokenBudget
+         |              THEN 1 ELSE 0 END AS sel
+         |    FROM sb WHERE __bb = $cb
+         |)
+         |SELECT c.doc_id,
+         |       CAST(COALESCE(s.token_ct, 0) AS BIGINT) AS token_ct,
+         |       CAST(COALESCE(s.dsir_score, 0) AS BIGINT) AS dsir_score,
+         |       CAST(COALESCE(CASE WHEN s.__bb < $cb THEN 1
+         |                          WHEN s.__bb > $cb THEN 0
+         |                          ELSE sl.sel END, 0) AS INT) AS selected_budget
+         |  FROM $cands
+         |  LEFT JOIN sb s ON s.doc_id = c.doc_id
+         |  LEFT JOIN slice sl ON sl.doc_id = c.doc_id
+         | ORDER BY c.doc_id""".stripMargin)
+  }
+
+  /** Per-document curation LEDGER — the provenance record a pipeline
+    * owner actually audits: for every document, what happened to it and
+    * why, with one deterministic first-cause precedence:
+    * `contaminated` (eval-set fingerprint collision — poison, dropped
+    * no matter what) > `dup_loser` (non-survivor of a near-dup cluster)
+    * > `gate_fail` (composite quality gate) > `kept`. The aggregate
+    * funnel says how many dropped at each stage; this relation says
+    * WHICH, with the token mass each decision cost.
+    *
+    * Scale shape: three LEFT equi-joins of the corpus against landed
+    * relations (cluster labels, gate decisions, decontamination hits) —
+    * all metadata-or-smaller sides, no recomputation: the Spark path
+    * reads the memoized views, the oracle inlines the full derivations. */
+  private def ledgerTail(table: String, compRel: String, gateRel: String,
+                         hitsRel: String)(d: Dialect): String =
+    s"""contam AS (SELECT DISTINCT corpus_id AS id FROM $hitsRel),
+       |ledger AS (
+       |  SELECT dd.doc_id,
+       |         CAST(${d.regexpCount("dd.text", "\\S+")} AS BIGINT) AS token_ct,
+       |         CASE WHEN ct.id IS NOT NULL THEN 'contaminated'
+       |              WHEN c.cid IS NOT NULL AND c.cid <> dd.doc_id THEN 'dup_loser'
+       |              WHEN g.keep = 0 THEN 'gate_fail'
+       |              ELSE 'kept' END AS disposition
+       |    FROM $table dd
+       |    LEFT JOIN $compRel c ON c.id = dd.doc_id
+       |    LEFT JOIN $gateRel g ON g.doc_id = dd.doc_id
+       |    LEFT JOIN contam ct ON ct.id = dd.doc_id
+       |)
+       |SELECT doc_id, token_ct, disposition FROM ledger
+       | ORDER BY doc_id""".stripMargin
+
+  def ledgerSql(table: String)(d: Dialect): String =
+    s"""${Dedup.clusterCompCtes(table, 0.5)(d)},
+       |gate AS (
+       |${graft.pipeline.QualityGate.gateSql(table)(d)}
+       |),
+       |dfps AS (${Dedup.winnowFpsSql(table)(d)}),
+       |${Dedup.decontCtes("dfps", 3, 50)},
+       |${ledgerTail(table, "comp", "gate", "hits")(d)}""".stripMargin
+
+  def ledgerDuckSql(): String = ledgerSql("documents")(DuckDialect)
+
+  /** Spark path: every input is a landed relation. */
+  def runLedger(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_ledger_docs")
+    val comp = Dedup.clusterCompView(spark, dir)
+    val gate = graft.pipeline.QualityGate.outView(spark, dir)
+    val hits = Dedup.decontHitsView(spark, dir)
+    spark.sql(
+      s"WITH ${ledgerTail("__graft_ledger_docs", comp, gate, hits)(SparkDialect)}")
   }
 
   /** The FROZEN per-feature weight table the batch scorer implies:

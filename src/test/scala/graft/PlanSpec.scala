@@ -363,6 +363,33 @@ class PlanSpec extends SparkSpec {
       s"cutoff election is not a top-K:\n${cutPlan.take(600)}")
   }
 
+  test("token-budget selection windows only the crossing bucket slice") {
+    val p = plan(graft.pipeline.Selection.runBudget(spark, dir))
+    // exactly one window — the exact cumsum over the ~1/K corpus slice;
+    // a second window would mean the full relation is being ranked
+    val wins = "Window".r.findAllIn(p).length
+    assert(wins == 1, s"expected 1 Window, got $wins")
+    // the window's input is the bucket-filtered slice: in the top-down
+    // plan printout the Filter (carrying the FLOOR bucket expression)
+    // sits below the Window node
+    val winAt = p.indexOf("Window")
+    val filterAfter = p.indexOf("Filter", winAt)
+    assert(filterAfter > winAt, "no Filter beneath the slice Window")
+    assert(p.indexOf("FLOOR", winAt) > 0,
+      "slice filter lost the bucket expression")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("curation ledger joins landed relations — no recompute, no cartesian") {
+    val p = plan(graft.pipeline.Selection.runLedger(spark, dir))
+    assert(!p.contains("CartesianProduct"), "ledger plans a cartesian")
+    // the corpus text is scanned once (token counts); cluster labels,
+    // gate decisions and decontamination hits come from checkpointed
+    // relations, never re-derived
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"ledger re-derives a landed input: $scans scans")
+  }
+
   test("substring screen censuses grams by groupBy — no doc-to-doc join") {
     val p = plan(graft.pipeline.Selection.runSubstringDup(spark, dir))
     assert(!p.contains("CartesianProduct"), "substring screen plans a cartesian")

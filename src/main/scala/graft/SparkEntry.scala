@@ -312,6 +312,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runDsir(s, dir))),
       ("dsir_token_budget" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runBudget(s, dir))),
+      ("media_phash_dedup" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runPhashDedup(s, dir))),
       ("curation_ledger" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runLedger(s, dir))),
       ("substring_duplication" ->
@@ -500,6 +502,7 @@ object SparkEntry {
       ("knn_pq" -> graft.pipeline.Similarity.pqSql("embeddings", trained = true)(graft.oracle.DuckDialect)),
       ("dsir_scores" -> graft.pipeline.Selection.dsirDuckSql()),
       ("dsir_token_budget" -> graft.pipeline.Selection.budgetDuckSql()),
+      ("media_phash_dedup" -> graft.pipeline.Multimodal.phashPairsDuckSql()),
       ("curation_ledger" -> graft.pipeline.Selection.ledgerDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),

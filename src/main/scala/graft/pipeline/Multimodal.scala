@@ -388,6 +388,167 @@ object Multimodal {
       }
     }
 
+  // ---- perceptual-hash image near-dup ---------------------------------
+
+  /** Render an n×n grayscale 24-bit BMP (n² byte values, file row
+    * order) — the fixture/bridge renderer: specs and the phash entry
+    * feed REAL BMP bytes through the real decode path with it. */
+  def renderGrayBmp(vals: Array[Int]): Array[Byte] = {
+    val n = math.sqrt(vals.length).toInt
+    require(n * n == vals.length, "square image required")
+    val rowSize = ((n * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * n
+    val b = Array.ofDim[Byte](size)
+    def w16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def w32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    w32(2, size); w32(10, 54); w32(14, 40)
+    w32(18, n); w32(22, n)
+    w16(26, 1); w16(28, 24); w32(30, 0); w32(34, rowSize * n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val p = 54 + y * rowSize + x * 3
+        val v = (vals(y * n + x) & 0xff).toByte
+        b(p) = v; b(p + 1) = v; b(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Average-hash of a decoded luma grid: bit i set when cell i is at
+    * or above the grid mean — the integer-exact form `v_i * N >= Σv`
+    * so both engines decide each bit identically. Grid cells here are
+    * integer-valued doubles (gray-pixel luma is exactly the byte). */
+  def aHash(grid: Array[Double]): Long = {
+    if (grid.isEmpty) return 0L
+    val ints = grid.map(v => math.rint(v).toLong)
+    val s = ints.sum
+    var h = 0L
+    var i = 0
+    while (i < ints.length && i < 64) {
+      if (ints(i) * ints.length >= s) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Image near-dup by perceptual hash — the media twin of simhash
+    * dedup: decode → 8×8 mean-luma thumbnail ([[bmpGridLuma]], the
+    * resize step) → 64-bit average-hash → pigeonhole-banded candidate
+    * join (hamming ≤ 3 ⇒ at least one of four 16-bit bands equal) →
+    * exact `bit_count(xor)` verification. The corpus ships no media,
+    * so the entry synthesizes two REAL BMP payloads per document
+    * (64 md5-derived gray pixels; variant B flips pixel 0 by +128) and
+    * runs them through the real decode+resize+hash pipeline; the
+    * DuckDB oracle never sees a byte of BMP — it derives every hash
+    * bit arithmetically from the same md5 hex and verifies ALL pairs
+    * directly. Different algorithms, same relation.
+    *
+    * At scale: payloads never shuffle (hashing is mapPartitions work);
+    * only the 8-byte (id, phash) relation moves, the candidate join is
+    * a band equi-join (never all-pairs — PlanSpec), and verification
+    * touches only banded candidates. */
+  def runPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val view = graft.core.SessionCache.getOrElseUpdate(spark, "phash", dir) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).where(col("text").isNotNull)
+        .as[(Long, String)]
+      val hashed = docs.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val vals = Array.ofDim[Int](64)
+          var k = 0
+          while (k < 4) {
+            md.reset()
+            val dg = md.digest(s"m$k:$text".getBytes("UTF-8"))
+            var j = 0
+            while (j < 16) { vals(16 * k + j) = dg(j) & 0xff; j += 1 }
+            k += 1
+          }
+          val variantB = vals.clone()
+          variantB(0) = (variantB(0) + 128) % 256
+          Seq(id * 2 -> renderGrayBmp(vals), id * 2 + 1 -> renderGrayBmp(variantB))
+            .flatMap { case (vid, payload) =>
+              // the REAL pipeline: byte-level BMP decode + resize + hash
+              bmpGridLuma(payload, 8).map(g => (vid, aHash(g)))
+            }
+        }
+      }.toDF("id", "phash").localCheckpoint(eager = true)
+      val v = "__graft_phash_" + java.lang.Integer.toHexString(dir.hashCode)
+      hashed.createOrReplaceTempView(v)
+      v
+    }
+    spark.sql(
+      s"""WITH bands AS (
+         |  SELECT id, phash, b AS bi,
+         |         shiftrightunsigned(phash, CAST(16 * b AS INT)) & 65535 AS bv
+         |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
+         |),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |    FROM bands a JOIN bands c
+         |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
+         |)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT cd.id_a, cd.id_b,
+         |         CAST(bit_count(pa.phash ^ pb.phash) AS INT) AS hamming
+         |    FROM cands cd
+         |    JOIN $view pa ON pa.id = cd.id_a
+         |    JOIN $view pb ON pb.id = cd.id_b) z
+         | WHERE hamming <= 3
+         | ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  /** The oracle rendering: every hash bit from the md5 hex directly
+    * (`v_i · 64 ≥ Σv`, the exact integer threshold [[aHash]] uses) and
+    * the hamming of ALL id pairs as a 64-term bit-disagreement sum —
+    * single-node all-pairs is fine for the oracle, the engine's banded
+    * join must reproduce the identical relation. Spark-renderable too
+    * (parity spec). */
+  def phashPairsSql(table: String)(d: Dialect): String = {
+    def vexpr(i: Int) =
+      d.hexToInt(s"SUBSTRING(MD5('m${i / 16}:' || text), ${2 * (i % 16) + 1}, 2)")
+    val vs = 0 until 64
+    s"""WITH docs AS (SELECT doc_id, text FROM $table WHERE text IS NOT NULL),
+       |px AS (
+       |  SELECT doc_id,
+       |         ${vs.map(i => s"${vexpr(i)} AS v$i").mkString(",\n         ")}
+       |    FROM docs
+       |),
+       |ids AS (
+       |  SELECT doc_id * 2 AS id, ${vs.map(i => s"v$i").mkString(", ")} FROM px
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS id, (v0 + 128) % 256 AS v0,
+       |         ${vs.drop(1).map(i => s"v$i").mkString(", ")} FROM px
+       |),
+       |bits AS (
+       |  SELECT id, (${vs.map(i => s"v$i").mkString(" + ")}) AS s,
+       |         ${vs.map(i => s"v$i").mkString(", ")}
+       |    FROM ids
+       |),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         (${vs.map(i =>
+                    s"(CASE WHEN (a.v$i * 64 >= a.s) = (b.v$i * 64 >= b.s)" +
+                    s" THEN 0 ELSE 1 END)").mkString("\n          + ")}) AS hamming
+       |    FROM bits a JOIN bits b ON b.id > a.id
+       |)
+       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+       |  FROM pairs WHERE hamming <= 3
+       | ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def phashPairsDuckSql(): String = phashPairsSql("documents")(DuckDialect)
+
   def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -380,6 +380,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("phash image dedup joins banded candidates — never all-pairs") {
+    val p = plan(graft.pipeline.Multimodal.runPhashDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), "phash dedup plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "phash dedup degenerated to a nested loop")
+    // the landed (id, phash) relation is scanned, never the corpus text
+    assert(!p.contains("FileScan parquet"),
+      "phash dedup re-scanned parquet instead of the landed hash relation")
+  }
+
   test("curation ledger joins landed relations — no recompute, no cartesian") {
     val p = plan(graft.pipeline.Selection.runLedger(spark, dir))
     assert(!p.contains("CartesianProduct"), "ledger plans a cartesian")

@@ -39,6 +39,39 @@ class Round10OpsSpec extends SparkSpec {
         < Selection.TokenBudget)
   }
 
+  test("rendered BMPs round-trip the real decoder with exact stats") {
+    import graft.pipeline.Multimodal
+    val vals = Array.tabulate(64)(i => (i * 37 + 11) % 256)
+    val bmp = Multimodal.renderGrayBmp(vals)
+    val stats = Multimodal.decodeBmp(bmp).get
+    assert(stats.width == 8 && stats.height == 8)
+    val mean = vals.sum / 64.0
+    // gray pixels: every channel mean is the value mean
+    assert(math.abs(stats.meanR - math.rint(mean * 10000) / 10000) < 1e-9)
+    assert(stats.meanR == stats.meanG && stats.meanG == stats.meanB)
+    // the 8x8 grid over an 8x8 image is the identity: aHash bits are
+    // exactly the v*64 >= sum thresholds
+    val grid = Multimodal.bmpGridLuma(bmp, 8).get
+    val s = vals.sum
+    val expect = vals.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+      if (v.toLong * 64 >= s) h | (1L << i) else h
+    }
+    assert(Multimodal.aHash(grid) == expect)
+  }
+
+  test("engine phash dedup (decode + band join) matches the all-pairs arithmetic oracle form") {
+    import graft.pipeline.Multimodal
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__r10_phash_docs")
+    val direct = spark.sql(Multimodal.phashPairsSql("__r10_phash_docs")(SparkDialect))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val engine = Multimodal.runPhashDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(engine.nonEmpty, "fixture corpus produced no near-dup image pairs")
+    assert(engine == direct,
+      s"missing=${(direct -- engine).take(5)} extra=${(engine -- direct).take(5)}")
+  }
+
   test("curation ledger covers every document with a consistent first-cause") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val ledger = Selection.runLedger(spark, sfDir).collect()

@@ -221,6 +221,8 @@ object Runner {
           graft.pipeline.Selection.runLedger(spark, dataDir))
         land("curate", "media_phash_dedup",
           graft.pipeline.Multimodal.runPhashDedup(spark, dataDir))
+        land("curate", "media_audio_dedup",
+          graft.pipeline.Multimodal.runAudioDedup(spark, dataDir))
       case "index" =>
         // build + persist the bucket-partitioned ANN index, then report
         // the recall of every probe path against the exact baseline

@@ -314,6 +314,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runBudget(s, dir))),
       ("media_phash_dedup" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runPhashDedup(s, dir))),
+      ("media_audio_dedup" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runAudioDedup(s, dir))),
       ("curation_ledger" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runLedger(s, dir))),
       ("substring_duplication" ->
@@ -503,6 +505,7 @@ object SparkEntry {
       ("dsir_scores" -> graft.pipeline.Selection.dsirDuckSql()),
       ("dsir_token_budget" -> graft.pipeline.Selection.budgetDuckSql()),
       ("media_phash_dedup" -> graft.pipeline.Multimodal.phashPairsDuckSql()),
+      ("media_audio_dedup" -> graft.pipeline.Multimodal.audioPairsDuckSql()),
       ("curation_ledger" -> graft.pipeline.Selection.ledgerDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),

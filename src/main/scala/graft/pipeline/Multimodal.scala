@@ -356,6 +356,186 @@ object Multimodal {
     }
   }
 
+  /** Integer frame energies (sum of squared samples per frame) — the
+    * exact-arithmetic companion of [[wavFrameRms]]: no sqrt, no float,
+    * so the energy-profile hash decides every bit identically in both
+    * engines. Same chunk walk, same equal-frame split. */
+  def wavFrameEnergy(b: Array[Byte], k: Int = 8): Option[Array[Long]] = {
+    decodeWav(b).flatMap { a =>
+      if (a.nSamples <= 0) return Some(Array.empty[Long])
+      var pos = 12
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val size = i32(b, pos + 4)
+        if (new String(b, pos, 4, "US-ASCII") == "data") {
+          dataOff = pos + 8; dataLen = size
+        }
+        pos += 8 + size + (size & 1)
+      }
+      if (dataOff < 0) return None
+      val nVals = dataLen / 2
+      val frames = math.min(k, nVals)
+      val out = new Array[Long](frames)
+      var f = 0
+      while (f < frames) {
+        val from = f * nVals / frames
+        val until = (f + 1) * nVals / frames
+        var sumSq = 0L
+        var i = from
+        while (i < until) {
+          val v = u16(b, dataOff + i * 2).toShort.toInt
+          sumSq += v.toLong * v
+          i += 1
+        }
+        out(f) = sumSq
+        f += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Render a 16-bit mono PCM WAV (8 kHz) from the given samples — the
+    * audio counterpart of [[renderGrayBmp]]. */
+  def renderPcmWav(samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = Array.ofDim[Byte](44 + dataLen)
+    def tag(i: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(b, i) }
+    def w16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def w32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1)
+    w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
+    tag(36, "data"); w32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { w16(44 + 2 * i, samples(i) & 0xffff); i += 1 }
+    b
+  }
+
+  /** Energy-profile average-hash: bit f set when frame f's energy is at
+    * or above the mean frame energy (`e_f · k ≥ Σe`, pure BIGINT). */
+  def eHash(energies: Array[Long]): Long = {
+    if (energies.isEmpty) return 0L
+    val s = energies.sum
+    var h = 0L
+    var f = 0
+    while (f < energies.length && f < 64) {
+      if (energies(f) * energies.length >= s) h |= (1L << f)
+      f += 1
+    }
+    h
+  }
+
+  /** Audio near-dup by energy-profile hash — the frame-sample step
+    * feeding dedup, symmetric with [[runPhashDedup]]: real RIFF/WAVE
+    * decode → 64 equal frames → integer frame energies → 64-bit
+    * average-hash → banded hamming join. Payload synthesis mirrors the
+    * image entry: two real 128-sample PCM WAVs per document (samples
+    * `(md5byte − 128) · 256`; variant B flips sample 0), real decoder,
+    * arithmetic all-pairs oracle. */
+  def runAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val view = graft.core.SessionCache.getOrElseUpdate(spark, "ehash", dir) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).where(col("text").isNotNull)
+        .as[(Long, String)]
+      val hashed = docs.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val samples = Array.ofDim[Int](128)
+          var k = 0
+          while (k < 8) {
+            md.reset()
+            val dg = md.digest(s"a$k:$text".getBytes("UTF-8"))
+            var j = 0
+            while (j < 16) {
+              samples(16 * k + j) = ((dg(j) & 0xff) - 128) * 256
+              j += 1
+            }
+            k += 1
+          }
+          val variantB = samples.clone()
+          variantB(0) = ((((samples(0) / 256) + 128 + 128) % 256) - 128) * 256
+          Seq(id * 2 -> renderPcmWav(samples), id * 2 + 1 -> renderPcmWav(variantB))
+            .flatMap { case (vid, payload) =>
+              wavFrameEnergy(payload, 64).map(e => (vid, eHash(e)))
+            }
+        }
+      }.toDF("id", "ehash").localCheckpoint(eager = true)
+      val v = "__graft_ehash_" + java.lang.Integer.toHexString(dir.hashCode)
+      hashed.createOrReplaceTempView(v)
+      v
+    }
+    spark.sql(
+      s"""WITH bands AS (
+         |  SELECT id, ehash, b AS bi,
+         |         shiftrightunsigned(ehash, CAST(16 * b AS INT)) & 65535 AS bv
+         |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
+         |),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |    FROM bands a JOIN bands c
+         |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
+         |)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT cd.id_a, cd.id_b,
+         |         CAST(bit_count(pa.ehash ^ pb.ehash) AS INT) AS hamming
+         |    FROM cands cd
+         |    JOIN $view pa ON pa.id = cd.id_a
+         |    JOIN $view pb ON pb.id = cd.id_b) z
+         | WHERE hamming <= 3
+         | ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  /** Arithmetic oracle for [[runAudioDedup]]: frame energies straight
+    * from the md5 hex (`((byte−128)·256)²` summed per 2-sample frame),
+    * bits by the same `e_f · 64 ≥ Σe` rule, all-pairs hamming. */
+  def audioPairsSql(table: String)(d: Dialect): String = {
+    def byteExpr(i: Int) =
+      d.hexToInt(s"SUBSTRING(MD5('a${i / 16}:' || text), ${2 * (i % 16) + 1}, 2)")
+    def sq(x: String) = s"(($x) * ($x))"
+    // frame f's energy over samples 2f, 2f+1
+    def eexpr(f: Int, b0: String, b1: String) =
+      s"(${sq(s"($b0 - 128) * 256")} + ${sq(s"($b1 - 128) * 256")})"
+    val fs = 0 until 64
+    s"""WITH docs AS (SELECT doc_id, text FROM $table WHERE text IS NOT NULL),
+       |bx AS (
+       |  SELECT doc_id,
+       |         ${(0 until 128).map(i => s"${byteExpr(i)} AS b$i").mkString(",\n         ")}
+       |    FROM docs
+       |),
+       |ids AS (
+       |  SELECT doc_id * 2 AS id, ${(0 until 128).map(i => s"b$i").mkString(", ")} FROM bx
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS id, (b0 + 128) % 256 AS b0,
+       |         ${(1 until 128).map(i => s"b$i").mkString(", ")} FROM bx
+       |),
+       |en AS (
+       |  SELECT id, ${fs.map(f => s"${eexpr(f, s"b${2 * f}", s"b${2 * f + 1}")} AS e$f").mkString(",\n         ")}
+       |    FROM ids
+       |),
+       |bits AS (
+       |  SELECT id, (${fs.map(f => s"e$f").mkString(" + ")}) AS s,
+       |         ${fs.map(f => s"e$f").mkString(", ")}
+       |    FROM en
+       |),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         (${fs.map(f =>
+                    s"(CASE WHEN (a.e$f * 64 >= a.s) = (b.e$f * 64 >= b.s)" +
+                    s" THEN 0 ELSE 1 END)").mkString("\n          + ")}) AS hamming
+       |    FROM bits a JOIN bits b ON b.id > a.id
+       |)
+       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+       |  FROM pairs WHERE hamming <= 3
+       | ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def audioPairsDuckSql(): String = audioPairsSql("documents")(DuckDialect)
+
   /** The Dataset-typed side of the pipeline: binary payload column +
     * per-partition batched decode via mapPartitions — batch-local codec
     * initialization, bounded memory per batch. BMP, WAV, PNG, JPEG and

@@ -390,6 +390,15 @@ class PlanSpec extends SparkSpec {
       "phash dedup re-scanned parquet instead of the landed hash relation")
   }
 
+  test("audio dedup joins banded candidates — never all-pairs") {
+    val p = plan(graft.pipeline.Multimodal.runAudioDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), "audio dedup plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "audio dedup degenerated to a nested loop")
+    assert(!p.contains("FileScan parquet"),
+      "audio dedup re-scanned parquet instead of the landed hash relation")
+  }
+
   test("curation ledger joins landed relations — no recompute, no cartesian") {
     val p = plan(graft.pipeline.Selection.runLedger(spark, dir))
     assert(!p.contains("CartesianProduct"), "ledger plans a cartesian")

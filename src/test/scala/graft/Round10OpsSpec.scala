@@ -72,6 +72,39 @@ class Round10OpsSpec extends SparkSpec {
       s"missing=${(direct -- engine).take(5)} extra=${(engine -- direct).take(5)}")
   }
 
+  test("rendered WAVs round-trip the real decoder with exact frame energies") {
+    import graft.pipeline.Multimodal
+    val samples = Array.tabulate(128)(i => ((i * 53 + 7) % 256 - 128) * 256)
+    val wav = Multimodal.renderPcmWav(samples)
+    val stats = Multimodal.decodeWav(wav).get
+    assert(stats.sampleRate == 8000 && stats.nChannels == 1 && stats.nSamples == 128)
+    assert(stats.peak == samples.map(math.abs).max)
+    val energies = Multimodal.wavFrameEnergy(wav, 64).get
+    assert(energies.length == 64)
+    val expect = Array.tabulate(64)(f =>
+      samples(2 * f).toLong * samples(2 * f) +
+        samples(2 * f + 1).toLong * samples(2 * f + 1))
+    assert(energies.sameElements(expect))
+    val s = expect.sum
+    val eh = expect.zipWithIndex.foldLeft(0L) { case (h, (e, f)) =>
+      if (e * 64 >= s) h | (1L << f) else h
+    }
+    assert(Multimodal.eHash(energies) == eh)
+  }
+
+  test("engine audio dedup (decode + band join) matches the all-pairs arithmetic oracle form") {
+    import graft.pipeline.Multimodal
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__r10_audio_docs")
+    val direct = spark.sql(Multimodal.audioPairsSql("__r10_audio_docs")(SparkDialect))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val engine = Multimodal.runAudioDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(engine.nonEmpty, "fixture corpus produced no near-dup audio pairs")
+    assert(engine == direct,
+      s"missing=${(direct -- engine).take(5)} extra=${(engine -- direct).take(5)}")
+  }
+
   test("curation ledger covers every document with a consistent first-cause") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val ledger = Selection.runLedger(spark, sfDir).collect()

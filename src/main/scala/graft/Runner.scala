@@ -223,6 +223,8 @@ object Runner {
           graft.pipeline.Multimodal.runPhashDedup(spark, dataDir))
         land("curate", "media_audio_dedup",
           graft.pipeline.Multimodal.runAudioDedup(spark, dataDir))
+        land("curate", "media_video_dedup",
+          graft.pipeline.Multimodal.runVideoDedup(spark, dataDir))
       case "index" =>
         // build + persist the bucket-partitioned ANN index, then report
         // the recall of every probe path against the exact baseline

@@ -316,6 +316,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runPhashDedup(s, dir))),
       ("media_audio_dedup" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runAudioDedup(s, dir))),
+      ("media_video_framesample" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runVideoFrameSample(s, dir))),
+      ("media_video_dedup" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runVideoDedup(s, dir))),
       ("curation_ledger" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runLedger(s, dir))),
       ("substring_duplication" ->
@@ -506,6 +510,8 @@ object SparkEntry {
       ("dsir_token_budget" -> graft.pipeline.Selection.budgetDuckSql()),
       ("media_phash_dedup" -> graft.pipeline.Multimodal.phashPairsDuckSql()),
       ("media_audio_dedup" -> graft.pipeline.Multimodal.audioPairsDuckSql()),
+      ("media_video_framesample" -> graft.pipeline.Multimodal.videoFramesDuckSql()),
+      ("media_video_dedup" -> graft.pipeline.Multimodal.videoPairsDuckSql()),
       ("curation_ledger" -> graft.pipeline.Selection.ledgerDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),

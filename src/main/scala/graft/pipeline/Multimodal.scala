@@ -747,4 +747,330 @@ object Multimodal {
       batch.map { case (id, payload) => featuresOf(id, payload, digest) }
     }.toDF()
   }
+
+  // ---- video: frame sampling + near-dup --------------------------------
+  // A real RIFF/AVI container parser for the one video layout the JVM can
+  // hold without an external codec: uncompressed 24-bit DIB ('DIB '
+  // handler, BI_RGB) frames in '00db' chunks. Container walk, header
+  // parse, and per-frame pixel access are all byte-level and exact, so
+  // the frame-sample -> resize -> hash pipeline runs against REAL video
+  // bytes end to end; compressed codecs (h264/vp9) plug into the same
+  // frame-decode slot when a library codec is available.
+
+  final case class VideoStats(width: Int, height: Int, nFrames: Int,
+                              usecPerFrame: Int, frameOffsets: Array[Int])
+
+  /** Render an uncompressed 24-bit DIB AVI (gray frames, `w*h` byte
+    * values per frame in file row order) — the video counterpart of
+    * [[renderGrayBmp]]/[[renderPcmWav]]: specs and the video entries
+    * feed REAL AVI bytes through the real container-parse path. */
+  def renderDibAvi(frames: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      "equal-sized gray frames required")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowSize * h
+    val n = frames.length
+    val strlContent = 4 + (8 + 56) + (8 + 40)
+    val hdrlContent = 4 + (8 + 56) + (8 + strlContent)
+    val moviContent = 4 + n * (8 + frameBytes)
+    val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+    val b = Array.ofDim[Byte](8 + riffContent)
+    var p = 0
+    def tag(s: String): Unit = { s.getBytes("US-ASCII").copyToArray(b, p); p += 4 }
+    def w16v(v: Int): Unit = { b(p) = v.toByte; b(p + 1) = (v >> 8).toByte; p += 2 }
+    def w32v(v: Int): Unit = {
+      b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+      b(p + 2) = (v >> 16).toByte; b(p + 3) = (v >> 24).toByte; p += 4
+    }
+    tag("RIFF"); w32v(riffContent); tag("AVI ")
+    tag("LIST"); w32v(hdrlContent); tag("hdrl")
+    tag("avih"); w32v(56)
+    w32v(100000); w32v(frameBytes * 10); w32v(0); w32v(0) // usec/frame, B/s, pad, flags
+    w32v(n); w32v(0); w32v(1); w32v(frameBytes)           // frames, initial, streams, sugBuf
+    w32v(w); w32v(h); w32v(0); w32v(0); w32v(0); w32v(0)  // dims + reserved[4]
+    tag("LIST"); w32v(strlContent); tag("strl")
+    tag("strh"); w32v(56)
+    tag("vids"); tag("DIB "); w32v(0); w16v(0); w16v(0)   // type, handler, flags, prio, lang
+    w32v(0); w32v(1); w32v(10); w32v(0); w32v(n)          // initial, scale, rate, start, length
+    w32v(frameBytes); w32v(0); w32v(0)                    // sugBuf, quality, sampleSize
+    w16v(0); w16v(0); w16v(w); w16v(h)                    // rcFrame
+    tag("strf"); w32v(40)
+    w32v(40); w32v(w); w32v(h); w16v(1); w16v(24)         // BITMAPINFOHEADER
+    w32v(0); w32v(frameBytes); w32v(0); w32v(0); w32v(0); w32v(0)
+    tag("LIST"); w32v(moviContent); tag("movi")
+    frames.foreach { vals =>
+      tag("00db"); w32v(frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (vals(y * w + x) & 0xff).toByte
+          val q = p + y * rowSize + x * 3
+          b(q) = v; b(q + 1) = v; b(q + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      p += frameBytes
+    }
+    b
+  }
+
+  /** Uncompressed-DIB AVI: RIFF walk for 'hdrl' (avih dims/rate, strf
+    * 24 bpp BI_RGB) and 'movi' frame chunks (NNdb/NNdc). None on any
+    * other container or codec. */
+  def decodeAvi(b: Array[Byte]): Option[VideoStats] = {
+    if (b.length < 24 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+      || b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return None
+    var width = 0; var height = 0; var usec = 0
+    var bpp = 0; var comp = -1
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val size = i32(b, pos + 4)
+        if (size < 0 || pos + 8 + size > until) return
+        if (id == "LIST") walk(pos + 12, pos + 8 + size)
+        else id match {
+          case "avih" if size >= 40 =>
+            usec = i32(b, pos + 8)
+            width = i32(b, pos + 40); height = i32(b, pos + 44)
+          case "strf" if size >= 40 =>
+            bpp = u16(b, pos + 22); comp = i32(b, pos + 24)
+          case _ if id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("db") || id.endsWith("dc")) => offs += (pos + 8)
+          case _ => ()
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, b.length)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (width <= 0 || height <= 0 || bpp != 24 || comp != 0 || offs.isEmpty ||
+      offs.exists(o => o.toLong + rowSize.toLong * height > b.length)) None
+    else Some(VideoStats(width, height, offs.length, usec, offs.toArray))
+  }
+
+  /** Resize step for one decoded frame: the same integer-exact n×n
+    * mean-luma pooling as [[bmpGridLuma]], over the frame's DIB rows. */
+  def aviFrameGrid(b: Array[Byte], st: VideoStats, frame: Int, n: Int = 8): Array[Double] = {
+    val rowSize = ((st.width * 3 + 3) / 4) * 4
+    val base = st.frameOffsets(frame)
+    val g = math.min(n, math.min(st.width, st.height))
+    val sums = Array.ofDim[Long](g * g)
+    val counts = Array.ofDim[Long](g * g)
+    var y = 0
+    while (y < st.height) {
+      val cy = math.min(y * g / st.height, g - 1)
+      val row = base + y * rowSize
+      var x = 0
+      while (x < st.width) {
+        val cx = math.min(x * g / st.width, g - 1)
+        val p = row + x * 3
+        val luma = 299L * (b(p + 2) & 0xff) + 587L * (b(p + 1) & 0xff) +
+          114L * (b(p) & 0xff)
+        sums(cy * g + cx) += luma
+        counts(cy * g + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    sums.indices.map(i => r4(sums(i).toDouble / (1000.0 * counts(i)))).toArray
+  }
+
+  /** Uniform frame sampling: the i-th of k samples is frame
+    * `i * nFrames / k` — deterministic, order-preserving, and exactly
+    * computable on the oracle side. */
+  def sampleFrameIdx(nFrames: Int, k: Int): Array[Int] = {
+    val samples = math.min(k, nFrames)
+    Array.tabulate(samples)(i => i * nFrames / samples)
+  }
+
+  /** Frame-sample + resize + hash over a real AVI payload: decode the
+    * container, sample k frames uniformly, average-hash each sampled
+    * frame's 8×8 luma grid. */
+  def aviFrameHashes(b: Array[Byte], k: Int = 4): Option[Array[(Int, Long)]] =
+    decodeAvi(b).map { st =>
+      sampleFrameIdx(st.nFrames, k).map(f => (f, aHash(aviFrameGrid(b, st, f, 8))))
+    }
+
+  private def videoHashView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "vhash", dir) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).where(col("text").isNotNull)
+        .as[(Long, String)]
+      val hashed = docs.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          // 16 gray 8×8 frames; frame f's 64 pixels from md5("v<f>:<c>:"+text)
+          // chunks c = 0..3, file row order — the oracle rederives the
+          // sampled frames' pixels from the same hex arithmetically.
+          val frames = Array.tabulate(16) { f =>
+            val vals = Array.ofDim[Int](64)
+            var c = 0
+            while (c < 4) {
+              md.reset()
+              val dg = md.digest(s"v$f:$c:$text".getBytes("UTF-8"))
+              var j = 0
+              while (j < 16) { vals(16 * c + j) = dg(j) & 0xff; j += 1 }
+              c += 1
+            }
+            vals
+          }
+          val framesB = frames.clone()
+          framesB(0) = frames(0).clone()
+          framesB(0)(0) = (framesB(0)(0) + 128) % 256 // near-dup: one pixel of one frame
+          Seq(id * 2 -> renderDibAvi(frames, 8, 8), id * 2 + 1 -> renderDibAvi(framesB, 8, 8))
+            .flatMap { case (vid, payload) =>
+              // the REAL pipeline: container parse + frame sample + resize + hash
+              aviFrameHashes(payload, 4).toSeq.flatMap(_.map {
+                case (f, h) => (vid, f, h)
+              })
+            }
+        }
+      }.toDF("id", "frame_idx", "fhash").localCheckpoint(eager = true)
+      val v = "__graft_vhash_" + java.lang.Integer.toHexString(dir.hashCode)
+      hashed.createOrReplaceTempView(v)
+      v
+    }
+
+  /** Frame-sample entry: per sampled frame of every rendered video, the
+    * four 16-bit bands of its average-hash — the exact relation the
+    * near-dup join blocks on, surfaced as an oracle-checkable table. */
+  def runVideoFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val view = videoHashView(spark, dir)
+    spark.sql(
+      s"""SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+         |       CAST(shiftrightunsigned(fhash,  0) & 65535 AS INT) AS band0,
+         |       CAST(shiftrightunsigned(fhash, 16) & 65535 AS INT) AS band1,
+         |       CAST(shiftrightunsigned(fhash, 32) & 65535 AS INT) AS band2,
+         |       CAST(shiftrightunsigned(fhash, 48) & 65535 AS INT) AS band3
+         |  FROM $view
+         | ORDER BY id, frame_idx""".stripMargin)
+  }
+
+  /** Video near-dup by sampled-frame hash sequence: candidates share a
+    * 16-bit band of the SAME sampled frame (total hamming ≤ 3 over 4
+    * frames ⇒ some frame's hashes are equal ⇒ all its bands match —
+    * pigeonhole over frames, then over bands), verified by the exact
+    * frame-aligned `bit_count(xor)` sum. Payloads never shuffle; only
+    * the (id, frame_idx, fhash) relation moves. */
+  def runVideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val view = videoHashView(spark, dir)
+    spark.sql(
+      s"""WITH bands AS (
+         |  SELECT id, frame_idx, fhash, b AS bi,
+         |         shiftrightunsigned(fhash, CAST(16 * b AS INT)) & 65535 AS bv
+         |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
+         |),
+         |cands AS (
+         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |    FROM bands a JOIN bands c
+         |      ON c.frame_idx = a.frame_idx AND c.bi = a.bi AND c.bv = a.bv
+         |         AND c.id > a.id
+         |)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT cd.id_a, cd.id_b,
+         |         CAST(SUM(bit_count(pa.fhash ^ pb.fhash)) AS INT) AS hamming
+         |    FROM cands cd
+         |    JOIN $view pa ON pa.id = cd.id_a
+         |    JOIN $view pb ON pb.id = cd.id_b AND pb.frame_idx = pa.frame_idx
+         |   GROUP BY cd.id_a, cd.id_b) z
+         | WHERE hamming <= 3
+         | ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  private def videoByteExpr(d: Dialect)(f: Int, i: Int): String =
+    d.hexToInt(s"SUBSTRING(MD5('v$f:${i / 16}:' || text), ${2 * (i % 16) + 1}, 2)")
+
+  // the sampled-frame indices for the rendered 16-frame videos — must
+  // equal sampleFrameIdx(16, 4)
+  private val videoSampledFrames = Seq(0, 4, 8, 12)
+
+  /** Shared oracle CTE prefix: per (id, sampled frame), the 64 pixel
+    * bytes straight from the md5 hex plus their sum — every hash bit is
+    * then `v_i · 64 ≥ Σv`, the exact [[aHash]] rule. */
+  private def videoBitsCtes(table: String, d: Dialect): String = {
+    val vs = 0 until 64
+    val frameSelects = videoSampledFrames.map { f =>
+      s"""  SELECT doc_id, CAST($f AS INT) AS frame_idx,
+         |         ${vs.map(i => s"${videoByteExpr(d)(f, i)} AS v$i").mkString(",\n         ")}
+         |    FROM docs""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH docs AS (SELECT doc_id, text FROM $table WHERE text IS NOT NULL),
+       |fr AS (
+       |$frameSelects
+       |),
+       |ids AS (
+       |  SELECT doc_id * 2 AS id, frame_idx, ${vs.map(i => s"v$i").mkString(", ")} FROM fr
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS id, frame_idx,
+       |         CASE WHEN frame_idx = 0 THEN (v0 + 128) % 256 ELSE v0 END AS v0,
+       |         ${vs.drop(1).map(i => s"v$i").mkString(", ")} FROM fr
+       |),
+       |bits AS (
+       |  SELECT id, frame_idx, (${vs.map(i => s"v$i").mkString(" + ")}) AS s,
+       |         ${vs.map(i => s"v$i").mkString(", ")}
+       |    FROM ids
+       |)""".stripMargin
+  }
+
+  /** The bits relation alone — the parity spec materializes this in
+    * Spark first (the single-statement form re-inlines the 64 pixel
+    * expressions through the self-join and explodes at plan time;
+    * DuckDB, which actually executes the oracle, handles it). */
+  def videoBitsSelectSql(table: String)(d: Dialect): String =
+    s"""${videoBitsCtes(table, d)}
+       |SELECT * FROM bits""".stripMargin
+
+  /** Frame-sample tail over a bits relation: each band as the integer
+    * sum of its 16 threshold bits. Dialect-neutral. */
+  def videoFramesTailSql(bitsTable: String): String = {
+    def band(b: Int) = (0 until 16).map { j =>
+      val i = 16 * b + j
+      s"(CASE WHEN v$i * 64 >= s THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n           + ")
+    s"""SELECT id, frame_idx,
+       |       ${(0 until 4).map(b => s"CAST(${band(b)} AS INT) AS band$b").mkString(",\n       ")}
+       |  FROM $bitsTable
+       | ORDER BY id, frame_idx""".stripMargin
+  }
+
+  /** Pairs tail over a bits relation: all-pairs frame-aligned bit
+    * disagreement, summed over the sampled frames. Dialect-neutral. */
+  def videoPairsTailSql(bitsTable: String): String = {
+    val vs = 0 until 64
+    s"""WITH pairsf AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         (${vs.map(i =>
+                    s"(CASE WHEN (a.v$i * 64 >= a.s) = (b.v$i * 64 >= b.s)" +
+                    s" THEN 0 ELSE 1 END)").mkString("\n          + ")}) AS fham
+       |    FROM $bitsTable a JOIN $bitsTable b
+       |      ON b.id > a.id AND b.frame_idx = a.frame_idx
+       |)
+       |SELECT id_a, id_b, CAST(SUM(fham) AS INT) AS hamming
+       |  FROM pairsf
+       | GROUP BY id_a, id_b
+       |HAVING SUM(fham) <= 3
+       | ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Arithmetic oracle for [[runVideoFrameSample]]. */
+  def videoFramesSql(table: String)(d: Dialect): String =
+    s"""${videoBitsCtes(table, d)}
+       |${videoFramesTailSql("bits").replaceFirst("^SELECT", "SELECT")}""".stripMargin
+
+  /** Arithmetic oracle for [[runVideoDedup]]: the bits CTEs feeding the
+    * pairs tail as one statement (executed by DuckDB only). */
+  def videoPairsSql(table: String)(d: Dialect): String = {
+    val tail = videoPairsTailSql("bits")
+    s"""${videoBitsCtes(table, d)},
+       |${tail.stripPrefix("WITH ")}""".stripMargin
+  }
+
+  def videoFramesDuckSql(): String = videoFramesSql("documents")(DuckDialect)
+  def videoPairsDuckSql(): String = videoPairsSql("documents")(DuckDialect)
 }

@@ -399,6 +399,18 @@ class PlanSpec extends SparkSpec {
       "audio dedup re-scanned parquet instead of the landed hash relation")
   }
 
+  test("video dedup joins frame-aligned banded candidates — never all-pairs") {
+    val p = plan(graft.pipeline.Multimodal.runVideoDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), "video dedup plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "video dedup degenerated to a nested loop")
+    assert(!p.contains("FileScan parquet"),
+      "video dedup re-scanned parquet instead of the landed frame-hash relation")
+    val ps = plan(graft.pipeline.Multimodal.runVideoFrameSample(spark, dir))
+    assert(!ps.contains("FileScan parquet"),
+      "frame-sample re-scanned parquet instead of the landed frame-hash relation")
+  }
+
   test("curation ledger joins landed relations — no recompute, no cartesian") {
     val p = plan(graft.pipeline.Selection.runLedger(spark, dir))
     assert(!p.contains("CartesianProduct"), "ledger plans a cartesian")

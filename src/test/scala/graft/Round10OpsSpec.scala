@@ -92,6 +92,57 @@ class Round10OpsSpec extends SparkSpec {
     assert(Multimodal.eHash(energies) == eh)
   }
 
+  test("rendered AVIs round-trip the real container parser with exact frame grids") {
+    import graft.pipeline.Multimodal
+    val frames = Array.tabulate(16)(f =>
+      Array.tabulate(64)(i => (f * 37 + i * 11 + 3) % 256))
+    val avi = Multimodal.renderDibAvi(frames, 8, 8)
+    val st = Multimodal.decodeAvi(avi).get
+    assert(st.width == 8 && st.height == 8 && st.nFrames == 16
+      && st.usecPerFrame == 100000)
+    // 8×8 gray frame → the 8×8 grid is the pixel bytes themselves
+    (0 until 16).foreach { f =>
+      val grid = Multimodal.aviFrameGrid(avi, st, f, 8)
+      assert(grid.sameElements(frames(f).map(_.toDouble)), s"frame $f grid mismatch")
+    }
+    assert(Multimodal.sampleFrameIdx(16, 4).sameElements(Array(0, 4, 8, 12)))
+    assert(Multimodal.sampleFrameIdx(3, 4).sameElements(Array(0, 1, 2)))
+    val hashes = Multimodal.aviFrameHashes(avi, 4).get
+    assert(hashes.map(_._1).sameElements(Array(0, 4, 8, 12)))
+    hashes.foreach { case (f, h) =>
+      assert(h == Multimodal.aHash(frames(f).map(_.toDouble)), s"frame $f hash")
+    }
+    // non-AVI payloads are rejected, not mis-parsed
+    assert(Multimodal.decodeAvi(Multimodal.renderPcmWav(Array.fill(8)(0))).isEmpty)
+  }
+
+  test("engine video frame-sample and dedup match the arithmetic oracle forms") {
+    import graft.pipeline.Multimodal
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__r10_video_docs")
+    // materialize the bits relation first: the single-statement form
+    // re-inlines the 64 pixel expressions through the self-join and
+    // explodes at Spark plan time (DuckDB executes it fine)
+    spark.sql(Multimodal.videoBitsSelectSql("__r10_video_docs")(SparkDialect))
+      .localCheckpoint(eager = true).createOrReplaceTempView("__r10_video_bits")
+    val directFrames = spark.sql(Multimodal.videoFramesTailSql("__r10_video_bits"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toSet
+    val engineFrames = Multimodal.runVideoFrameSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toSet
+    assert(engineFrames.nonEmpty)
+    assert(engineFrames == directFrames,
+      s"missing=${(directFrames -- engineFrames).take(3)} extra=${(engineFrames -- directFrames).take(3)}")
+    val direct = spark.sql(Multimodal.videoPairsTailSql("__r10_video_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val engine = Multimodal.runVideoDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(engine.nonEmpty, "fixture corpus produced no near-dup video pairs")
+    assert(engine == direct,
+      s"missing=${(direct -- engine).take(5)} extra=${(engine -- direct).take(5)}")
+  }
+
   test("engine audio dedup (decode + band join) matches the all-pairs arithmetic oracle form") {
     import graft.pipeline.Multimodal
     graft.core.Tables.load(spark, sfDir, "documents")

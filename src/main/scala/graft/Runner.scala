@@ -237,6 +237,11 @@ object Runner {
         println(s"[graft] index: compaction rewrote ${compacted.size} buckets")
         land("index", "knn_recall",
           graft.pipeline.Similarity.runRecall(spark, dataDir))
+        // PCA/whitening sufficient statistics for the embedding corpus:
+        // one scan, metadata-sized output (the eigensolve consumes it
+        // driver-side via EmbeddingAlgebra.pcaComponents)
+        land("index", "embedding_gram",
+          graft.pipeline.EmbeddingAlgebra.runGram(spark, dataDir))
       case other =>
         println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
     }))

@@ -320,6 +320,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runVideoFrameSample(s, dir))),
       ("media_video_dedup" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runVideoDedup(s, dir))),
+      ("embedding_gram" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runGram(s, dir))),
+      ("embedding_jl_projection" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runJlProjection(s, dir))),
       ("curation_ledger" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runLedger(s, dir))),
       ("substring_duplication" ->
@@ -512,6 +516,8 @@ object SparkEntry {
       ("media_audio_dedup" -> graft.pipeline.Multimodal.audioPairsDuckSql()),
       ("media_video_framesample" -> graft.pipeline.Multimodal.videoFramesDuckSql()),
       ("media_video_dedup" -> graft.pipeline.Multimodal.videoPairsDuckSql()),
+      ("embedding_gram" -> graft.pipeline.EmbeddingAlgebra.gramDuckSql()),
+      ("embedding_jl_projection" -> graft.pipeline.EmbeddingAlgebra.jlProjectionDuckSql()),
       ("curation_ledger" -> graft.pipeline.Selection.ledgerDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),

@@ -411,6 +411,22 @@ class PlanSpec extends SparkSpec {
       "frame-sample re-scanned parquet instead of the landed frame-hash relation")
   }
 
+  test("gram statistics accumulate in one scan with no joins") {
+    val p = plan(graft.pipeline.EmbeddingAlgebra.runGram(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"gram must read embeddings exactly once, got $scans scans")
+    assert(!p.contains("Join"), "gram statistics must never join — partials only")
+  }
+
+  test("jl projection is a single shuffle-free scan (sort excepted)") {
+    val p = plan(graft.pipeline.EmbeddingAlgebra.runJlProjection(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"jl projection must read embeddings exactly once, got $scans")
+    assert(!p.contains("Join"), "jl projection must never join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "jl projection must not hash-shuffle — per-row map work only")
+  }
+
   test("curation ledger joins landed relations — no recompute, no cartesian") {
     val p = plan(graft.pipeline.Selection.runLedger(spark, dir))
     assert(!p.contains("CartesianProduct"), "ledger plans a cartesian")

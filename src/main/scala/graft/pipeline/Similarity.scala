@@ -263,8 +263,15 @@ object Similarity {
                  nPlanes: Int = 8, dim: Int = 64): String = {
     val d: Dialect = SparkDialect
     val planes = hyperplanes(nPlanes, dim)
+    // D-suffixed literals: a bare `array(0.1, …)` is typed ARRAY<DECIMAL>,
+    // which keeps the fold OFF the native-kernel rewrite (the rewrite
+    // type-gates on float/double arrays) and in the interpreted
+    // ArrayAggregate path; ARRAY<DOUBLE> is both what the semantics mean
+    // and what lets the optimizer swap in the codegen'd DotExpr. Scala's
+    // shortest-round-trip Double rendering makes the values bit-identical
+    // to the decimal-literal form either way.
     def proj(vec: String, w: Seq[Double]): String =
-      s"""aggregate(zip_with($vec, array(${w.mkString(", ")}),
+      s"""aggregate(zip_with($vec, array(${w.map(x => s"${x}D").mkString(", ")}),
          | (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),
          | (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
     val bucket = planes.zipWithIndex.map { case (w, p) =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{Decimal, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, Decimal, DoubleType, FloatType, IntegerType}
 
 import graft.functions.{BucketExpr, DotExpr}
 
@@ -51,6 +51,18 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _                      => false
   }
 
+  /** Element-type gate: [[DotExpr]]/[[BucketExpr]] read elements with
+    * getFloat/getDouble, so the rewrite must only fire on float/double
+    * arrays — a DECIMAL-element array (e.g. a bare `array(0.1, …)`
+    * literal, which Spark types as ARRAY<DECIMAL>) passes every
+    * structural guard via the analyzer's inserted casts but crashes the
+    * kernel at runtime with Decimal→Double ClassCastException. */
+  private[plans] def isFloatArray(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    })
+
   private object HofDot {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
@@ -64,7 +76,8 @@ object DotProductRewrite extends Rule[LogicalPlan] {
               (isVar(mult.left, y) && isVar(mult.right, x))) &&
             ((isVar(add.left, acc) && isVar(add.right, v)) ||
               (isVar(add.left, v) && isVar(add.right, acc))) &&
-            isVar(fin, res) && e.dataType == DoubleType =>
+            isVar(fin, res) && e.dataType == DoubleType &&
+            isFloatArray(a) && isFloatArray(b) =>
         Some((a, b))
       case _ => None
     }
@@ -196,6 +209,8 @@ object BucketRewrite extends Rule[LogicalPlan] {
       if (parsed.exists(_.isEmpty)) return None
       val ps = parsed.map(_.get)
       val vec = ps.head._1
+      // same element-type gate as HofDot: BucketExpr reads float/double
+      if (!DotProductRewrite.isFloatArray(vec)) return None
       if (!ps.forall(_._1.semanticEquals(vec))) return None
       val dim = ps.head._3.size
       if (dim < 1 || !ps.forall(_._3.size == dim)) return None

@@ -45,6 +45,62 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("rewrite leaves DECIMAL-element arrays untouched and they still evaluate") {
+    // a bare `array(0.1, …)` literal is typed ARRAY<DECIMAL>; the
+    // analyzer's inserted casts satisfy every structural guard, so
+    // before the element-type gate the rewrite produced a DotExpr that
+    // crashed at runtime with Decimal→Double ClassCastException (found
+    // live: knn_lsh_fold under the Bench extensions session)
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__graft_ext_emb_dec")
+    val sql =
+      s"""SELECT vec_id,
+         |       aggregate(zip_with(embedding, array(${
+              (1 to 64).map(i => s"0.0$i").mkString(", ")}),
+         |         (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),
+         |         (acc, v) -> acc + v) AS d
+         |  FROM __graft_ext_emb_dec ORDER BY vec_id""".stripMargin
+    val before = spark.sql(sql).collect().map(_.getDouble(1))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_dot"),
+        "rewrite fired on a DECIMAL-element array — the kernel cannot read it")
+      val after = df.collect().map(_.getDouble(1))
+      assert(after.sameElements(before))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
+    }
+  }
+
+  test("knn_lsh_fold executes under an extensions session, rows identical to plain") {
+    // the production fold form now renders D-suffixed (ARRAY<DOUBLE>)
+    // weights, so the rewrite fires legitimately — and must not change
+    // a row (this entry silently crashed to the Bench retry path while
+    // the weights were decimal-typed)
+    import org.apache.spark.sql.SparkSession
+    val plain = graft.pipeline.Similarity.runLshFold(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val ext = graft.pipeline.Similarity.runLshFold(s2, sfDir)
+        .collect().map(_.toString).sorted
+      assert(ext.nonEmpty && ext.sameElements(plain),
+        s"extensions session changed knn_lsh_fold: ${ext.length} vs ${plain.length} rows")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("a Runner-style session (builder.withExtensions) rewrites user HOF dot") {
     import org.apache.spark.sql.SparkSession
     // build a session exactly the way Runner/Bench do — withExtensions

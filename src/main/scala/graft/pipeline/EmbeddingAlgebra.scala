@@ -50,6 +50,58 @@ object EmbeddingAlgebra {
     * Ragged rows contribute the dimensions they have (the oracle's
     * pos-copresence join semantics); [[EmbeddingStats]] is the screen
     * that surfaces raggedness. */
+  /** The per-partition accumulator behind [[runGram]] — also the fold
+    * the streaming twin runs per micro-batch
+    * ([[graft.streaming.StreamMonitors.ingestGram]]), so batch and
+    * stream quantize and sum identically by construction. */
+  def gramPartials(it: Iterator[VecRow]): Iterator[(Int, Int, Long, Long, Long, Long)] = {
+    var d = 0
+    var acc = new Array[Long](0)   // upper triangle, row-major
+    var dsum = new Array[Long](0)
+    var n = 0L
+    def grow(nd: Int): Unit = {
+      val a2 = new Array[Long](nd * (nd + 1) / 2)
+      val s2 = new Array[Long](nd)
+      // re-index the old triangle into the wider one
+      var i = 0; var idx = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { a2(i * nd - i * (i - 1) / 2 + (j - i)) = acc(idx); j += 1; idx += 1 }
+        s2(i) = dsum(i); i += 1
+      }
+      acc = a2; dsum = s2; d = nd
+    }
+    it.foreach { row =>
+      val e = row.embedding
+      if (e != null) {
+        if (e.length > d) grow(e.length)
+        n += 1
+        val q = new Array[Long](e.length)
+        var i = 0
+        while (i < e.length) { q(i) = roundHalfAway(e(i).toDouble * 1000); i += 1 }
+        i = 0
+        while (i < e.length) {
+          dsum(i) += q(i)
+          val base = i * d - i * (i - 1) / 2 - i
+          var j = i
+          while (j < e.length) { acc(base + j) += q(i) * q(j); j += 1 }
+          i += 1
+        }
+      }
+    }
+    if (n == 0) Iterator.empty
+    else {
+      var idx = 0
+      (0 until d).iterator.flatMap { i =>
+        (i until d).map { j =>
+          val r = (i, j, acc(idx), dsum(i), dsum(j), n)
+          idx += 1
+          r
+        }
+      }
+    }
+  }
+
   def runGram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -57,53 +109,8 @@ object EmbeddingAlgebra {
       .select(col("vec_id"), col("embedding"))
       .where(col("embedding").isNotNull)
       .as[VecRow]
-    val partials = vecs.mapPartitions { it =>
-      var d = 0
-      var acc = new Array[Long](0)   // upper triangle, row-major
-      var dsum = new Array[Long](0)
-      var n = 0L
-      def grow(nd: Int): Unit = {
-        val a2 = new Array[Long](nd * (nd + 1) / 2)
-        val s2 = new Array[Long](nd)
-        // re-index the old triangle into the wider one
-        var i = 0; var idx = 0
-        while (i < d) {
-          var j = i
-          while (j < d) { a2(i * nd - i * (i - 1) / 2 + (j - i)) = acc(idx); j += 1; idx += 1 }
-          s2(i) = dsum(i); i += 1
-        }
-        acc = a2; dsum = s2; d = nd
-      }
-      it.foreach { row =>
-        val e = row.embedding
-        if (e != null) {
-          if (e.length > d) grow(e.length)
-          n += 1
-          val q = new Array[Long](e.length)
-          var i = 0
-          while (i < e.length) { q(i) = roundHalfAway(e(i).toDouble * 1000); i += 1 }
-          i = 0
-          while (i < e.length) {
-            dsum(i) += q(i)
-            val base = i * d - i * (i - 1) / 2 - i
-            var j = i
-            while (j < e.length) { acc(base + j) += q(i) * q(j); j += 1 }
-            i += 1
-          }
-        }
-      }
-      if (n == 0) Iterator.empty
-      else {
-        var idx = 0
-        (0 until d).iterator.flatMap { i =>
-          (i until d).map { j =>
-            val r = (i, j, acc(idx), dsum(i), dsum(j), n)
-            idx += 1
-            r
-          }
-        }
-      }
-    }.toDF("i", "j", "sxy", "sx", "sy", "n")
+    val partials = vecs.mapPartitions(gramPartials _)
+      .toDF("i", "j", "sxy", "sx", "sy", "n")
     partials.groupBy("i", "j")
       .agg(sum("sxy").as("sxy"), sum("sx").as("sx"),
         sum("sy").as("sy"), sum("n").as("n"))

@@ -317,6 +317,39 @@ object StreamMonitors {
       }
   }
 
+  final case class GramState(sxy: Long, sx: Long, sy: Long, n: Long)
+  final case class GramCell(i: Int, j: Int, sxy: Long, sx: Long, sy: Long, n: Long)
+
+  /** Continuous Gram/covariance maintenance — the streaming twin of
+    * [[graft.pipeline.EmbeddingAlgebra.runGram]]: every micro-batch
+    * folds its vectors through the SAME per-partition outer-product
+    * accumulator ([[graft.pipeline.EmbeddingAlgebra.gramPartials]] —
+    * one code path, so batch and stream quantize identically), then
+    * keyed state per (i, j) cell adds the partials in. The sufficient
+    * statistics are additive longs, so the running matrix after any
+    * prefix of the stream is BIT-IDENTICAL to a batch recompute over
+    * the same rows (replay spec) — the property that makes PCA/
+    * whitening maintainable without ever rescanning the corpus. State
+    * is 4 longs per cell — D(D+1)/2 cells (2 080 at D=64, ~300 k at
+    * D=768) regardless of how long the stream runs. */
+  def ingestGram(vecs: Dataset[graft.pipeline.EmbeddingAlgebra.VecRow]): Dataset[GramCell] = {
+    import vecs.sparkSession.implicits._
+    vecs.mapPartitions(graft.pipeline.EmbeddingAlgebra.gramPartials _)
+      .groupByKey { case (i, j, _, _, _, _) => (i, j) }
+      .flatMapGroupsWithState[GramState, GramCell](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Int), rows: Iterator[(Int, Int, Long, Long, Long, Long)],
+         state: GroupState[GramState]) =>
+          val prev = state.getOption.getOrElse(GramState(0L, 0L, 0L, 0L))
+          val next = rows.foldLeft(prev) { (a, c) =>
+            GramState(a.sxy + c._3, a.sx + c._4, a.sy + c._5, a.n + c._6)
+          }
+          state.update(next)
+          Iterator.single(GramCell(key._1, key._2, next.sxy, next.sx, next.sy, next.n))
+      }
+  }
+
   def ingestDsirScore(docs: org.apache.spark.sql.DataFrame,
                       weights: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, typedLit}

@@ -568,6 +568,41 @@ class StreamMonitorsSpec extends SparkSpec {
     }
   }
 
+  test("streaming gram maintenance replays bit-identical to the batch one-scan gram") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.EmbeddingAlgebra.VecRow
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Float](1)))
+    val (h1, h2) = vecs.splitAt(vecs.length / 3)
+    val input = MemoryStream[VecRow]
+    val q = graft.streaming.StreamMonitors.ingestGram(input.toDS())
+      .writeStream.format("memory").queryName("gram_stream")
+      .outputMode("append").start()
+    val rows = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("gram_stream").collect()
+    } finally q.stop()
+    // the LAST emission per cell is the running matrix after the whole
+    // corpus streamed through
+    val last = rows.groupBy(r => (r.getAs[Int]("i"), r.getAs[Int]("j")))
+      .map { case (k, g) => k -> g.maxBy(_.getAs[Long]("n")) }
+    val batch = graft.pipeline.EmbeddingAlgebra.runGram(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(last.keySet == batch.keySet,
+      s"cells: stream ${last.size} vs batch ${batch.size}")
+    last.foreach { case (k, r) =>
+      val (sxy, sx, sy, n) = batch(k)
+      assert(r.getAs[Long]("sxy") == sxy && r.getAs[Long]("sx") == sx &&
+        r.getAs[Long]("sy") == sy && r.getAs[Long]("n") == n,
+        s"cell $k drifted from the batch recompute")
+    }
+  }
+
   test("file-source job recovers from a mid-stream kill with exactly-once output") {
     // the durability shape MemoryStream can't exercise: a real file
     // source + file sink + checkpoint, killed between batches and

@@ -242,6 +242,11 @@ object Runner {
         // driver-side via EmbeddingAlgebra.pcaComponents)
         land("index", "embedding_gram",
           graft.pipeline.EmbeddingAlgebra.runGram(spark, dataDir))
+        // the driver-side eigensolve over the landed statistics: top-8
+        // principal components + eigenvalues, the metadata-sized model
+        // a whitening/projection pass broadcasts
+        land("index", "pca_components",
+          graft.pipeline.EmbeddingAlgebra.pcaComponents(spark, dataDir, k = 8))
       case other =>
         println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
     }))

@@ -53,6 +53,10 @@ class EmbeddingAlgebraSpec extends SparkSpec {
     }
     val (evals, evecs) = EmbeddingAlgebra.jacobiEigen(cov)
     assert(evals.length == d && evecs.length == d)
+    // similarity transforms preserve the trace: Σλ = tr(cov)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(evals.sum - trace) < 1e-8 * math.max(1.0, math.abs(trace)),
+      s"trace drift: ${evals.sum} vs $trace")
     // descending, PSD up to numerical noise
     evals.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9) }
     assert(evals.last >= -1e-6 * math.max(1.0, math.abs(evals.head)))

@@ -6,14 +6,15 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
 /** Multimodal-column plumbing: media payloads as opaque BINARY columns
   * with typed metadata, and a batched feature-extraction pipeline. The
-  * decode step is REAL for seven public formats the JVM parses without
-  * external libraries — uncompressed 24-bit BMP and 16-bit PCM WAV via
-  * byte-level parsers here, PNG / JPEG / GIF via the JDK's built-in
-  * `javax.imageio` plugins, and AIFF / AU via `javax.sound.sampled`
-  * (both part of Java SE's `java.desktop` module, present in headless
-  * JVMs) — and falls back to a deterministic md5-derived stand-in for
-  * anything else (mp3/mp4 have no JDK codec; a library codec plugs
-  * into the same per-partition decode slot).
+  * decode step is REAL for eight public formats the JVM parses without
+  * external libraries — uncompressed 24-bit BMP, 16-bit PCM WAV, and
+  * uncompressed-DIB AVI video via byte-level parsers here, PNG / JPEG /
+  * GIF via the JDK's built-in `javax.imageio` plugins, and AIFF / AU
+  * via `javax.sound.sampled` (both part of Java SE's `java.desktop`
+  * module, present in headless JVMs) — and falls back to a
+  * deterministic md5-derived stand-in for anything else (mp3/mp4 have
+  * no JDK codec; a library codec plugs into the same per-partition
+  * decode slot).
   *
   * At scale: the binary payloads never shuffle — metadata extraction
   * and featurization are per-partition map work; only the small
@@ -538,10 +539,10 @@ object Multimodal {
 
   /** The Dataset-typed side of the pipeline: binary payload column +
     * per-partition batched decode via mapPartitions — batch-local codec
-    * initialization, bounded memory per batch. BMP, WAV, PNG, JPEG and
-    * GIF payloads decode for real ([[decodeBmp]] / [[decodeWav]] /
-    * [[decodeImageIo]]); anything else gets the deterministic
-    * content-hash stand-in (kind = 'opaque'). */
+    * initialization, bounded memory per batch. BMP, WAV, AVI, PNG, JPEG
+    * and GIF payloads decode for real ([[decodeBmp]] / [[decodeWav]] /
+    * [[decodeAvi]] / [[decodeImageIo]]); anything else gets the
+    * deterministic content-hash stand-in (kind = 'opaque'). */
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, kind: String,
                                  features: Array[Double])
 
@@ -553,16 +554,22 @@ object Multimodal {
       case None => decodeWav(payload) match {
         case Some(a) => MediaFeatures(id, payload.length, "wav",
           Array(a.sampleRate, a.nChannels, a.nSamples, a.peak, a.rms))
-        case None => decodeImageIo(payload) match {
-          case Some((fmt, s)) => MediaFeatures(id, payload.length, fmt,
-            Array(s.width, s.height, s.meanR, s.meanG, s.meanB))
-          case None => decodeAudioIo(payload) match {
-            case Some((fmt, a)) => MediaFeatures(id, payload.length, fmt,
-              Array(a.sampleRate, a.nChannels, a.nSamples, a.peak, a.rms))
-            case None =>
-              val h = digest.digest(payload)
-              MediaFeatures(id, payload.length, "opaque",
-                Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
+        case None => decodeAvi(payload) match {
+          case Some(v) => MediaFeatures(id, payload.length, "avi",
+            Array(v.width, v.height, v.nFrames,
+              // frames/sec from the container's usec-per-frame
+              if (v.usecPerFrame > 0) r4(1e6 / v.usecPerFrame) else 0.0))
+          case None => decodeImageIo(payload) match {
+            case Some((fmt, s)) => MediaFeatures(id, payload.length, fmt,
+              Array(s.width, s.height, s.meanR, s.meanG, s.meanB))
+            case None => decodeAudioIo(payload) match {
+              case Some((fmt, a)) => MediaFeatures(id, payload.length, fmt,
+                Array(a.sampleRate, a.nChannels, a.nSamples, a.peak, a.rms))
+              case None =>
+                val h = digest.digest(payload)
+                MediaFeatures(id, payload.length, "opaque",
+                  Array.tabulate(4)(i => (h(i) & 0xff) / 255.0))
+            }
           }
         }
       }

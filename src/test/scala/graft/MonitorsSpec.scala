@@ -94,6 +94,15 @@ class MonitorsSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(img.take(40)).isEmpty)
     assert(Multimodal.decodeWav(snd.take(20)).isEmpty)
 
+    // video: the AVI container parses to (w, h, frames, fps)
+    val vid = Multimodal.renderDibAvi(
+      Array.tabulate(16)(f => Array.fill(64)(f * 10)), 8, 8)
+    val vrows = Multimodal.extractFrom(Seq((4L, vid)).toDS()).collect()
+    assert(vrows.head.getAs[String]("kind") == "avi")
+    val vf = vrows.head.getAs[scala.collection.Seq[Double]]("features")
+    assert(vf.sameElements(Seq(8.0, 8.0, 16.0, 10.0)), vf.toString)
+    assert(Multimodal.decodeAvi(vid.take(60)).isEmpty)
+
     // resize step: 2x2 grid luma over the 2x2 image = one cell per
     // pixel; decode iterates bottom-up so grid row 0 is the image's
     // BOTTOM row. ITU-R 601 luma with integer weights /1000.

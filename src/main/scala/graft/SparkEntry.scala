@@ -324,6 +324,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runGram(s, dir))),
       ("embedding_jl_projection" ->
         ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runJlProjection(s, dir))),
+      ("sample_mixture" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.runSample(s, dir))),
       ("curation_ledger" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runLedger(s, dir))),
       ("substring_duplication" ->
@@ -518,6 +520,7 @@ object SparkEntry {
       ("media_video_dedup" -> graft.pipeline.Multimodal.videoPairsDuckSql()),
       ("embedding_gram" -> graft.pipeline.EmbeddingAlgebra.gramDuckSql()),
       ("embedding_jl_projection" -> graft.pipeline.EmbeddingAlgebra.jlProjectionDuckSql()),
+      ("sample_mixture" -> graft.pipeline.SourceMixture.sampleDuckSql()),
       ("curation_ledger" -> graft.pipeline.Selection.ledgerDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),

@@ -642,4 +642,47 @@ object SourceMixture {
   }
 
   def duckSql(): String = sql("documents")(DuckDialect)
+
+  /** EXECUTE the mixture — the sampling pass the weights exist for:
+    * each document is emitted `floor(uf)` times plus one more when its
+    * deterministic md5 draw falls under the fractional part, where
+    * `uf = mixture_weight / corpus_share` is the (4-dp, hash-checked)
+    * upsample factor of its source. Rare sources replicate (copy 0, 1,
+    * …), dominant sources thin (uf < 1 ⇒ keep-probability = uf), and
+    * in expectation the sampled corpus's per-source token share lands
+    * on the alpha-flattened mixture. All decisions are integer
+    * arithmetic on the factor's basis points and an md5 % 10⁴ draw —
+    * exact in both engines, seed-free, and stable under any
+    * partitioning. At 100 TB the weights relation is |sources| rows —
+    * a broadcast join against the corpus scan; replication is a
+    * lateral series, never a self-join. */
+  def sampleSql(table: String)(d: Dialect): String = {
+    val draw = s"(${d.hexToInt(s"SUBSTRING(MD5('mix:' || ${d.castText("doc_id")}), 1, 8)")} % 10000)"
+    s"""WITH wsel AS (SELECT * FROM (
+       |${sql(table)(d)}
+       |) z),
+       |m AS (
+       |  SELECT source,
+       |         CAST(ROUND(upsample_factor * 10000) AS BIGINT) AS uf_bp
+       |    FROM wsel
+       |),
+       |kk AS (
+       |  SELECT dd.doc_id, dd.source,
+       |         ${d.intDiv("m.uf_bp", "10000")}
+       |           + (CASE WHEN $draw < m.uf_bp % 10000 THEN 1 ELSE 0 END)
+       |           AS n_copies
+       |    FROM $table dd JOIN m ON m.source = dd.source
+       |)
+       |SELECT doc_id, source, CAST(pos - 1 AS INT) AS copy
+       |  FROM (${d.seriesRel("kk", Seq("doc_id", "source"), "n_copies")}) s
+       | ORDER BY doc_id, copy""".stripMargin
+  }
+
+  def runSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_mix_docs")
+    spark.sql(sampleSql("__graft_mix_docs")(SparkDialect))
+  }
+
+  def sampleDuckSql(): String = sampleSql("documents")(DuckDialect)
 }

@@ -156,6 +156,39 @@ class Round10OpsSpec extends SparkSpec {
       s"missing=${(direct -- engine).take(5)} extra=${(engine -- direct).take(5)}")
   }
 
+  test("mixture sampling emits exactly the closed-form copy count per document") {
+    import graft.pipeline.SourceMixture
+    // recompute every doc's expected copies from the landed weights +
+    // the md5 draw, independent of the SQL's lateral-series plumbing
+    val uf = SourceMixture.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        math.round(r.getAs[Double]("upsample_factor") * 10000))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(docId: Long): Long = {
+      md.reset()
+      val hex = md.digest(s"mix:$docId".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val expected = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map { r =>
+        val bp = uf(r.getString(1))
+        r.getLong(0) -> (bp / 10000 + (if (draw(r.getLong(0)) < bp % 10000) 1 else 0))
+      }.toMap
+    val got = SourceMixture.runSample(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (id, g) =>
+        // copies are a dense 0..n-1 series
+        assert(g.map(_.getInt(2)).sorted.sameElements(0 until g.length), s"doc $id copies")
+        id -> g.length.toLong
+      }
+    assert(got.values.sum > 0)
+    expected.foreach { case (id, n) =>
+      assert(got.getOrElse(id, 0L) == n, s"doc $id: expected $n copies, got ${got.getOrElse(id, 0L)}")
+    }
+  }
+
   test("curation ledger covers every document with a consistent first-cause") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val ledger = Selection.runLedger(spark, sfDir).collect()

@@ -156,6 +156,15 @@ class Round10OpsSpec extends SparkSpec {
       s"missing=${(direct -- engine).take(5)} extra=${(engine -- direct).take(5)}")
   }
 
+  test("every queries entry has a matching oracleSql entry and vice versa") {
+    // a missing oracle silently downgrades the driver's gate to a
+    // rows-only check; a dangling oracle is dead weight
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("mixture sampling emits exactly the closed-form copy count per document") {
     import graft.pipeline.SourceMixture
     // recompute every doc's expected copies from the landed weights +

@@ -326,6 +326,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runJlProjection(s, dir))),
       ("sample_mixture" ->
         ((s: SparkSession, dir: String) => graft.pipeline.SourceMixture.runSample(s, dir))),
+      ("embedding_standardized" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runStandardized(s, dir))),
       ("curation_ledger" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runLedger(s, dir))),
       ("substring_duplication" ->
@@ -521,6 +523,7 @@ object SparkEntry {
       ("embedding_gram" -> graft.pipeline.EmbeddingAlgebra.gramDuckSql()),
       ("embedding_jl_projection" -> graft.pipeline.EmbeddingAlgebra.jlProjectionDuckSql()),
       ("sample_mixture" -> graft.pipeline.SourceMixture.sampleDuckSql()),
+      ("embedding_standardized" -> graft.pipeline.EmbeddingAlgebra.standardizedDuckSql()),
       ("curation_ledger" -> graft.pipeline.Selection.ledgerDuckSql()),
       ("substring_duplication" -> graft.pipeline.Selection.substringDupDuckSql()),
       ("kmeans_refine" -> graft.pipeline.Similarity.kmeansRefineSql("embeddings")(graft.oracle.DuckDialect)),

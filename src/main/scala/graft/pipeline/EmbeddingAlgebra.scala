@@ -227,6 +227,79 @@ object EmbeddingAlgebra {
 
   def jlProjectionDuckSql(): String = jlProjectionSql("embeddings")(DuckDialect)
 
+  // ---- diagonal whitening from the landed statistics -------------------
+
+  /** Per-dimension standardization (diagonal whitening) — the gram
+    * relation CONSUMED distributed-side: the D diagonal cells land once
+    * per session (metadata-sized collect), their means/stds broadcast
+    * as literals into a second scan, and every component emits its
+    * z-score. All stat inputs are the gram's exact integers, so both
+    * engines derive bit-identical doubles before the single 4-dp
+    * rounding; zero-variance dimensions emit NULL (z undefined), and
+    * the z is of the QUANTIZED component — the 1e-3-grain semantics the
+    * gram defines. At 100 TB: one stats collect of D rows + one scan,
+    * no joins. */
+  def runStandardized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stats = graft.core.SessionCache.getOrElseUpdate(spark, "gramdiag", dir) {
+      runGram(spark, dir).where(col("i") === col("j")).collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    }
+    import spark.implicits._
+    val statArr: Array[(Double, Double)] = {
+      val maxD = stats.map(_._1).max + 1
+      val a = Array.fill(maxD)((0.0, 0.0))
+      stats.foreach { case (i, sxx, sx, n) =>
+        val mean = sx.toDouble / n
+        val v = (sxx - sx.toDouble * sx / n) / n
+        a(i) = (mean, math.sqrt(v))
+      }
+      a
+    }
+    val bc = spark.sparkContext.broadcast(statArr)
+    val vecs = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .where(col("embedding").isNotNull)
+      .as[VecRow]
+    vecs.flatMap { row =>
+      val st = bc.value
+      row.embedding.iterator.zipWithIndex.map { case (e, i) =>
+        val q = roundHalfAway(e.toDouble * 1000)
+        val (mean, sd) = if (i < st.length) st(i) else (0.0, 0.0)
+        val z: Option[Double] =
+          if (sd > 0) Some(roundHalfAway((q - mean) / sd * 10000) / 10000.0)
+          else None
+        (row.vec_id, i, z)
+      }
+    }.toDF("vec_id", "dim", "z").orderBy("vec_id", "dim")
+  }
+
+  /** Arithmetic oracle for [[runStandardized]]: the same quantized
+    * stats derived inline, the same z formula, one 4-dp rounding. */
+  def standardizedSql(table: String)(d: Dialect): String =
+    s"""WITH pe AS (
+       |  SELECT vec_id, CAST(pos AS INT) AS dim,
+       |         CAST(ROUND(val * 1000) AS BIGINT) AS q
+       |    FROM (${d.arrayPosRel(table, "vec_id", "embedding")}) t
+       |),
+       |st AS (
+       |  SELECT dim, SUM(q) AS sx, SUM(q * q) AS sxx, COUNT(*) AS n
+       |    FROM pe GROUP BY dim
+       |),
+       |sd AS (
+       |  SELECT dim, CAST(sx AS DOUBLE) / n AS mean,
+       |         SQRT((sxx - CAST(sx AS DOUBLE) * sx / n) / n) AS sdev
+       |    FROM st
+       |)
+       |SELECT pe.vec_id, pe.dim,
+       |       CASE WHEN sd.sdev > 0
+       |            THEN ROUND((pe.q - sd.mean) / sd.sdev, 4)
+       |            ELSE ${d.nullOf("double")} END AS z
+       |  FROM pe JOIN sd ON sd.dim = pe.dim
+       | ORDER BY pe.vec_id, pe.dim""".stripMargin
+
+  def standardizedDuckSql(): String = standardizedSql("embeddings")(DuckDialect)
+
   // ---- driver-side eigensolve over the landed statistics ---------------
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

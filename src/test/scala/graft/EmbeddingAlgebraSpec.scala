@@ -41,6 +41,25 @@ class EmbeddingAlgebraSpec extends SparkSpec {
     assert(engine.keys.map(_._2).toSet == (0 until 16).toSet)
   }
 
+  test("standardization matches the direct SQL form and has unit spread") {
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__ea_embeddings")
+    val direct = spark.sql(EmbeddingAlgebra.standardizedSql("__ea_embeddings")(SparkDialect))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val engine = EmbeddingAlgebra.runStandardized(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(engine.nonEmpty && engine == direct,
+      s"sizes ${engine.size}/${direct.size}; first diff: ${
+        (direct.toSet -- engine.toSet).take(2)}")
+    // standardized components have ~zero mean and ~unit variance per dim
+    val z0 = engine.collect { case ((_, 0), Some(z)) => z }.toSeq
+    val m = z0.sum / z0.size
+    val v = z0.map(z => (z - m) * (z - m)).sum / z0.size
+    assert(math.abs(m) < 0.01 && math.abs(v - 1.0) < 0.05, s"dim0 mean=$m var=$v")
+  }
+
   test("jacobi eigensolve satisfies the defining properties on the fixture covariance") {
     val rows = EmbeddingAlgebra.runGram(spark, sfDir).collect()
     val d = rows.map(_.getInt(1)).max + 1

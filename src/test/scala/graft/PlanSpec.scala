@@ -418,6 +418,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "gram statistics must never join — partials only")
   }
 
+  test("standardization broadcasts the D stats — one scan, no joins") {
+    val p = plan(graft.pipeline.EmbeddingAlgebra.runStandardized(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"standardization must read embeddings exactly once, got $scans")
+    assert(!p.contains("Join"), "standardization must never join — stats are broadcast")
+  }
+
   test("jl projection is a single shuffle-free scan (sort excepted)") {
     val p = plan(graft.pipeline.EmbeddingAlgebra.runJlProjection(spark, dir))
     val scans = "FileScan parquet".r.findAllIn(p).length

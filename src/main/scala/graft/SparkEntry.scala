@@ -320,6 +320,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runVideoFrameSample(s, dir))),
       ("media_video_dedup" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runVideoDedup(s, dir))),
+      ("media_container_meta" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runContainerMeta(s, dir))),
+      ("lm_perplexity" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Perplexity.run(s, dir))),
       ("embedding_gram" ->
         ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runGram(s, dir))),
       ("embedding_jl_projection" ->
@@ -520,6 +524,8 @@ object SparkEntry {
       ("media_audio_dedup" -> graft.pipeline.Multimodal.audioPairsDuckSql()),
       ("media_video_framesample" -> graft.pipeline.Multimodal.videoFramesDuckSql()),
       ("media_video_dedup" -> graft.pipeline.Multimodal.videoPairsDuckSql()),
+      ("media_container_meta" -> graft.pipeline.Multimodal.containerMetaDuckSql()),
+      ("lm_perplexity" -> graft.pipeline.Perplexity.duckSql()),
       ("embedding_gram" -> graft.pipeline.EmbeddingAlgebra.gramDuckSql()),
       ("embedding_jl_projection" -> graft.pipeline.EmbeddingAlgebra.jlProjectionDuckSql()),
       ("sample_mixture" -> graft.pipeline.SourceMixture.sampleDuckSql()),

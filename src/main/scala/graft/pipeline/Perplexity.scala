@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Language-model perplexity filter in the CCNet mold (Wenzek et al.
+  * 2019, "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data"): train a word-bigram model with add-one smoothing on a
+  * small reference slice of the corpus (CCNet trains KenLM on
+  * Wikipedia; here the deterministic `src0` source stands in), then
+  * score EVERY document's perplexity under it — low perplexity reads
+  * like the reference prose, high perplexity flags boilerplate / noise
+  * / wrong-register text — and bucket head/middle/tail at the
+  * perplexity terciles exactly as CCNet splits its shards.
+  *
+  * Cross-engine exactness: every probability is the integer ratio
+  * `(c(prev,w) + 1) / (c(prev) + V)`, each term's log is quantized ONCE
+  * to integer micro-nats (`ROUND(LN(p) · 1e6)`), and per-document sums
+  * are then BIGINT — order-free and bit-identical in both engines; the
+  * one floating exp/round per document runs on identical inputs.
+  *
+  * At 100 TB: training counts shuffle once on (prev, w) with map-side
+  * combine and are metadata-sized thereafter (bounded by the reference
+  * slice's bigram vocabulary — CCNet's reference corpus is orders of
+  * magnitude smaller than the crawl); scoring is two equi-joins of the
+  * token stream against those landed count relations (broadcast-able
+  * when the reference slice is small) plus one per-doc integer groupBy.
+  * The tercile NTILE is a global single-partition window over the
+  * per-DOC relation — same documented at-scale swap as
+  * `quality_calibration` (Selection.scala): replace with the two-phase
+  * histogram threshold election when doc counts pass ~10⁸.
+  */
+object Perplexity {
+
+  /** The reference slice the bigram model trains on. */
+  val TrainSource = "src0"
+
+  private def trainWords(table: String)(d: Dialect): String =
+    d.wordsRel(
+      s"(SELECT doc_id, text FROM $table WHERE source = '$TrainSource' AND text IS NOT NULL) __lmtr",
+      "doc_id", "text")
+
+  /** Model CTEs: bigram counts with a `<s>` start context, context
+    * totals, vocabulary (= distinct bigram successors: every train
+    * token occurs exactly once as a successor) and V = |vocab| + 1
+    * (`<unk>`). */
+  private def modelCtes(table: String)(d: Dialect): String =
+    s"""tw AS (${trainWords(table)(d)}),
+       |tb0 AS (
+       |  SELECT COALESCE(LAG(word) OVER (PARTITION BY id ORDER BY pos), '<s>') AS prev,
+       |         word AS w
+       |    FROM tw
+       |),
+       |train_big AS (SELECT prev, w, COUNT(*) AS c FROM tb0 GROUP BY prev, w),
+       |train_ctx AS (SELECT prev, SUM(c) AS cc FROM train_big GROUP BY prev),
+       |vocab AS (SELECT DISTINCT w AS word FROM train_big),
+       |vsz AS (SELECT COUNT(*) + 1 AS v FROM vocab)""".stripMargin
+
+  /** Scoring CTEs + final select over landed/named model relations.
+    * `vExpr` is the smoothing denominator V — a literal on the engine
+    * path, a scalar subquery in the one-statement oracle. */
+  private def scoreText(table: String, bigRel: String, ctxRel: String,
+                        vocabRel: String, vExpr: String)(d: Dialect): String = {
+    val sw = d.wordsRel(
+      s"(SELECT doc_id, text FROM $table WHERE text IS NOT NULL) __lmsc",
+      "doc_id", "text")
+    s"""sw AS ($sw),
+       |sm AS (
+       |  SELECT s.id, s.pos,
+       |         CASE WHEN v.word IS NOT NULL THEN s.word ELSE '<unk>' END AS wm
+       |    FROM sw s LEFT JOIN $vocabRel v ON v.word = s.word
+       |),
+       |sb AS (
+       |  SELECT id, wm,
+       |         COALESCE(LAG(wm) OVER (PARTITION BY id ORDER BY pos), '<s>') AS pm
+       |    FROM sm
+       |),
+       |terms AS (
+       |  SELECT sb.id,
+       |         CAST(ROUND(LN(CAST(COALESCE(tb.c, 0) + 1 AS DOUBLE)
+       |                       / (COALESCE(tc.cc, 0) + $vExpr)) * 1000000) AS BIGINT) AS lp_micro,
+       |         CASE WHEN sb.wm = '<unk>' THEN 1 ELSE 0 END AS oov
+       |    FROM sb
+       |    LEFT JOIN $bigRel tb ON tb.prev = sb.pm AND tb.w = sb.wm
+       |    LEFT JOIN $ctxRel tc ON tc.prev = sb.pm
+       |),
+       |docstats AS (
+       |  SELECT id AS doc_id, COUNT(*) AS n_tokens,
+       |         SUM(lp_micro) AS lps, SUM(oov) AS oov_ct
+       |    FROM terms GROUP BY id
+       |),
+       |scored AS (
+       |  SELECT doc_id, n_tokens, lps, oov_ct,
+       |         CAST(ROUND(EXP(-(CAST(lps AS DOUBLE) / 1000000.0) / n_tokens), 4) AS DOUBLE) AS ppl
+       |    FROM docstats
+       |)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(oov_ct AS BIGINT) AS oov_ct,
+       |       CAST(lps AS BIGINT) AS lp_micro,
+       |       ppl,
+       |       CAST(NTILE(3) OVER (ORDER BY ppl, doc_id) AS INT) AS ppl_bucket
+       |  FROM scored
+       | ORDER BY doc_id""".stripMargin
+  }
+
+  /** The one-statement rendering (the DuckDB oracle executes this; the
+    * parity spec also runs it on Spark). */
+  def sql(table: String)(d: Dialect): String =
+    s"""WITH ${modelCtes(table)(d)},
+       |${scoreText(table, "train_big", "train_ctx", "vocab",
+                    "(SELECT v FROM vsz)")(d)}""".stripMargin
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+
+  /** Engine path: the three model relations land once per (session,
+    * dir) — ONE scan of the reference slice total (context totals and
+    * the vocabulary both derive from the landed bigram counts) — and V
+    * is collected to a literal; the scoring tail then joins the token
+    * stream against the landed views. */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (bigV, ctxV, vocV, v) = graft.core.SessionCache
+      .getOrElseUpdate(spark, "lmmodel", dir) {
+        val raw = "__graft_lm_docs_" + java.lang.Integer.toHexString(dir.hashCode)
+        graft.core.Tables.load(spark, dir, "documents").createOrReplaceTempView(raw)
+        val suffix = java.lang.Integer.toHexString(dir.hashCode)
+        val bigName = s"__graft_lm_big_$suffix"
+        val ctxName = s"__graft_lm_ctx_$suffix"
+        val vocName = s"__graft_lm_voc_$suffix"
+        val d = SparkDialect
+        spark.sql(
+          s"""WITH tw AS (${trainWords(raw)(d)}),
+             |tb0 AS (
+             |  SELECT COALESCE(LAG(word) OVER (PARTITION BY id ORDER BY pos), '<s>') AS prev,
+             |         word AS w
+             |    FROM tw
+             |)
+             |SELECT prev, w, COUNT(*) AS c FROM tb0 GROUP BY prev, w""".stripMargin)
+          .localCheckpoint(eager = true).createOrReplaceTempView(bigName)
+        spark.sql(s"SELECT prev, SUM(c) AS cc FROM $bigName GROUP BY prev")
+          .localCheckpoint(eager = true).createOrReplaceTempView(ctxName)
+        spark.sql(s"SELECT DISTINCT w AS word FROM $bigName")
+          .localCheckpoint(eager = true).createOrReplaceTempView(vocName)
+        val vVal = spark.sql(s"SELECT COUNT(*) FROM $vocName").head().getLong(0) + 1
+        (bigName, ctxName, vocName, vVal)
+      }
+    val raw = "__graft_lm_docs_" + java.lang.Integer.toHexString(dir.hashCode)
+    graft.core.Tables.load(spark, dir, "documents").createOrReplaceTempView(raw)
+    spark.sql(s"WITH ${scoreText(raw, bigV, ctxV, vocV, v.toString)(SparkDialect)}")
+  }
+}

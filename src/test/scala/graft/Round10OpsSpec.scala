@@ -227,4 +227,141 @@ class Round10OpsSpec extends SparkSpec {
         s"kept doc ${r.getAs[Long]("doc_id")} fails the gate")
     }
   }
+
+  // ---- mp3 / mp4 structural parse (Multimodal) ------------------------
+
+  import graft.pipeline.Multimodal
+
+  test("mp3 frame walk round-trips the rendered CBR stream exactly") {
+    val st = Multimodal.decodeMp3Meta(Multimodal.renderMp3(5, 128, 44100)).get
+    // 5 frames * 1152 samples * 1000 / 44100 Hz = 130 ms (integer floor)
+    assert(st == Multimodal.Mp3Stats(1, 44100, 128, 5, 130))
+  }
+
+  test("mp3 walk skips a leading ID3v2 tag and averages VBR bitrates") {
+    val frames = Multimodal.renderMp3(1, 64, 44100) ++
+      Multimodal.renderMp3(1, 128, 44100)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
+      Array.fill[Byte](20)(0x55)
+    val st = Multimodal.decodeMp3Meta(id3 ++ frames).get
+    assert(st.nFrames == 2 && st.bitrateKbps == 96 && st.sampleRate == 44100)
+  }
+
+  test("mp3 walk handles MPEG2 framing and rejects truncation/garbage") {
+    // hand-built MPEG2 Layer III frame: 64 kbps (V2 table idx 8), 22050 Hz
+    val len = 72 * 64 * 1000 / 22050
+    val f = Array.ofDim[Byte](len)
+    f(0) = 0xff.toByte; f(1) = 0xf3.toByte; f(2) = ((8 << 4) | (0 << 2)).toByte
+    assert(Multimodal.decodeMp3Meta(f).get ==
+      Multimodal.Mp3Stats(2, 22050, 64, 1, 576 * 1000 / 22050))
+    val two = Multimodal.renderMp3(2, 128, 44100)
+    assert(Multimodal.decodeMp3Meta(two.take(two.length - 10)).isEmpty,
+      "truncated second frame must reject")
+    assert(Multimodal.decodeMp3Meta("not audio at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mp4 box walk round-trips the rendered file and rejects overruns") {
+    val st = Multimodal.decodeMp4Meta(Multimodal.renderMp4(90000, 123456, 2)).get
+    assert(st == Multimodal.Mp4Stats("isom", 90000, 123456, 2, 1371))
+    val bad = Multimodal.renderMp4(1000, 500, 1)
+    bad(16 + 11) = 0x7f // mvhd size now overruns its parent moov
+    assert(Multimodal.decodeMp4Meta(bad).isEmpty)
+    assert(Multimodal.decodeMp4Meta("0123456789abcdef".getBytes("UTF-8")).isEmpty,
+      "no ftyp magic must reject")
+  }
+
+  test("mp4 box walk reads a v1 (64-bit) mvhd") {
+    val b = Array.ofDim[Byte](16 + 8 + 120)
+    var p = 0
+    def tag(s: String): Unit = { s.getBytes("US-ASCII").copyToArray(b, p); p += 4 }
+    def w32(v: Long): Unit = {
+      b(p) = (v >>> 24).toByte; b(p + 1) = (v >>> 16).toByte
+      b(p + 2) = (v >>> 8).toByte; b(p + 3) = v.toByte; p += 4
+    }
+    w32(16); tag("ftyp"); tag("mp42"); w32(0)
+    w32(8 + 120); tag("moov")
+    w32(120); tag("mvhd")
+    w32(0x01000000L)                 // version 1 + flags
+    w32(0); w32(0); w32(0); w32(0)   // creation, modification (64-bit each)
+    w32(600)                         // timescale
+    w32(1); w32(0x2b67L)             // duration = 2^32 + 11111
+    while (p < b.length) w32(0)
+    val st = Multimodal.decodeMp4Meta(b).get
+    assert(st.majorBrand == "mp42" && st.timescale == 600 &&
+      st.duration == 4294978407L && st.durationMs == 4294978407L * 1000 / 600)
+  }
+
+  test("featuresOf dispatches mp3/mp4 structurally, opaque for the rest") {
+    import spark.implicits._
+    val ds = Seq(
+      1L -> Multimodal.renderMp3(5, 128, 44100),
+      2L -> Multimodal.renderMp4(1000, 2500, 3),
+      3L -> "plain text payload".getBytes("UTF-8")).toDS()
+    val rows = Multimodal.extractFrom(ds).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("kind"),
+         r.getAs[scala.collection.Seq[Double]]("features").toList)).toMap
+    assert(rows(1L)._1 == "mp3" && rows(1L)._2 == List(44100.0, 5.0, 130.0, 128.0))
+    assert(rows(2L)._1 == "mp4" && rows(2L)._2 == List(1000.0, 2500.0, 2500.0, 3.0))
+    assert(rows(3L)._1 == "opaque")
+  }
+
+  // ---- CCNet-style bigram-LM perplexity filter ------------------------
+
+  import graft.pipeline.Perplexity
+
+  test("perplexity on a hand corpus matches the hand-computed model") {
+    import spark.implicits._
+    Seq(
+      (1L, "a b a", "src0"), // the reference slice: trains the LM
+      (2L, "a b c", "src1")) // c is OOV -> <unk>
+      .toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("__r10_lm_hand")
+    val rows = spark.sql(Perplexity.sql("__r10_lm_hand")(SparkDialect))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // model: bigrams (<s>,a) (a,b) (b,a) each c=1; ctx <s>:1 a:1 b:1;
+    // vocab {a,b} so V=3 -> every seen bigram p=2/4, unseen-from-seen-ctx p=1/4
+    def micro(p: Double) = math.round(math.log(p) * 1e6)
+    val lp2 = 2 * micro(0.5) + micro(0.25) // doc 2: (<s>,a) (a,b) (b,<unk>)
+    val r2 = rows(2L)
+    assert(r2.getAs[Long]("n_tokens") == 3 && r2.getAs[Long]("oov_ct") == 1)
+    assert(r2.getAs[Long]("lp_micro") == lp2)
+    val expPpl = math.rint(math.exp(-(lp2.toDouble / 1e6) / 3) * 10000) / 10000
+    assert(math.abs(r2.getAs[Double]("ppl") - expPpl) < 1e-9)
+    // doc 1 is pure training prose: all three bigrams seen -> lower ppl
+    assert(rows(1L).getAs[Double]("ppl") < r2.getAs[Double]("ppl"))
+  }
+
+  test("engine perplexity path is row-identical to the one-statement form") {
+    val engine = Perplexity.run(spark, sfDir).collect().map(_.toSeq).toSeq
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__r10_lm_docs")
+    val direct = spark.sql(Perplexity.sql("__r10_lm_docs")(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    assert(engine.nonEmpty && engine == direct,
+      s"first diff: ${engine.zip(direct).find { case (a, b) => a != b }}")
+  }
+
+  test("perplexity terciles are balanced and ordered") {
+    val rows = Perplexity.run(spark, sfDir).collect()
+    val byBucket = rows.groupBy(_.getAs[Int]("ppl_bucket"))
+    assert(byBucket.keySet == Set(1, 2, 3))
+    val sizes = byBucket.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced terciles: $byBucket")
+    assert(byBucket(1).map(_.getAs[Double]("ppl")).max <=
+      byBucket(3).map(_.getAs[Double]("ppl")).min,
+      "head bucket must hold the lowest perplexities")
+  }
+
+  test("container-meta entry matches its arithmetic oracle rendering on Spark") {
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__r10_media_docs")
+    val direct = spark.sql(
+      Multimodal.containerMetaSql("__r10_media_docs")(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    val engine = Multimodal.runContainerMeta(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(engine.nonEmpty && engine == direct,
+      s"first diff: ${engine.zip(direct).find { case (a, b) => a != b }}")
+  }
 }

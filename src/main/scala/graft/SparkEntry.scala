@@ -324,6 +324,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Multimodal.runContainerMeta(s, dir))),
       ("lm_perplexity" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Perplexity.run(s, dir))),
+      ("decontaminate_bloom" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.BloomDecontam.run(s, dir))),
       ("embedding_gram" ->
         ((s: SparkSession, dir: String) => graft.pipeline.EmbeddingAlgebra.runGram(s, dir))),
       ("embedding_jl_projection" ->
@@ -526,6 +528,7 @@ object SparkEntry {
       ("media_video_dedup" -> graft.pipeline.Multimodal.videoPairsDuckSql()),
       ("media_container_meta" -> graft.pipeline.Multimodal.containerMetaDuckSql()),
       ("lm_perplexity" -> graft.pipeline.Perplexity.duckSql()),
+      ("decontaminate_bloom" -> graft.pipeline.BloomDecontam.duckSql()),
       ("embedding_gram" -> graft.pipeline.EmbeddingAlgebra.gramDuckSql()),
       ("embedding_jl_projection" -> graft.pipeline.EmbeddingAlgebra.jlProjectionDuckSql()),
       ("sample_mixture" -> graft.pipeline.SourceMixture.sampleDuckSql()),

@@ -106,6 +106,10 @@ sealed trait Dialect {
   def bitCount(x: String): String = s"bit_count($x)"
   /** Arithmetic right shift of an integer expression by n bits. */
   def shiftRight(x: String, n: Int): String
+  /** Right shift by an expression-valued bit count (0..62). */
+  def shiftRightE(x: String, nExpr: String): String
+  /** BIGINT 1 left-shifted by an expression-valued bit count (0..62). */
+  def oneShiftLeftE(nExpr: String): String
   /** Force NULL-in → NULL-out for an expression derived from `x`, for
     * dialects whose string functions (e.g. DuckDB SPLIT_PART) return ''
     * on NULL input where Postgres/Spark return NULL. */
@@ -197,6 +201,10 @@ object SparkDialect extends Dialect {
   def intDiv(a: String, b: String): String = s"(($a) DIV ($b))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
   def shiftRight(x: String, n: Int): String = s"shiftright($x, $n)"
+  def shiftRightE(x: String, nExpr: String): String =
+    s"shiftright($x, CAST($nExpr AS INT))"
+  def oneShiftLeftE(nExpr: String): String =
+    s"shiftleft(CAST(1 AS BIGINT), CAST($nExpr AS INT))"
   def stringAgg(x: String, sep: String, orderBy: String): String =
     s"listagg($x, '${esc(sep)}') WITHIN GROUP (ORDER BY $orderBy)"
   def stringAggDistinct(x: String, sep: String): String =
@@ -279,6 +287,10 @@ object DuckDialect extends Dialect {
   def intDiv(a: String, b: String): String = s"(($a) // ($b))"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def shiftRight(x: String, n: Int): String = s"($x >> $n)"
+  def shiftRightE(x: String, nExpr: String): String =
+    s"($x >> CAST($nExpr AS INT))"
+  def oneShiftLeftE(nExpr: String): String =
+    s"(CAST(1 AS BIGINT) << CAST($nExpr AS INT))"
   def textType: String = "VARCHAR"
   def regexpExtract(x: String, re: String, group: Int): String =
     s"regexp_extract($x, '${esc(re)}', $group)"

@@ -332,6 +332,58 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows(1L).getAs[Double]("ppl") < r2.getAs[Double]("ppl"))
   }
 
+  // ---- Bloom-filter decontamination -----------------------------------
+
+  import graft.pipeline.BloomDecontam
+
+  test("bloom decontamination: planted eval span flags, no false negatives") {
+    import spark.implicits._
+    // 13-word span shared verbatim between an eval doc (id % 23 = 0)
+    // and a corpus doc; a second corpus doc is clean
+    val span = (1 to 13).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (23L, s"eval prefix $span eval suffix"),
+      (1L, s"corpus head $span corpus tail"),
+      (2L, "a totally different stream of words " +
+        (1 to 13).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text").createOrReplaceTempView("__r10_bloom_hand")
+    val rows = spark.sql(BloomDecontam.sql("__r10_bloom_hand")(SparkDialect))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Bloom filters have NO false negatives: every one of doc 1's grams
+    // that textually occurs in the eval doc must register as a hit.
+    // Doc 1 contains the full 13-word eval span -> exactly 1 shared gram.
+    assert(rows(1L).getAs[Long]("bloom_hit_ct") >= 1,
+      "shared 13-gram must hit the filter (no false negatives)")
+    assert(rows(1L).getAs[Long]("gram_ct") == 5) // 17 words -> 5 grams
+    // doc 2 shares nothing; at this filter load FPs are ~impossible
+    assert(rows(2L).getAs[Long]("bloom_hit_ct") == 0)
+    assert(!rows.contains(23L), "eval docs are excluded from the probe")
+  }
+
+  test("bloom engine path is row-identical to the one-statement form") {
+    val engine = BloomDecontam.run(spark, sfDir).collect().map(_.toSeq).toSeq
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__r10_bloom_docs")
+    val direct = spark.sql(BloomDecontam.sql("__r10_bloom_docs")(SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    assert(engine.nonEmpty && engine == direct,
+      s"first diff: ${engine.zip(direct).find { case (a, b) => a != b }}")
+  }
+
+  test("bloom probe joins the filter by broadcast; filter is word-bounded") {
+    val plan = BloomDecontam.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filter probe must broadcast the <=${BloomDecontam.Words}-row filter:\n$plan")
+    // the landed filter relation is bounded by Words rows and every
+    // word uses only the 60 sign-safe bits
+    val words = spark.sql(
+      s"SELECT COUNT(*) c, MIN(w) mn FROM __graft_bloom_words_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)).head()
+    assert(words.getLong(0) <= BloomDecontam.Words)
+    assert(words.getLong(1) >= 0L, "no word may set the sign bits")
+  }
+
   test("engine perplexity path is row-identical to the one-statement form") {
     val engine = Perplexity.run(spark, sfDir).collect().map(_.toSeq).toSeq
     graft.core.Tables.load(spark, sfDir, "documents")

@@ -119,7 +119,29 @@ object Perplexity {
     * is collected to a literal; the scoring tail then joins the token
     * stream against the landed views. */
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val (bigV, ctxV, vocV, v) = graft.core.SessionCache
+    val (bigV, ctxV, vocV, v) = modelViews(spark, dir)
+    val raw = "__graft_lm_docs_" + java.lang.Integer.toHexString(dir.hashCode)
+    graft.core.Tables.load(spark, dir, "documents").createOrReplaceTempView(raw)
+    spark.sql(s"WITH ${scoreText(raw, bigV, ctxV, vocV, v.toString)(SparkDialect)}")
+  }
+
+  /** The frozen model for the streaming ingest gate: bigram counts
+    * keyed `"prev w"` (words are whitespace-split, so the space join is
+    * unambiguous), context totals keyed by `prev`, and V. Collected
+    * driver-side from the landed model relations — bounded by the
+    * reference slice's bigram vocabulary, the same metadata-sized
+    * collect the batch path's V already does. */
+  def frozenModel(spark: SparkSession, dir: String): (Map[String, Long], Map[String, Long], Long) = {
+    val (bigV, ctxV, _, v) = modelViews(spark, dir)
+    val big = spark.sql(s"SELECT prev, w, c FROM $bigV").collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2)).toMap
+    val ctx = spark.sql(s"SELECT prev, cc FROM $ctxV").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (big, ctx, v)
+  }
+
+  private def modelViews(spark: SparkSession, dir: String): (String, String, String, Long) =
+    graft.core.SessionCache
       .getOrElseUpdate(spark, "lmmodel", dir) {
         val raw = "__graft_lm_docs_" + java.lang.Integer.toHexString(dir.hashCode)
         graft.core.Tables.load(spark, dir, "documents").createOrReplaceTempView(raw)
@@ -144,8 +166,4 @@ object Perplexity {
         val vVal = spark.sql(s"SELECT COUNT(*) FROM $vocName").head().getLong(0) + 1
         (bigName, ctxName, vocName, vVal)
       }
-    val raw = "__graft_lm_docs_" + java.lang.Integer.toHexString(dir.hashCode)
-    graft.core.Tables.load(spark, dir, "documents").createOrReplaceTempView(raw)
-    spark.sql(s"WITH ${scoreText(raw, bigV, ctxV, vocV, v.toString)(SparkDialect)}")
-  }
 }

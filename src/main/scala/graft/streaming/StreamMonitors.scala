@@ -363,4 +363,58 @@ object StreamMonitors {
         expr(s"aggregate($words, CAST(0 AS BIGINT), (acc, w) -> acc + coalesce(element_at(__wmap, $f), CAST(0 AS BIGINT)))"))
       .select(col("doc_id"), col("token_ct"), col("dsir_score"))
   }
+
+  /** Streaming perplexity gate at ingest — the production shape of
+    * [[graft.pipeline.Perplexity.run]]: the add-one-smoothed bigram
+    * model is FROZEN from the landed reference slice
+    * ([[graft.pipeline.Perplexity.frozenModel]] — bounded by the
+    * reference slice's bigram vocabulary) and ships as literal maps,
+    * so every arriving (doc_id, text) row scores ROW-LOCALLY: one
+    * vocabulary mapping pass over its own words, one indexed fold for
+    * the bigram terms — no explode, no join, no shuffle, no state,
+    * stream-legal in append mode at any ingest rate. The word split,
+    * `<s>`/`<unk>` handling and micro-nat quantization mirror the
+    * batch scorer expression for expression, so a replayed row's
+    * (n_tokens, oov_ct, lp_micro, ppl) is BIT-IDENTICAL to the
+    * oracle-checked batch relation (StreamMonitorsSpec). `admitted`
+    * applies the gate threshold (the batch path's tercile split is a
+    * corpus-relative rank — a stream admits against a frozen cutoff,
+    * CCNet's deployment mode). Zero-token docs emit NULL ppl and are
+    * admitted (nothing to judge). */
+  def ingestPerplexityScore(docs: org.apache.spark.sql.DataFrame,
+                            bigrams: Map[String, Long],
+                            ctx: Map[String, Long],
+                            v: Long,
+                            pplCutoff: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, typedLit}
+    val vocab = bigrams.keysIterator
+      .map(k => k.substring(k.indexOf(' ') + 1) -> 1L).toMap
+    val words = "filter(split(LOWER(text), '\\\\s+'), w -> w <> '')"
+    docs
+      .withColumn("__b", typedLit(bigrams))
+      .withColumn("__c", typedLit(ctx))
+      .withColumn("__v", typedLit(vocab))
+      .withColumn("__ws", expr(
+        s"transform($words, w -> CASE WHEN element_at(__v, w) IS NOT NULL THEN w ELSE '<unk>' END)"))
+      .withColumn("n_tokens", expr("CAST(size(__ws) AS BIGINT)"))
+      .withColumn("oov_ct", expr(
+        "CAST(size(filter(__ws, w -> w = '<unk>')) AS BIGINT)"))
+      .withColumn("lp_micro", expr(
+        s"""CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE
+           | aggregate(sequence(0, CAST(n_tokens AS INT) - 1), CAST(0 AS BIGINT), (acc, i) ->
+           |  acc + CAST(ROUND(LN(
+           |    CAST(coalesce(element_at(__b,
+           |          (CASE WHEN i = 0 THEN '<s>' ELSE __ws[i - 1] END) || ' ' || __ws[i]),
+           |        CAST(0 AS BIGINT)) + 1 AS DOUBLE)
+           |    / (coalesce(element_at(__c,
+           |          CASE WHEN i = 0 THEN '<s>' ELSE __ws[i - 1] END),
+           |        CAST(0 AS BIGINT)) + $v)) * 1000000) AS BIGINT)) END""".stripMargin))
+      .withColumn("ppl", expr(
+        "CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE CAST(ROUND(EXP(-(CAST(lp_micro AS DOUBLE) / 1000000.0) / n_tokens), 4) AS DOUBLE) END"))
+      .withColumn("admitted", expr(
+        s"CAST(CASE WHEN ppl IS NULL OR ppl <= $pplCutoff THEN 1 ELSE 0 END AS INT)"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_ct"),
+        col("lp_micro"), col("ppl"), col("admitted"))
+  }
 }

@@ -659,4 +659,48 @@ class StreamMonitorsSpec extends SparkSpec {
         s"recovered score drifted for doc ${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("streaming perplexity gate is bit-identical to the batch scorer") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch relation first (also lands the model views the frozen
+    // model reads); drop the corpus-relative tercile column — a stream
+    // gates against a frozen cutoff instead
+    val batch = graft.pipeline.Perplexity.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_ct"),
+         r.getAs[Long]("lp_micro"), r.getAs[Double]("ppl"))).toMap
+    val (big, ctx, v) = graft.pipeline.Perplexity.frozenModel(spark, sfDir)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[GateDoc].collect()
+    val cutoff = batch.values.map(_._4).toSeq.sorted.apply(batch.size / 2)
+    val input = MemoryStream[GateDoc]
+    val q = StreamMonitors.ingestPerplexityScore(
+      input.toDF(), big, ctx, v, cutoff)
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("append").start()
+    val out = try {
+      input.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      spark.table("ppl_stream").collect()
+    } finally q.stop()
+    assert(out.length == docs.length)
+    var admitted = 0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, oov, lp, ppl) = batch(id)
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("oov_ct") == oov,
+        s"token/oov drift for doc $id")
+      assert(r.getAs[Long]("lp_micro") == lp,
+        s"micro-nat sum drifted for doc $id: ${r.getAs[Long]("lp_micro")} vs $lp")
+      assert(r.getAs[Double]("ppl") == ppl, s"ppl drifted for doc $id")
+      val adm = r.getAs[Int]("admitted")
+      assert(adm == (if (ppl <= cutoff) 1 else 0), s"gate verdict wrong for doc $id")
+      admitted += adm
+    }
+    // the median cutoff must admit roughly half — the gate actually gates
+    assert(admitted > 0 && admitted < out.length)
+  }
 }

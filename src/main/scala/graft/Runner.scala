@@ -17,7 +17,7 @@ object Runner {
   // "ingest" is opt-in (not in the default lifecycle): it converts a
   // text-format source corpus to parquet before everything else runs
   private val allStages = Seq("chars", "drift", "profile", "infer", "hygiene",
-    "generate", "execute", "score", "monitor", "curate", "index")
+    "generate", "execute", "score", "export", "monitor", "curate", "index")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -110,6 +110,10 @@ object Runner {
         // is the oracle contract — see IncrementalProfile)
         land("profile", "profile_incremental",
           graft.pipeline.IncrementalProfile.run(spark, dataDir))
+        // bounded-memory token heavy hitters — the sketch-pass
+        // complement of the exact frequency profile
+        land("profile", "freq_heavy_hitters",
+          graft.profiling.HeavyHitters.run(spark, dataDir))
       case "infer" =>
         land("infer", "functional_datatype",
           graft.inference.FunctionalType.infer(spark, dataDir))
@@ -154,6 +158,19 @@ object Runner {
         graft.scoring.Scoring.landScoreDetail(spark, dataDir, historyRoot, runId)
         graft.scoring.Scoring.scoreHistoryFromLanded(spark, historyRoot)
           .foreach(df => land("score", "score_history", df))
+      case "export" =>
+        // outbound observability feed: only results still Queued (not
+        // marked Sent by a prior invocation) export; the exported keys
+        // land in the run history so a re-run exports nothing new —
+        // the reference's post-then-mark increment loop
+        // (run_observability_exporter.py:283-314)
+        val exported = graft.scoring.Observability
+          .runQueued(spark, dataDir, historyRoot)
+        land("export", "observability_export", exported)
+        // mark from the landed parquet — no second plan execution
+        graft.scoring.Observability.markSent(spark,
+          spark.read.parquet(s"$outDir/observability_export"), historyRoot, runId)
+        println(s"[graft] export: marked Sent in $historyRoot/$runId/observability_sent")
       case "monitor" =>
         land("monitor", "monitor_freshness",
           graft.streaming.Monitors.runFreshness(spark, dataDir))

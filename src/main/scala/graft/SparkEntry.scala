@@ -48,6 +48,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.generation.TestGenerator.run(s, dir))),
       ("test_prevalence" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runTestPrevalence(s, dir))),
+      ("observability_export" ->
+        ((s: SparkSession, dir: String) => graft.scoring.Observability.run(s, dir))),
+      ("freq_heavy_hitters" ->
+        ((s: SparkSession, dir: String) => graft.profiling.HeavyHitters.run(s, dir))),
       ("dq_scores" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir))),
       ("text_analysis" ->
@@ -389,6 +393,8 @@ object SparkEntry {
       ("hygiene_screens" -> graft.inference.HygieneScreens.duckSql()),
       ("test_generation" -> graft.generation.TestGenerator.duckSql()),
       ("test_prevalence" -> graft.scoring.Scoring.duckTestPrevalenceSql()),
+      ("observability_export" -> graft.scoring.Observability.duckSql()),
+      ("freq_heavy_hitters" -> graft.profiling.HeavyHitters.duckSql()),
       ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql()),
       ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()),
       ("text_repetition" -> graft.pipeline.Repetition.duckSql()),

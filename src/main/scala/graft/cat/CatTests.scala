@@ -27,8 +27,30 @@ final case class CatTest(
     threshold: String,
     measure: Dialect => String,
     stringMeasure: Boolean = false,
-    lookup: Option[(Dialect, String) => String] = None) {
+    lookup: Option[(Dialect, String) => String] = None,
+    baselineParams: Seq[(String, String)] = Nil) {
   def condition(d: Dialect): String = s"${measure(d)} $op $threshold"
+
+  /** The reference's rendered `input_parameters` string for this test
+    * definition: every populated InputParameters field as `name=value`,
+    * quotes replaced with backticks (reference:
+    * testgen/commands/queries/execute_tests_query.py:29-50,268-273 — note
+    * the dataclass declares threshold_value BETWEEN baseline_value_ct and
+    * baseline_sum, so the canonical order keeps it there). The reference
+    * joins with "; " but its own Observability parser
+    * (run_observability_exporter.py:252-281) splits values on commas —
+    * the legacy ", "-joined format is the one it parses correctly, so
+    * that is the format rendered here (the exporter entry documents the
+    * quirk).
+    */
+  def inputParameters: String = {
+    val order = Seq("baseline_ct", "baseline_unique_ct", "baseline_value",
+      "baseline_value_ct", "threshold_value", "baseline_sum",
+      "baseline_avg", "baseline_sd")
+    val all = baselineParams :+ ("threshold_value" -> threshold)
+    order.flatMap(k => all.collectFirst { case (`k`, v) if v.nonEmpty => s"$k=$v" })
+      .mkString(", ").replace("'", "`")
+  }
 }
 
 object CatMeasures {
@@ -83,7 +105,9 @@ object CatMeasures {
     CatTest("Avg_Shift", c, ">=", t, _ =>
       s"""ABS((AVG(${dbl(c)}) - $bavg) / SQRT(((${dbl(s"COUNT($c)")} - 1) * POWER(STDDEV(${dbl(c)}), 2)
          | + ($bct - 1) * POWER($bsd, 2)) / NULLIF(${dbl(s"COUNT($c)")} + $bct, 0)))""".stripMargin.replace("\n", ""),
-      lookup = Some(scalarLk(d => decStr(d, s"AVG(${dbl(c)})"))))
+      lookup = Some(scalarLk(d => decStr(d, s"AVG(${dbl(c)})"))),
+      baselineParams = Seq("baseline_ct" -> bct.toString,
+        "baseline_avg" -> bavg.toString, "baseline_sd" -> bsd.toString))
 
   def conditionFlag(c: String, custom: String, t: String) =
     CatTest("Condition_Flag", c, ">", t, _ => sumIf(custom),
@@ -91,7 +115,8 @@ object CatMeasures {
 
   def constant(c: String, baselineLit: String, t: String) =
     CatTest("Constant", c, ">", t, _ => sumIf(s"$c <> $baselineLit"),
-      lookup = Some(groupLk(_ => s"$c <> $baselineLit")(c)))
+      lookup = Some(groupLk(_ => s"$c <> $baselineLit")(c)),
+      baselineParams = Seq("baseline_value" -> baselineLit))
 
   def dailyRecordCt(c: String, t: String) =
     CatTest("Daily_Record_Ct", c, ">", t, d =>
@@ -134,27 +159,37 @@ object CatMeasures {
     CatTest("Incr_Avg_Shift", c, ">=", t, _ =>
       s"COALESCE(ABS(($bavg - (SUM(${dbl(c)}) - $bsum) / NULLIF(${dbl(s"COUNT($c)")} - $bct, 0)) / $bsd), 0)",
       lookup = Some(scalarLk(d => decStr(d,
-        s"(SUM(${dbl(c)}) - $bsum) / NULLIF(${dbl(s"COUNT($c)")} - $bct, 0)"))))
+        s"(SUM(${dbl(c)}) - $bsum) / NULLIF(${dbl(s"COUNT($c)")} - $bct, 0)"))),
+      baselineParams = Seq("baseline_ct" -> bct.toString,
+        "baseline_sum" -> bsum.toString, "baseline_avg" -> bavg.toString,
+        "baseline_sd" -> bsd.toString))
 
   def lovAll(c: String, expected: String) =
     CatTest("LOV_All", c, "<>", sq(expected), d => d.stringAggDistinct(c, "|"),
       stringMeasure = true,
-      lookup = Some(groupLk(_ => s"$c IS NOT NULL")(c)))
+      lookup = Some(groupLk(_ => s"$c IS NOT NULL")(c)),
+      baselineParams = Seq("baseline_value" -> expected))
 
   def lovMatch(c: String, allowed: Seq[String], t: String) =
     CatTest("LOV_Match", c, ">", t, _ =>
       sumIf(s"NULLIF($c, '') NOT IN ${inList(allowed)}"),
-      lookup = Some(groupLk(_ => s"NULLIF($c, '') NOT IN ${inList(allowed)}")(c)))
+      lookup = Some(groupLk(_ => s"NULLIF($c, '') NOT IN ${inList(allowed)}")(c)),
+      // the quoted comma-joined list form the reference stores — values
+      // containing commas are what the Observability parameter parser's
+      // words[:-1] reassembly path exists for
+      baselineParams = Seq("baseline_value" -> allowed.map(sq).mkString(",")))
 
   def minDate(c: String, baseline: String, t: String) =
     CatTest("Min_Date", c, ">", t, _ => sumIf(s"$c < TIMESTAMP '$baseline'"),
       lookup = Some(groupLk(_ => s"$c < TIMESTAMP '$baseline'",
-        (d, col) => d.fmtTs(col))(c)))
+        (d, col) => d.fmtTs(col))(c)),
+      baselineParams = Seq("baseline_value" -> baseline))
 
   def minVal(c: String, baseline: Double, t: String) =
     CatTest("Min_Val", c, ">", t, _ => sumIf(s"$c < $baseline - 1e-6"),
       lookup = Some(groupLk(_ => s"$c < $baseline - 1e-6",
-        (d, col) => decStr(d, col))(c)))
+        (d, col) => decStr(d, col))(c)),
+      baselineParams = Seq("baseline_value" -> baseline.toString))
 
   def missingPct(c: String, bvc: Long, bct: Long, t: String) =
     CatTest("Missing_Pct", c, ">=", t, _ =>
@@ -163,7 +198,9 @@ object CatMeasures {
         s"""SELECT CAST($c AS ${d.textType}) AS v, CAST(COUNT(*) AS BIGINT) AS ct
            |  FROM $tbl
            | WHERE $c IS NULL OR CAST($c AS ${d.textType}) = ''
-           | GROUP BY 1 ORDER BY ct DESC, v LIMIT $LookupLimit""".stripMargin))
+           | GROUP BY 1 ORDER BY ct DESC, v LIMIT $LookupLimit""".stripMargin),
+      baselineParams = Seq("baseline_value_ct" -> bvc.toString,
+        "baseline_ct" -> bct.toString))
 
   def monthlyRecCt(c: String, t: String) = {
     def m(d: Dialect) = {
@@ -177,19 +214,24 @@ object CatMeasures {
     CatTest("Outlier_Pct_Above", c, ">", t, _ =>
       s"${dbl(sumIf(s"${dbl(c)} > $bavg + (2.0 * $bsd)"))} / ${dbl(s"NULLIF(COUNT($c), 0)")}",
       lookup = Some(groupLk(_ => s"${dbl(c)} > $bavg + (2.0 * $bsd)",
-        (d, col) => decStr(d, col))(c)))
+        (d, col) => decStr(d, col))(c)),
+      baselineParams = Seq("baseline_avg" -> bavg.toString,
+        "baseline_sd" -> bsd.toString))
 
   def outlierPctBelow(c: String, bavg: Double, bsd: Double, t: String) =
     CatTest("Outlier_Pct_Below", c, ">", t, _ =>
       s"${dbl(sumIf(s"${dbl(c)} < $bavg - (2.0 * $bsd)"))} / ${dbl(s"NULLIF(COUNT($c), 0)")}",
       lookup = Some(groupLk(_ => s"${dbl(c)} < $bavg - (2.0 * $bsd)",
-        (d, col) => decStr(d, col))(c)))
+        (d, col) => decStr(d, col))(c)),
+      baselineParams = Seq("baseline_avg" -> bavg.toString,
+        "baseline_sd" -> bsd.toString))
 
   def patternMatch(c: String, re: String, t: String) =
     CatTest("Pattern_Match", c, ">", t, d =>
       s"COUNT(NULLIF($c, '')) - ${sumIf(d.rlike(s"NULLIF($c, '')", re))}",
       lookup = Some(groupLk(d =>
-        s"NULLIF($c, '') IS NOT NULL AND ${d.notRlike(s"NULLIF($c, '')", re)}")(c)))
+        s"NULLIF($c, '') IS NOT NULL AND ${d.notRlike(s"NULLIF($c, '')", re)}")(c)),
+      baselineParams = Seq("baseline_value" -> re))
 
   def recency(c: String, t: String) =
     CatTest("Recency", c, ">", t, d => d.dateDiffDay(s"MAX($c)", runDateLit),
@@ -207,7 +249,8 @@ object CatMeasures {
     CatTest("Row_Ct_Pct", anyCol, ">", t, _ =>
       s"ABS(ROUND(100.0 * (COUNT(*) - $bct) / ${dbl(bct.toString)}, 2))",
       lookup = Some(scalarLk(d =>
-        decStr(d, s"ABS(ROUND(100.0 * (COUNT(*) - $bct) / ${dbl(bct.toString)}, 2))"))))
+        decStr(d, s"ABS(ROUND(100.0 * (COUNT(*) - $bct) / ${dbl(bct.toString)}, 2))"))),
+      baselineParams = Seq("baseline_ct" -> bct.toString))
 
   def streetAddrPattern(c: String, t: String) =
     CatTest("Street_Addr_Pattern", c, "<", t, d =>
@@ -236,7 +279,9 @@ object CatMeasures {
         s"""SELECT CAST($c AS ${d.textType}) AS v, CAST(COUNT(*) AS BIGINT) AS ct
            |  FROM $tbl
            | GROUP BY 1 HAVING COUNT(*) > 1
-           | ORDER BY ct DESC, v LIMIT $LookupLimit""".stripMargin))
+           | ORDER BY ct DESC, v LIMIT $LookupLimit""".stripMargin),
+      baselineParams = Seq("baseline_unique_ct" -> buc.toString,
+        "baseline_value_ct" -> bvc.toString))
 
   /** 7 invisible chars + leading space/quote checks
     * (test_types_Valid_Characters.yaml pg measure). */
@@ -250,7 +295,8 @@ object CatMeasures {
   def validMonth(c: String, allowed: Seq[String], t: String) =
     CatTest("Valid_Month", c, ">", t, _ =>
       sumIf(s"NULLIF($c, '') NOT IN ${inList(allowed)}"),
-      lookup = Some(groupLk(_ => s"NULLIF($c, '') NOT IN ${inList(allowed)}")(c)))
+      lookup = Some(groupLk(_ => s"NULLIF($c, '') NOT IN ${inList(allowed)}")(c)),
+      baselineParams = Seq("baseline_value" -> allowed.map(sq).mkString(",")))
 
   def validUsZip(c: String, t: String) =
     CatTest("Valid_US_Zip", c, ">", t, _ =>
@@ -267,12 +313,14 @@ object CatMeasures {
   def variabilityIncrease(c: String, bsd: Double, t: String) =
     CatTest("Variability_Increase", c, ">", t, _ =>
       s"100.0 * STDDEV(${dbl(c)}) / $bsd",
-      lookup = Some(scalarLk(d => decStr(d, s"STDDEV(${dbl(c)})"))))
+      lookup = Some(scalarLk(d => decStr(d, s"STDDEV(${dbl(c)})"))),
+      baselineParams = Seq("baseline_sd" -> bsd.toString))
 
   def variabilityDecrease(c: String, bsd: Double, t: String) =
     CatTest("Variability_Decrease", c, "<", t, _ =>
       s"100.0 * STDDEV(${dbl(c)}) / $bsd",
-      lookup = Some(scalarLk(d => decStr(d, s"STDDEV(${dbl(c)})"))))
+      lookup = Some(scalarLk(d => decStr(d, s"STDDEV(${dbl(c)})"))),
+      baselineParams = Seq("baseline_sd" -> bsd.toString))
 
   def weeklyRecCt(c: String, t: String) = {
     def m(d: Dialect) = {

@@ -140,6 +140,10 @@ sealed trait Dialect {
 
   /** A landed parquet directory as a relation. */
   def readParquet(path: String): String
+
+  /** Byte length of a string expression (UTF-8 octets — DuckDB's
+    * octet_length is BLOB-only, so it renders strlen there). */
+  def byteLen(x: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -215,6 +219,7 @@ object SparkDialect extends Dialect {
   def rtrimChars(x: String, chars: String): String =
     s"TRIM(TRAILING '${esc(chars)}' FROM $x)"
   def readParquet(path: String): String = s"parquet.`$path`"
+  def byteLen(x: String): String = s"octet_length($x)"
   private def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
   protected def escq(s: String): String = esc(s)
 }
@@ -297,6 +302,7 @@ object DuckDialect extends Dialect {
   def rtrimChars(x: String, chars: String): String =
     s"rtrim($x, '${esc(chars)}')"
   def readParquet(path: String): String = s"read_parquet('$path/*.parquet')"
+  def byteLen(x: String): String = s"strlen($x)"
   private def esc(s: String) = s.replace("'", "''")
   protected def escq(s: String): String = esc(s)
 }

@@ -572,7 +572,7 @@ object Scoring {
 
   /** CAT results across every suite table, memoized per (session, dir) —
     * shared by prevalence, score cards and the issues drill-down. */
-  private def catResultsView(spark: SparkSession, dir: String): String =
+  private[graft] def catResultsView(spark: SparkSession, dir: String): String =
     graft.core.SessionCache.getOrElseUpdate(spark, "catres_view", dir) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -587,7 +587,7 @@ object Scoring {
       view
     }
 
-  private def duckCatRel(): String =
+  private[graft] def duckCatRel(): String =
     CatSuite.suites.keys.toSeq.sorted
       .map(t => s"SELECT '$t' AS table_name, * FROM (${CatSuite.duckSql(t)})")
       .mkString("(\n", "\nUNION ALL\n", "\n)")

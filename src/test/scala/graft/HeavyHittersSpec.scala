@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.profiling.HeavyHitters
+import graft.oracle.SparkDialect
+
+/** Heavy hitters: the tree-merged Misra–Gries candidate pass must be a
+  * superset of the true ≥1/K-support tokens (so the exact second pass
+  * reproduces the global GROUP BY bit-for-bit), and the sketch state
+  * must stay bounded regardless of partitioning. */
+class HeavyHittersSpec extends SparkSpec {
+
+  test("two-pass result equals the exact global group-by on the fixture") {
+    val fast = HeavyHitters.run(spark, sfDir).collect()
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__graft_hh_docs")
+    val exact = spark.sql(HeavyHitters.sql("__graft_hh_docs")(SparkDialect)).collect()
+    assert(fast.nonEmpty, "fixture corpus should have ≥1/K-support tokens")
+    assert(fast.toSeq == exact.toSeq)
+  }
+
+  test("candidate set is bounded by the sketch size and is a superset") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val toks = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val cands = HeavyHitters.candidates(spark, toks)
+    assert(cands.size <= HeavyHitters.SummarySize)
+    val hh = HeavyHitters.run(spark, sfDir).collect().map(_.getString(0)).toSet
+    assert(hh.subsetOf(cands.toSet))
+  }
+
+  test("a planted heavy token spread across partitions is found") {
+    import spark.implicits._
+    // 40 partitions, the hot token only 1/8 of each partition's stream —
+    // no partition-local majority, only the merged summary sees it
+    val rows = (1L to 4000L).map { i =>
+      val w = if (i % 8 == 0) "hot" else s"noise_$i"
+      (i, w)
+    }
+    val df = rows.toDF("doc_id", "text").repartition(40)
+    df.createOrReplaceTempView("__graft_hh_planted")
+    val toks = df.select(col("text").as("word"))
+    val cands = HeavyHitters.candidates(spark, toks)
+    assert(cands.contains("hot"),
+      s"superset guarantee broken: 'hot' (support 1/8 ≥ 1/K) missing from ${cands.size} candidates")
+  }
+}

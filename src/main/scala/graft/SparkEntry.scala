@@ -52,6 +52,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.scoring.Observability.run(s, dir))),
       ("freq_heavy_hitters" ->
         ((s: SparkSession, dir: String) => graft.profiling.HeavyHitters.run(s, dir))),
+      ("sample_priority_k" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.PrioritySample.run(s, dir))),
       ("dq_scores" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir))),
       ("text_analysis" ->
@@ -395,6 +397,7 @@ object SparkEntry {
       ("test_prevalence" -> graft.scoring.Scoring.duckTestPrevalenceSql()),
       ("observability_export" -> graft.scoring.Observability.duckSql()),
       ("freq_heavy_hitters" -> graft.profiling.HeavyHitters.duckSql()),
+      ("sample_priority_k" -> graft.pipeline.PrioritySample.duckSql()),
       ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql()),
       ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()),
       ("text_repetition" -> graft.pipeline.Repetition.duckSql()),

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.{Dialect, DuckDialect, SparkDialect}
+
+/** Deterministic exact-k priority sample — the fixed-SIZE complement of
+  * the rate-based [[StratifiedSample]]: carve exactly k documents
+  * (a debugging subsample, an eval holdout, a labeling batch) from a
+  * corpus of any size, reproducibly.
+  *
+  * Each document's priority is the md5 of its id under a purpose tag —
+  * the same content-keyed draw as the sampled profiler
+  * ([[graft.profiling.SampledProfiler]]) — and the sample is the k
+  * lowest priorities. Because priorities are content-keyed, the sample
+  * is stable across runs, engines, and cluster layouts, and growing the
+  * corpus only ever displaces members (a hash-priority bottom-k is a
+  * uniform random k-subset under the md5's uniformity).
+  *
+  * At 100 TB: `ORDER BY priority LIMIT k` plans as
+  * TakeOrderedAndProject — each task keeps a k-row heap and the driver
+  * merges k·P rows; NO global sort, no shuffle of the corpus
+  * (PlanSpec-style tripwire in the spec). The reference has no sampling
+  * primitive beyond per-run Bernoulli TABLESAMPLE
+  * (reference: testgen/template/flavors/postgresql/profiling/
+  * project_profiling_query.sql:3,250 — rate-based, size unbounded);
+  * fixed-size carving is what a training pipeline actually schedules
+  * around.
+  */
+object PrioritySample {
+
+  val K = 100
+
+  def sql(table: String, k: Int = K)(d: Dialect): String = {
+    val prio = s"SUBSTRING(MD5('prio:' || ${d.castText("doc_id")}), 1, 16)"
+    s"""SELECT doc_id, lang, source, $prio AS priority
+       |  FROM $table
+       | ORDER BY priority, doc_id
+       | LIMIT $k""".stripMargin
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents", parallelize = false)
+      .createOrReplaceTempView("__graft_prio_docs")
+    spark.sql(sql("__graft_prio_docs")(SparkDialect))
+  }
+
+  def duckSql(): String = sql("documents")(DuckDialect)
+}

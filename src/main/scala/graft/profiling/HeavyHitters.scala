@@ -91,6 +91,31 @@ object HeavyHitters {
     into
   }
 
+  /** One partition's sketch as weighted entries — the shuffle-sized
+    * relation the streaming twin moves (≤ m rows per task, never the
+    * token stream). */
+  private[graft] def partitionSketch(it: Iterator[String], m: Int): Iterator[(String, Long)] = {
+    val sk = new Sketch()
+    while (it.hasNext) insert(sk, it.next(), m)
+    sk.entrySet().asScala.map(e => (e.getKey, e.getValue.longValue)).iterator
+  }
+
+  /** Fold a trigger's weighted sketch entries into the running summary
+    * (mergeable-summaries merge + trim) — the streaming twin's state
+    * transition; bounded by m keys whatever streamed before. */
+  private[graft] def mergeInto(prev: Map[String, Long],
+                               entries: Iterator[(String, Long)],
+                               m: Int): Map[String, Long] = {
+    val a = new Sketch()
+    prev.foreach { case (w, c) => a.put(w, c) }
+    val b = new Sketch()
+    entries.foreach { case (w, c) =>
+      val cur = b.get(w)
+      b.put(w, if (cur != null) cur + c else c)
+    }
+    merge(a, b, m).asScala.map { case (w, c) => (w, c.longValue) }.toMap
+  }
+
   /** Tokenization identical to the oracle's `wordsRel`: lowercase, split
     * on runs of whitespace, drop empties. */
   private def tokens(docs: DataFrame) =

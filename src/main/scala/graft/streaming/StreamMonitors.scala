@@ -350,6 +350,44 @@ object StreamMonitors {
       }
   }
 
+  final case class HhCand(word: String, est: Long, epoch: Long)
+
+  /** Streaming heavy-hitter sketch maintenance — the continuous twin of
+    * [[graft.profiling.HeavyHitters]]' candidate pass. Each micro-batch
+    * summarizes its token stream per partition with the same m-counter
+    * Misra–Gries insert the batch pass uses, so ONLY sketch entries
+    * shuffle (≤ m rows per task — never the token stream), and a single
+    * keyed state folds them into the running global summary with the
+    * mergeable-summaries merge (bounded at m keys forever). Every
+    * trigger emits the current candidates with its state epoch, so the
+    * highest-epoch emission is always a SUPERSET of the true ≥1/K-support
+    * tokens of everything ingested so far (same pigeonhole as the batch
+    * pass; the exact counting scan stays a batch job over the landed
+    * corpus). Single-group state is deliberate: the merged summary IS
+    * m entries, so the state task touches ≤ m·P sketch rows per trigger,
+    * metadata-sized at any ingest rate. */
+  def ingestHeavyHitters(docs: DataFrame): Dataset[HhCand] = {
+    import docs.sparkSession.implicits._
+    val m = graft.profiling.HeavyHitters.SummarySize
+    val toks = docs
+      .selectExpr("explode(filter(split(LOWER(text), '\\\\s+'), w -> w <> '')) AS word")
+      .as[String]
+    toks
+      .mapPartitions(it => graft.profiling.HeavyHitters.partitionSketch(it, m))
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Map[String, Long], Long), HhCand](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(String, Long)],
+         state: GroupState[(Map[String, Long], Long)]) =>
+          val (prev, prevEpoch) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val epoch = prevEpoch + 1
+          val next = graft.profiling.HeavyHitters.mergeInto(prev, rows, m)
+          state.update((next, epoch))
+          next.iterator.map { case (w, est) => HhCand(w, est, epoch) }
+      }
+  }
+
   def ingestDsirScore(docs: org.apache.spark.sql.DataFrame,
                       weights: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, typedLit}

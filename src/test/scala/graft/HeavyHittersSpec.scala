@@ -31,6 +31,35 @@ class HeavyHittersSpec extends SparkSpec {
     assert(hh.subsetOf(cands.toSet))
   }
 
+  test("streaming sketch twin: replayed corpus yields a bounded candidate superset") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamMonitors
+      .ingestHeavyHitters(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    val rows = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("hh_stream").collect()
+    } finally q.stop()
+    val lastEpoch = rows.map(_.getAs[Long]("epoch")).max
+    val streamed = rows.filter(_.getAs[Long]("epoch") == lastEpoch)
+      .map(_.getString(0)).toSet
+    assert(streamed.size <= HeavyHitters.SummarySize)
+    val batchHh = HeavyHitters.run(spark, sfDir).collect()
+      .map(_.getString(0)).toSet
+    assert(batchHh.subsetOf(streamed),
+      s"streamed summary lost true heavy hitters: ${batchHh.diff(streamed)}")
+  }
+
   test("a planted heavy token spread across partitions is found") {
     import spark.implicits._
     // 40 partitions, the hot token only 1/8 of each partition's stream —

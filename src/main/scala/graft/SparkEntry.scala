@@ -54,6 +54,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.profiling.HeavyHitters.run(s, dir))),
       ("sample_priority_k" ->
         ((s: SparkSession, dir: String) => graft.pipeline.PrioritySample.run(s, dir))),
+      ("event_day_pruned" ->
+        ((s: SparkSession, dir: String) => graft.core.TimeLayout.runDayRollup(s, dir))),
       ("dq_scores" ->
         ((s: SparkSession, dir: String) => graft.scoring.Scoring.runScoreRollup(s, dir))),
       ("text_analysis" ->
@@ -398,6 +400,7 @@ object SparkEntry {
       ("observability_export" -> graft.scoring.Observability.duckSql()),
       ("freq_heavy_hitters" -> graft.profiling.HeavyHitters.duckSql()),
       ("sample_priority_k" -> graft.pipeline.PrioritySample.duckSql()),
+      ("event_day_pruned" -> graft.core.TimeLayout.duckSql()),
       ("dq_scores" -> graft.scoring.Scoring.duckScoreRollupSql()),
       ("text_analysis" -> graft.pipeline.TextAnalysis.duckSql()),
       ("text_repetition" -> graft.pipeline.Repetition.duckSql()),

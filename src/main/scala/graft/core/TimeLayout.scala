@@ -17,15 +17,20 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * over a 10-year corpus reads ~1/3650th of the bytes, before any
   * row-group or column pruning stacks on top.
   *
-  * Landing shape: one `repartition(event_date)` shuffle co-locates each
-  * date's rows so every partition directory gets one writer's worth of
-  * files instead of one file per (task × date) — the small-files
-  * failure mode of naive partitionBy. The landing is once-per-corpus;
-  * every later consumer inherits pruning for free (the storage-level
-  * complement of the in-session checkpoint memoization and the bucketed
-  * doc-signal tables).
+  * Landing shape: one `repartition(event_date, salt)` shuffle bounds
+  * each date directory at `WritersPerDay` files — co-located enough to
+  * avoid the one-file-per-(task × date) small-files blowup of naive
+  * partitionBy, parallel enough that a 100 TB day doesn't funnel
+  * through a single writer (the failure mode of repartitioning on the
+  * date alone). The landing is once-per-corpus; every later consumer
+  * inherits pruning for free (the storage-level complement of the
+  * in-session checkpoint memoization and the bucketed doc-signal
+  * tables).
   */
 object TimeLayout {
+
+  /** Files (parallel writers) per date directory. */
+  val WritersPerDay = 8
 
   /** Land events date-partitioned (memoized per session+dir). */
   private[graft] def layoutPath(spark: SparkSession, dir: String): String =
@@ -34,7 +39,8 @@ object TimeLayout {
         .createTempDirectory("graft_events_by_day").toString
       Tables.load(spark, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
-        .repartition(col("event_date"))
+        .repartition(col("event_date"),
+          pmod(xxhash64(col("event_id")), lit(WritersPerDay)))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
       out
     }

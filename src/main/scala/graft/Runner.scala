@@ -159,13 +159,13 @@ object Runner {
         graft.scoring.Scoring.scoreHistoryFromLanded(spark, historyRoot)
           .foreach(df => land("score", "score_history", df))
       case "export" =>
-        // outbound observability feed: only results still Queued (not
-        // marked Sent by a prior invocation) export; the exported keys
-        // land in the run history so a re-run exports nothing new —
-        // the reference's post-then-mark increment loop
-        // (run_observability_exporter.py:283-314)
+        // outbound observability feed: only result rows still Queued for
+        // THIS execution export (a crashed/re-run export of the same
+        // execution sends nothing; the next invocation's fresh execution
+        // results always export) — the reference's post-then-mark
+        // increment loop (run_observability_exporter.py:283-314)
         val exported = graft.scoring.Observability
-          .runQueued(spark, dataDir, historyRoot)
+          .runQueued(spark, dataDir, historyRoot, runId)
         land("export", "observability_export", exported)
         // mark from the landed parquet — no second plan execution
         graft.scoring.Observability.markSent(spark,

@@ -48,6 +48,10 @@ final case class CatTest(
       "baseline_value_ct", "threshold_value", "baseline_sum",
       "baseline_avg", "baseline_sd")
     val all = baselineParams :+ ("threshold_value" -> threshold)
+    val unknown = all.map(_._1).filterNot(order.contains)
+    require(unknown.isEmpty,
+      s"$testType($column): parameters not in the InputParameters " +
+        s"field set would be silently dropped: ${unknown.mkString(", ")}")
     order.flatMap(k => all.collectFirst { case (`k`, v) if v.nonEmpty => s"$k=$v" })
       .mkString(", ").replace("'", "`")
   }
@@ -89,8 +93,9 @@ object CatMeasures {
       s"SELECT CAST(${valExpr(d)} AS ${d.textType}) AS v, CAST(COUNT(*) AS BIGINT) AS ct FROM $tbl"
 
   /** Exact 4-decimal text rendering of a numeric (identical on both
-    * engines, unlike raw double-to-string). */
-  private def decStr(d: Dialect, x: String) =
+    * engines, unlike raw double-to-string). Shared with the
+    * observability export's result-message rendering. */
+  private[graft] def decStr(d: Dialect, x: String) =
     s"CAST(CAST(ROUND(${dbl(x)}, 4) AS DECIMAL(28,4)) AS ${d.textType})"
 
   def alphaTrunc(c: String, t: String) =

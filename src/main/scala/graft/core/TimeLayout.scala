@@ -66,13 +66,16 @@ object TimeLayout {
 
   def runDayRollup(spark: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(spark, dir)
-    // elect the literal first (one metadata-cheap min over the raw
-    // table) so the layout scan's predicate is a CONSTANT the planner
-    // prunes partitions with statically
-    Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_tl_raw")
-    val day = spark.sql(
-      s"SELECT ${SparkDialect.dateAddDays("CAST(MIN(ts) AS DATE)", 5)} FROM __graft_tl_raw")
-      .head().getDate(0).toString
+    // elect the literal once per session (one min scan over the raw
+    // table, memoized — it cannot change while the layout is frozen) so
+    // the layout scan's predicate is a CONSTANT the planner prunes
+    // partitions with statically
+    val day = SessionCache.getOrElseUpdate(spark, "time_layout_day", dir) {
+      Tables.load(spark, dir, "events").createOrReplaceTempView("__graft_tl_raw")
+      spark.sql(
+        s"SELECT ${SparkDialect.dateAddDays("CAST(MIN(ts) AS DATE)", 5)} FROM __graft_tl_raw")
+        .head().getDate(0).toString
+    }
     spark.read.parquet(path).createOrReplaceTempView("__graft_tl_layout")
     spark.sql(daySql("__graft_tl_layout", s"DATE '$day'", "event_date")(SparkDialect))
   }

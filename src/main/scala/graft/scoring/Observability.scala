@@ -114,10 +114,9 @@ object Observability {
       s"(${lit(ty)}, ${lit(short)}, ${lit(long)}, ${lit(uom)}, ${lit(dim)})"
     }.mkString(",\n    ")
 
-  /** 4-decimal text rendering of the numeric measure — identical in both
-    * engines, unlike raw double-to-string. */
-  private def decStr(d: Dialect, x: String) =
-    s"CAST(CAST(ROUND(CAST($x AS DOUBLE), 4) AS DECIMAL(28,4)) AS ${d.textType})"
+  // the CAT suite's own 4-decimal text rendering — ONE definition, so the
+  // exported result strings can never diverge from the CAT-side lookups
+  private def decStr(d: Dialect, x: String) = graft.cat.CatMeasures.decStr(d, x)
 
   /** The full export relation over a CAT-results relation. `catRel` must
     * expose (table_name, test_type, column_name, result_status,
@@ -150,7 +149,7 @@ object Observability {
        |    $metaValues
        |  ) AS tmeta(test_type, type_short, name_long, test_uom, dq_dimension)),
        |catres AS (SELECT * FROM $catRel),
-       |queued AS (
+       |queued AS ${d.cteMaterialized}(
        |  SELECT c.table_name, c.test_type, c.column_name,
        |         m.type_short, m.name_long, m.dq_dimension,
        |         m.test_uom AS metric_name,
@@ -216,15 +215,23 @@ object Observability {
 
   def duckSql(): String = exportSql(Scoring.duckCatRel())(DuckDialect)
 
-  /** Incremental lifecycle: export only results not marked Sent by a
-    * prior run (the view's `observability_status = 'Queued'` filter +
-    * the post-export update template). The sent-set is the landed key
+  /** Incremental lifecycle: export only RESULT rows not yet marked Sent
+    * (the view's `observability_status = 'Queued'` filter + the
+    * post-export update template). The reference marks individual
+    * result rows, not definitions — a later test EXECUTION inserts new
+    * Queued rows that export in full — so the Sent identity here is
+    * (execution run, definition key): `execRunId` names the execution
+    * batch that produced the results (the Runner's invocation id), a
+    * re-invoked export for the SAME execution sends nothing, and a new
+    * execution's results always export. The sent-set is the landed key
     * relation of every prior `observability_sent` run — metadata-sized,
     * so the anti-join broadcasts. */
-  def runQueued(spark: SparkSession, dir: String, historyRoot: String): DataFrame = {
-    val full = run(spark, dir)
+  def runQueued(spark: SparkSession, dir: String, historyRoot: String,
+                execRunId: String): DataFrame = {
+    val full = run(spark, dir).withColumn("exec_run_id",
+      org.apache.spark.sql.functions.lit(execRunId))
     val sentRuns = graft.core.RunStore.runsWith(historyRoot, "observability_sent")
-    if (sentRuns.isEmpty) full
+    if (sentRuns.isEmpty) full.drop("exec_run_id")
     else {
       val sent = sentRuns
         .map(r => spark.read.parquet(
@@ -232,18 +239,22 @@ object Observability {
         .reduce(_ unionByName _)
       full.join(
         org.apache.spark.sql.functions.broadcast(sent.distinct()),
-        Seq("table_name", "test_type", "column_name"), "left_anti")
+        Seq("exec_run_id", "table_name", "test_type", "column_name"),
+        "left_anti").drop("exec_run_id")
     }
   }
 
-  /** Mark an exported batch Sent: land its keys in the run history so the
-    * next `runQueued` skips them (the reference's
+  /** Mark an exported batch Sent: land its result keys (under the
+    * execution id that produced them) in the run history so a re-run of
+    * the SAME execution's export sends nothing (the reference's
     * update_test_results_exported_to_observability.sql). */
   def markSent(spark: SparkSession, exported: DataFrame,
-               historyRoot: String, runId: String): Unit = {
+               historyRoot: String, execRunId: String): Unit = {
     graft.core.RunStore.land(
-      exported.select("table_name", "test_type", "column_name"),
-      historyRoot, runId, "observability_sent")
+      exported.select("table_name", "test_type", "column_name")
+        .withColumn("exec_run_id",
+          org.apache.spark.sql.functions.lit(execRunId)),
+      historyRoot, execRunId, "observability_sent")
     ()
   }
 }

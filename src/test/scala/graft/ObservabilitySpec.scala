@@ -80,13 +80,17 @@ class ObservabilitySpec extends SparkSpec {
     assert(msg.endsWith(", Threshold: 100"))
   }
 
-  test("queued→sent: a second export after markSent is empty") {
+  test("queued→sent: re-exporting the same execution is empty; a new execution exports") {
     val hist = java.nio.file.Files
       .createTempDirectory("graft_obs_hist").toString
-    val first = Observability.runQueued(spark, sfDir, hist)
+    val first = Observability.runQueued(spark, sfDir, hist, "run_1")
     assert(first.count() == rows.length)
     Observability.markSent(spark, first, hist, "run_1")
-    val second = Observability.runQueued(spark, sfDir, hist)
-    assert(second.count() == 0)
+    // crashed/re-run export of the SAME execution: already Sent
+    assert(Observability.runQueued(spark, sfDir, hist, "run_1").count() == 0)
+    // a later execution's results are new Queued rows — they export in
+    // full (the reference marks result rows, not definitions)
+    assert(Observability.runQueued(spark, sfDir, hist, "run_2").count()
+      == rows.length)
   }
 }

@@ -39,6 +39,23 @@ object PrioritySample {
        | LIMIT $k""".stripMargin
   }
 
+  /** Bottom-k of (priority, id) pairs — the per-partition reduction and
+    * the state merge of the streaming twin. Bottom-k is EXACTLY
+    * mergeable (unlike a sketch): merge(bottomK(A), bottomK(B)) ==
+    * bottomK(A ∪ B). */
+  private[graft] def bottomK(it: Iterator[(String, Long)], k: Int): Seq[(String, Long)] = {
+    val heap = new java.util.TreeSet[(String, Long)](
+      Ordering.Tuple2[String, Long].reverse) // max at head for eviction
+    it.foreach { e =>
+      if (heap.size < k) heap.add(e)
+      else if (Ordering.Tuple2[String, Long].lt(e, heap.first())) {
+        heap.pollFirst(); heap.add(e)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heap.asScala.toSeq.sorted
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents", parallelize = false)
       .createOrReplaceTempView("__graft_prio_docs")

@@ -388,6 +388,41 @@ object StreamMonitors {
       }
   }
 
+  final case class PrioMember(doc_id: Long, priority: String, epoch: Long)
+
+  /** Streaming exact-k priority sample — the continuous twin of
+    * [[graft.pipeline.PrioritySample]]: maintain the k lowest-priority
+    * documents of everything ingested so far. Bottom-k is EXACTLY
+    * mergeable, so each micro-batch reduces per partition to ≤ k
+    * (priority, id) rows (the only rows that shuffle), and one keyed
+    * state merges them — every trigger's emission is bit-identical to
+    * the batch sample over the ingested prefix (replay-spec-pinned),
+    * and state is k rows forever. The holdout/eval carve that stays
+    * valid while the corpus streams in. */
+  def ingestPrioritySample(docs: DataFrame, k: Int): Dataset[PrioMember] = {
+    import docs.sparkSession.implicits._
+    docs
+      .selectExpr(
+        "SUBSTRING(MD5('prio:' || CAST(doc_id AS STRING)), 1, 16) AS priority",
+        "doc_id")
+      .as[(String, Long)]
+      .mapPartitions(it =>
+        graft.pipeline.PrioritySample.bottomK(it, k).iterator)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Seq[(String, Long)], Long), PrioMember](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(String, Long)],
+         state: GroupState[(Seq[(String, Long)], Long)]) =>
+          val (prev, prevEpoch) = state.getOption.getOrElse((Seq.empty, 0L))
+          val epoch = prevEpoch + 1
+          val next = graft.pipeline.PrioritySample
+            .bottomK(prev.iterator ++ rows, k)
+          state.update((next, epoch))
+          next.iterator.map { case (p, id) => PrioMember(id, p, epoch) }
+      }
+  }
+
   def ingestDsirScore(docs: org.apache.spark.sql.DataFrame,
                       weights: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, typedLit}

@@ -27,6 +27,33 @@ class PrioritySampleSpec extends SparkSpec {
     assert(big.take(20) == small)
   }
 
+  test("streaming twin: the final emission equals the batch sample") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val (h1, h2) = ids.splitAt(ids.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = graft.streaming.StreamMonitors
+      .ingestPrioritySample(input.toDF().toDF("doc_id"), k = 25)
+      .writeStream.format("memory").queryName("prio_stream")
+      .outputMode("append").start()
+    val rows = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("prio_stream").collect()
+    } finally q.stop()
+    val lastEpoch = rows.map(_.getAs[Long]("epoch")).max
+    val streamed = rows.filter(_.getAs[Long]("epoch") == lastEpoch)
+      .map(r => (r.getAs[String]("priority"), r.getAs[Long]("doc_id")))
+      .sorted.toSeq
+    val batch = sample(25).collect()
+      .map(r => (r.getAs[String]("priority"), r.getLong(0))).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("plans as TakeOrdered — no global sort of the corpus") {
     val plan = sample(PrioritySample.K).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))

@@ -80,6 +80,21 @@ object TimeLayout {
     spark.sql(daySql("__graft_tl_layout", s"DATE '$day'", "event_date")(SparkDialect))
   }
 
+  /** Daily maintenance: append a new batch of events into the layout.
+    * `mode("append") + partitionBy(event_date)` only creates/extends the
+    * date directories the batch actually touches — yesterday's files are
+    * never rewritten (spec asserts byte-identity), so the daily ingest
+    * cost scales with the batch, and consumers keep pruning over the
+    * union of old and new days with no compaction step. */
+  def appendBatch(spark: SparkSession, layoutPath: String,
+                  batch: DataFrame): Unit = {
+    batch
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"),
+        pmod(xxhash64(col("event_id")), lit(WritersPerDay)))
+      .write.mode("append").partitionBy("event_date").parquet(layoutPath)
+  }
+
   /** The filtered layout frame (for the pruning tripwire). */
   private[graft] def dayFrame(spark: SparkSession, dir: String, day: String): DataFrame =
     spark.read.parquet(layoutPath(spark, dir))

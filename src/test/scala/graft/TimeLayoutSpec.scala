@@ -28,6 +28,40 @@ class TimeLayoutSpec extends SparkSpec {
       plan.take(400))
   }
 
+  test("appending a new day never rewrites existing date directories") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // a private copy of the layout (the memoized one is shared)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tl_app").toString + "/ev"
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    events.withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date").parquet(dir)
+    def stats(d: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = stats(dir)
+    val nextDay = events.selectExpr("date_add(CAST(MAX(ts) AS DATE), 1)")
+      .head().getDate(0)
+    val batch = events.limit(50)
+      .withColumn("ts", to_timestamp(lit(nextDay.toString + " 12:00:00")))
+    graft.core.TimeLayout.appendBatch(spark, dir, batch)
+    val after = stats(dir)
+    // every pre-existing file is byte-identical; only the new date's
+    // directory gained files
+    before.foreach { case (p, s) => assert(after(p) == s, s"$p changed") }
+    val newFiles = after.keySet.diff(before.keySet)
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.contains(s"event_date=$nextDay")))
+    assert(spark.read.parquet(dir)
+      .where(col("event_date") === lit(nextDay)).count() == 50)
+  }
+
   test("pruned rollup equals the raw-table computation") {
     val pruned = TimeLayout.runDayRollup(spark, sfDir).collect()
     graft.core.Tables.load(spark, sfDir, "events")

@@ -112,4 +112,74 @@ object Sources {
                        format: String, outDir: String): Unit =
     load(spark, srcDir, name, format)
       .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+  /** Quarantine ingestion — the production alternative to FAILFAST when
+    * the feed is not trusted to be clean: PERMISSIVE parse with the
+    * corrupt-record column, split into (good rows, quarantined raw
+    * lines). FAILFAST kills a 100 TB landing for one bad line;
+    * quarantine lands the 99.999% and preserves the offenders VERBATIM
+    * for the upstream owner (the raw text, not a half-parsed row).
+    * csv/json only — binary formats fail structurally, not per-row. */
+  def loadQuarantine(spark: SparkSession, dir: String, name: String,
+                     format: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val corrupt = "_graft_corrupt"
+    def split(parsed: DataFrame) = {
+      // Spark disallows referencing ONLY the corrupt column on the raw
+      // scan; cache the parsed relation first (documented requirement)
+      val cached = parsed.cache()
+      val good = cached.where(col(corrupt).isNull).drop(corrupt)
+      val bad = cached.where(col(corrupt).isNotNull)
+        .select(col(corrupt).as("raw_record"))
+      (good, bad)
+    }
+    format match {
+      case "csv" =>
+        val schema = StructType(
+          csvSchema(name).fields :+ StructField(corrupt, StringType))
+        val raw = spark.read
+          .schema(schema)
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt)
+          .option("timestampFormat", TsFmt)
+          .option("timestampNTZFormat", TsFmt)
+          .option("multiLine", "true").option("escape", "\"")
+          .csv(s"$dir/$name.csv")
+        val (good, bad) = split(raw)
+        val typed = arrayFields(name).foldLeft(good) { (df, f) =>
+          df.withColumn(f.name, org.apache.spark.sql.functions.from_json(
+            org.apache.spark.sql.functions.col(f.name), f.dataType))
+        }
+        (typed, bad)
+      case "json" =>
+        val schema = StructType(
+          Tables.schemas(name).fields :+ StructField(corrupt, StringType))
+        val raw = spark.read
+          .schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt)
+          .option("timestampFormat", TsFmt)
+          .option("timestampNTZFormat", TsFmt)
+          .json(s"$dir/$name.json")
+        split(raw)
+      case other =>
+        throw new IllegalArgumentException(
+          s"quarantine ingest is per-row and text-format only, got '$other'")
+    }
+  }
+
+  /** Quarantine landing: good rows as parquet, offenders as a text audit
+    * beside them; returns (good count, quarantined count). */
+  def convertToParquetQuarantine(spark: SparkSession, srcDir: String,
+                                 name: String, format: String,
+                                 outDir: String): (Long, Long) = {
+    val (good, bad) = loadQuarantine(spark, srcDir, name, format)
+    good.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    bad.write.mode("overwrite").parquet(s"$outDir/${name}_quarantine.parquet")
+    val g = spark.read.parquet(s"$outDir/$name.parquet").count()
+    val b = spark.read.parquet(s"$outDir/${name}_quarantine.parquet").count()
+    (g, b)
+  }
 }

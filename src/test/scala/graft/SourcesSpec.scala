@@ -59,6 +59,33 @@ class SourcesSpec extends SparkSpec {
     assert(canon(a) == canon(ref))
   }
 
+  test("quarantine ingest splits malformed rows out verbatim, good rows land typed") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_quarantine").toString
+    // a json feed of the orders table with two poisoned lines: a type
+    // violation and a truncated record — FAILFAST would kill the whole
+    // landing; quarantine must land the clean rows and keep the
+    // offenders' raw text
+    val ref = graft.core.Tables.load(spark, sfDir, "orders", parallelize = false)
+    Sources.write(ref, base, "orders", "json")
+    val poisoned =
+      """{"o_orderkey":"NOT_A_NUMBER","o_custkey":1,"o_orderstatus":"F"}""" + "\n" +
+        """{"o_orderkey": 12, "o_custkey": """ + "\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/orders.json/part-poisoned.json"),
+      poisoned.getBytes("UTF-8"))
+    val (goodCt, badCt) = Sources.convertToParquetQuarantine(
+      spark, base, "orders", "json", s"$base/landed")
+    assert(goodCt == ref.count(), s"good=$goodCt want=${ref.count()}")
+    assert(badCt == 2, s"quarantined=$badCt")
+    val bad = spark.read.parquet(s"$base/landed/orders_quarantine.parquet")
+      .collect().map(_.getString(0))
+    assert(bad.exists(_.contains("NOT_A_NUMBER")))
+    // landed rows parse back identical to the clean reference
+    val landed = spark.read.parquet(s"$base/landed/orders.parquet")
+    assert(canon(landed) == canon(ref))
+  }
+
   test("unknown formats fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       Sources.load(spark, "/tmp", "documents", "avro")

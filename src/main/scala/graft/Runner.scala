@@ -264,6 +264,10 @@ object Runner {
         // a whitening/projection pass broadcasts
         land("index", "pca_components",
           graft.pipeline.EmbeddingAlgebra.pcaComponents(spark, dataDir, k = 8))
+        // store health: per landed relation file count / bytes /
+        // small-files flag (driver-side fs metadata, no data reads)
+        land("index", "store_file_report",
+          graft.core.RunStore.fileReport(spark, outDir))
       case other =>
         println(s"[graft] unknown stage '$other' (known: ${allStages.mkString(",")})")
     }))

@@ -33,6 +33,37 @@ object RunStore {
     path
   }
 
+  /** Store health report over a landing directory: per relation, file
+    * count / total bytes / mean file size, with a small-files flag —
+    * the signal that a relation needs the per-directory compaction pass
+    * (the ANN index already self-compacts; this surfaces the need for
+    * every other landed relation). Listing is driver-side fs metadata
+    * only — no data reads — so it is free to run per lifecycle. */
+  def fileReport(spark: SparkSession, dir: String,
+                 targetMinBytes: Long = 8L << 20): DataFrame = {
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isDirectory => parquetFiles(f)
+        case f if f.getName.endsWith(".parquet") && !f.getName.startsWith(".") => Seq(f)
+        case _ => Nil
+      }
+    val rows = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .map { rel =>
+        val fs = parquetFiles(rel)
+        val bytes = fs.map(_.length()).sum
+        val fileCt = fs.length.toLong
+        (rel.getName, fileCt, bytes,
+          if (fileCt == 0) 0L else bytes / fileCt,
+          fileCt > 1 && fileCt > 0 && bytes / math.max(fileCt, 1) < targetMinBytes)
+      }
+      .sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("relation", "file_ct", "total_bytes", "mean_file_bytes",
+      "small_files")
+  }
+
   /** Run ids that have landed `name`, oldest first (lexicographic — ids
     * are zero-padded or timestamp-shaped). Listing is driver-side fs
     * metadata only. */

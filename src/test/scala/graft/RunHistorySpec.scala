@@ -7,6 +7,21 @@ import graft.inference.SchemaDrift
   * the LAG-based table-period classification. */
 class RunHistorySpec extends SparkSpec {
 
+  test("store file report counts files per relation and flags small files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    spark.range(1000).toDF("id").repartition(8)
+      .write.parquet(s"$root/shattered")
+    spark.range(1000).toDF("id").coalesce(1)
+      .write.parquet(s"$root/compact")
+    val rep = RunStore.fileReport(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep("shattered").getAs[Long]("file_ct") == 8)
+    assert(rep("shattered").getAs[Boolean]("small_files"))
+    assert(rep("compact").getAs[Long]("file_ct") == 1)
+    assert(!rep("compact").getAs[Boolean]("small_files"))
+    assert(rep("shattered").getAs[Long]("total_bytes") > 0)
+  }
+
   test("RunStore lands run-stamped snapshots and orders them") {
     val root = java.nio.file.Files.createTempDirectory("graft_hist").toString
     val df = spark.range(3).toDF("id")

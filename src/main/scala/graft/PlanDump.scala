@@ -54,6 +54,28 @@ object PlanDump {
       "k-row heap per task and a k*P driver merge, never a global sort of the " +
       "corpus."))
 
+  /** Task-metric accumulator: measured bytes, not just claimed shapes. */
+  private final class Acc extends org.apache.spark.scheduler.SparkListener {
+    val input = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    val shufRecords = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+  }
+
+  private def fmtBytes(b: Long): String =
+    if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"
+    else if (b >= 1024) f"${b / 1024.0}%.1f KiB"
+    else s"$b B"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -68,14 +90,30 @@ object PlanDump {
     sb.append("# PLANS — physical-plan audit of the headline shapes\n\n")
     sb.append(s"Generated by `graft.PlanDump` at `$sfDir` (plan shapes are\n")
     sb.append("scale-independent; the data size only changes statistics).\n")
-    sb.append("Each section: why this is the plan the 100 TB design wants, then\n")
-    sb.append("the formatted physical plan TREE (node details elided).\n")
+    sb.append("Each section: why this is the plan the 100 TB design wants, the\n")
+    sb.append("MEASURED steady-state execution cost (task-metric totals of one\n")
+    sb.append("execution after the session's shared relations landed — the\n")
+    sb.append("numbers behind the \"corpus never shuffles\" claims), then the\n")
+    sb.append("formatted physical plan TREE (node details elided).\n")
     for ((name, note) <- notes) {
+      // building the frame lands the session's memoized shared relations
+      // (those jobs are NOT counted — the entry's own cost is the claim)
       val df = SparkEntry.queries(name)(spark, sfDir)
       val full = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val tree = full.split("\n\n")(0)
-      sb.append(s"\n## $name\n\n$note\n\n```\n$tree\n```\n")
+      val acc = new Acc
+      spark.sparkContext.addSparkListener(acc)
+      val rows = df.count()
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(700)
+      spark.sparkContext.removeSparkListener(acc)
+      val measured =
+        s"Measured: ${fmtBytes(acc.input.get)} input read, " +
+          s"${fmtBytes(acc.shufBytes.get)} shuffled " +
+          s"(${acc.shufRecords.get} records), $rows result rows."
+      sb.append(s"\n## $name\n\n$note\n\n$measured\n\n```\n$tree\n```\n")
+      println(s"[graft] $name: $measured")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
       sb.toString.getBytes("UTF-8"))

@@ -80,6 +80,31 @@ class ObservabilitySpec extends SparkSpec {
     assert(msg.endsWith(", Threshold: 100"))
   }
 
+  test("an errored result row exports with status ERROR and a measureless message") {
+    // the reference's isolation path lands an 'Error' row whose measures
+    // are NULL; the export must carry it (status ERROR) without a NULL
+    // result message
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("table_name", StringType), StructField("test_type", StringType),
+      StructField("column_name", StringType), StructField("severity", StringType),
+      StructField("measure_num", DoubleType), StructField("measure_str", StringType),
+      StructField("result_code", IntegerType), StructField("result_status", StringType),
+      StructField("query_error", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row("lineitem", "Recency", "l_shipdate", null, null, null, null,
+        "Error", "boom"))
+    spark.createDataFrame(rows, schema)
+      .createOrReplaceTempView("__graft_obs_err")
+    val out = spark.sql(Observability.exportSql("__graft_obs_err")(
+      graft.oracle.SparkDialect)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("status") == "ERROR")
+    assert(out.head.getAs[String]("result") == "Days before test: , Threshold: 30")
+    assert(out.head.isNullAt(out.head.fieldIndex("metric_value")))
+  }
+
   test("queued→sent: re-exporting the same execution is empty; a new execution exports") {
     val hist = java.nio.file.Files
       .createTempDirectory("graft_obs_hist").toString

@@ -37,26 +37,35 @@ object RunStore {
     * count / total bytes / mean file size, with a small-files flag —
     * the signal that a relation needs the per-directory compaction pass
     * (the ANN index already self-compacts; this surfaces the need for
-    * every other landed relation). Listing is driver-side fs metadata
-    * only — no data reads — so it is free to run per lifecycle. */
+    * every other landed relation). Listed through the Hadoop FileSystem
+    * API so a non-local store (hdfs://, s3a://) reports identically;
+    * driver-side fs metadata only — no data reads — so it is free to
+    * run per lifecycle. The Runner's infra directories (warehouse, the
+    * runs/ history tree, ingest staging) are not landed relations and
+    * are excluded. */
+  private val NonRelationDirs = Set("warehouse", "runs", "ingested")
+
   def fileReport(spark: SparkSession, dir: String,
                  targetMinBytes: Long = 8L << 20): DataFrame = {
-    def parquetFiles(d: java.io.File): Seq[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
-        case f if f.isDirectory => parquetFiles(f)
-        case f if f.getName.endsWith(".parquet") && !f.getName.startsWith(".") => Seq(f)
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).toSeq.flatMap {
+        case s if s.isDirectory => parquetFiles(s.getPath)
+        case s if s.getPath.getName.endsWith(".parquet")
+          && !s.getPath.getName.startsWith(".") => Seq(s)
         case _ => Nil
       }
-    val rows = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(_.isDirectory)
+    val rows = (if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
+      .filter(s => s.isDirectory && !NonRelationDirs(s.getPath.getName))
       .map { rel =>
-        val fs = parquetFiles(rel)
-        val bytes = fs.map(_.length()).sum
-        val fileCt = fs.length.toLong
-        (rel.getName, fileCt, bytes,
-          if (fileCt == 0) 0L else bytes / fileCt,
-          fileCt > 1 && fileCt > 0 && bytes / math.max(fileCt, 1) < targetMinBytes)
+        val files = parquetFiles(rel.getPath)
+        val bytes = files.map(_.getLen).sum
+        val fileCt = files.length.toLong
+        val mean = if (fileCt == 0) 0L else bytes / fileCt
+        (rel.getPath.getName, fileCt, bytes, mean,
+          fileCt > 1 && mean < targetMinBytes)
       }
       .sortBy(_._1)
     import spark.implicits._

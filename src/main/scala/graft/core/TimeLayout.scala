@@ -32,16 +32,21 @@ object TimeLayout {
   /** Files (parallel writers) per date directory. */
   val WritersPerDay = 8
 
+  // the ONE layout-landing shape (date derivation + salted co-location),
+  // shared by the initial landing and the daily append so the two can
+  // never fork
+  private def landInto(df: DataFrame, path: String, mode: String): Unit =
+    df.withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"),
+        pmod(xxhash64(col("event_id")), lit(WritersPerDay)))
+      .write.mode(mode).partitionBy("event_date").parquet(path)
+
   /** Land events date-partitioned (memoized per session+dir). */
   private[graft] def layoutPath(spark: SparkSession, dir: String): String =
     SessionCache.getOrElseUpdate(spark, "time_layout", dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft_events_by_day").toString
-      Tables.load(spark, dir, "events")
-        .withColumn("event_date", to_date(col("ts")))
-        .repartition(col("event_date"),
-          pmod(xxhash64(col("event_id")), lit(WritersPerDay)))
-        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      landInto(Tables.load(spark, dir, "events"), out, "overwrite")
       out
     }
 
@@ -87,13 +92,8 @@ object TimeLayout {
     * cost scales with the batch, and consumers keep pruning over the
     * union of old and new days with no compaction step. */
   def appendBatch(spark: SparkSession, layoutPath: String,
-                  batch: DataFrame): Unit = {
-    batch
-      .withColumn("event_date", to_date(col("ts")))
-      .repartition(col("event_date"),
-        pmod(xxhash64(col("event_id")), lit(WritersPerDay)))
-      .write.mode("append").partitionBy("event_date").parquet(layoutPath)
-  }
+                  batch: DataFrame): Unit =
+    landInto(batch, layoutPath, "append")
 
   /** The filtered layout frame (for the pruning tripwire). */
   private[graft] def dayFrame(spark: SparkSession, dir: String, day: String): DataFrame =

@@ -49,7 +49,10 @@ object PrioritySample {
     it.foreach { e =>
       if (heap.size < k) heap.add(e)
       else if (Ordering.Tuple2[String, Long].lt(e, heap.first())) {
-        heap.pollFirst(); heap.add(e)
+        // add FIRST: a duplicate of a current member must not evict the
+        // max (TreeSet.add is a no-op on duplicates — the at-least-once
+        // replay case the streaming twin merges through)
+        if (heap.add(e)) heap.pollFirst()
       }
     }
     import scala.jdk.CollectionConverters._

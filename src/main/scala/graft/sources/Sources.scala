@@ -122,17 +122,26 @@ object Sources {
     * csv/json only — binary formats fail structurally, not per-row. */
   def loadQuarantine(spark: SparkSession, dir: String, name: String,
                      format: String): (DataFrame, DataFrame) = {
+    val (good, bad, _) = loadQuarantineBase(spark, dir, name, format)
+    (good, bad)
+  }
+
+  private def loadQuarantineBase(spark: SparkSession, dir: String,
+                                 name: String, format: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val corrupt = "_graft_corrupt"
+    // Spark disallows referencing ONLY the corrupt column on the raw
+    // scan; the parsed relation is cached first (documented requirement).
+    // convertToParquetQuarantine unpersists after landing both sides;
+    // loadQuarantine callers own the cache lifetime.
     def split(parsed: DataFrame) = {
-      // Spark disallows referencing ONLY the corrupt column on the raw
-      // scan; cache the parsed relation first (documented requirement)
       val cached = parsed.cache()
       val good = cached.where(col(corrupt).isNull).drop(corrupt)
       val bad = cached.where(col(corrupt).isNotNull)
         .select(col(corrupt).as("raw_record"))
-      (good, bad)
+      (good, bad, cached)
     }
     format match {
       case "csv" =>
@@ -147,12 +156,12 @@ object Sources {
           .option("timestampNTZFormat", TsFmt)
           .option("multiLine", "true").option("escape", "\"")
           .csv(s"$dir/$name.csv")
-        val (good, bad) = split(raw)
+        val (good, bad, cached) = split(raw)
         val typed = arrayFields(name).foldLeft(good) { (df, f) =>
           df.withColumn(f.name, org.apache.spark.sql.functions.from_json(
             org.apache.spark.sql.functions.col(f.name), f.dataType))
         }
-        (typed, bad)
+        (typed, bad, cached)
       case "json" =>
         val schema = StructType(
           Tables.schemas(name).fields :+ StructField(corrupt, StringType))
@@ -175,9 +184,11 @@ object Sources {
   def convertToParquetQuarantine(spark: SparkSession, srcDir: String,
                                  name: String, format: String,
                                  outDir: String): (Long, Long) = {
-    val (good, bad) = loadQuarantine(spark, srcDir, name, format)
+    val (good, bad, cached) = loadQuarantineBase(spark, srcDir, name, format)
     good.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     bad.write.mode("overwrite").parquet(s"$outDir/${name}_quarantine.parquet")
+    // both sides landed: the one-pass cache has served its purpose
+    cached.unpersist()
     val g = spark.read.parquet(s"$outDir/$name.parquet").count()
     val b = spark.read.parquet(s"$outDir/${name}_quarantine.parquet").count()
     (g, b)

@@ -54,6 +54,21 @@ class PrioritySampleSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("bottom-k merge is duplicate-safe (at-least-once replay)") {
+    // replaying a row already in the k-sample must not evict a member:
+    // a duplicate of a current member is a TreeSet no-op and must not
+    // pair with an eviction (the duplicate arrives LAST so a lost max
+    // cannot be silently re-adopted)
+    val members = (1 to 3).map(i => (f"$i%02d", i.toLong))
+    val replayed = graft.pipeline.PrioritySample
+      .bottomK((members :+ members.head).iterator, 3)
+    assert(replayed == members)
+    // and the state-merge shape: prev ++ rows with full overlap
+    val merged = graft.pipeline.PrioritySample
+      .bottomK((members ++ members).iterator, 3)
+    assert(merged == members)
+  }
+
   test("plans as TakeOrdered — no global sort of the corpus") {
     val plan = sample(PrioritySample.K).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))

@@ -45,6 +45,43 @@ class TombstonesSpec extends SparkSpec {
     untouched.foreach(p => assert(before(p) == afterStats(p), s"$p changed"))
   }
 
+  test("NULL-id rows survive a rewrite of their file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_null").toString + "/rel"
+    val spark2 = spark
+    import spark2.implicits._
+    // one file holding a tombstoned id AND NULL-id rows: the anti-filter
+    // must not let NOT(NULL IN (...)) = NULL drop them
+    Seq(Some(1L), Some(2L), None, None, Some(3L))
+      .toDF("doc_id").coalesce(1).write.parquet(dir)
+    val report = Tombstones.applyToRelation(spark, dir, "doc_id", Seq(2L))
+    assert(report.rowsDeleted == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 4)
+    assert(after.where(col("doc_id").isNull).count() == 2)
+  }
+
+  test("a crashed swap (file renamed aside, not swapped in) self-heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_cr").toString + "/rel"
+    val spark2 = spark
+    import spark2.implicits._
+    (1L to 100L).toDF("doc_id").repartition(4).write.parquet(dir)
+    val full = spark.read.parquet(dir).count()
+    // simulate the crash window: one live file moved to its aside name,
+    // nothing swapped in
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val aside = new java.io.File(s"${dir}__tomb_old_${f.getName}")
+    assert(f.renameTo(aside))
+    assert(spark.read.parquet(dir).count() < full) // rows silently absent
+    val restored = Tombstones.recoverAsides(spark, dir)
+    assert(restored.nonEmpty)
+    assert(spark.read.parquet(dir).count() == full)
+    // and applyToRelation runs the same recovery before touching anything
+    assert(f.renameTo(aside))
+    Tombstones.applyToRelation(spark, dir, "doc_id", Seq(1L))
+    assert(spark.read.parquet(dir).count() == full - 1)
+  }
+
   test("partitioned index delete leaves other partitions' files alone") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tomb_ix").toString + "/ix"
     val spark2 = spark

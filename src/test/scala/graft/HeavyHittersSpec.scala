@@ -20,6 +20,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(fast.toSeq == exact.toSeq)
   }
 
+  test("pass 2 plans one corpus scan; the shuffle is the collapsed-key aggregate") {
+    // sparkPlan, not executedPlan: an unexecuted AdaptiveSparkPlanExec
+    // IS its own leaf and hides the scans
+    val plan = HeavyHitters.run(spark, sfDir).queryExecution.sparkPlan
+    // the rebalance guard serves documents as an RDD relation; either
+    // way the final query must hold exactly ONE corpus scan leaf
+    val scans = plan.collectWithSubqueries {
+      case l if l.children.isEmpty && l.nodeName.contains("Scan") => l
+    }
+    assert(scans.length == 1,
+      s"expected 1 corpus scan, got ${scans.length}: ${plan.toString.take(300)}")
+    val tree = plan.toString
+    assert(tree.contains("HashAggregate"), tree.take(300))
+  }
+
   test("candidate set is bounded by the sketch size and is a superset") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val toks = docs

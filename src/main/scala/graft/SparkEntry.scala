@@ -373,7 +373,13 @@ object SparkEntry {
       ("curation_funnel" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runFunnel(s, dir))),
       ("dedup_embedding_sweep" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingSweep(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingSweep(s, dir))),
+      ("event_attribution" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runAttribution(s, dir))),
+      ("url_normalize" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.UrlOps.runNormalize(s, dir))),
+      ("url_domain_cap" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.UrlOps.runDomainCap(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -570,6 +576,9 @@ object SparkEntry {
       ("ann_occupancy" -> graft.pipeline.Similarity.occupancySql("embeddings")(graft.oracle.DuckDialect)),
       ("lookup_dedup_pairs" -> graft.pipeline.Dedup.pairLookupSql("documents")(graft.oracle.DuckDialect)),
       ("curation_funnel" -> graft.pipeline.Selection.funnelSql("documents")(graft.oracle.DuckDialect)),
-      ("dedup_embedding_sweep" -> graft.pipeline.Dedup.embeddingSweepSql("embeddings")(graft.oracle.DuckDialect))
+      ("dedup_embedding_sweep" -> graft.pipeline.Dedup.embeddingSweepSql("embeddings")(graft.oracle.DuckDialect)),
+      ("event_attribution" -> graft.streaming.EventAnalytics.duckAttributionSql()),
+      ("url_normalize" -> graft.pipeline.UrlOps.duckNormalizeSql()),
+      ("url_domain_cap" -> graft.pipeline.UrlOps.duckDomainCapSql())
       ).toMap
 }

@@ -392,4 +392,160 @@ object EventAnalytics {
           out.iterator
       }
   }
+
+  /** Attribution window: a purchase attributes to the most recent click
+    * by the same user at most this many seconds before it (inclusive —
+    * a click at the purchase instant counts). */
+  val AttributionWindowSec = 3600
+
+  /** Shared side CTEs of the attribution relations: clicks deduped to
+    * one row per (user, instant) — greatest event_id wins, the same tie
+    * rule as [[graft.operators.AsofJoin]] — and raw purchases with
+    * cents-exact revenue. */
+  private def attrSides(table: String): String =
+    s"""cl AS (
+       |  SELECT user_id, ts AS click_ts, event_id AS click_id FROM (
+       |    SELECT user_id, ts, event_id,
+       |           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+       |                              ORDER BY event_id DESC) AS rn
+       |      FROM $table WHERE event_type = 'click'
+       |  ) d WHERE rn = 1
+       |),
+       |pu AS (
+       |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       |         CAST(ROUND(value * 100) AS BIGINT) AS revenue_cents
+       |    FROM $table WHERE event_type = 'purchase'
+       |)""".stripMargin
+
+  private def attrOut(d: Dialect): String = {
+    val age = d.intDiv(
+      s"(${d.epochMicros("purchase_ts")} - ${d.epochMicros("click_ts")})",
+      "1000000")
+    s"""SELECT purchase_id, user_id, purchase_ts, revenue_cents,
+       |       CASE WHEN attributed THEN click_id END AS click_id,
+       |       CASE WHEN attributed THEN CAST($age AS BIGINT) END AS click_age_s,
+       |       attributed""".stripMargin
+  }
+
+  /** Last-touch click attribution, the engine form: like the AS-OF join
+    * it is computed JOIN-FREE — union the deduped clicks (side 0) and
+    * the purchases (side 1), hash-partition once on user, and carry the
+    * latest click forward with LAST_VALUE IGNORE NULLS; a purchase then
+    * checks its carried click against the window bound ROW-LOCALLY
+    * (the latest click ≤ ts being stale implies NO click is in
+    * [ts-w, ts], so the bound check after the running window is exact).
+    * One shuffle, no join operator, linear in events per user — where
+    * the naive spelling re-materializes every historical click per
+    * purchase. */
+  def attributionSql(table: String,
+                     windowSec: Int = AttributionWindowSec): String =
+    s"""WITH ${attrSides(table)},
+       |u AS (
+       |  SELECT user_id, click_ts AS uts, 0 AS side,
+       |         click_id, click_ts,
+       |         CAST(NULL AS BIGINT) AS purchase_id,
+       |         CAST(NULL AS BIGINT) AS revenue_cents
+       |    FROM cl
+       |  UNION ALL
+       |  SELECT user_id, purchase_ts, 1,
+       |         CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       |         purchase_id, revenue_cents
+       |    FROM pu
+       |),
+       |w AS (
+       |  SELECT user_id, uts, side, purchase_id, revenue_cents,
+       |         LAST_VALUE(click_id) IGNORE NULLS OVER att AS click_id,
+       |         LAST_VALUE(click_ts) IGNORE NULLS OVER att AS click_ts
+       |    FROM u
+       |  WINDOW att AS (PARTITION BY user_id ORDER BY uts, side
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |${attrOut(SparkDialect)}
+       |  FROM (SELECT purchase_id, user_id, uts AS purchase_ts,
+       |               revenue_cents, click_id, click_ts,
+       |               click_ts IS NOT NULL AND
+       |               ${SparkDialect.epochMicros("click_ts")} >=
+       |               ${SparkDialect.epochMicros("uts")} - CAST($windowSec AS BIGINT) * 1000000
+       |                 AS attributed
+       |          FROM w WHERE side = 1) z""".stripMargin
+
+  /** DuckDB oracle: the naive algorithm — LEFT JOIN every in-window
+    * click per purchase, prune to the latest by ROW_NUMBER. A genuinely
+    * different plan producing the same relation. */
+  def duckAttributionSql(windowSec: Int = AttributionWindowSec): String =
+    s"""WITH ${attrSides("events")},
+       |cand AS (
+       |  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.revenue_cents,
+       |         c.click_id, c.click_ts,
+       |         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+       |                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+       |    FROM pu p
+       |    LEFT JOIN cl c
+       |      ON c.user_id = p.user_id
+       |     AND c.click_ts <= p.purchase_ts
+       |     AND ${DuckDialect.epochMicros("c.click_ts")} >=
+       |         ${DuckDialect.epochMicros("p.purchase_ts")} - CAST($windowSec AS BIGINT) * 1000000
+       |)
+       |${attrOut(DuckDialect)}
+       |  FROM (SELECT purchase_id, user_id, purchase_ts, revenue_cents,
+       |               click_id, click_ts, click_id IS NOT NULL AS attributed
+       |          FROM cand WHERE rn = 1) z""".stripMargin
+
+  def runAttribution(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_attr_events")
+    spark.sql(attributionSql("__graft_attr_events"))
+  }
+
+  /** All in-window (purchase, click) candidate pairs — the relation the
+    * watermarked stream-stream join emits; the batch anchor of the
+    * streaming twin's replay spec. */
+  def attributionCandidatesSql(table: String,
+                               windowSec: Int = AttributionWindowSec): String =
+    s"""WITH ${attrSides(table)}
+       |SELECT p.purchase_id, c.click_id, p.user_id,
+       |       p.purchase_ts, c.click_ts
+       |  FROM pu p
+       |  JOIN cl c
+       |    ON c.user_id = p.user_id
+       |   AND c.click_ts <= p.purchase_ts
+       |   AND ${SparkDialect.epochMicros("c.click_ts")} >=
+       |       ${SparkDialect.epochMicros("p.purchase_ts")} - CAST($windowSec AS BIGINT) * 1000000""".stripMargin
+
+  final case class AttrEvent(event_id: Long, user_id: Long,
+                             ts: java.sql.Timestamp, event_type: String)
+
+  /** Streaming twin of the candidate relation: a watermarked
+    * STREAM-STREAM time-interval join — the one Structured Streaming
+    * join shape with state on BOTH sides. Each side watermarks `ts`;
+    * the range condition `click_ts ∈ [purchase_ts - w, purchase_ts]`
+    * bounds how long a click must be retained (watermark + w) and how
+    * long a purchase can still meet a late click (watermark), so state
+    * eviction is automatic and the join is append-legal. The batch
+    * anchor dedups clicks to the greatest event_id per (user, instant);
+    * a stateful stream-side election would not be append-legal, so the
+    * twin instead relies on the fixture invariant that no two clicks
+    * share a (user, instant) — the replay spec asserts that invariant
+    * on the ingested events. Emits every in-window pair, bit-identical to
+    * [[attributionCandidatesSql]] on the ingested prefix; last-touch
+    * election stays a batch/serving concern. */
+  def streamingAttribution(events: Dataset[AttrEvent],
+                           windowSec: Int = AttributionWindowSec): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      expr(s"""c_user = p_user AND
+              |click_ts <= purchase_ts AND
+              |click_ts >= purchase_ts - INTERVAL $windowSec SECONDS""".stripMargin))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"))
+  }
 }

@@ -379,7 +379,13 @@ object SparkEntry {
       ("url_normalize" ->
         ((s: SparkSession, dir: String) => graft.pipeline.UrlOps.runNormalize(s, dir))),
       ("url_domain_cap" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.UrlOps.runDomainCap(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.UrlOps.runDomainCap(s, dir))),
+      ("event_zorder_pruned" ->
+        ((s: SparkSession, dir: String) => graft.core.ZOrderLayout.runRectPruned(s, dir))),
+      ("corpus_grouping_sets" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.CorpusCube.run(s, dir))),
+      ("sample_weighted_k" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.PrioritySample.runWeighted(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -579,6 +585,9 @@ object SparkEntry {
       ("dedup_embedding_sweep" -> graft.pipeline.Dedup.embeddingSweepSql("embeddings")(graft.oracle.DuckDialect)),
       ("event_attribution" -> graft.streaming.EventAnalytics.duckAttributionSql()),
       ("url_normalize" -> graft.pipeline.UrlOps.duckNormalizeSql()),
-      ("url_domain_cap" -> graft.pipeline.UrlOps.duckDomainCapSql())
+      ("url_domain_cap" -> graft.pipeline.UrlOps.duckDomainCapSql()),
+      ("event_zorder_pruned" -> graft.core.ZOrderLayout.duckSql()),
+      ("corpus_grouping_sets" -> graft.pipeline.CorpusCube.duckSql()),
+      ("sample_weighted_k" -> graft.pipeline.PrioritySample.duckWeightedSql())
       ).toMap
 }

@@ -66,4 +66,42 @@ object PrioritySample {
   }
 
   def duckSql(): String = sql("documents")(DuckDialect)
+
+  /** WEIGHTED exact-k sample — Efraimidis–Spirakis A-ES (Inf. Process.
+    * Lett. 2006): each row draws a uniform u and keeps key u^(1/w); the
+    * k largest keys are a weighted-without-replacement sample. The
+    * engine ranks by the monotone-equivalent `-ln(u)/w` (smallest
+    * first), with two determinism moves:
+    *
+    *  - u derives from md5 of the doc id — content-keyed like the
+    *    unweighted draw, so the sample is stable across runs, engines,
+    *    and layouts: u = (first 13 md5 hex digits + 1) / 2^52 ∈ (0, 1];
+    *  - `-ln(u)` is quantized ONCE to BIGINT micro-nats (the
+    *    [[Perplexity]] discipline), then scaled and integer-divided by
+    *    the weight, so the ranking key is an exact integer in both
+    *    engines — no float comparison ever decides membership; ties
+    *    break on doc_id.
+    *
+    * Weight = `n_chars`: longer documents are proportionally likelier,
+    * the draw a token-budgeted labeling batch wants. Plans as
+    * TakeOrderedAndProject exactly like the unweighted sample — k-row
+    * heap per task, no global sort (spec tripwire). */
+  def weightedSql(table: String, k: Int = K)(d: Dialect): String = {
+    val u = s"(CAST(${d.hexToLong(s"SUBSTRING(MD5('wprio:' || ${d.castText("doc_id")}), 1, 13)")} AS DOUBLE) + 1) / 4503599627370496.0"
+    val microNats = s"CAST(ROUND(-LN($u) * 1000000) AS BIGINT)"
+    val prio = d.intDiv(s"$microNats * 1000000", "GREATEST(n_chars, 1)")
+    s"""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       |       CAST($prio AS BIGINT) AS priority
+       |  FROM $table
+       | ORDER BY priority, doc_id
+       | LIMIT $k""".stripMargin
+  }
+
+  def runWeighted(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents", parallelize = false)
+      .createOrReplaceTempView("__graft_prio_docs")
+    spark.sql(weightedSql("__graft_prio_docs")(SparkDialect))
+  }
+
+  def duckWeightedSql(): String = weightedSql("documents")(DuckDialect)
 }

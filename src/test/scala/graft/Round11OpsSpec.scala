@@ -152,4 +152,93 @@ class Round11OpsSpec extends SparkSpec {
       .select("doc_id", "domain", "kept").as[(Long, String, Boolean)].collect()
     assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
+
+  test("z-order rectangle query lists only the covering Morton codes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val all = spark.read
+      .parquet(graft.core.ZOrderLayout.layoutPath(spark, sfDir))
+      .select("zbucket").distinct().count()
+    val pruned = graft.core.ZOrderLayout.rectFrame(spark, sfDir)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    val listed = scan.selectedPartitions.partitionCount
+    assert(all > 4, s"layout degenerate: only $all codes")
+    assert(listed < all,
+      s"no 2-D pruning: $listed of $all code directories listed")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zbucket"),
+      plan.take(400))
+  }
+
+  test("z-order code list COVERS the rectangle — pruning drops no row") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val mm = ev.selectExpr("MAX(user_id) AS mu", "CAST(MIN(ts) AS DATE) AS md").head()
+    val mu = mm.getLong(0); val md = mm.getDate(1).toLocalDate
+    val (uLo, uHi) = (mu / 6, mu / 3)
+    val (dLo, dHi) = (md.plusDays(8), md.plusDays(15))
+    val rectCt = ev.where(col("user_id").between(uLo, uHi)
+      && to_date(col("ts")).between(
+        java.sql.Date.valueOf(dLo), java.sql.Date.valueOf(dHi))).count()
+    val prunedCt = graft.core.ZOrderLayout.rectFrame(spark, sfDir)
+      .where(col("user_id").between(uLo, uHi)
+        && to_date(col("ts")).between(
+          java.sql.Date.valueOf(dLo), java.sql.Date.valueOf(dHi))).count()
+    assert(rectCt > 0, "empty rectangle makes the coverage check vacuous")
+    assert(prunedCt == rectCt,
+      s"code list lost rows: $prunedCt of $rectCt survive pruning")
+  }
+
+  test("morton interleave is a bijection on the 8x8 bucket grid") {
+    val codes = for (u <- 0 until 8; d <- 0 until 8)
+      yield graft.core.ZOrderLayout.zOf(u, d)
+    assert(codes.distinct.length == 64 && codes.forall(c => c >= 0 && c < 64))
+  }
+
+  test("grouping-sets budget: one scan, and cells roll up to the totals") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = graft.pipeline.CorpusCube.run(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"grouping sets re-scans: $scans scans")
+    assert(p.contains("Expand"), "expected the Expand-based grouping-sets plan")
+    val rows = df.select("source", "lang", "grouping_level", "doc_ct", "token_ct")
+      .as[(String, String, Int, Long, Long)].collect()
+    val cells = rows.filter(_._3 == 0)
+    val bySource = rows.filter(_._3 == 1)
+    val byLang = rows.filter(_._3 == 2)
+    val grand = rows.filter(_._3 == 3)
+    assert(grand.length == 1 && grand.head._4 == cells.map(_._4).sum)
+    bySource.foreach { case (s, _, _, dc, tc) =>
+      assert(cells.filter(_._1 == s).map(_._4).sum == dc)
+      assert(cells.filter(_._1 == s).map(_._5).sum == tc)
+    }
+    byLang.foreach { case (_, l, _, dc, _) =>
+      assert(cells.filter(_._2 == l).map(_._4).sum == dc)
+    }
+  }
+
+  test("weighted sample: TakeOrdered plan, reproducible, length-biased") {
+    val p = graft.pipeline.PrioritySample.runWeighted(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan a k-heap, not a global sort:\n${p.take(400)}")
+    assert(!p.contains("Exchange rangepartitioning"))
+    // the bias property needs corpus >> k — use sf0.01 (500 docs, k=100)
+    val spark2 = spark
+    import spark2.implicits._
+    graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents",
+      parallelize = false).createOrReplaceTempView("__wprio_spec")
+    def once() = spark.sql(graft.pipeline.PrioritySample
+      .weightedSql("__wprio_spec")(graft.oracle.SparkDialect))
+      .select("doc_id", "weight").as[(Long, Long)].collect()
+    val a = once(); val b = once()
+    assert(a.toSeq == b.toSeq, "weighted draw must be deterministic")
+    val corpusMean = spark.table("__wprio_spec")
+      .selectExpr("AVG(n_chars)").head().getDouble(0)
+    val sampleMean = a.map(_._2).sum.toDouble / a.length
+    assert(sampleMean > corpusMean,
+      s"A-ES must over-sample long docs: sample $sampleMean vs corpus $corpusMean")
+  }
 }

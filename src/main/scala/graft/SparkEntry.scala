@@ -385,7 +385,9 @@ object SparkEntry {
       ("corpus_grouping_sets" ->
         ((s: SparkSession, dir: String) => graft.pipeline.CorpusCube.run(s, dir))),
       ("sample_weighted_k" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.PrioritySample.runWeighted(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.PrioritySample.runWeighted(s, dir))),
+      ("sketch_distinct_union" ->
+        ((s: SparkSession, dir: String) => graft.profiling.SketchStore.run(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -588,6 +590,7 @@ object SparkEntry {
       ("url_domain_cap" -> graft.pipeline.UrlOps.duckDomainCapSql()),
       ("event_zorder_pruned" -> graft.core.ZOrderLayout.duckSql()),
       ("corpus_grouping_sets" -> graft.pipeline.CorpusCube.duckSql()),
-      ("sample_weighted_k" -> graft.pipeline.PrioritySample.duckWeightedSql())
+      ("sample_weighted_k" -> graft.pipeline.PrioritySample.duckWeightedSql()),
+      ("sketch_distinct_union" -> graft.profiling.SketchStore.duckSql())
       ).toMap
 }

@@ -241,4 +241,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"A-ES must over-sample long docs: sample $sampleMean vs corpus $corpusMean")
   }
+
+  test("sketch store: union of landed registers == direct corpus sketch") {
+    import graft.profiling.SketchStore
+    val rel = SketchStore.sketchRel(spark, sfDir)
+    val nSources = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(spark.table(rel).count() == nSources,
+      "landed store must hold exactly one register row per source")
+    val merged = SketchStore.globalEstimateFrame(spark, sfDir)
+      .head().getLong(0)
+    val docs = "__graft_sketch_docs"
+    val direct = spark.sql(
+      s"""SELECT hll_sketch_estimate(hll_sketch_agg(word, ${SketchStore.LgK}))
+         |  FROM (${graft.oracle.SparkDialect.wordsRel(docs, "doc_id", "text")}) w""".stripMargin)
+      .head().getLong(0)
+    // same lgK, register-wise max: the union of per-source sketches IS
+    // the whole-corpus sketch — the mergeability the store exists for
+    assert(merged == direct, s"union $merged != direct $direct")
+    val p = SketchStore.globalEstimateFrame(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      "global estimate must read the landed registers, not rescan the corpus")
+  }
 }

@@ -209,8 +209,26 @@ object Dedup {
        |SELECT id, $packed AS v FROM sigs""".stripMargin
   }
 
-  /** Bucket join + hamming verify over a signature relation. */
-  def simhashBody(sigs2Rel: String, maxHamming: Int)(d: Dialect): String = {
+  /** Buckets holding more members than this are dropped from the
+    * candidate join — the hub discipline the minhash verify and winnow
+    * joins already apply. Without it the (chunk, piece) self-join is
+    * QUADRATIC: bucket occupancy grows linearly with the corpus (the
+    * round-11 sf1 curve measured candidate compares 41k → 4.2M → 429M
+    * across sf0.01/0.1/1 — 100× per 10× docs — with the worst bucket at
+    * 14k members). With the cutoff, compares are bounded by
+    * 1024 · cutoff² at ANY corpus size. A dropped hub means "hundreds of
+    * docs share a signature byte" — at that density pair emission is the
+    * wrong product (its own output is quadratic); the cluster operator
+    * ([[clustersSql]]) is the dense-mode tool, same adjudication as the
+    * minhash hot cutoff. Production note: 64-bit signatures with 16-bit
+    * pieces (4 × 65536 buckets) push the hub threshold 256× further out;
+    * the 32-bit/8-bit layout here matches the native [[SimHashExpr]]
+    * kernel and the oracle's arithmetic rendering. */
+  val SimhashHotCutoff = 100
+
+  /** Bucket join + hamming verify over a signature relation, hub-bounded. */
+  def simhashBody(sigs2Rel: String, maxHamming: Int,
+                  hotCutoff: Int = SimhashHotCutoff)(d: Dialect): String = {
     val chunks = (0 until 4).map { c =>
       val byte = s"CAST(${d.shiftRight("v", c * 8)} % 256 AS INT)"
       s"SELECT id, v, $c AS chunk, $byte AS piece FROM $sigs2Rel"
@@ -219,9 +237,18 @@ object Dedup {
     s"""WITH chunks AS (
        |  $chunks
        |),
+       |okb AS (
+       |  SELECT chunk, piece FROM chunks
+       |   GROUP BY chunk, piece HAVING COUNT(*) <= $hotCutoff
+       |),
+       |c2 AS (
+       |  SELECT c.id, c.v, c.chunk, c.piece
+       |    FROM chunks c JOIN okb o
+       |      ON o.chunk = c.chunk AND o.piece = c.piece
+       |),
        |cands AS (
        |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, $hamming AS hamming
-       |    FROM chunks a JOIN chunks b
+       |    FROM c2 a JOIN c2 b
        |      ON a.chunk = b.chunk AND a.piece = b.piece AND a.id < b.id
        |   WHERE $hamming <= $maxHamming
        |)

@@ -712,10 +712,25 @@ object Similarity {
     * at any scale) and the pair join is seed-local — the corpus
     * shuffles once on seed_id and each partition's join is bounded by
     * its cluster population, never the all-pairs quadratic. */
-  private def semanticBody(assignRel: String, threshold: Double)
-                          (d: Dialect): String =
+  /** Pair body of the semantic dedup. Blocking key: (seed_id, sign-LSH
+    * bucket) — the cluster alone is NOT a scale-safe block: with a
+    * fixed seed count K, cluster size grows with the corpus and the
+    * within-cluster pair join grows QUADRATICALLY (the round-11 sf1
+    * curve measured 13.9× on 10× vectors before the sub-block). The
+    * 8-plane bucket bounds candidates the same way it does for
+    * [[graft.pipeline.Dedup.embeddingLshSql]]; true near-dups
+    * (production thresholds 0.95+) almost never straddle a sign plane,
+    * and the published SemDeDup configuration scales K with the corpus
+    * (its production K is 50k+) — the engine gets the same effect from
+    * the bucket sub-block without forking the shared K=8 index base.
+    * `hasBucket` = the relation already carries the landed bucket
+    * column (the engine's checkpointed base); the oracle rendering
+    * recomputes it from the embedding. */
+  private def semanticBody(assignRel: String, threshold: Double,
+                           hasBucket: Boolean)(d: Dialect): String = {
+    val blk = if (hasBucket) "bucket" else bucketExpr("embedding")(d)
     s"""WITH semb AS (
-       |  SELECT vec_id, seed_id, embedding,
+       |  SELECT vec_id, seed_id, $blk AS blk, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
        |    FROM $assignRel
        |),
@@ -724,13 +739,15 @@ object Similarity {
        |         ${d.dotProduct("a.embedding", "b.embedding")}
        |           / NULLIF(a.nrm * b.nrm, 0) AS cos
        |    FROM semb a JOIN semb b
-       |      ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+       |      ON a.seed_id = b.seed_id AND a.blk = b.blk
+       |     AND a.vec_id < b.vec_id
        |)
        |SELECT vec_a, vec_b, CAST(seed_id AS BIGINT) AS seed_id,
        |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
        |  FROM spairs
        | WHERE cos >= $threshold
        | ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // Fixture threshold 0.30 (same adjudication as the embedding dedup
   // entries): within-cluster cosine on the random synthetic embeddings
@@ -740,12 +757,13 @@ object Similarity {
                   nCentroids: Int = DefaultCentroids)(d: Dialect): String =
     s"""WITH ${seedsCte(table, nCentroids)(d)},
        |${assignCte(table, "seeds")(d)},
-       |${semanticBody("assign", threshold)(d).stripPrefix("WITH ")}""".stripMargin
+       |${semanticBody("assign", threshold, hasBucket = false)(d).stripPrefix("WITH ")}""".stripMargin
 
-  /** Spark path: the seed-blocked pair join reads the memoized
-    * checkpointed index base (one assignment pass per session). */
+  /** Spark path: the (seed, bucket)-blocked pair join reads the
+    * memoized checkpointed index base (one assignment pass per session;
+    * the base already carries the landed bucket column). */
   def runSemantic(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(semanticBody(annViews(spark, dir).base, 0.30)(d))
+    spark.sql(semanticBody(annViews(spark, dir).base, 0.30, hasBucket = true)(d))
 
   // ---------------------------------------------------------------------
   // Lloyd refinement — one k-means iteration past the seeded shortcut.

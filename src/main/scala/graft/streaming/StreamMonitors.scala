@@ -490,4 +490,27 @@ object StreamMonitors {
       .select(col("doc_id"), col("n_tokens"), col("oov_ct"),
         col("lp_micro"), col("ppl"), col("admitted"))
   }
+
+  /** Continuous distinct-vocabulary maintenance — the streaming twin of
+    * [[graft.profiling.SketchStore]]: per source, fold every arriving
+    * document's words into the HLL register state with the SAME
+    * `hll_sketch_agg(word, lgK)` aggregate the batch store lands.
+    * Sketch merge is register-wise max — associative, commutative,
+    * idempotent — so state per source is one 2^lgK-register sketch
+    * FOREVER (corpus-size-independent), micro-batch boundaries cannot
+    * change the registers, and every emission's estimate is
+    * BIT-IDENTICAL to the batch sketch of the ingested prefix
+    * (replay-spec-pinned). Complete output mode: the aggregate is
+    * |sources|-rows, so re-emitting the whole table per trigger is
+    * metadata-sized. Word segmentation mirrors the batch `wordsRel`
+    * (lowercase, whitespace split, empties dropped). */
+  def ingestDistinctSketch(docs: DataFrame,
+                           lgK: Int = graft.profiling.SketchStore.LgK): DataFrame =
+    docs
+      .select(col("source"),
+        explode(expr("filter(split(LOWER(text), '\\\\s+'), w -> w <> '')")).as("word"))
+      .groupBy("source")
+      .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sk"))
+      .select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("distinct_words"))
 }

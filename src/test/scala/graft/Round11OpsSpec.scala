@@ -6,9 +6,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.streaming.EventAnalytics
 
+/** Top-level so Spark can generate an Encoder without an outer scope. */
+final case class SkDoc(doc_id: Long, source: String, text: String)
+
 /** Round-11 operators: last-touch click attribution (join-free batch
-  * form + watermarked stream-stream join twin) and URL
-  * canonicalization / per-domain capping. */
+  * form + watermarked stream-stream join twin), URL canonicalization /
+  * per-domain capping, z-order layout, grouping-sets budget, weighted
+  * sampling, and the landed HLL sketch store + its streaming twin. */
 class Round11OpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
@@ -263,5 +267,31 @@ class Round11OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("FileScan parquet"),
       "global estimate must read the landed registers, not rescan the corpus")
+  }
+
+  test("streaming sketch maintenance replays to the batch estimates") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").as[SkDoc].collect()
+    val input = MemoryStream[SkDoc]
+    val q = graft.streaming.StreamMonitors
+      .ingestDistinctSketch(input.toDF())
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").start()
+    val streamed = try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("sketch_stream")
+        .as[(String, Long)].collect().toMap
+    } finally q.stop()
+    val batch = graft.streaming.StreamMonitors
+      .ingestDistinctSketch(docs.toSeq.toDF())
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch,
+      s"replayed registers diverge from batch: $streamed vs $batch")
+    assert(batch.nonEmpty && batch.values.forall(_ > 0))
   }
 }

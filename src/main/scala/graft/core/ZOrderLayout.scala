@@ -76,20 +76,36 @@ object ZOrderLayout {
     (for (ub <- ubs; db <- dbs) yield zOf(ub, db)).distinct.sorted
   }
 
+  // the ONE layout-landing shape (code derivation + salted co-location),
+  // shared by the initial landing and the daily append so the two can
+  // never fork (the TimeLayout discipline)
+  private def landInto(df: org.apache.spark.sql.DataFrame, path: String,
+                       mode: String): Unit =
+    df.withColumn("zbucket",
+        expr(zExpr("user_id", "CAST(ts AS DATE)")(SparkDialect)))
+      .repartition(col("zbucket"),
+        pmod(xxhash64(col("event_id")), lit(WritersPerBucket)))
+      .write.mode(mode).partitionBy("zbucket").parquet(path)
+
   /** Land events partitioned by the Morton code (memoized per
     * session+dir), salted to bound files per directory. */
   private[graft] def layoutPath(spark: SparkSession, dir: String): String =
     SessionCache.getOrElseUpdate(spark, "zorder_layout", dir) {
       val out = java.nio.file.Files
         .createTempDirectory("graft_events_zorder").toString
-      Tables.load(spark, dir, "events")
-        .withColumn("zbucket",
-          expr(zExpr("user_id", "CAST(ts AS DATE)")(SparkDialect)))
-        .repartition(col("zbucket"),
-          pmod(xxhash64(col("event_id")), lit(WritersPerBucket)))
-        .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+      landInto(Tables.load(spark, dir, "events"), out, "overwrite")
       out
     }
+
+  /** Daily maintenance: append a batch into the layout. partitionBy
+    * append only creates/extends the code directories the batch
+    * touches — an incoming day's events spread over the (bounded) code
+    * set of its day bucket × observed user buckets, and pre-existing
+    * files are never rewritten (spec asserts byte-identity, the
+    * [[TimeLayout.appendBatch]] discipline carried to the 2-D layout). */
+  def appendBatch(spark: SparkSession, layoutPath: String,
+                  batch: org.apache.spark.sql.DataFrame): Unit =
+    landInto(batch, layoutPath, "append")
 
   /** Rectangle bounds derived from the corpus min/max (so every scale
     * queries a proportionate, non-empty window): users

@@ -193,6 +193,35 @@ class Round11OpsSpec extends SparkSpec {
       s"code list lost rows: $prunedCt of $rectCt survive pruning")
   }
 
+  test("z-order append only touches the batch's own code directories") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder_app").toString + "/ev"
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    graft.core.ZOrderLayout.appendBatch(spark, dir, events)
+    def stats(d: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = stats(dir)
+    // a next-day batch confined to one (user-bucket, day-bucket) cell
+    val nextDay = events.selectExpr("date_add(CAST(MAX(ts) AS DATE), 64)")
+      .head().getDate(0)
+    val batch = events.limit(40)
+      .withColumn("ts", to_timestamp(lit(nextDay.toString + " 12:00:00")))
+      .withColumn("user_id", col("user_id") % 16) // one user bucket
+    graft.core.ZOrderLayout.appendBatch(spark, dir, batch)
+    val after = stats(dir)
+    before.foreach { case (p, s) => assert(after(p) == s, s"$p rewritten") }
+    val newFiles = after.keySet.diff(before.keySet)
+    assert(newFiles.nonEmpty, "append landed nothing")
+    val touched = newFiles.map(_.split("zbucket=")(1).split("/")(0)).toSet
+    // one day bucket x one user bucket -> exactly one Morton code dir
+    assert(touched.size == 1, s"batch leaked into codes $touched")
+  }
+
   test("morton interleave is a bijection on the 8x8 bucket grid") {
     val codes = for (u <- 0 until 8; d <- 0 until 8)
       yield graft.core.ZOrderLayout.zOf(u, d)

@@ -54,7 +54,28 @@ object PlanDump {
       "(a range exchange of the ~500 RESULT rows, not the join inputs)."),
     "sample_priority_k" -> ("Exact-k priority sample: TakeOrderedAndProject — a " +
       "k-row heap per task and a k*P driver merge, never a global sort of the " +
-      "corpus."))
+      "corpus."),
+    "event_attribution" -> ("Last-touch click attribution, join-free (the as-of " +
+      "shape): clicks and purchases union, one hash partition per user, a running " +
+      "LAST_VALUE carries the latest click onto each purchase, and the 1-hour " +
+      "window bound is checked row-locally after the window — no join operator, " +
+      "linear in events per user where the naive spelling re-materializes every " +
+      "click per purchase (oracle: DuckDB runs exactly that naive join-then-prune)."),
+    "event_zorder_pruned" -> ("Z-order layout consumer. The 2-D rectangle " +
+      "(user range x day range) maps driver-side to its covering Morton codes, " +
+      "so PartitionFilters lists only those code directories — pruning multiplies " +
+      "across dimensions; the exact predicate then filters inside the listed " +
+      "files (Round11OpsSpec asserts both the pruned listing and zero lost rows)."),
+    "dedup_semantic" -> ("SemDeDup over the landed index base, sub-blocked: " +
+      "candidates must share (seed_id, sign-LSH bucket), so the pair join is " +
+      "bounded per block instead of quadratic in cluster size (the round-11 sf1 " +
+      "curve caught the unblocked form at 13.9x on 10x vectors; the fix holds it " +
+      "at 1.4x)."),
+    "sketch_distinct_union" -> ("Landed HLL sketch store. The per-source registers " +
+      "land once (one word-explode scan); the GLOBAL distinct estimate is " +
+      "hll_union_agg over those |sources| binary rows — the sketch side of the " +
+      "plan touches no parquet (Round11OpsSpec tripwire). The corpus scans in " +
+      "THIS entry's plan belong to the exact-count verdict the oracle checks."))
 
   /** Task-metric accumulator: measured bytes, not just claimed shapes. */
   private final class Acc extends org.apache.spark.scheduler.SparkListener {

@@ -387,7 +387,25 @@ object SparkEntry {
       ("sample_weighted_k" ->
         ((s: SparkSession, dir: String) => graft.pipeline.PrioritySample.runWeighted(s, dir))),
       ("sketch_distinct_union" ->
-        ((s: SparkSession, dir: String) => graft.profiling.SketchStore.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.profiling.SketchStore.run(s, dir))),
+      ("privacy_k_anonymity" ->
+        ((s: SparkSession, dir: String) => graft.inference.KAnonymity.run(s, dir))),
+      ("profile_benford" ->
+        ((s: SparkSession, dir: String) => graft.profiling.Benford.run(s, dir))),
+      ("event_attribution_multitouch" ->
+        ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runMultiTouch(s, dir))),
+      ("fk_integrity" ->
+        ((s: SparkSession, dir: String) => graft.inference.Referential.run(s, dir))),
+      ("scd2_build" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Scd2.run(s, dir))),
+      ("drift_ks" ->
+        ((s: SparkSession, dir: String) => graft.profiling.KsDrift.run(s, dir))),
+      ("privacy_l_diversity" ->
+        ((s: SparkSession, dir: String) => graft.inference.LDiversity.run(s, dir))),
+      ("event_changepoint" ->
+        ((s: SparkSession, dir: String) => graft.streaming.Changepoint.run(s, dir))),
+      ("reconcile_tables" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Reconcile.run(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -591,6 +609,16 @@ object SparkEntry {
       ("event_zorder_pruned" -> graft.core.ZOrderLayout.duckSql()),
       ("corpus_grouping_sets" -> graft.pipeline.CorpusCube.duckSql()),
       ("sample_weighted_k" -> graft.pipeline.PrioritySample.duckWeightedSql()),
-      ("sketch_distinct_union" -> graft.profiling.SketchStore.duckSql())
+      ("sketch_distinct_union" -> graft.profiling.SketchStore.duckSql()),
+      ("privacy_k_anonymity" -> graft.inference.KAnonymity.duckSql()),
+      ("profile_benford" -> graft.profiling.Benford.duckSql()),
+      ("event_attribution_multitouch" ->
+        graft.streaming.EventAnalytics.duckMultiTouchSql()),
+      ("fk_integrity" -> graft.inference.Referential.duckSql()),
+      ("scd2_build" -> graft.pipeline.Scd2.duckSql()),
+      ("drift_ks" -> graft.profiling.KsDrift.duckSql()),
+      ("privacy_l_diversity" -> graft.inference.LDiversity.duckSql()),
+      ("event_changepoint" -> graft.streaming.Changepoint.duckSql()),
+      ("reconcile_tables" -> graft.pipeline.Reconcile.duckSql())
       ).toMap
 }

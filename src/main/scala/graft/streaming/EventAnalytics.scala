@@ -501,7 +501,8 @@ object EventAnalytics {
     * watermarked stream-stream join emits; the batch anchor of the
     * streaming twin's replay spec. */
   def attributionCandidatesSql(table: String,
-                               windowSec: Int = AttributionWindowSec): String =
+                               windowSec: Int = AttributionWindowSec,
+                               d: Dialect = SparkDialect): String =
     s"""WITH ${attrSides(table)}
        |SELECT p.purchase_id, c.click_id, p.user_id,
        |       p.purchase_ts, c.click_ts
@@ -509,8 +510,52 @@ object EventAnalytics {
        |  JOIN cl c
        |    ON c.user_id = p.user_id
        |   AND c.click_ts <= p.purchase_ts
-       |   AND ${SparkDialect.epochMicros("c.click_ts")} >=
-       |       ${SparkDialect.epochMicros("p.purchase_ts")} - CAST($windowSec AS BIGINT) * 1000000""".stripMargin
+       |   AND ${d.epochMicros("c.click_ts")} >=
+       |       ${d.epochMicros("p.purchase_ts")} - CAST($windowSec AS BIGINT) * 1000000""".stripMargin
+
+  /** Multi-touch (linear) attribution over the candidate pairs: every
+    * in-window click of a purchase shares its revenue equally, split in
+    * EXACT integer cents by largest remainder — base = cents DIV n per
+    * touch, and the `cents % n` leftover cents go one each to the most
+    * recent touches (recency order, deterministic ties on click_id) —
+    * so per-purchase credits sum EXACTLY to the purchase's cents in
+    * both engines, no float division. Two windows over the candidate
+    * relation, both partitioned by purchase — the shuffle key is the
+    * purchase id, never a corpus-wide sort. */
+  def multiTouchSql(table: String,
+                    windowSec: Int = AttributionWindowSec)
+                   (d: Dialect): String =
+    s"""WITH cand AS (
+       |  ${attributionCandidatesSql(table, windowSec, d).replace("\n", "\n  ")}
+       |),
+       |rk AS (
+       |  SELECT purchase_id, click_id, user_id, purchase_ts, click_ts,
+       |         ROW_NUMBER() OVER (PARTITION BY purchase_id
+       |                            ORDER BY click_ts DESC, click_id DESC) AS touch_rank,
+       |         COUNT(*) OVER (PARTITION BY purchase_id) AS touch_ct
+       |    FROM cand
+       |),
+       |rev AS (
+       |  SELECT event_id AS purchase_id,
+       |         CAST(ROUND(value * 100) AS BIGINT) AS revenue_cents
+       |    FROM $table WHERE event_type = 'purchase'
+       |)
+       |SELECT r.purchase_id, r.click_id, r.user_id,
+       |       CAST(r.touch_rank AS BIGINT) AS touch_rank,
+       |       CAST(r.touch_ct AS BIGINT) AS touch_ct,
+       |       CAST(${d.intDiv("v.revenue_cents", "r.touch_ct")}
+       |            + CASE WHEN r.touch_rank <= v.revenue_cents % r.touch_ct
+       |                   THEN 1 ELSE 0 END AS BIGINT) AS credit_cents
+       |  FROM rk r JOIN rev v ON v.purchase_id = r.purchase_id
+       | ORDER BY r.purchase_id, touch_rank""".stripMargin
+
+  def runMultiTouch(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("__graft_attr_events")
+    spark.sql(multiTouchSql("__graft_attr_events")(SparkDialect))
+  }
+
+  def duckMultiTouchSql(): String = multiTouchSql("events")(DuckDialect)
 
   final case class AttrEvent(event_id: Long, user_id: Long,
                              ts: java.sql.Timestamp, event_type: String)

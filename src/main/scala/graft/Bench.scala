@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Machine-swing telemetry: identical builds have measured uniform
+    * 0.99-1.6x per-entry inflation across same-day runs (r10/r11 bench
+    * notes) — pattern-adjudicated every round until now. A fixed
+    * CPU-bound sentinel timed beside the queries lets the next reader
+    * NORMALIZE uniform machine swing out instead: if sentinel_sec moved
+    * 1.3x between two artifacts, a uniform 1.3x query inflation is the
+    * machine, not a regression. Pure integer xorshift mix — no
+    * allocation, no JIT-variant branches, deterministic work. */
+  private def sentinelSec(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); Seq(once(), once(), once()).min // warm, then min-of-3
+  }
+
+  private def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(",")
+    catch { case _: Exception => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,7 +43,12 @@ object Bench {
     // Deterministic name order: hash-map iteration order made per-query
     // attribution incomparable across runs (the first consumer of each
     // memoized shared relation absorbs its whole build cost).
+    // optional comma-separated entry filter — targeted scaling sweeps
+    // (SCALING.md) time a subset without paying the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def runOnce(timed: Boolean): Seq[(String, Double)] = queries.map { case (name, fn) =>
       // measurement hygiene: settle the heap before each TIMED query so
       // a heavy alphabetical neighbor's garbage is not charged to this
@@ -47,7 +78,13 @@ object Bench {
     // 0.2-0.4 s regressions worth catching from a busy neighbor.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).getOrElse(4).max(1)
+    val loadStart = loadAvg()
+    val sentinelBefore = sentinelSec()
     val timedRuns = (1 to passes).map(_ => runOnce(timed = true))
+    val sentinelAfter = sentinelSec()
+    val loadEnd = loadAvg()
+    val telemetry =
+      s""""sentinel_sec_before":$sentinelBefore,"sentinel_sec_after":$sentinelAfter,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
     val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
       name -> timedRuns.map(_(i)._2).min
     }
@@ -62,7 +99,7 @@ object Bench {
     val productionTotal = results.collect {
       case (k, v) if !harness.contains(k) => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,$telemetry,"queries":$qs,"sf":"$sfDir"}""")
     // Full per-query record to a file: the driver's stdout tail capture
     // truncates the one-line summary, losing entries round-over-round;
     // the file keeps every query with its per-pass samples AND the min,
@@ -74,7 +111,7 @@ object Bench {
       s""""$name":{"min":${samples.min},"passes":[${samples.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,"sf":"$sfDir","n_passes":$passes,"queries":$perQuery}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,"sf":"$sfDir","n_passes":$passes,$telemetry,"queries":$perQuery}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }

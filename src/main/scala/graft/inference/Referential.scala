@@ -22,9 +22,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Referential {
 
   /** (child table, child col, parent table, parent col). The
-    * events→customer edge is a deliberately unconstrained declaration:
-    * synthetic users outnumber customers, so the screen demonstrably
-    * fires instead of vacuously passing. */
+    * events→customer edge is an unconstrained declaration (the
+    * generator never promises user_id ⊆ c_custkey) — in the shipped
+    * testdata it happens to resolve cleanly at every sf, so the
+    * firing path is proven by Round12OpsSpec's planted-orphan fixture
+    * rather than by fixture luck. */
   val Edges: Seq[(String, String, String, String)] = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),

@@ -260,17 +260,30 @@ object Dedup {
   def simhashSql(table: String, maxHamming: Int = 3)(d: Dialect): String =
     simhashBody(s"(${simhashSigsSql(table)(d)})", maxHamming)(d)
 
-  /** Embedding-cosine near-duplicates: pairwise cosine within label
-    * partitions (the IVF-style bucket bound — never the full quadratic
-    * pair join), norms precomputed once per vector. At 100 TB the label
-    * (or an LSH bucket) is the shuffle key; each partition's pair join is
-    * local. */
+  /** Embedding-cosine near-duplicates for LABELED corpora: pairwise
+    * cosine within (label, sign-LSH bucket) sub-blocks, norms
+    * precomputed once per vector. The label alone is NOT a scale-safe
+    * blocking key — at a fixed label count L the within-label pair join
+    * grows ~N²/L (measured 6.5× at the r11 sf1 sweep on the 10-label
+    * fixture) — so each label sub-blocks by a recall-biased 4-plane
+    * sign-LSH bucket, the same structural fix the sf1 curve forced on
+    * `dedup_semantic`: the corpus shuffles ONCE on the computed
+    * (label, bucket) key and every pair join is block-local,
+    * ~1/16 of the within-label quadratic. Sign-LSH buckets are
+    * cosine-aware, so true near-duplicates (cosine → 1) collide with
+    * probability (1 − θ/π)⁴ ≈ 1 at production thresholds (0.95+);
+    * production recall stacks independent bucket tables exactly as
+    * `dedup_embedding_lsh` documents. */
   // Production near-dup thresholds are 0.95+; the synthetic corpus's
-  // random embeddings top out near 0.47 within-label cosine, so the
-  // default exercises the candidate-surfacing path on the fixtures.
-  def embeddingSql(table: String, threshold: Double = 0.40)(d: Dialect): String =
+  // random embeddings top out near 0.47 within-label cosine, and the
+  // bucket constraint thins near-threshold pairs ~(1-θ/π)⁴, so 0.30
+  // (the LSH entry's fixture point) keeps the candidate-surfacing path
+  // exercised instead of returning a vacuous empty relation.
+  def embeddingSql(table: String, threshold: Double = 0.30,
+                   nPlanes: Int = 4, dim: Int = 64)(d: Dialect): String = {
+    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
     s"""WITH emb AS (
-       |  SELECT vec_id, label, embedding,
+       |  SELECT vec_id, label, $bucket AS bucket, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
        |    FROM $table
        |),
@@ -278,12 +291,14 @@ object Dedup {
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         ${d.dotProduct("a.embedding", "b.embedding")} / NULLIF(a.nrm * b.nrm, 0) AS cos
        |    FROM emb a JOIN emb b
-       |      ON a.label = b.label AND a.vec_id < b.vec_id
+       |      ON a.label = b.label AND a.bucket = b.bucket
+       |         AND a.vec_id < b.vec_id
        |)
        |SELECT vec_a, vec_b, CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
        |  FROM pairs
        | WHERE cos >= $threshold
        | ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   private def register(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "documents")

@@ -129,11 +129,11 @@ object EmbeddingAlgebra {
        |    FROM (${d.arrayPosRel(table, "vec_id", "embedding")}) t
        |),
        |g AS (
-       |  SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS sxy
+       |  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
        |    FROM pe a JOIN pe b ON b.vec_id = a.vec_id AND b.dim >= a.dim
        |   GROUP BY a.dim, b.dim
        |),
-       |ds AS (SELECT dim, SUM(q) AS s FROM pe GROUP BY dim),
+       |ds AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s FROM pe GROUP BY dim),
        |nn AS (SELECT COUNT(embedding) AS n FROM $table)
        |SELECT g.i, g.j, g.sxy, da.s AS sx, db.s AS sy, nn.n AS n
        |  FROM g JOIN ds da ON da.dim = g.i
@@ -219,7 +219,7 @@ object EmbeddingAlgebra {
        |         $sign AS sgn
        |    FROM (${d.seriesRel("pe", Seq("vec_id", "dim", "q"), k.toString)}) s
        |)
-       |SELECT vec_id, k, SUM(sgn * q) AS yq
+       |SELECT vec_id, k, CAST(SUM(sgn * q) AS BIGINT) AS yq
        |  FROM pk
        | GROUP BY vec_id, k
        | ORDER BY vec_id, k""".stripMargin

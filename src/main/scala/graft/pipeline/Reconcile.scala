@@ -14,7 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * row-local CASE arithmetic feeding a map-side-combinable aggregate —
   * C compared columns cost C counter columns in one pass, never C
   * joins. The unpivot to one-row-per-column happens on the single
-  * aggregated row (a metadata-sized Expand), not on the corpus. */
+  * aggregated row: the engine renders it as `stack()` over that one
+  * row (a UNION of per-column selects would re-reference the agg CTE,
+  * and Spark INLINES multiply-referenced CTEs — C unpivot branches
+  * would re-plan the join C times; Round12OpsSpec's one-join tripwire
+  * caught exactly that on first execution). The UNION rendering
+  * remains the DuckDB oracle, where CTEs materialize. */
 object Reconcile {
 
   /** Compared columns of the snapshot pair. */
@@ -53,10 +58,44 @@ object Reconcile {
        |) u ORDER BY column_name""".stripMargin
   }
 
+  /** Engine rendering: identical CTE prefix, but the unpivot runs as
+    * one `stack()` generator over the single aggregated row — the agg
+    * CTE is referenced exactly once, so the join plans exactly once. */
+  def sparkSql(table: String): String = {
+    val verdicts = Cols.map { c =>
+      s"""       SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+         |                 AND ${c}_1 = ${c}_2 THEN 1 ELSE 0 END) AS match_$c,
+         |       SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+         |                 AND ${c}_1 <> ${c}_2 THEN 1 ELSE 0 END) AS diff_$c""".stripMargin
+    }.mkString(",\n")
+    val stackArgs = Cols.map(c => s"'$c', match_$c, diff_$c").mkString(",\n    ")
+    s"""WITH s1 AS (${Scd2.snap1Sql(table)}),
+       |s2 AS (${Scd2.snap2Sql(table)}),
+       |j AS (
+       |  SELECT s1.c_custkey AS k1, s2.c_custkey AS k2,
+       |         ${Cols.map(c => s"s1.$c AS ${c}_1, s2.$c AS ${c}_2").mkString(",\n         ")}
+       |    FROM s1 FULL OUTER JOIN s2 ON s2.c_custkey = s1.c_custkey
+       |),
+       |agg AS (
+       |  SELECT SUM(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS only_a,
+       |         SUM(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS only_b,
+       |$verdicts
+       |    FROM j
+       |)
+       |SELECT u.column_name, CAST(only_a AS BIGINT) AS only_a_ct,
+       |       CAST(only_b AS BIGINT) AS only_b_ct,
+       |       CAST(u.m AS BIGINT) AS match_ct,
+       |       CAST(u.d AS BIGINT) AS diff_ct
+       |  FROM agg
+       |  LATERAL VIEW stack(${Cols.length},
+       |    $stackArgs) u AS column_name, m, d
+       | ORDER BY column_name""".stripMargin
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "customer")
       .createOrReplaceTempView("__graft_rec_cust")
-    spark.sql(sql("__graft_rec_cust"))
+    spark.sql(sparkSql("__graft_rec_cust"))
   }
 
   def duckSql(): String = sql("customer")

@@ -159,7 +159,7 @@ object HeavyHitters {
        |g AS (SELECT word, COUNT(*) AS ct FROM w GROUP BY word),
        |t AS (SELECT SUM(ct) AS total FROM g)
        |SELECT g.word, g.ct,
-       |       ${d.intDiv("g.ct * 10000", "t.total")} AS support_bp
+       |       CAST(${d.intDiv("g.ct * 10000", "t.total")} AS BIGINT) AS support_bp
        |  FROM g, t
        | WHERE g.ct * $K >= t.total
        | ORDER BY g.ct DESC, g.word""".stripMargin

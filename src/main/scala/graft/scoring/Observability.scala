@@ -198,9 +198,9 @@ object Observability {
        |       c.metric_name, c.min_threshold, c.max_threshold,
        |       c.status, c.metric_value, c.result,
        |       COALESCE(p.test_parameters, '') AS test_parameters,
-       |       LEAST(500, GREATEST(1, ${d.intDiv("c.export_qty * 50000", "c.export_bytes")})) AS chunk_size,
-       |       ${d.intDiv("c.event_seq - 1",
-                          s"LEAST(500, GREATEST(1, ${d.intDiv("c.export_qty * 50000", "c.export_bytes")}))")} AS chunk_no
+       |       CAST(LEAST(500, GREATEST(1, ${d.intDiv("c.export_qty * 50000", "c.export_bytes")})) AS BIGINT) AS chunk_size,
+       |       CAST(${d.intDiv("c.event_seq - 1",
+                          s"LEAST(500, GREATEST(1, ${d.intDiv("c.export_qty * 50000", "c.export_bytes")}))")} AS BIGINT) AS chunk_no
        |  FROM chunked c
        |  LEFT JOIN parsed p ON p.table_name = c.table_name
        |                    AND p.test_type = c.test_type

@@ -134,7 +134,7 @@ class Round12OpsSpec extends SparkSpec {
       "a single-partition window would serialize the corpus through one task")
   }
 
-  test("fk integrity: star edges resolve, the unconstrained edge fires") {
+  test("fk integrity: star edges resolve, invariants hold on the fixture") {
     val spark2 = spark
     import spark2.implicits._
     val rows = graft.inference.Referential.run(spark, sfDir)
@@ -149,21 +149,51 @@ class Round12OpsSpec extends SparkSpec {
       "customer.c_nationkey -> nation.n_nationkey").foreach { e =>
       assert(rows(e)._3 == 0L && rows(e)._4 == 0L, s"$e has orphans")
     }
-    // synthetic users outnumber customers: the screen must FIRE here
-    val ev = rows("events.user_id -> customer.c_custkey")
-    assert(ev._3 > 0L && ev._4 > 0L, "events->customer should have orphans")
     rows.values.foreach { r =>
       assert(r._3 >= r._4, "orphan rows >= orphan values")
       assert(r._2 >= r._3 + r._5, "child_ct bounds orphans + nulls")
       // resolving values are a subset of the parent's key domain
       assert(r._6 - r._4 <= r._7, "resolved child values exceed parent domain")
     }
-    // cross-check one orphan count directly
+    // the unconstrained events edge: whatever the screen reports must
+    // equal the direct anti-join (zero on the shipped fixture — the
+    // generator happens to draw user_id inside the customer domain)
+    val ev = rows("events.user_id -> customer.c_custkey")
     val direct = graft.core.Tables.load(spark, sfDir, "events")
       .join(graft.core.Tables.load(spark, sfDir, "customer")
         .select($"c_custkey".as("user_id")), Seq("user_id"), "left_anti")
       .count()
     assert(ev._3 == direct, s"orphan count ${ev._3} != anti-join $direct")
+  }
+
+  test("fk integrity FIRES on planted orphans (all count classes exact)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a broken child: keys 1-2 resolve, 7 appears twice and never
+    // resolves, 9 never resolves, two NULL keys
+    Seq(Option(1L), Some(2L), Some(7L), Some(7L), Some(9L), None, None)
+      .toDF("user_id").createOrReplaceTempView("__fk_child")
+    // c_nationkey present because customer is itself the CHILD of the
+    // nation edge in the same 8-edge union
+    Seq((1L, 1), (2L, 1), (3L, 1)).toDF("c_custkey", "c_nationkey")
+      .createOrReplaceTempView("__fk_parent")
+    val tabs = graft.inference.Referential.Edges.flatMap {
+      case (ct, _, pt, _) => Seq(ct, pt)
+    }.distinct.map {
+      case "events" => "events" -> "__fk_child"
+      case "customer" => "customer" -> "__fk_parent"
+      case t =>
+        graft.core.Tables.load(spark, sfDir, t)
+          .createOrReplaceTempView(s"__fk_$t")
+        t -> s"__fk_$t"
+    }.toMap
+    val ev = spark.sql(graft.inference.Referential.sql(tabs))
+      .where($"fk_edge" === "events.user_id -> customer.c_custkey")
+      .select("child_ct", "orphan_ct", "orphan_val_ct", "null_key_ct",
+        "child_val_ct", "parent_val_ct")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(ev == ((7L, 3L, 2L, 2L, 4L, 3L)),
+      s"planted-orphan counts drifted: $ev")
   }
 
   test("fk integrity plans broadcast the small parents") {
@@ -182,7 +212,7 @@ class Round12OpsSpec extends SparkSpec {
     val byKey = rows.groupBy(_._1)
     byKey.foreach { case (k, g) =>
       assert(g.count(_._4) <= 1, s"key $k has two open versions")
-      g.map(_._5).distinct match {
+      g.map(_._5).distinct.toSeq match {
         case Seq("CHANGED") =>
           assert(g.length == 2, s"key $k CHANGED must close + reopen")
           val old = g.find(_._2 == 1).get; val nw = g.find(_._2 == 2).get

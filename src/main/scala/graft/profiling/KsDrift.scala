@@ -20,13 +20,22 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * pooled value domain — the naive spelling is ONE global-sort window
   * (exactly what the DuckDB oracle runs, a different algorithm
   * checking the same relation). The Spark plan is a distributed
-  * two-level prefix sum: per-value counts group once (map-side
-  * combined), each 64 Ki-cent bucket cumsums independently
-  * (`PARTITION BY bucket ORDER BY v` — parallel across buckets), the
-  * per-bucket totals (a few hundred rows, price-range-bounded —
-  * metadata-sized by construction) take the only ordered window, and
-  * the bucket offsets broadcast back. No corpus-sized relation ever
-  * sorts on one task (Round12OpsSpec asserts the plan). */
+  * two-level prefix sum, run as TWO phases: phase 1 aggregates the
+  * corpus to per-64 Ki-cent-bucket totals (map-side combined, a few
+  * hundred rows — price-range-bounded, metadata-sized by
+  * construction), which COLLECT and fold into prefix offsets
+  * driver-side (the same metadata-sized-collect discipline as the
+  * DSIR budget's threshold election); phase 2 is one scan whose
+  * per-bucket windows (`PARTITION BY bucket ORDER BY v` — parallel
+  * across buckets) add the offsets back as a broadcast map literal.
+  * No corpus-sized relation ever sorts on one task (Round12OpsSpec
+  * asserts the plan). The first rendering expressed both levels in
+  * one statement, but its shared CTEs were referenced 2-3× and Spark
+  * INLINES them — the plan held THREE corpus scans and 13 exchanges.
+  * Now the corpus scans ONCE: the per-value count relation is
+  * VALUE-DOMAIN-bounded (≤ distinct cents values — price-range-
+  * capped regardless of corpus size), so it checkpoints per call and
+  * both phases read it instead of the corpus. */
 object KsDrift {
 
   /** Bucket width for the two-level prefix sum, in cents. */
@@ -53,28 +62,49 @@ object KsDrift {
        |  FROM cum CROSS JOIN tot
        | GROUP BY tot.na, tot.nb""".stripMargin
 
-  /** Spark form: bucketed two-level prefix sum. */
-  def sparkSql(table: String): String =
-    s"""WITH ${centsCte(table)},
-       |bk AS (SELECT v, ca, cb, v DIV $BucketCents AS bucket FROM cnt),
-       |w AS (
-       |  SELECT v, bucket,
-       |         SUM(ca) OVER (PARTITION BY bucket ORDER BY v) AS wca,
-       |         SUM(cb) OVER (PARTITION BY bucket ORDER BY v) AS wcb
-       |    FROM bk
-       |),
-       |btot AS (SELECT bucket, SUM(ca) AS tca, SUM(cb) AS tcb FROM bk GROUP BY bucket),
-       |boff AS (
-       |  SELECT bucket,
-       |         SUM(tca) OVER (ORDER BY bucket) - tca AS offa,
-       |         SUM(tcb) OVER (ORDER BY bucket) - tcb AS offb
-       |    FROM btot
-       |),
+  /** The value-domain relation both phases read: per-cents-value
+    * class counts, ONE corpus scan, map-side combined. */
+  def cntSql(table: String): String =
+    s"""SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM (
+       |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+       |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+       |    FROM $table) pts
+       | GROUP BY v""".stripMargin
+
+  /** Spark phase 1: per-bucket totals off the landed count relation —
+    * a price-range-bounded handful of rows. */
+  def bucketTotalsSql(cntRel: String): String =
+    s"""SELECT v DIV $BucketCents AS bucket, SUM(ca) AS tca, SUM(cb) AS tcb
+       |  FROM $cntRel
+       | GROUP BY 1""".stripMargin
+
+  /** Spark phase 2: per-bucket cumsums over the landed count relation,
+    * driver-computed bucket offsets re-attached as a map literal. */
+  def sparkSql(cntRel: String, offA: Map[Long, Long], offB: Map[Long, Long],
+               na: Long, nb: Long): String = {
+    def mapLit(m: Map[Long, Long]): String =
+      if (m.isEmpty) s"map(CAST(0 AS BIGINT), CAST(0 AS BIGINT))"
+      else "map(" + m.toSeq.sorted
+        .map { case (k, v) => s"CAST($k AS BIGINT), CAST($v AS BIGINT)" }
+        .mkString(", ") + ")"
+    s"""WITH bk AS (SELECT v, ca, cb, v DIV $BucketCents AS bucket FROM $cntRel),
        |cum AS (
-       |  SELECT w.v, w.wca + boff.offa AS cma, w.wcb + boff.offb AS cmb
-       |    FROM w JOIN boff ON boff.bucket = w.bucket
+       |  SELECT v,
+       |         SUM(ca) OVER (PARTITION BY bucket ORDER BY v)
+       |           + element_at(${mapLit(offA)}, bucket) AS cma,
+       |         SUM(cb) OVER (PARTITION BY bucket ORDER BY v)
+       |           + element_at(${mapLit(offB)}, bucket) AS cmb
+       |    FROM bk
        |)
-       |${finalSelect(SparkDialect)}""".stripMargin
+       |SELECT CAST($na AS BIGINT) AS n_a, CAST($nb AS BIGINT) AS n_b,
+       |       CAST(MAX(ABS($nb * cum.cma - $na * cum.cmb)) AS BIGINT)
+       |         AS ks_num,
+       |       CAST(${SparkDialect.intDiv(
+                 s"MAX(ABS($nb * cum.cma - $na * cum.cmb)) * 1000000",
+                 s"CAST($na AS BIGINT) * $nb")} AS BIGINT) AS ks_ppm
+       |  FROM cum
+       |HAVING MAX(ABS($nb * cum.cma - $na * cum.cmb)) IS NOT NULL""".stripMargin
+  }
 
   /** Oracle form: the naive single-window ECDF — a different algorithm
     * agreeing on the same relation. */
@@ -90,6 +120,20 @@ object KsDrift {
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "lineitem")
       .createOrReplaceTempView("__graft_ks_li")
-    spark.sql(sparkSql("__graft_ks_li"))
+    // the ONE corpus scan: land the value-domain count relation
+    spark.sql(cntSql("__graft_ks_li")).localCheckpoint(eager = true)
+      .createOrReplaceTempView("__graft_ks_cnt")
+    // phase 1: bucket totals (metadata-sized), folded to prefix
+    // offsets + the grand totals driver-side
+    val btot = spark.sql(bucketTotalsSql("__graft_ks_cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (ra, rb) = (0L, 0L)
+    val offs = btot.map { case (bkt, ta, tb) =>
+      val o = (bkt, ra, rb); ra += ta; rb += tb; o
+    }
+    spark.sql(sparkSql("__graft_ks_cnt",
+      offs.map(o => o._1 -> o._2).toMap,
+      offs.map(o => o._1 -> o._3).toMap, ra, rb))
   }
 }

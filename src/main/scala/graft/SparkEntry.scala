@@ -405,7 +405,13 @@ object SparkEntry {
       ("event_changepoint" ->
         ((s: SparkSession, dir: String) => graft.streaming.Changepoint.run(s, dir))),
       ("reconcile_tables" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Reconcile.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Reconcile.run(s, dir))),
+      ("drift_psi" ->
+        ((s: SparkSession, dir: String) => graft.profiling.PsiDrift.run(s, dir))),
+      ("drift_chisq" ->
+        ((s: SparkSession, dir: String) => graft.profiling.ChisqDrift.run(s, dir))),
+      ("text_encoding_screen" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.EncodingScreen.run(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -619,6 +625,9 @@ object SparkEntry {
       ("drift_ks" -> graft.profiling.KsDrift.duckSql()),
       ("privacy_l_diversity" -> graft.inference.LDiversity.duckSql()),
       ("event_changepoint" -> graft.streaming.Changepoint.duckSql()),
-      ("reconcile_tables" -> graft.pipeline.Reconcile.duckSql())
+      ("reconcile_tables" -> graft.pipeline.Reconcile.duckSql()),
+      ("drift_psi" -> graft.profiling.PsiDrift.duckSql()),
+      ("drift_chisq" -> graft.profiling.ChisqDrift.duckSql()),
+      ("text_encoding_screen" -> graft.pipeline.EncodingScreen.duckSql())
       ).toMap
 }

@@ -1,0 +1,95 @@
+package graft
+
+/** Round-12 operators: PSI drift, chi-square homogeneity drift, and the
+  * encoding-health (mojibake) screen. */
+class DriftOpsSpec extends SparkSpec {
+
+  test("psi drift: terms recompute from raw counts, total closes, signs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.profiling.PsiDrift.run(spark, sfDir)
+      .select("bucket", "ct_a", "ct_b", "psi_term_nano", "psi_nano_total")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length > 3, "need a multi-bucket value domain")
+    // every PSI term is non-negative: (p-q) and ln(p/q) share sign
+    rows.foreach { r => assert(r._4 >= 0L, s"negative term at bucket ${r._1}") }
+    assert(rows.map(_._5).distinct.length == 1)
+    assert(rows.head._5 == rows.map(_._4).sum, "total must be the term sum")
+    // recompute each term naively from the counts the row itself carries
+    val na = rows.map(_._2).sum; val nb = rows.map(_._3).sum
+    val nbk = rows.length.toLong
+    rows.foreach { case (bkt, ca, cb, nano, _) =>
+      val pa = (ca + 1).toDouble / (na + nbk)
+      val pb = (cb + 1).toDouble / (nb + nbk)
+      val expect = math.round((pa - pb) * math.log(pa / pb) * 1e9)
+      assert(nano == expect, s"bucket $bkt term $nano != naive $expect")
+    }
+    // buckets partition the corpus
+    val total = graft.core.Tables.load(spark, sfDir, "lineitem").count()
+    assert(na + nb == total)
+  }
+
+  test("psi drift plans one corpus scan; windows run over the bucket relation") {
+    val p = graft.profiling.PsiDrift.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"psi re-scans the corpus: $scans scans")
+  }
+
+  test("chisq drift: cells recompute, marginals consistent, total closes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.profiling.ChisqDrift.run(spark, sfDir)
+      .select("category", "slice", "observed_ct", "expected_micro",
+        "chisq_term_micro", "chisq_micro_total")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq("fulfilled", "open"))
+    assert(rows.length == rows.map(_._1).distinct.length * 2,
+      "every category must carry both slices on this fixture")
+    assert(rows.map(_._6).distinct.length == 1)
+    assert(rows.head._6 == rows.map(_._5).sum, "total must be the term sum")
+    rows.foreach { r => assert(r._5 >= 0L, "chi-square terms are squares") }
+    // recompute from the observed contingency table
+    val o = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val n = rows.map(_._3).sum
+    val rt = rows.groupBy(_._1).map { case (c, g) => c -> g.map(_._3).sum }
+    val ct = rows.groupBy(_._2).map { case (s, g) => s -> g.map(_._3).sum }
+    rows.foreach { case (c, s, obs, expMicro, termMicro, _) =>
+      val e = rt(c).toDouble * ct(s) / n
+      assert(expMicro == math.round(e * 1e6), s"expected drifted at ($c,$s)")
+      val num = (obs * n - rt(c) * ct(s)).toDouble
+      val expect = math.round(num * num / (rt(c).toDouble * ct(s) * n) * 1e6)
+      assert(termMicro == expect, s"term drifted at ($c,$s)")
+    }
+  }
+
+  test("encoding screen: exactly the injected residues fire, counts exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.pipeline.EncodingScreen.run(spark, sfDir)
+      .select("doc_id", "repl_ct", "ctrl_ct", "zerowidth_ct", "mojibake_ct",
+        "is_suspect")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._6), "output is the suspect set")
+    val ids = graft.core.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id").as[Long].collect()
+    assert(rows.map(_._1).toSet == ids.filter(_ % 13 <= 3).toSet,
+      "flagged set must be exactly the injected residues")
+    rows.foreach { case (id, repl, ctrl, zw, moji, _) =>
+      (id % 13) match {
+        case 0 => assert((repl, ctrl, zw, moji) == ((2L, 0L, 0L, 0L)), s"doc $id")
+        case 1 => assert((repl, ctrl, zw, moji) == ((0L, 0L, 0L, 3L)), s"doc $id")
+        case 2 => assert((repl, ctrl, zw, moji) == ((0L, 3L, 0L, 0L)), s"doc $id")
+        case 3 => assert((repl, ctrl, zw, moji) == ((0L, 0L, 3L, 0L)), s"doc $id")
+        case r => fail(s"doc $id residue $r should not be flagged")
+      }
+    }
+  }
+
+  test("encoding screen plans a single scan, no joins, no shuffles") {
+    val p = graft.pipeline.EncodingScreen.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length == 1)
+    assert(!p.contains("Join"), "the screen is row-local")
+  }
+}

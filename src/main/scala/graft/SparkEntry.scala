@@ -411,7 +411,11 @@ object SparkEntry {
       ("drift_chisq" ->
         ((s: SparkSession, dir: String) => graft.profiling.ChisqDrift.run(s, dir))),
       ("text_encoding_screen" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.EncodingScreen.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.EncodingScreen.run(s, dir))),
+      ("entity_match" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.EntityMatch.run(s, dir))),
+      ("retrieval_mmr" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runMmr(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -628,6 +632,8 @@ object SparkEntry {
       ("reconcile_tables" -> graft.pipeline.Reconcile.duckSql()),
       ("drift_psi" -> graft.profiling.PsiDrift.duckSql()),
       ("drift_chisq" -> graft.profiling.ChisqDrift.duckSql()),
-      ("text_encoding_screen" -> graft.pipeline.EncodingScreen.duckSql())
+      ("text_encoding_screen" -> graft.pipeline.EncodingScreen.duckSql()),
+      ("entity_match" -> graft.pipeline.EntityMatch.duckSql()),
+      ("retrieval_mmr" -> graft.pipeline.Retrieval.duckMmrSql())
       ).toMap
 }

@@ -313,4 +313,126 @@ object Retrieval {
 
   def duckQualitySql(): String =
     qualitySql("documents", "embeddings")(DuckDialect)
+
+  // ---------------------------------------------------------------------
+  // MMR — maximal marginal relevance diversified rerank
+  // ---------------------------------------------------------------------
+
+  /** Picks per query in the diversified list. */
+  val MmrK = 5
+
+  /** MMR diversified rerank (Carbonell & Goldstein 1998) — the standard
+    * redundancy-aware rerank a RAG serving tier applies to a top-k list:
+    * greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s),
+    * so near-duplicate hits stop crowding out coverage. λ = 0.7.
+    *
+    * Determinism discipline: relevance is the per-query BM25 score
+    * RATIO in integer micro units (score·1e6 / per-query max — integer
+    * division, both operands positive so DIV and // agree); pairwise
+    * candidate similarity is embedding cosine ROUND-quantized ONCE to
+    * micro units; the MMR objective stays the ×10 integer NUMERATOR
+    * `7·rel − 3·maxsim` (never divided, so no negative-division
+    * semantics cross engines); ties break by doc_id.
+    *
+    * Scale shape: the greedy is INHERENTLY sequential in k, so it runs
+    * UNROLLED — k CTE stages over the landed candidate/sim relations,
+    * which are (nQueries × k) and (nQueries × k²) rows REGARDLESS of
+    * corpus size (the corpus was already reduced by the BM25 top-k).
+    * Every stage is a window + join over those metadata-sized
+    * relations; the corpus is never touched. */
+  private def mmrCandSql(bmRel: String)(d: Dialect): String =
+    s"""SELECT query_id, doc_id,
+       |       CAST(${d.intDiv("score_micro * 1000000",
+                "MAX(score_micro) OVER (PARTITION BY query_id)")} AS BIGINT)
+       |         AS rel_micro
+       |  FROM $bmRel""".stripMargin
+
+  private def mmrSimSql(candRel: String, embTable: String)(d: Dialect): String =
+    s"""WITH mce AS (
+       |  SELECT c.query_id, c.doc_id, e.embedding,
+       |         SQRT(${d.dotProduct("e.embedding", "e.embedding")}) AS nrm
+       |    FROM $candRel c JOIN $embTable e ON e.vec_id = c.doc_id
+       |)
+       |SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+       |       CAST(ROUND(${d.dotProduct("a.embedding", "b.embedding")}
+       |                  / NULLIF(a.nrm * b.nrm, 0) * 1000000) AS BIGINT)
+       |         AS sim_micro
+       |  FROM mce a JOIN mce b
+       |    ON b.query_id = a.query_id AND b.doc_id <> a.doc_id""".stripMargin
+
+  /** The unrolled greedy: sel1..selK CTEs + the final union. `cand` and
+    * `sim` are relation NAMES (landed views engine-side, CTEs in the
+    * oracle statement). */
+  private def mmrSelSql(cand: String, sim: String, k: Int): String = {
+    def sel(i: Int): String =
+      if (i == 1)
+        s"""sel1 AS (
+           |  SELECT query_id, doc_id, rel_micro, 1 AS pick_rank,
+           |         7 * rel_micro AS mmr_decimicro
+           |    FROM (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY rel_micro DESC, doc_id) AS rk FROM $cand c) z
+           |   WHERE rk = 1
+           |)""".stripMargin
+      else {
+        val prev = (1 until i)
+          .map(j => s"SELECT query_id, doc_id FROM sel$j")
+          .mkString(" UNION ALL ")
+        s"""sel$i AS (
+           |  SELECT query_id, doc_id, rel_micro, $i AS pick_rank, mmr_decimicro
+           |    FROM (
+           |      SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
+           |               ORDER BY mmr_decimicro DESC, doc_id) AS rk
+           |        FROM (
+           |          SELECT c.query_id, c.doc_id, c.rel_micro,
+           |                 7 * c.rel_micro
+           |                   - 3 * MAX(COALESCE(sm.sim_micro, 0)) AS mmr_decimicro
+           |            FROM $cand c
+           |            JOIN ($prev) sp ON sp.query_id = c.query_id
+           |            LEFT JOIN $sim sm ON sm.query_id = c.query_id
+           |                             AND sm.da = c.doc_id AND sm.db = sp.doc_id
+           |           WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+           |                              WHERE s2.query_id = c.query_id
+           |                                AND s2.doc_id = c.doc_id)
+           |           GROUP BY c.query_id, c.doc_id, c.rel_micro) s) z
+           |   WHERE rk = 1
+           |)""".stripMargin
+      }
+    val union = (1 to k).map(i => s"SELECT * FROM sel$i").mkString("\n  UNION ALL\n  ")
+    s"""${(1 to k).map(sel).mkString(",\n")}
+       |SELECT query_id, doc_id, CAST(pick_rank AS INT) AS pick_rank,
+       |       rel_micro, CAST(mmr_decimicro AS BIGINT) AS mmr_decimicro
+       |  FROM (
+       |  $union
+       |) u
+       | ORDER BY query_id, pick_rank""".stripMargin
+  }
+
+  /** Test hook: the landed (candidate, pairwise-sim) relations the
+    * greedy consumes — lets specs replay the greedy in plain Scala
+    * over the exact integer inputs. */
+  private[graft] def mmrInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    runMmr(spark, dir) // ensures the views are landed
+    val candV = landed(spark, dir, "mmrcand")(sys.error("landed"))
+    val simV = landed(spark, dir, "mmrsim")(sys.error("landed"))
+    (spark.table(candV), spark.table(simV))
+  }
+
+  def runMmr(spark: SparkSession, dir: String): DataFrame = {
+    val (_, emb) = views(spark, dir)
+    val candV = landed(spark, dir, "mmrcand") {
+      spark.sql(mmrCandSql(bmView(spark, dir))(sd))
+    }
+    val simV = landed(spark, dir, "mmrsim") {
+      spark.sql(mmrSimSql(candV, emb)(sd))
+    }
+    spark.sql(s"WITH ${mmrSelSql(candV, simV, MmrK)}")
+  }
+
+  def duckMmrSql(): String = {
+    val d: Dialect = DuckDialect
+    s"""WITH ${bm25Ctes("documents", NQueries, TopK)(d)},
+       |mcand AS (${mmrCandSql("bm")(d)}),
+       |msim AS (${mmrSimSql("mcand", "embeddings")(d)}),
+       |${mmrSelSql("mcand", "msim", MmrK)}""".stripMargin
+  }
 }

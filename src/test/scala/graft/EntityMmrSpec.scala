@@ -1,0 +1,102 @@
+package graft
+
+/** Round-12 operators: blocked fuzzy entity match and MMR diversified
+  * rerank. */
+class EntityMmrSpec extends SparkSpec {
+
+  test("entity match: every dirty record links to its source, exact classes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.pipeline.EntityMatch.run(spark, sfDir)
+      .select("src_id", "variant_class", "match_key", "edit_distance",
+        "candidate_ct", "match_class", "is_true_match")
+      .as[(Long, Int, Long, Long, Long, String, Boolean)].collect()
+    val total = graft.core.Tables.load(spark, sfDir, "customer").count()
+    assert(rows.length == total, "every dirty record must resolve a best match")
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per record")
+    // at this sf the last-4 block key is collision-free, so the true
+    // match is the ONLY candidate and always wins
+    rows.foreach { case (src, vc, mk, dist, cct, cls, isTrue) =>
+      assert(isTrue && mk == src, s"src $src matched $mk")
+      assert(cct == 1L, s"src $src candidates $cct")
+      val expectDist = vc match {
+        case 0 => 1L // head-char deletion
+        case 1 => 0L // case flip, folded away
+        case 2 => 1L // insertion
+        case 3 => 0L // unchanged
+      }
+      assert(dist == expectDist, s"src $src class $vc dist $dist")
+      assert(cls == (if (expectDist == 0) "EXACT" else "FUZZY"))
+    }
+  }
+
+  test("entity match plans one block-local join, never a cross product") {
+    val p = graft.pipeline.EntityMatch.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "blocking must make the match an equi-join")
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length
+    assert(joins == 1, s"expected the single blocked join, got $joins")
+  }
+
+  test("mmr: picks replay the greedy exactly from the landed integers") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = graft.pipeline.Retrieval.runMmr(spark, sfDir)
+      .select("query_id", "doc_id", "pick_rank", "rel_micro", "mmr_decimicro")
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.sortBy(_._3) }
+    val (candDf, simDf) = graft.pipeline.Retrieval.mmrInputs(spark, sfDir)
+    val cand = candDf.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.map(r => r._2 -> r._3).toMap }
+    val sim = simDf.as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got.keySet == cand.keySet)
+    got.foreach { case (q, picks) =>
+      assert(picks.map(_._3).toSeq == (1 to graft.pipeline.Retrieval.MmrK))
+      assert(picks.map(_._2).distinct.length == picks.length, "no repeats")
+      var selected = List.empty[Long]
+      val rel = cand(q)
+      picks.foreach { case (_, doc, rank, relMicro, mmr) =>
+        assert(rel(doc) == relMicro, s"q$q pick $rank rel drifted")
+        // the greedy argmax over the remaining candidates
+        val best = rel.keys.filterNot(selected.contains).map { d =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(s => sim.getOrElse((q, d, s), 0L)).max
+          (7 * rel(d) - 3 * maxSim, d)
+        }.minBy { case (m, d) => (-m, d) }
+        assert(best._2 == doc, s"q$q pick $rank chose $doc, greedy says ${best._2}")
+        assert(best._1 == mmr, s"q$q pick $rank objective drifted")
+        selected ::= doc
+      }
+    }
+  }
+
+  test("mmr diversifies: a redundant candidate set reorders vs pure relevance") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = graft.pipeline.Retrieval.runMmr(spark, sfDir)
+      .select("query_id", "doc_id", "pick_rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.sortBy(_._3).map(_._2).toSeq }
+    val (candDf, _) = graft.pipeline.Retrieval.mmrInputs(spark, sfDir)
+    val byRel = candDf.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, g) =>
+        q -> g.sortBy(r => (-r._3, r._2)).map(_._2)
+          .take(graft.pipeline.Retrieval.MmrK).toSeq
+      }
+    // pick 1 is always the relevance argmax; later picks may trade
+    // relevance for coverage — assert pick 1 agreement (the rest is
+    // covered exactly by the greedy-replay spec)
+    got.foreach { case (q, picks) => assert(picks.head == byRel(q).head) }
+  }
+
+  test("mmr plan touches no corpus parquet — landed relations only") {
+    val p = graft.pipeline.Retrieval.runMmr(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      "the greedy must run over the landed candidate/sim relations")
+  }
+}

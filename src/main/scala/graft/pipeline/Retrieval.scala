@@ -360,51 +360,64 @@ object Retrieval {
        |  FROM mce a JOIN mce b
        |    ON b.query_id = a.query_id AND b.doc_id <> a.doc_id""".stripMargin
 
-  /** The unrolled greedy: sel1..selK CTEs + the final union. `cand` and
-    * `sim` are relation NAMES (landed views engine-side, CTEs in the
-    * oracle statement). */
-  private def mmrSelSql(cand: String, sim: String, k: Int): String = {
-    def sel(i: Int): String =
-      if (i == 1)
-        s"""sel1 AS (
-           |  SELECT query_id, doc_id, rel_micro, 1 AS pick_rank,
-           |         7 * rel_micro AS mmr_decimicro
-           |    FROM (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
-           |            ORDER BY rel_micro DESC, doc_id) AS rk FROM $cand c) z
-           |   WHERE rk = 1
-           |)""".stripMargin
-      else {
-        val prev = (1 until i)
-          .map(j => s"SELECT query_id, doc_id FROM sel$j")
-          .mkString(" UNION ALL ")
-        s"""sel$i AS (
-           |  SELECT query_id, doc_id, rel_micro, $i AS pick_rank, mmr_decimicro
-           |    FROM (
-           |      SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
-           |               ORDER BY mmr_decimicro DESC, doc_id) AS rk
-           |        FROM (
-           |          SELECT c.query_id, c.doc_id, c.rel_micro,
-           |                 7 * c.rel_micro
-           |                   - 3 * MAX(COALESCE(sm.sim_micro, 0)) AS mmr_decimicro
-           |            FROM $cand c
-           |            JOIN ($prev) sp ON sp.query_id = c.query_id
-           |            LEFT JOIN $sim sm ON sm.query_id = c.query_id
-           |                             AND sm.da = c.doc_id AND sm.db = sp.doc_id
-           |           WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
-           |                              WHERE s2.query_id = c.query_id
-           |                                AND s2.doc_id = c.doc_id)
-           |           GROUP BY c.query_id, c.doc_id, c.rel_micro) s) z
-           |   WHERE rk = 1
-           |)""".stripMargin
-      }
-    val union = (1 to k).map(i => s"SELECT * FROM sel$i").mkString("\n  UNION ALL\n  ")
-    s"""${(1 to k).map(sel).mkString(",\n")}
-       |SELECT query_id, doc_id, CAST(pick_rank AS INT) AS pick_rank,
+  /** One greedy step's SELECT body. `prevRels` are the relations
+    * holding the earlier picks — landed views engine-side (each step
+    * checkpoints before the next, so Spark's CTE inlining cannot
+    * re-plan the whole prefix at every reference: the naive
+    * single-statement form re-derived sel1..sel_{i-1} inside sel_i,
+    * ~2^k subplans — measured 5.0 s for k=5 over 30-row relations),
+    * CTE names in the oracle statement (DuckDB materializes CTEs, so
+    * the single statement is linear there). */
+  private def mmrStepSql(cand: String, sim: String,
+                         prevRels: Seq[String], i: Int): String =
+    if (i == 1)
+      s"""SELECT query_id, doc_id, rel_micro, 1 AS pick_rank,
+         |       7 * rel_micro AS mmr_decimicro
+         |  FROM (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY rel_micro DESC, doc_id) AS rk FROM $cand c) z
+         | WHERE rk = 1""".stripMargin
+    else {
+      val prev = prevRels
+        .map(r => s"SELECT query_id, doc_id FROM $r")
+        .mkString(" UNION ALL ")
+      s"""SELECT query_id, doc_id, rel_micro, $i AS pick_rank, mmr_decimicro
+         |  FROM (
+         |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY mmr_decimicro DESC, doc_id) AS rk
+         |      FROM (
+         |        SELECT c.query_id, c.doc_id, c.rel_micro,
+         |               7 * c.rel_micro
+         |                 - 3 * MAX(COALESCE(sm.sim_micro, 0)) AS mmr_decimicro
+         |          FROM $cand c
+         |          JOIN ($prev) sp ON sp.query_id = c.query_id
+         |          LEFT JOIN $sim sm ON sm.query_id = c.query_id
+         |                           AND sm.da = c.doc_id AND sm.db = sp.doc_id
+         |         WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+         |                            WHERE s2.query_id = c.query_id
+         |                              AND s2.doc_id = c.doc_id)
+         |         GROUP BY c.query_id, c.doc_id, c.rel_micro) s) z
+         | WHERE rk = 1""".stripMargin
+    }
+
+  private def mmrFinalSql(selRels: Seq[String]): String = {
+    val union = selRels.map(r => s"SELECT * FROM $r").mkString("\n  UNION ALL\n  ")
+    s"""SELECT query_id, doc_id, CAST(pick_rank AS INT) AS pick_rank,
        |       rel_micro, CAST(mmr_decimicro AS BIGINT) AS mmr_decimicro
        |  FROM (
        |  $union
        |) u
        | ORDER BY query_id, pick_rank""".stripMargin
+  }
+
+  /** The oracle's single-statement unrolled greedy: sel1..selK CTEs +
+    * the final union. */
+  private def mmrSelSql(cand: String, sim: String, k: Int): String = {
+    val ctes = (1 to k).map { i =>
+      val prev = (1 until i).map(j => s"sel$j")
+      s"sel$i AS (\n${mmrStepSql(cand, sim, prev, i)}\n)"
+    }.mkString(",\n")
+    s"""$ctes
+       |${mmrFinalSql((1 to k).map(i => s"sel$i"))}""".stripMargin
   }
 
   /** Test hook: the landed (candidate, pairwise-sim) relations the
@@ -425,7 +438,16 @@ object Retrieval {
     val simV = landed(spark, dir, "mmrsim") {
       spark.sql(mmrSimSql(candV, emb)(sd))
     }
-    spark.sql(s"WITH ${mmrSelSql(candV, simV, MmrK)}")
+    // land each greedy step before the next references it — the picks
+    // are (queries × 1) rows per step, and checkpointing severs the
+    // 2^k CTE-inlining re-plan the one-statement form pays in Spark
+    val selVs = (1 to MmrK).foldLeft(Seq.empty[String]) { (prev, i) =>
+      val v = landed(spark, dir, s"mmrsel$i") {
+        spark.sql(mmrStepSql(candV, simV, prev, i))
+      }
+      prev :+ v
+    }
+    spark.sql(mmrFinalSql(selVs))
   }
 
   def duckMmrSql(): String = {

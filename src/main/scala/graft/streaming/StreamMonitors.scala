@@ -513,4 +513,51 @@ object StreamMonitors {
       .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sk"))
       .select(col("source"),
         expr("hll_sketch_estimate(sk)").as("distinct_words"))
+
+  final case class PsiState(ca: Long, cb: Long)
+  final case class PsiBucketCount(bucket: Long, ct_a: Long, ct_b: Long)
+
+  /** Continuous PSI-drift sufficient statistics — the streaming twin of
+    * [[graft.profiling.PsiDrift]]: every micro-batch pre-folds its rows
+    * to per-partition (bucket, ca, cb) partials (so ONLY bucket-domain
+    * rows shuffle per trigger — the value grid is price-range-bounded,
+    * never the row stream), and keyed state per bucket adds them in.
+    * Counts are additive longs, so after any stream prefix the latest
+    * emission per bucket is BIT-IDENTICAL to the batch bucket relation
+    * over the same rows (replay-spec-pinned); the PSI itself derives
+    * from the emitted counts with the batch entry's exact arithmetic —
+    * the [[ingestGram]] emit-sufficient-stats shape, because the
+    * smoothed shares need the cross-bucket totals, which are the
+    * CONSUMER's one metadata-sized pass over B rows. State is two longs
+    * per bucket forever, at any ingest rate. */
+  def ingestPsiCounts(rows: DataFrame): Dataset[PsiBucketCount] = {
+    import rows.sparkSession.implicits._
+    val b = graft.profiling.PsiDrift.BucketCents
+    rows
+      .selectExpr(
+        s"CAST(ROUND(l_extendedprice * 100) AS BIGINT) DIV $b AS bucket",
+        "CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END AS a")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        it.foreach { case (bkt, a) =>
+          val (ca, cb) = m.getOrElse(bkt, (0L, 0L))
+          m(bkt) = (ca + a, cb + (1L - a))
+        }
+        m.iterator.map { case (bkt, (ca, cb)) => (bkt, ca, cb) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PsiState, PsiBucketCount](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, partials: Iterator[(Long, Long, Long)],
+         state: GroupState[PsiState]) =>
+          val prev = state.getOption.getOrElse(PsiState(0L, 0L))
+          val next = partials.foldLeft(prev) { (s, p) =>
+            PsiState(s.ca + p._2, s.cb + p._3)
+          }
+          state.update(next)
+          Iterator.single(PsiBucketCount(bucket, next.ca, next.cb))
+      }
+  }
 }

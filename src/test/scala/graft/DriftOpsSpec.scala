@@ -92,4 +92,47 @@ class DriftOpsSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).length == 1)
     assert(!p.contains("Join"), "the screen is row-local")
   }
+
+  test("streaming psi counts replay bit-identical to the batch bucket relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("l_extendedprice", "l_returnflag")
+      .as[(Double, String)].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 3)
+    val input = MemoryStream[(Double, String)]
+    val q = graft.streaming.StreamMonitors.ingestPsiCounts(
+      input.toDF().toDF("l_extendedprice", "l_returnflag"))
+      .writeStream.format("memory").queryName("psi_stream")
+      .outputMode("append").start()
+    val emitted = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("psi_stream")
+        .as[(Long, Long, Long)].collect()
+    } finally q.stop()
+    // the last emission per bucket = the running counts after the whole
+    // fixture streamed through; compare with the batch relation
+    val last = emitted.groupBy(_._1)
+      .map { case (b, g) => b -> g.map(r => (r._2, r._3)).maxBy(t => t._1 + t._2) }
+    val batch = graft.profiling.PsiDrift.run(spark, sfDir)
+      .select("bucket", "ct_a", "ct_b", "psi_term_nano")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(last.keySet == batch.map(_._1).toSet)
+    batch.foreach { case (b, ca, cb, _) =>
+      assert(last(b) == ((ca, cb)), s"bucket $b counts drifted: ${last(b)}")
+    }
+    // the consumer derives the identical PSI terms from the emissions
+    val na = batch.map(_._2).sum; val nb = batch.map(_._3).sum
+    val nbk = batch.length.toLong
+    batch.foreach { case (b, _, _, nano) =>
+      val (ca, cb) = last(b)
+      val pa = (ca + 1).toDouble / (na + nbk)
+      val pb = (cb + 1).toDouble / (nb + nbk)
+      assert(nano == math.round((pa - pb) * math.log(pa / pb) * 1e9),
+        s"bucket $b psi term not derivable from the stream state")
+    }
+  }
 }

@@ -415,7 +415,9 @@ object SparkEntry {
       ("entity_match" ->
         ((s: SparkSession, dir: String) => graft.pipeline.EntityMatch.run(s, dir))),
       ("retrieval_mmr" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runMmr(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runMmr(s, dir))),
+      ("bpe_train" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runTrain(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -634,6 +636,7 @@ object SparkEntry {
       ("drift_chisq" -> graft.profiling.ChisqDrift.duckSql()),
       ("text_encoding_screen" -> graft.pipeline.EncodingScreen.duckSql()),
       ("entity_match" -> graft.pipeline.EntityMatch.duckSql()),
-      ("retrieval_mmr" -> graft.pipeline.Retrieval.duckMmrSql())
+      ("retrieval_mmr" -> graft.pipeline.Retrieval.duckMmrSql()),
+      ("bpe_train" -> graft.pipeline.BpeMerges.duckTrainSql())
       ).toMap
 }

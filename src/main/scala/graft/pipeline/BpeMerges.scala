@@ -118,4 +118,165 @@ object BpeMerges {
   }
 
   def duckApplySql(): String = applySql("documents")(DuckDialect)
+
+  // ---------------------------------------------------------------------
+  // Iterative character-level BPE TRAINING
+  // ---------------------------------------------------------------------
+
+  /** Merge iterations the trainer runs. */
+  val TrainSteps = 8
+
+  /** Full BPE training (Sennrich et al. 2016) at character grain — the
+    * piece [[sql]] (one pair count) and [[applySql]] (apply a learned
+    * table) bracket but don't close: the ITERATIVE loop that actually
+    * learns the merge table. The standard at-scale trick makes it
+    * tractable: BPE trains on the WORD-FREQUENCY census, not the
+    * corpus — one corpus scan lands (word, count), and every iteration
+    * runs over the vocabulary-bounded symbol relation (word × symbols),
+    * which only SHRINKS as merges apply. Each iteration: (1) count
+    * adjacent symbol pairs weighted by word count (per-word LEAD
+    * window — the census relation's word is the partition key);
+    * (2) elect the top pair with deterministic ties (count DESC, then
+    * lexicographic); (3) merge every non-overlapping occurrence
+    * leftmost-greedily — the same gaps-and-islands trick as
+    * [[applySql]]: within a run of consecutive match positions exactly
+    * the odd ranks apply — and renumber positions.
+    *
+    * Engine-side the loop is a driver iteration: the top pair is a
+    * ONE-ROW collect (TakeOrdered over the census-bounded pair counts),
+    * each new symbol relation lands via checkpoint before the next
+    * iteration reads it (the MMR staging discipline — Spark would
+    * otherwise re-inline the whole CTE prefix at every reference). The
+    * DuckDB oracle unrolls all [[TrainSteps]] iterations in ONE
+    * statement (DuckDB materializes CTEs, so it stays linear) and must
+    * elect the identical merges. No end-of-word marker — the census is
+    * whitespace-tokenized, so merges never cross word boundaries by
+    * construction; a production tokenizer adds its marker in the census
+    * projection. */
+  private def censusCtes(table: String)(d: Dialect): String =
+    s"""words AS (
+       |  ${d.wordsRel(table, "doc_id", "text")}
+       |),
+       |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wct
+       |         FROM words GROUP BY word),
+       |syms0 AS ${d.cteMaterialized}(
+       |  SELECT word, wct, pos, SUBSTRING(word, pos, 1) AS sym
+       |    FROM (${d.seriesRel("wc", Seq("word", "wct"), "LENGTH(word)")}) s
+       |)""".stripMargin
+
+  /** Adjacent-pair relation over a symbol relation. */
+  private def adjSql(prev: String): String =
+    s"""SELECT word, wct, pos, sym,
+       |       LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym
+       |  FROM $prev""".stripMargin
+
+  /** Top-pair election over a symbol relation (engine collects this —
+    * one row). */
+  private[graft] def bestPairSql(prev: String): String =
+    s"""SELECT sym AS l, nsym AS r, CAST(SUM(wct) AS BIGINT) AS ct
+       |  FROM (${adjSql(prev)}) adj
+       | WHERE nsym IS NOT NULL
+       | GROUP BY sym, nsym
+       | ORDER BY ct DESC, l, r
+       | LIMIT 1""".stripMargin
+
+  /** Apply the merge (l, r) — given as relation `best(l, r)` — to a
+    * symbol relation: leftmost-greedy non-overlapping via the islands
+    * trick, then renumber. */
+  private def applyStepSql(prev: String, best: String): String =
+    s"""WITH adj AS (${adjSql(prev)}),
+       |mt AS (
+       |  SELECT a.word, a.wct, a.pos, a.sym, a.nsym,
+       |         CASE WHEN a.sym = b.l AND a.nsym = b.r THEN 1 ELSE 0 END AS hit
+       |    FROM adj a CROSS JOIN $best b),
+       |isl AS (
+       |  SELECT word, pos,
+       |         pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+       |    FROM mt WHERE hit = 1),
+       |keep AS (
+       |  SELECT word, pos FROM (
+       |    SELECT word, pos,
+       |           ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rix
+       |      FROM isl) z
+       |   WHERE rix % 2 = 1)
+       |SELECT word, wct,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INT) AS pos,
+       |       sym
+       |  FROM (
+       |    SELECT m.word, m.wct, m.pos,
+       |           CASE WHEN k.pos IS NOT NULL THEN m.sym || m.nsym
+       |                ELSE m.sym END AS sym
+       |      FROM mt m
+       |      LEFT JOIN keep k ON k.word = m.word AND k.pos = m.pos
+       |      LEFT JOIN keep k2 ON k2.word = m.word AND k2.pos = m.pos - 1
+       |     WHERE k2.pos IS NULL) r""".stripMargin
+
+  /** Oracle form: all [[TrainSteps]] iterations unrolled in one
+    * statement. */
+  def trainSql(table: String, steps: Int = TrainSteps)(d: Dialect): String = {
+    // every chain CTE is explicitly MATERIALIZED oracle-side: DuckDB
+    // inlines single-reference CTEs, and the 8-deep syms chain would
+    // otherwise multiply the parquet scan ~2^steps times (observed as
+    // fd exhaustion before it was marked)
+    val iters = (1 to steps).map { i =>
+      val prev = if (i == 1) "syms0" else s"syms${i - 1}"
+      s"""best$i AS ${d.cteMaterialized}(
+         |${bestPairSql(prev)}
+         |),
+         |syms$i AS ${d.cteMaterialized}(
+         |  SELECT * FROM (${applyStepSql(prev, s"best$i")}) a$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to steps)
+      .map(i => s"SELECT $i AS step, l, r, ct FROM best$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${censusCtes(table)(d)},
+       |$iters
+       |SELECT CAST(step AS INT) AS step, l AS left_sym, r AS right_sym,
+       |       l || r AS merged, ct AS pair_ct
+       |  FROM (
+       |  $union
+       |) u
+       | ORDER BY step""".stripMargin
+  }
+
+  def runTrain(spark: SparkSession, dir: String,
+               steps: Int = TrainSteps): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_bpet_docs")
+    trainOn(spark, "__graft_bpet_docs", steps)
+  }
+
+  /** The driver loop over any (doc_id, text) relation — split out so
+    * specs can train on inline fixtures. */
+  private[graft] def trainOn(spark: SparkSession, table: String,
+                             steps: Int): DataFrame = {
+    import spark.implicits._
+    def esc(s: String) = s.replace("'", "''")
+    var prev = "__graft_bpet_syms0"
+    spark.sql(s"WITH ${censusCtes(table)(SparkDialect)} " +
+        "SELECT * FROM syms0")
+      .localCheckpoint(eager = true).createOrReplaceTempView(prev)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= steps && !exhausted) {
+      val top = spark.sql(bestPairSql(prev)).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, ct) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, l + r, ct))
+        val next = s"__graft_bpet_syms$i"
+        spark.sql(applyStepSql(prev,
+            s"(SELECT '${esc(l)}' AS l, '${esc(r)}' AS r)"))
+          .localCheckpoint(eager = true).createOrReplaceTempView(next)
+        prev = next
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_ct")
+      .orderBy("step")
+  }
+
+  def duckTrainSql(): String = trainSql("documents")(DuckDialect)
 }

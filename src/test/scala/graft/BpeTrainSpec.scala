@@ -1,0 +1,86 @@
+package graft
+
+/** Iterative character-level BPE training. */
+class BpeTrainSpec extends SparkSpec {
+
+  test("bpe train: hand-computed merge sequence on a planted census") {
+    val spark2 = spark
+    import spark2.implicits._
+    // census: aaab ×3, aab ×2, cd ×5
+    Seq((1L, "aaab aab cd cd"), (2L, "aaab aab cd cd"), (3L, "aaab cd"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__bpe_fix")
+    val got = graft.pipeline.BpeMerges.trainOn(spark, "__bpe_fix", 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // iter1: (a,a) = 2·3 + 1·2 = 8 beats (a,b)=5 and (c,d)=5
+    // iter2: after [aa,a,b]/[aa,b]: (c,d)=5 beats (aa,a)=3, (a,b)=3, (aa,b)=2
+    // iter3: tie (aa,a)=3 vs (a,b)=3 → lexicographic l: 'a' < 'aa' → (a,b)
+    // iter4: (aa,ab)=3 beats (aa,b)=2
+    // iter5: (aa,b)=2 — then every word is one symbol and training stops
+    assert(got == Seq(
+      (1, "a", "a", "aa", 8L),
+      (2, "c", "d", "cd", 5L),
+      (3, "a", "b", "ab", 3L),
+      (4, "aa", "ab", "aaab", 3L),
+      (5, "aa", "b", "aab", 2L)),
+      s"merge sequence drifted: $got")
+  }
+
+  test("bpe train: leftmost-greedy non-overlap on a run (aaaa -> aa aa)") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "aaaa")).toDF("doc_id", "text")
+      .createOrReplaceTempView("__bpe_fix2")
+    val got = graft.pipeline.BpeMerges.trainOn(spark, "__bpe_fix2", 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // three (a,a) matches in one run → greedy applies positions 1 and 3
+    assert(got == Seq((1, "a", "a", "aa", 3L), (2, "aa", "aa", "aaaa", 1L)),
+      s"run handling drifted: $got")
+  }
+
+  test("bpe train: engine merges equal an independent Scala BPE on the census") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = graft.pipeline.BpeMerges.runTrain(spark, sfDir)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // independent reimplementation over the word census
+    var census = graft.core.Tables.load(spark, sfDir, "documents")
+      .selectExpr("explode(filter(split(LOWER(text), '\\\\s+'), w -> w <> '')) AS w")
+      .groupBy("w").count().as[(String, Long)].collect()
+      .map { case (w, ct) => w.map(_.toString).toVector -> ct }.toSeq
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (step <- 1 to graft.pipeline.BpeMerges.TrainSteps
+         if expect.length == step - 1) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      census.foreach { case (syms, ct) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + ct
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), ct) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        expect += ((step, l, r, l + r, ct))
+        census = census.map { case (syms, wct) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector -> wct
+        }
+      }
+    }
+    assert(got == expect.toSeq, s"engine ${got}\n!= scala ${expect}")
+  }
+
+  test("bpe train iterations never rescan the corpus") {
+    // after the census lands, every per-iteration statement reads the
+    // checkpointed symbol relation — the election query's plan proves it
+    graft.pipeline.BpeMerges.runTrain(spark, sfDir)
+    val p = spark.sql(graft.pipeline.BpeMerges.bestPairSql("__graft_bpet_syms1"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      "iteration reads must hit the landed symbol relation, not the corpus")
+  }
+}

@@ -75,7 +75,33 @@ object PlanDump {
       "land once (one word-explode scan); the GLOBAL distinct estimate is " +
       "hll_union_agg over those |sources| binary rows — the sketch side of the " +
       "plan touches no parquet (Round11OpsSpec tripwire). The corpus scans in " +
-      "THIS entry's plan belong to the exact-count verdict the oracle checks."))
+      "THIS entry's plan belong to the exact-count verdict the oracle checks."),
+    "drift_ks" -> ("Two-sample KS distance, two-phase. This plan is phase 2 over " +
+      "the per-call-landed value-domain count relation (the ONE corpus scan and " +
+      "the driver-side bucket-offset fold already ran): per-bucket cumsum " +
+      "windows — parallel across buckets, never a global ordered window — with " +
+      "the offsets attached as a broadcast map literal. The single-statement " +
+      "form planned THREE corpus scans through CTE inlining; this plans zero."),
+    "drift_psi" -> ("Population Stability Index. One map-side-combined groupBy " +
+      "(partial_sum under the exchange) collapses the corpus to the " +
+      "price-range-bounded bucket grid; the share totals and the PSI sum are " +
+      "windows OVER that metadata-sized relation, each bucket term LN-quantized " +
+      "once to an integer nano unit so the total sums order-free. Most of the " +
+      "measured shuffle records are the single-file fixture's load-time " +
+      "rebalance round-robin (absent on multi-file production layouts), not " +
+      "the aggregate exchange, which carries <= grid-size rows per mapper."),
+    "text_encoding_screen" -> ("Encoding-health screen: four regexp counts per " +
+      "row inside ONE codegen'd scan projection — no joins, no shuffle above " +
+      "the deterministic output ordering."),
+    "entity_match" -> ("Blocked record linkage: the dirty and clean sides meet in " +
+      "ONE equi-join on the perturbation-stable (nationkey, last-4) block key — " +
+      "never a cross product — with levenshtein verification inside the join " +
+      "filter and a per-record ROW_NUMBER election."),
+    "retrieval_mmr" -> ("MMR diversified rerank. The plan reads ONLY landed " +
+      "relations (candidates, pairwise sims, the k staged pick relations — all " +
+      "(queries x k)-bounded regardless of corpus size); no FileScan appears. " +
+      "Each greedy step checkpointed before the next, severing Spark's 2^k " +
+      "CTE-inlining re-plan (measured 5.0 s -> 0.29 s)."))
 
   /** Task-metric accumulator: measured bytes, not just claimed shapes. */
   private final class Acc extends org.apache.spark.scheduler.SparkListener {

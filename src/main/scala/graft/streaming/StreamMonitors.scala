@@ -514,6 +514,80 @@ object StreamMonitors {
       .select(col("source"),
         expr("hll_sketch_estimate(sk)").as("distinct_words"))
 
+  final case class CusumParams(refCt: Long, slack: Long, threshold: Long)
+  final case class CusumState(openDays: Map[Int, Long], lastClosed: Int,
+                              hi: Long, lo: Long)
+  final case class CusumDay(event_type: String, epoch_day: Int, ct: Long,
+                            cusum_hi: Long, cusum_lo: Long, alert: Boolean)
+
+  /** Page's CUSUM test per event type — the DEPLOYMENT mode of the
+    * batch [[Changepoint]] screen: the batch form locates a level
+    * shift retrospectively (peak |cusum| against the period's own
+    * mean); this one detects it AS IT HAPPENS against a FROZEN
+    * reference rate (the landed history's mean — the
+    * [[ingestPerplexityScore]] frozen-model discipline). Classic
+    * two-sided Page: hi ← max(0, hi + dev − slack),
+    * lo ← min(0, lo + dev + slack) with dev = day count − reference;
+    * an alert fires when either side crosses the threshold and the
+    * side resets — all integer, so replay is bit-exact.
+    *
+    * Day-closing mirrors [[graft.streaming.EventAnalytics]]'
+    * streaming rate-anomaly state machine: a day CLOSES when a
+    * strictly later day arrives for the same type (the last partial
+    * day stays open, so partial counts never fire false alerts);
+    * batch-internal arrival order cannot matter because each trigger
+    * first aggregates its rows per day and then closes days in
+    * calendar order. Rows for already-closed days (late beyond the
+    * open window) are dropped — the watermark semantics of the other
+    * twins. State per type: the few open days + two cusum longs,
+    * bounded forever. */
+  def ingestCusum(events: DataFrame,
+                  params: Map[String, CusumParams]): Dataset[CusumDay] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("event_type", "UNIX_DATE(CAST(ts AS DATE)) AS d")
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumDay](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[(String, Int)],
+         state: GroupState[CusumState]) =>
+          val p = params.getOrElse(etype, CusumParams(0L, 0L, Long.MaxValue))
+          val prev = state.getOption
+            .getOrElse(CusumState(Map.empty, Int.MinValue, 0L, 0L))
+          // fold the batch per day first — arrival order cannot matter
+          val batchCounts = scala.collection.mutable.HashMap.empty[Int, Long]
+          rows.foreach { case (_, d) =>
+            if (d > prev.lastClosed)
+              batchCounts(d) = batchCounts.getOrElse(d, 0L) + 1L
+          }
+          var open = prev.openDays
+          batchCounts.foreach { case (d, c) =>
+            open = open.updated(d, open.getOrElse(d, 0L) + c)
+          }
+          var (hi, lo) = (prev.hi, prev.lo)
+          var lastClosed = prev.lastClosed
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumDay]
+          if (open.nonEmpty) {
+            val maxDay = open.keys.max
+            open.keys.toSeq.sorted.filter(_ < maxDay).foreach { d =>
+              val ct = open(d)
+              val dev = ct - p.refCt
+              hi = math.max(0L, hi + dev - p.slack)
+              lo = math.min(0L, lo + dev + p.slack)
+              val alert = hi > p.threshold || lo < -p.threshold
+              out += CusumDay(etype, d, ct, hi, lo, alert)
+              if (alert) { hi = 0L; lo = 0L } // standard Page reset
+              open = open.removed(d)
+              lastClosed = d
+            }
+          }
+          state.update(CusumState(open, lastClosed, hi, lo))
+          out.iterator
+      }
+  }
+
   final case class PsiState(ca: Long, cb: Long)
   final case class PsiBucketCount(bucket: Long, ct_a: Long, ct_b: Long)
 

@@ -703,4 +703,87 @@ class StreamMonitorsSpec extends SparkSpec {
     // the median cutoff must admit roughly half — the gate actually gates
     assert(admitted > 0 && admitted < out.length)
   }
+
+  test("streaming cusum replays the exact Page fold over closed days") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.core.Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "event_type")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    // frozen reference: mean daily count per type over the whole fixture
+    val daily = evs.groupBy(e => (e.event_type, e.ts.toLocalDateTime.toLocalDate))
+      .view.mapValues(_.length.toLong).toMap
+    val types = evs.map(_.event_type).distinct
+    val params = types.map { t =>
+      val cts = daily.collect { case ((tt, _), c) if tt == t => c }.toSeq
+      val ref = cts.sum / cts.length
+      t -> StreamMonitors.CusumParams(ref, math.max(1L, ref / 20), ref)
+    }.toMap
+    val (h1, h2) = evs.splitAt(evs.length / 3)
+    val input = MemoryStream[Ev]
+    val q = StreamMonitors.ingestCusum(input.toDF(), params)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    val out = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("cusum_stream")
+        .as[StreamMonitors.CusumDay].collect()
+    } finally q.stop()
+    // expected: per type, every day except the LAST closes in calendar
+    // order through the identical integer Page recurrence
+    types.foreach { t =>
+      val days = daily.keys.collect { case (tt, d) if tt == t => d }
+        .toSeq.sortBy(_.toEpochDay)
+      val expectDays = days.dropRight(1)
+      val got = out.filter(_.event_type == t).sortBy(_.epoch_day)
+      assert(got.map(_.epoch_day).toSeq ==
+        expectDays.map(_.toEpochDay.toInt), s"closed-day set drifted for $t")
+      val p = params(t)
+      var (hi, lo) = (0L, 0L)
+      expectDays.zip(got).foreach { case (d, g) =>
+        val ct = daily((t, d))
+        hi = math.max(0L, hi + (ct - p.refCt) - p.slack)
+        lo = math.min(0L, lo + (ct - p.refCt) + p.slack)
+        val alert = hi > p.threshold || lo < -p.threshold
+        assert(g.ct == ct && g.cusum_hi == hi && g.cusum_lo == lo &&
+          g.alert == alert, s"$t day $d drifted: $g vs ($ct,$hi,$lo,$alert)")
+        if (alert) { hi = 0L; lo = 0L }
+      }
+    }
+  }
+
+  test("streaming cusum fires on a planted level shift and resets") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10 quiet days at ~2/day then a regime shift to 8/day
+    val evs = (0 until 20).flatMap { day =>
+      val n = if (day < 10) 2 else 8
+      (0 until n).map { i =>
+        Ev(day * 100L + i, ts(f"2026-03-${day + 1}%02d 0${i % 9}:00:00"), "load")
+      }
+    }
+    val input = MemoryStream[Ev]
+    val params = Map("load" -> StreamMonitors.CusumParams(2L, 1L, 6L))
+    val q = StreamMonitors.ingestCusum(input.toDF(), params)
+      .writeStream.format("memory").queryName("cusum_plant")
+      .outputMode("append").start()
+    val out = try {
+      input.addData(evs.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("cusum_plant")
+        .as[StreamMonitors.CusumDay].collect().sortBy(_.epoch_day)
+    } finally q.stop()
+    // quiet days accumulate nothing (dev - slack < 0); after the shift
+    // each day adds 8-2-1 = 5, so the 6-threshold crosses on the SECOND
+    // loud day, then the side resets and crosses again every 2 days
+    assert(out.length == 19, "all days but the open last one close")
+    assert(out.take(10).forall(d => d.cusum_hi == 0L && !d.alert))
+    val loud = out.drop(10)
+    assert(loud.head.cusum_hi == 5L && !loud.head.alert)
+    assert(loud(1).cusum_hi == 10L && loud(1).alert, "second loud day fires")
+    assert(loud(2).cusum_hi == 5L, "the side resets after the alert")
+    assert(loud(3).alert, "and re-fires two days later")
+  }
 }

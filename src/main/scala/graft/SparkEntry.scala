@@ -417,7 +417,9 @@ object SparkEntry {
       ("retrieval_mmr" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Retrieval.runMmr(s, dir))),
       ("bpe_train" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runTrain(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runTrain(s, dir))),
+      ("event_interval_overlap" ->
+        ((s: SparkSession, dir: String) => graft.operators.IntervalJoin.run(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -637,6 +639,7 @@ object SparkEntry {
       ("text_encoding_screen" -> graft.pipeline.EncodingScreen.duckSql()),
       ("entity_match" -> graft.pipeline.EntityMatch.duckSql()),
       ("retrieval_mmr" -> graft.pipeline.Retrieval.duckMmrSql()),
-      ("bpe_train" -> graft.pipeline.BpeMerges.duckTrainSql())
+      ("bpe_train" -> graft.pipeline.BpeMerges.duckTrainSql()),
+      ("event_interval_overlap" -> graft.operators.IntervalJoin.duckSql())
       ).toMap
 }

@@ -508,4 +508,40 @@ class PlanSpec extends SparkSpec {
     val scans = "documents.parquet".r.findAllIn(p).length
     assert(scans <= 4, s"incremental profile scans the corpus $scans times")
   }
+
+  test("interval-overlap join buckets to an equi-join — never a nested loop") {
+    val p = plan(graft.operators.IntervalJoin.run(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the two-sided bucket expansion must plan an equi-join")
+    assert(p.contains("hashpartitioning(b#") || p.contains("BroadcastHashJoin"),
+      s"expected the bucket-keyed join:\n${p.take(500)}")
+  }
+
+  test("interval-overlap join claims each pair in exactly one bucket") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.operators.IntervalJoin.run(spark, dir)
+      .select("promo_id", "burst_id", "overlap_sec")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "the fixture should produce overlapping windows")
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      "a pair spanning two shared buckets was double-counted")
+    rows.foreach { r =>
+      assert(r._3 > 0 && r._3 <= 600, s"overlap ${r._3}s outside (0, 600]")
+    }
+    // exact durations against a driver-side recompute of both interval sets
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, String, Long)].collect()
+    val w = graft.operators.IntervalJoin.BucketUs
+    val pa = evs.collect { case (id, "signup", us) => id -> (us, us + w) }.toMap
+    val pb = evs.collect { case (id, "purchase", us) =>
+      id -> (us - w / 2, us + w / 2) }.toMap
+    val expect = for {
+      (aid, (as, ae)) <- pa.toSeq; (bid, (bs, be)) <- pb.toSeq
+      if as < be && bs < ae
+    } yield (aid, bid, (math.min(ae, be) - math.max(as, bs)) / 1000000)
+    assert(rows.toSet == expect.toSet, "overlap relation drifted from naive")
+  }
 }

@@ -93,6 +93,11 @@ object Runner {
           case None =>
             println("[graft] drift: fewer than two landed runs — nothing to diff yet")
         }
+        // snapshot-pair artifacts: SCD2 history build + per-column
+        // reconciliation (the migration sign-off report)
+        land("drift", "scd2_history", graft.pipeline.Scd2.run(spark, dataDir))
+        land("drift", "reconcile_tables",
+          graft.pipeline.Reconcile.run(spark, dataDir))
       case "profile" =>
         // GRAFT_PROFILE_MODE=approx routes every table through the
         // sketch profiler — the selectable at-scale path (one scan per
@@ -114,14 +119,24 @@ object Runner {
         // complement of the exact frequency profile
         land("profile", "freq_heavy_hitters",
           graft.profiling.HeavyHitters.run(spark, dataDir))
+        land("profile", "profile_benford",
+          graft.profiling.Benford.run(spark, dataDir))
       case "infer" =>
         land("infer", "functional_datatype",
           graft.inference.FunctionalType.infer(spark, dataDir))
         land("infer", "functional_tabletype",
           graft.generation.TestGenerator.runTableType(spark, dataDir))
+        land("infer", "fk_integrity",
+          graft.inference.Referential.run(spark, dataDir))
       case "hygiene" =>
         land("hygiene", "profile_anomaly_results",
           graft.inference.HygieneScreens.run(spark, dataDir))
+        land("hygiene", "privacy_k_anonymity",
+          graft.inference.KAnonymity.run(spark, dataDir))
+        land("hygiene", "privacy_l_diversity",
+          graft.inference.LDiversity.run(spark, dataDir))
+        land("hygiene", "text_encoding_screen",
+          graft.pipeline.EncodingScreen.run(spark, dataDir))
       case "generate" =>
         land("generate", "test_definitions",
           graft.generation.TestValidation.run(spark, dataDir))
@@ -191,6 +206,14 @@ object Runner {
           land("monitor", "monitor_predict_thresholds",
             graft.streaming.Monitors.predictThresholdsFrom(spark,
               sigRuns.map(r => graft.core.RunStore.runPath(historyRoot, r, "monitor_signals"))))
+        // within-run content-drift screens (numeric shape, numeric
+        // stability, categorical homogeneity) + the level-shift locator
+        land("monitor", "drift_ks", graft.profiling.KsDrift.run(spark, dataDir))
+        land("monitor", "drift_psi", graft.profiling.PsiDrift.run(spark, dataDir))
+        land("monitor", "drift_chisq",
+          graft.profiling.ChisqDrift.run(spark, dataDir))
+        land("monitor", "event_changepoint",
+          graft.streaming.Changepoint.run(spark, dataDir))
       case "curate" =>
         // the training-data curation lifecycle over the documents
         // corpus: per-doc signals → selection scores → composite gate →
@@ -242,6 +265,9 @@ object Runner {
           graft.pipeline.Multimodal.runAudioDedup(spark, dataDir))
         land("curate", "media_video_dedup",
           graft.pipeline.Multimodal.runVideoDedup(spark, dataDir))
+        // tokenizer-fit artifact: the learned 8-merge BPE table
+        land("curate", "bpe_merge_table",
+          graft.pipeline.BpeMerges.runTrain(spark, dataDir))
       case "index" =>
         // build + persist the bucket-partitioned ANN index, then report
         // the recall of every probe path against the exact baseline

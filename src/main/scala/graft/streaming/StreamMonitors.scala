@@ -588,6 +588,37 @@ object StreamMonitors {
       }
   }
 
+  /** Streaming twin of [[graft.operators.IntervalJoin]] in its
+    * deployment shape: the reference windows (promos, maintenance
+    * windows) are a STATIC landed relation; the activity side streams.
+    * Each arriving event derives its interval row-locally, explodes to
+    * the ≤2 buckets it covers, and a stateless STREAM-STATIC equi-join
+    * on the bucket + the exact overlap filter + the batch operator's
+    * claim-bucket dedup emits the overlap pairs — append-legal at any
+    * rate, zero state (the static side broadcasts), and because every
+    * expression mirrors the batch rendering, a replayed stream lands
+    * row-for-row identical to the batch relation (replay-spec-pinned). */
+  def ingestIntervalOverlap(events: DataFrame,
+                            promos: DataFrame): DataFrame = {
+    val w = graft.operators.IntervalJoin.BucketUs
+    val bursts = events
+      .where(col("event_type") === "purchase")
+      .selectExpr("event_id AS burst_id",
+        s"unix_micros(CAST(ts AS TIMESTAMP)) - ${w / 2} AS s",
+        s"unix_micros(CAST(ts AS TIMESTAMP)) + ${w / 2} AS e")
+      .selectExpr("burst_id", "s", "e",
+        s"explode(array_distinct(array(s DIV $w, (e - 1) DIV $w))) AS b")
+    val px = promos
+      .selectExpr("promo_id", "s", "e",
+        s"explode(array_distinct(array(s DIV $w, (e - 1) DIV $w))) AS b")
+    bursts.as("bx").join(broadcast(px.as("ax")), expr(
+        s"""ax.b = bx.b AND ax.s < bx.e AND bx.s < ax.e
+           |AND GREATEST(ax.s, bx.s) DIV $w = ax.b""".stripMargin))
+      .selectExpr("ax.promo_id", "bx.burst_id",
+        "CAST((LEAST(ax.e, bx.e) - GREATEST(ax.s, bx.s)) DIV 1000000 AS BIGINT)"
+          + " AS overlap_sec")
+  }
+
   final case class PsiState(ca: Long, cb: Long)
   final case class PsiBucketCount(bucket: Long, ct_a: Long, ct_b: Long)
 

@@ -754,6 +754,38 @@ class StreamMonitorsSpec extends SparkSpec {
     }
   }
 
+  test("streaming interval overlap replays row-identical to the batch join") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = graft.operators.IntervalJoin.BucketUs
+    // static reference side: the same promo windows the batch operator derives
+    val promos = graft.core.Tables.load(spark, sfDir, "events")
+      .where($"event_type" === "signup")
+      .selectExpr("event_id AS promo_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS s",
+        s"unix_micros(CAST(ts AS TIMESTAMP)) + $w AS e")
+      .localCheckpoint(true)
+    val evs = graft.core.Tables.load(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "event_type")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Ev]
+    val q = StreamMonitors.ingestIntervalOverlap(input.toDF(), promos)
+      .writeStream.format("memory").queryName("iv_stream")
+      .outputMode("append").start()
+    val out = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("iv_stream").as[(Long, Long, Long)].collect()
+    } finally q.stop()
+    val batch = graft.operators.IntervalJoin.run(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSet == batch.toSet,
+      s"stream emitted ${out.length} rows, batch has ${batch.length}")
+    assert(out.length == batch.length, "duplicate emissions")
+  }
+
   test("streaming cusum fires on a planted level shift and resets") {
     val spark2 = spark
     import spark2.implicits._

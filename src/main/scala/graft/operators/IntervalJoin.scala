@@ -46,27 +46,41 @@ object IntervalJoin {
        |    FROM $eventsRel WHERE event_type = 'purchase'
        |)""".stripMargin
 
-  /** Spark (engine) form: per-side bucket expansion + equi-join +
-    * exact overlap filter + claim-bucket dedup. */
-  def sparkSql(eventsRel: String): String =
-    s"""WITH ${sidesSql(eventsRel, c => s"unix_micros(CAST($c AS TIMESTAMP))")},
-       |ax AS (
-       |  SELECT promo_id, s, e, b FROM pa
+  private def overlapCtes(paRel: String, pbRel: String, bucketUs: Long): String =
+    s"""ax AS (
+       |  SELECT promo_id, s, e, b FROM $paRel
        |  LATERAL VIEW explode(array_distinct(
-       |    array(s DIV $BucketUs, (e - 1) DIV $BucketUs))) t AS b
+       |    array(s DIV $bucketUs, (e - 1) DIV $bucketUs))) t AS b
        |),
        |bx AS (
-       |  SELECT burst_id, s, e, b FROM pb
+       |  SELECT burst_id, s, e, b FROM $pbRel
        |  LATERAL VIEW explode(array_distinct(
-       |    array(s DIV $BucketUs, (e - 1) DIV $BucketUs))) t AS b
-       |)
-       |SELECT a.promo_id, b.burst_id,
+       |    array(s DIV $bucketUs, (e - 1) DIV $bucketUs))) t AS b
+       |)""".stripMargin
+
+  private def overlapSelect(bucketUs: Long): String =
+    s"""SELECT a.promo_id, b.burst_id,
        |       CAST((LEAST(a.e, b.e) - GREATEST(a.s, b.s)) DIV 1000000 AS BIGINT)
        |         AS overlap_sec
        |  FROM ax a JOIN bx b ON b.b = a.b
        | WHERE a.s < b.e AND b.s < a.e
-       |   AND GREATEST(a.s, b.s) DIV $BucketUs = a.b
+       |   AND GREATEST(a.s, b.s) DIV $bucketUs = a.b
        | ORDER BY promo_id, burst_id""".stripMargin
+
+  /** The bucketized-overlap core over ANY two interval relations
+    * `paRel(promo_id, s, e)` / `pbRel(burst_id, s, e)` with interval
+    * length ≤ `bucketUs`: per-side bucket expansion + equi-join +
+    * exact overlap filter + claim-bucket dedup. */
+  def overlapSparkSql(paRel: String, pbRel: String,
+                      bucketUs: Long = BucketUs): String =
+    s"""WITH ${overlapCtes(paRel, pbRel, bucketUs)}
+       |${overlapSelect(bucketUs)}""".stripMargin
+
+  /** Spark (engine) form over the events-derived fixture sides. */
+  def sparkSql(eventsRel: String): String =
+    s"""WITH ${sidesSql(eventsRel, c => s"unix_micros(CAST($c AS TIMESTAMP))")},
+       |${overlapCtes("pa", "pb", BucketUs)}
+       |${overlapSelect(BucketUs)}""".stripMargin
 
   /** DuckDB oracle: the naive inequality join. */
   def duckSql(eventsRel: String = "events"): String =

@@ -544,4 +544,34 @@ class PlanSpec extends SparkSpec {
     } yield (aid, bid, (math.min(ae, be) - math.max(as, bs)) / 1000000)
     assert(rows.toSet == expect.toSet, "overlap relation drifted from naive")
   }
+
+  test("interval-overlap property: random interval sets match the naive join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = 1000L // small bucket so multi-bucket and boundary cases are dense
+    val rnd = new scala.util.Random(421)
+    (1 to 3).foreach { round =>
+      // lengths 1..w (never exceeding the bucket), starts cluster so
+      // overlaps, exact-touch (s == other.e), and shared-bucket pairs
+      // all occur
+      def mk(n: Int) = (1 to n).map { i =>
+        val s = rnd.nextInt(40) * 250L + rnd.nextInt(8)
+        (i.toLong, s, s + 1 + rnd.nextInt(w.toInt))
+      }
+      val pa = mk(60); val pb = mk(60)
+      pa.toDF("promo_id", "s", "e").createOrReplaceTempView("__ivp_a")
+      pb.toDF("burst_id", "s", "e").createOrReplaceTempView("__ivp_b")
+      val got = spark.sql(graft.operators.IntervalJoin
+          .overlapSparkSql("__ivp_a", "__ivp_b", w))
+        .as[(Long, Long, Long)].collect().toSeq
+      val expect = for {
+        (aid, as, ae) <- pa; (bid, bs, be) <- pb
+        if as < be && bs < ae
+      } yield (aid, bid, (math.min(ae, be) - math.max(as, bs)) / 1000000)
+      assert(got.sorted == expect.sorted,
+        s"round $round: bucketized relation != naive (${got.length} vs ${expect.length})")
+      assert(got.map(r => (r._1, r._2)).distinct.length == got.length,
+        s"round $round: duplicate pair claimed by two buckets")
+    }
+  }
 }

@@ -419,7 +419,10 @@ object SparkEntry {
       ("bpe_train" ->
         ((s: SparkSession, dir: String) => graft.pipeline.BpeMerges.runTrain(s, dir))),
       ("event_interval_overlap" ->
-        ((s: SparkSession, dir: String) => graft.operators.IntervalJoin.run(s, dir)))
+        ((s: SparkSession, dir: String) => graft.operators.IntervalJoin.run(s, dir))),
+      ("bpe_train_compression" ->
+        ((s: SparkSession, dir: String) =>
+          graft.pipeline.BpeMerges.runTrainCompression(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -640,6 +643,8 @@ object SparkEntry {
       ("entity_match" -> graft.pipeline.EntityMatch.duckSql()),
       ("retrieval_mmr" -> graft.pipeline.Retrieval.duckMmrSql()),
       ("bpe_train" -> graft.pipeline.BpeMerges.duckTrainSql()),
-      ("event_interval_overlap" -> graft.operators.IntervalJoin.duckSql())
+      ("event_interval_overlap" -> graft.operators.IntervalJoin.duckSql()),
+      ("bpe_train_compression" ->
+        graft.pipeline.BpeMerges.duckTrainCompressionSql())
       ).toMap
 }

@@ -211,13 +211,12 @@ object BpeMerges {
        |      LEFT JOIN keep k2 ON k2.word = m.word AND k2.pos = m.pos - 1
        |     WHERE k2.pos IS NULL) r""".stripMargin
 
-  /** Oracle form: all [[TrainSteps]] iterations unrolled in one
-    * statement. */
-  def trainSql(table: String, steps: Int = TrainSteps)(d: Dialect): String = {
-    // every chain CTE is explicitly MATERIALIZED oracle-side: DuckDB
-    // inlines single-reference CTEs, and the 8-deep syms chain would
-    // otherwise multiply the parquet scan ~2^steps times (observed as
-    // fd exhaustion before it was marked)
+  /** The census + all `steps` unrolled iterations as one CTE list.
+    * Every chain CTE is explicitly MATERIALIZED oracle-side: DuckDB
+    * inlines single-reference CTEs, and the 8-deep syms chain would
+    * otherwise multiply the parquet scan ~2^steps times (observed as
+    * fd exhaustion before it was marked). */
+  private def trainCtes(table: String, steps: Int)(d: Dialect): String = {
     val iters = (1 to steps).map { i =>
       val prev = if (i == 1) "syms0" else s"syms${i - 1}"
       s"""best$i AS ${d.cteMaterialized}(
@@ -227,11 +226,17 @@ object BpeMerges {
          |  SELECT * FROM (${applyStepSql(prev, s"best$i")}) a$i
          |)""".stripMargin
     }.mkString(",\n")
+    s"""${censusCtes(table)(d)},
+       |$iters""".stripMargin
+  }
+
+  /** Oracle form: all [[TrainSteps]] iterations unrolled in one
+    * statement. */
+  def trainSql(table: String, steps: Int = TrainSteps)(d: Dialect): String = {
     val union = (1 to steps)
       .map(i => s"SELECT $i AS step, l, r, ct FROM best$i")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH ${censusCtes(table)(d)},
-       |$iters
+    s"""WITH ${trainCtes(table, steps)(d)}
        |SELECT CAST(step AS INT) AS step, l AS left_sym, r AS right_sym,
        |       l || r AS merged, ct AS pair_ct
        |  FROM (
@@ -248,9 +253,10 @@ object BpeMerges {
   }
 
   /** The driver loop over any (doc_id, text) relation — split out so
-    * specs can train on inline fixtures. */
-  private[graft] def trainOn(spark: SparkSession, table: String,
-                             steps: Int): DataFrame = {
+    * specs can train on inline fixtures. Returns the merge table and
+    * the FINAL landed symbol relation's view name. */
+  private[graft] def trainOnRel(spark: SparkSession, table: String,
+                                steps: Int): (DataFrame, String) = {
     import spark.implicits._
     def esc(s: String) = s.replace("'", "''")
     var prev = "__graft_bpet_syms0"
@@ -274,9 +280,61 @@ object BpeMerges {
         i += 1
       }
     }
-    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_ct")
-      .orderBy("step")
+    (merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_ct")
+      .orderBy("step"), prev)
   }
 
+  private[graft] def trainOn(spark: SparkSession, table: String,
+                             steps: Int): DataFrame =
+    trainOnRel(spark, table, steps)._1
+
   def duckTrainSql(): String = trainSql("documents")(DuckDialect)
+
+  /** What the learned merges BOUGHT — the report a tokenizer-fit run
+    * reads after training: per census word, symbol count before
+    * (characters) vs after the [[TrainSteps]] merges, weighted by word
+    * frequency, with the corpus totals and the integer-ppm compression
+    * ratio on every row; top [[CompressionTopK]] words by weighted
+    * savings (deterministic ties). Precondition shared with the oracle
+    * rendering: the merge budget is smaller than the corpus's pair
+    * mass (any real corpus; spec-pinned on the fixture), so all
+    * [[TrainSteps]] iterations learn a merge. */
+  val CompressionTopK = 30
+
+  private def compressionTail(symsRel: String)(d: Dialect): String =
+    s"""pw AS (
+       |  SELECT word, wct, CAST(COUNT(*) AS BIGINT) AS cnt
+       |    FROM $symsRel GROUP BY word, wct
+       |),
+       |pt AS (
+       |  SELECT word, wct, cnt,
+       |         CAST(SUM(wct * LENGTH(word)) OVER () AS BIGINT) AS units_before,
+       |         CAST(SUM(wct * cnt) OVER () AS BIGINT) AS units_after
+       |    FROM pw
+       |)
+       |SELECT word, CAST(wct AS BIGINT) AS wct,
+       |       CAST(LENGTH(word) AS BIGINT) AS chars,
+       |       cnt AS tokens_after,
+       |       CAST(wct * (LENGTH(word) - cnt) AS BIGINT) AS saved_weighted,
+       |       units_before AS corpus_units_before,
+       |       units_after AS corpus_units_after,
+       |       CAST(${d.intDiv("units_after * 1000000", "units_before")} AS BIGINT)
+       |         AS compression_ppm
+       |  FROM pt
+       | ORDER BY saved_weighted DESC, word
+       | LIMIT $CompressionTopK""".stripMargin
+
+  def runTrainCompression(spark: SparkSession, dir: String,
+                          steps: Int = TrainSteps): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_bpet_docs")
+    val (_, finalRel) = trainOnRel(spark, "__graft_bpet_docs", steps)
+    spark.sql(s"WITH ${compressionTail(finalRel)(graft.oracle.SparkDialect)}")
+  }
+
+  def duckTrainCompressionSql(steps: Int = TrainSteps): String = {
+    val d: Dialect = DuckDialect
+    s"""WITH ${trainCtes("documents", steps)(d)},
+       |${compressionTail(s"syms$steps")(d)}""".stripMargin
+  }
 }

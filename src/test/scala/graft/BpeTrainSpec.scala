@@ -74,6 +74,44 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == expect.toSeq, s"engine ${got}\n!= scala ${expect}")
   }
 
+  test("bpe train compression: totals close against the independent BPE") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.pipeline.BpeMerges.runTrainCompression(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= graft.pipeline.BpeMerges.CompressionTopK)
+    val (before, after, ppm) = (rows.head._6, rows.head._7, rows.head._8)
+    assert(rows.forall(r => r._6 == before && r._7 == after && r._8 == ppm))
+    assert(after < before && ppm == after * 1000000L / before,
+      "the merges must buy real compression")
+    rows.foreach { case (w, wct, chars, ta, saved, _, _, _) =>
+      assert(chars == w.length && ta >= 1 && ta <= chars)
+      assert(saved == wct * (chars - ta))
+    }
+    // corpus totals from the independent Scala BPE over the census
+    var census = graft.core.Tables.load(spark, sfDir, "documents")
+      .selectExpr("explode(filter(split(LOWER(text), '\\\\s+'), w -> w <> '')) AS w")
+      .groupBy("w").count().as[(String, Long)].collect()
+      .map { case (w, ct) => w.map(_.toString).toVector -> ct }.toSeq
+    val beforeSim = census.map { case (s, ct) => s.length * ct }.sum
+    graft.pipeline.BpeMerges.runTrain(spark, sfDir)
+      .as[(Int, String, String, String, Long)].collect().foreach { case (_, l, r, _, _) =>
+        census = census.map { case (syms, wct) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector -> wct
+        }
+      }
+    val afterSim = census.map { case (s, ct) => s.length * ct }.sum
+    assert((before, after) == ((beforeSim, afterSim)),
+      s"corpus totals drifted: ($before,$after) vs sim ($beforeSim,$afterSim)")
+  }
+
   test("bpe train iterations never rescan the corpus") {
     // after the census lands, every per-iteration statement reads the
     // checkpointed symbol relation — the election query's plan proves it

@@ -422,7 +422,9 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.operators.IntervalJoin.run(s, dir))),
       ("bpe_train_compression" ->
         ((s: SparkSession, dir: String) =>
-          graft.pipeline.BpeMerges.runTrainCompression(s, dir)))
+          graft.pipeline.BpeMerges.runTrainCompression(s, dir))),
+      ("dedup_simhash_sweep" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhashSweep(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -645,6 +647,8 @@ object SparkEntry {
       ("bpe_train" -> graft.pipeline.BpeMerges.duckTrainSql()),
       ("event_interval_overlap" -> graft.operators.IntervalJoin.duckSql()),
       ("bpe_train_compression" ->
-        graft.pipeline.BpeMerges.duckTrainCompressionSql())
+        graft.pipeline.BpeMerges.duckTrainCompressionSql()),
+      ("dedup_simhash_sweep" ->
+        graft.pipeline.Dedup.simhashSweepSql("documents")(graft.oracle.DuckDialect))
       ).toMap
 }

@@ -709,6 +709,53 @@ object Dedup {
        |${embeddingSweepTail("ep")}""".stripMargin
   }
 
+  /** The simhash tuning curve — completes the sweep family (jaccard
+    * threshold, embedding cosine): per max-hamming threshold 0..3,
+    * candidate-pair and affected-doc counts over the SAME
+    * hub-cutoff-bounded banded relation the `dedup_simhash` entry
+    * verifies, landed once per (session, dir); the sweep itself is a
+    * 4-row cross join — zero extra corpus passes. */
+  val SimhashSweepThresholds: Range = 0 to 3
+
+  private def simhashSweepTail(pairsRel: String): String =
+    s"""th AS (
+       |  ${SimhashSweepThresholds.map(h => s"SELECT CAST($h AS INT) AS th")
+           .mkString("\n  UNION ALL\n  ")}
+       |),
+       |hits AS (
+       |  SELECT t.th, p.doc_a, p.doc_b
+       |    FROM th t JOIN $pairsRel p ON p.hamming <= t.th
+       |),
+       |vs AS (
+       |  SELECT th, doc_a AS d FROM hits
+       |  UNION
+       |  SELECT th, doc_b AS d FROM hits
+       |)
+       |SELECT t.th AS max_hamming,
+       |       CAST(COALESCE(pc.pair_ct, 0) AS BIGINT) AS pair_ct,
+       |       CAST(COALESCE(dc.doc_ct, 0) AS BIGINT) AS affected_doc_ct
+       |  FROM th t
+       |  LEFT JOIN (SELECT th, COUNT(*) AS pair_ct FROM hits GROUP BY th) pc
+       |    ON pc.th = t.th
+       |  LEFT JOIN (SELECT th, COUNT(*) AS doc_ct FROM vs GROUP BY th) dc
+       |    ON dc.th = t.th
+       | ORDER BY max_hamming""".stripMargin
+
+  def runSimhashSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pv = graft.core.SessionCache.getOrElseUpdate(spark, "simhashpairs", dir) {
+      val name =
+        s"__graft_simhash_pairs_${java.lang.Integer.toHexString(dir.hashCode)}"
+      runSimhash(spark, dir).localCheckpoint(eager = true)
+        .createOrReplaceTempView(name)
+      name
+    }
+    spark.sql(s"WITH ${simhashSweepTail(pv)}")
+  }
+
+  def simhashSweepSql(table: String)(d: Dialect): String =
+    s"""WITH pairs AS ${d.cteMaterialized}(${simhashSql(table)(d)}),
+       |${simhashSweepTail("pairs")}""".stripMargin
+
   def runEmbeddingSweep(spark: SparkSession, dir: String): DataFrame = {
     val pv = graft.core.SessionCache.getOrElseUpdate(spark, "embpairs", dir) {
       graft.core.Tables.load(spark, dir, "embeddings")

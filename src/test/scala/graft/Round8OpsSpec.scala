@@ -501,6 +501,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("pair_ct") == mh)
   }
 
+  test("simhash sweep is monotone and anchors to the simhash entry at h=3") {
+    val rows = graft.pipeline.Dedup.runSimhashSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("max_hamming"))
+    assert(rows.map(_.getAs[Int]("max_hamming")).toSeq ==
+      graft.pipeline.Dedup.SimhashSweepThresholds.toSeq)
+    // loosening the hamming bar can only add pairs and docs
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("pair_ct") <= b.getAs[Long]("pair_ct"))
+        assert(a.getAs[Long]("affected_doc_ct") <= b.getAs[Long]("affected_doc_ct"))
+      case _ =>
+    }
+    // the h=3 row IS the oracle-checked simhash relation
+    val sh = graft.pipeline.Dedup.runSimhash(spark, sfDir).count()
+    assert(rows.last.getAs[Long]("pair_ct") == sh)
+    // the sweep reads the landed pair relation — no corpus re-derivation
+    val p = graft.pipeline.Dedup.runSimhashSweep(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      "sweep re-derived the banded join instead of reading the landed pairs")
+  }
+
   test("ngram decontamination covers the eval split with bounded counts") {
     val rows = graft.pipeline.Selection.runNgramDecontaminate(spark, sfDir).collect()
     val evalCt = graft.core.Tables.load(spark, sfDir, "documents")

@@ -10,20 +10,26 @@
 # 2. graft.Verify          — dump every oracle entry at sf0.01
 # 3. scripts/check.py      — value-compare vs the DuckDB oracle
 # 4. scripts/oracle_types.py — no HUGEINT/DECIMAL leaks in oracle types
-set -u
+# 5. git status --porcelain  — no untracked/modified round artifacts
+#
+# pipefail is load-bearing: every check below is piped through
+# tail/tee, and without it the gate tests the PIPE's exit status, not
+# sbt's or python's — exactly the silent-green failure this script
+# exists to prevent.
+set -u -o pipefail
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-/tmp/verify_gate}"
 cd "$(dirname "$0")/.."
 SUMMARY=""
 
-echo "== gate 1/4: sbt test"
+echo "== gate 1/5: sbt test"
 if sbt -batch test 2>&1 | tail -5 | tee /tmp/gate_sbt.txt; then
   SUMMARY+="sbt test: $(grep -Eo 'Tests: succeeded [0-9]+, failed [0-9]+' /tmp/gate_sbt.txt | tail -1)\n"
 else
   echo "GATE FAIL: sbt test"; exit 1
 fi
 
-echo "== gate 2/4: graft.Verify at $SF_DIR"
+echo "== gate 2/5: graft.Verify at $SF_DIR"
 CP="$(ls /opt/spark/jars/*.jar | tr '\n' ':')target/scala-2.13/classes"
 SPARK_GRAFT_CPUS=8 java -Xmx12g \
   $(for m in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -35,19 +41,28 @@ SPARK_GRAFT_CPUS=8 java -Xmx12g \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR" 2>/dev/null | grep -i fail || true
 
-echo "== gate 3/4: oracle value compare"
+echo "== gate 3/5: oracle value compare"
 if python3 scripts/check.py "$SF_DIR" "$OUT_DIR" 2>&1 | tail -3 | tee /tmp/gate_check.txt; then
   SUMMARY+="oracle compare: $(tail -1 /tmp/gate_check.txt)\n"
 else
   echo "GATE FAIL: oracle compare"; exit 1
 fi
 
-echo "== gate 4/4: oracle result-type sweep"
+echo "== gate 4/5: oracle result-type sweep"
 if python3 scripts/oracle_types.py "$SF_DIR" "$OUT_DIR" 2>&1 | tail -2 | tee /tmp/gate_types.txt; then
   SUMMARY+="oracle types: $(tail -1 /tmp/gate_types.txt)\n"
 else
   echo "GATE FAIL: oracle types"; exit 1
 fi
+
+echo "== gate 5/5: working tree clean (round artifacts committed)"
+DIRTY="$(git status --porcelain)"
+if [ -n "$DIRTY" ]; then
+  echo "$DIRTY"
+  echo "GATE FAIL: untracked/modified files — commit round artifacts first"
+  exit 1
+fi
+SUMMARY+="working tree: clean\n"
 
 echo
 echo "== GATE GREEN — paste into the snapshot commit message:"

@@ -142,17 +142,23 @@ object BpeMerges {
     * [[applySql]]: within a run of consecutive match positions exactly
     * the odd ranks apply — and renumber positions.
     *
-    * Engine-side the loop is a driver iteration: the top pair is a
-    * ONE-ROW collect (TakeOrdered over the census-bounded pair counts),
-    * each new symbol relation lands via checkpoint before the next
-    * iteration reads it (the MMR staging discipline — Spark would
-    * otherwise re-inline the whole CTE prefix at every reference). The
-    * DuckDB oracle unrolls all [[TrainSteps]] iterations in ONE
-    * statement (DuckDB materializes CTEs, so it stays linear) and must
-    * elect the identical merges. No end-of-word marker — the census is
-    * whitespace-tokenized, so merges never cross word boundaries by
-    * construction; a production tokenizer adds its marker in the census
-    * projection. */
+    * Engine-side, Spark runs exactly ONE job: the corpus scan that
+    * builds and collects the word census. The census is
+    * vocabulary-bounded — the same driver-fits argument every real BPE
+    * trainer relies on (Sennrich's reference implementation holds it in
+    * a dict) — so the merge election/apply loop runs driver-locally
+    * over the collected census, costing microseconds per merge with NO
+    * per-merge Spark job. That is what makes a real tokenizer's ~30k
+    * merges reachable: wall time is one corpus scan + O(merges × vocab)
+    * driver work, not O(merges) cluster round-trips. The learned merge
+    * table and the final (word, wct, pos, sym) symbol relation land as
+    * local DataFrames for corpus-scale consumers ([[applySql]] applies
+    * the table at corpus grain). The DuckDB oracle unrolls
+    * [[TrainSteps]] iterations in ONE statement (DuckDB materializes
+    * CTEs, so it stays linear) and must elect the identical merges.
+    * No end-of-word marker — the census is whitespace-tokenized, so
+    * merges never cross word boundaries by construction; a production
+    * tokenizer adds its marker in the census projection. */
   private def censusCtes(table: String)(d: Dialect): String =
     s"""words AS (
        |  ${d.wordsRel(table, "doc_id", "text")}
@@ -182,13 +188,17 @@ object BpeMerges {
 
   /** Apply the merge (l, r) — given as relation `best(l, r)` — to a
     * symbol relation: leftmost-greedy non-overlapping via the islands
-    * trick, then renumber. */
+    * trick, then renumber. An EMPTY `best` relation degrades to a pure
+    * renumbering no-op (the LEFT JOIN ON TRUE leaves hit = 0
+    * everywhere), so the oracle's unrolled iterations past corpus
+    * exhaustion carry the last real symbol relation forward — matching
+    * the engine loop's early stop exactly. */
   private def applyStepSql(prev: String, best: String): String =
     s"""WITH adj AS (${adjSql(prev)}),
        |mt AS (
        |  SELECT a.word, a.wct, a.pos, a.sym, a.nsym,
        |         CASE WHEN a.sym = b.l AND a.nsym = b.r THEN 1 ELSE 0 END AS hit
-       |    FROM adj a CROSS JOIN $best b),
+       |    FROM adj a LEFT JOIN $best b ON TRUE),
        |isl AS (
        |  SELECT word, pos,
        |         pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
@@ -246,42 +256,97 @@ object BpeMerges {
   }
 
   def runTrain(spark: SparkSession, dir: String,
-               steps: Int = TrainSteps): DataFrame = {
-    graft.core.Tables.load(spark, dir, "documents")
-      .createOrReplaceTempView("__graft_bpet_docs")
-    trainOn(spark, "__graft_bpet_docs", steps)
+               steps: Int = TrainSteps): DataFrame =
+    trained(spark, dir, steps)._1
+
+  /** Training result memoized per (session, dir, steps) — the landed
+    * merge table plus the final symbol relation's view name. Both
+    * `bpe_train` and `bpe_train_compression` (and the Runner `curate`
+    * stage) read THIS, so the corpus is scanned once per session, not
+    * once per consumer — the same landed-relation discipline as
+    * `Retrieval`'s hit lists. */
+  private def trained(spark: SparkSession, dir: String,
+                      steps: Int): (DataFrame, String) =
+    graft.core.SessionCache.getOrElseUpdate(spark, "bpe_trained", (dir, steps)) {
+      graft.core.Tables.load(spark, dir, "documents")
+        .createOrReplaceTempView("__graft_bpet_docs")
+      trainOnRel(spark, "__graft_bpet_docs", steps)
+    }
+
+  /** Split `w` into single-codepoint symbols (SUBSTRING in both SQL
+    * dialects is codepoint-addressed, so the driver loop must be too). */
+  private def codepoints(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
   }
 
-  /** The driver loop over any (doc_id, text) relation — split out so
-    * specs can train on inline fixtures. Returns the merge table and
-    * the FINAL landed symbol relation's view name. */
+  /** The training loop over any (doc_id, text) relation — split out so
+    * specs can train on inline fixtures. ONE Spark job (the census
+    * scan/collect); the merge loop is pure driver-local Scala. Returns
+    * the merge table and the FINAL symbol relation's view name. */
   private[graft] def trainOnRel(spark: SparkSession, table: String,
                                 steps: Int): (DataFrame, String) = {
     import spark.implicits._
-    def esc(s: String) = s.replace("'", "''")
-    var prev = "__graft_bpet_syms0"
-    spark.sql(s"WITH ${censusCtes(table)(SparkDialect)} " +
-        "SELECT * FROM syms0")
-      .localCheckpoint(eager = true).createOrReplaceTempView(prev)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var i = 1
+    // One corpus scan: collect the vocabulary-bounded word census.
+    var census: Array[(String, Long, Vector[String])] =
+      spark.sql(
+        s"""WITH words AS (
+           |  ${SparkDialect.wordsRel(table, "doc_id", "text")}
+           |)
+           |SELECT word, CAST(COUNT(*) AS BIGINT) AS wct
+           |  FROM words GROUP BY word""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), codepoints(r.getString(0))))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
     var exhausted = false
-    while (i <= steps && !exhausted) {
-      val top = spark.sql(bestPairSql(prev)).collect()
-      if (top.isEmpty) exhausted = true
+    while (step <= steps && !exhausted) {
+      // Election: SUM(wct) over adjacent symbol pairs; deterministic
+      // ties (count DESC, then lexicographic l, r) — byte-identical to
+      // the oracle's `ORDER BY ct DESC, l, r LIMIT 1`.
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      census.foreach { case (_, wct, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + wct)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val (l, r, ct) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((i, l, r, l + r, ct))
-        val next = s"__graft_bpet_syms$i"
-        spark.sql(applyStepSql(prev,
-            s"(SELECT '${esc(l)}' AS l, '${esc(r)}' AS r)"))
-          .localCheckpoint(eager = true).createOrReplaceTempView(next)
-        prev = next
-        i += 1
+        val ((l, r), ct) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((step, l, r, l + r, ct))
+        // Apply leftmost-greedy non-overlapping, per census word.
+        census = census.map { case (w, wct, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (w, wct, out.result())
+        }
+        step += 1
       }
     }
+    val finalRel =
+      s"__graft_bpet_final_${java.lang.Integer.toHexString(table.hashCode)}"
+    census.toSeq
+      .flatMap { case (w, wct, syms) =>
+        syms.zipWithIndex.map { case (s, i) => (w, wct, i + 1, s) } }
+      .toDF("word", "wct", "pos", "sym")
+      .createOrReplaceTempView(finalRel)
     (merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_ct")
-      .orderBy("step"), prev)
+      .orderBy("step"), finalRel)
   }
 
   private[graft] def trainOn(spark: SparkSession, table: String,
@@ -295,10 +360,11 @@ object BpeMerges {
     * (characters) vs after the [[TrainSteps]] merges, weighted by word
     * frequency, with the corpus totals and the integer-ppm compression
     * ratio on every row; top [[CompressionTopK]] words by weighted
-    * savings (deterministic ties). Precondition shared with the oracle
-    * rendering: the merge budget is smaller than the corpus's pair
-    * mass (any real corpus; spec-pinned on the fixture), so all
-    * [[TrainSteps]] iterations learn a merge. */
+    * savings (deterministic ties). If the corpus exhausts before the
+    * merge budget, both renderings agree by construction: the engine
+    * loop stops early keeping the last symbol relation, and the
+    * oracle's remaining unrolled [[applyStepSql]] steps are no-ops on
+    * an empty best relation. */
   val CompressionTopK = 30
 
   private def compressionTail(symsRel: String)(d: Dialect): String =
@@ -326,9 +392,9 @@ object BpeMerges {
 
   def runTrainCompression(spark: SparkSession, dir: String,
                           steps: Int = TrainSteps): DataFrame = {
-    graft.core.Tables.load(spark, dir, "documents")
-      .createOrReplaceTempView("__graft_bpet_docs")
-    val (_, finalRel) = trainOnRel(spark, "__graft_bpet_docs", steps)
+    // Reads the memoized training result — NO re-train: the tail is a
+    // census-sized aggregate over the already-landed symbol relation.
+    val (_, finalRel) = trained(spark, dir, steps)
     spark.sql(s"WITH ${compressionTail(finalRel)(graft.oracle.SparkDialect)}")
   }
 

@@ -112,13 +112,52 @@ class BpeTrainSpec extends SparkSpec {
       s"corpus totals drifted: ($before,$after) vs sim ($beforeSim,$afterSim)")
   }
 
-  test("bpe train iterations never rescan the corpus") {
-    // after the census lands, every per-iteration statement reads the
-    // checkpointed symbol relation — the election query's plan proves it
-    graft.pipeline.BpeMerges.runTrain(spark, sfDir)
-    val p = spark.sql(graft.pipeline.BpeMerges.bestPairSql("__graft_bpet_syms1"))
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("FileScan parquet"),
-      "iteration reads must hit the landed symbol relation, not the corpus")
+  test("bpe train: Spark job count is independent of the merge count") {
+    // the merge loop is driver-local over the collected census — the
+    // ONLY Spark work is the one census scan, so training 300 merges
+    // must cost exactly as many Spark jobs as training 2. This is the
+    // property that makes a real tokenizer's ~30k merges reachable.
+    val spark2 = spark
+    import spark2.implicits._
+    val words = (0 until 200).map { i =>
+      val s = new StringBuilder; var x = i * 2654435761L
+      (0 until 12).foreach { _ => s += ('a' + ((x >>> 7) % 26)).toChar; x = x * 6364136223846793005L + 1442695040888963407L }
+      s.toString
+    }
+    words.grouped(20).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").createOrReplaceTempView("__bpe_jobs_fix")
+    def jobsDuring(steps: Int): Int = {
+      val group = s"bpe_jobs_$steps"
+      spark.sparkContext.setJobGroup(group, "bpe job-count probe")
+      try graft.pipeline.BpeMerges.trainOn(spark, "__bpe_jobs_fix", steps)
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j2 = jobsDuring(2)
+    val j300 = jobsDuring(300)
+    assert(j300 == j2,
+      s"per-merge Spark jobs detected: $j2 jobs at 2 merges vs $j300 at 300")
+  }
+
+  test("bpe train: a 1000-merge budget trains driver-locally") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 600 pseudo-random 14-char words: ~8.4k chars of pair mass, far
+    // more than 1000 merges' worth
+    val words = (0 until 600).map { i =>
+      val s = new StringBuilder; var x = i * 0x9E3779B97F4A7C15L + 17
+      (0 until 14).foreach { _ => s += ('a' + ((x >>> 11) % 26)).toChar; x = x * 6364136223846793005L + 1442695040888963407L }
+      s.toString
+    }
+    words.grouped(30).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").createOrReplaceTempView("__bpe_big_fix")
+    val t0 = System.nanoTime()
+    val merges = graft.pipeline.BpeMerges.trainOn(spark, "__bpe_big_fix", 1000)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 1000, s"expected 1000 merges, got ${merges.length}")
+    assert(secs < 60.0, s"1000 driver-local merges took $secs s")
   }
 }

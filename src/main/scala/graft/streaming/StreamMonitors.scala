@@ -534,7 +534,11 @@ object StreamMonitors {
     * Day-closing mirrors [[graft.streaming.EventAnalytics]]'
     * streaming rate-anomaly state machine: a day CLOSES when a
     * strictly later day arrives for the same type (the last partial
-    * day stays open, so partial counts never fire false alerts);
+    * day stays open, so partial counts never fire false alerts), and
+    * closing walks EVERY calendar day up to that later day — days
+    * with zero events close with ct = 0, so a multi-day outage drives
+    * cusum_lo down by refCt + slack per silent day instead of being
+    * skipped (an outage is the monitor's primary target);
     * batch-internal arrival order cannot matter because each trigger
     * first aggregates its rows per day and then closes days in
     * calendar order. Rows for already-closed days (late beyond the
@@ -571,8 +575,16 @@ object StreamMonitors {
           val out = scala.collection.mutable.ArrayBuffer.empty[CusumDay]
           if (open.nonEmpty) {
             val maxDay = open.keys.max
-            open.keys.toSeq.sorted.filter(_ < maxDay).foreach { d =>
-              val ct = open(d)
+            // Close EVERY calendar day strictly before the newest open
+            // day — including days with ZERO events: a fully silent day
+            // is precisely the lo-side (rate-drop) signal this monitor
+            // exists for, so absent days feed the recurrence with
+            // ct = 0 (dev = −refCt). The first batch anchors the
+            // calendar at the earliest day seen.
+            var d = if (lastClosed == Int.MinValue) open.keys.min
+                    else lastClosed + 1
+            while (d < maxDay) {
+              val ct = open.getOrElse(d, 0L)
               val dev = ct - p.refCt
               hi = math.max(0L, hi + dev - p.slack)
               lo = math.min(0L, lo + dev + p.slack)
@@ -581,6 +593,7 @@ object StreamMonitors {
               if (alert) { hi = 0L; lo = 0L } // standard Page reset
               open = open.removed(d)
               lastClosed = d
+              d += 1
             }
           }
           state.update(CusumState(open, lastClosed, hi, lo))
@@ -663,6 +676,49 @@ object StreamMonitors {
           }
           state.update(next)
           Iterator.single(PsiBucketCount(bucket, next.ca, next.cb))
+      }
+  }
+
+  final case class ChisqState(o: Long)
+  final case class ChisqCellCount(category: String, slice: String, o: Long)
+
+  /** Continuous chi-square-drift sufficient statistics — the streaming
+    * twin of [[graft.profiling.ChisqDrift]], completing the drift
+    * family's ingest coverage (PSI and CUSUM already have twins). Same
+    * emit-sufficient-stats shape as [[ingestPsiCounts]]: each
+    * micro-batch pre-folds its rows to per-partition
+    * (category, slice, count) partials — the contingency table is
+    * K·2-bounded, so only cell-domain rows ever shuffle per trigger —
+    * and keyed state per cell adds them in. Counts are additive longs,
+    * so after any stream prefix the latest emission per cell is
+    * BIT-IDENTICAL to the batch cells relation over the same rows
+    * (replay-spec-pinned). The χ² statistic itself needs the row/column
+    * marginals — cross-cell state — so, exactly like PSI's smoothed
+    * shares, it stays the CONSUMER's one metadata-sized pass over the
+    * K·2 emitted cells using the batch entry's integer-micro
+    * arithmetic. State: one long per cell, bounded forever. */
+  def ingestChisqCounts(orders: DataFrame): Dataset[ChisqCellCount] = {
+    import orders.sparkSession.implicits._
+    orders
+      .selectExpr(
+        "o_orderpriority AS category",
+        "CASE WHEN o_orderstatus = 'F' THEN 'fulfilled' ELSE 'open' END AS slice")
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        it.foreach { k => m.update(k, m.getOrElse(k, 0L) + 1L) }
+        m.iterator.map { case ((c, s), o) => (c, s, o) }
+      }
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[ChisqState, ChisqCellCount](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (cell: (String, String), partials: Iterator[(String, String, Long)],
+         state: GroupState[ChisqState]) =>
+          val prev = state.getOption.getOrElse(ChisqState(0L))
+          val next = partials.foldLeft(prev)((s, p) => ChisqState(s.o + p._3))
+          state.update(next)
+          Iterator.single(ChisqCellCount(cell._1, cell._2, next.o))
       }
   }
 }

@@ -135,4 +135,52 @@ class DriftOpsSpec extends SparkSpec {
         s"bucket $b psi term not derivable from the stream state")
     }
   }
+
+  test("streaming chisq counts replay bit-identical to the batch cells") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.core.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderpriority", "o_orderstatus")
+      .as[(String, String)].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 3)
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamMonitors.ingestChisqCounts(
+      input.toDF().toDF("o_orderpriority", "o_orderstatus"))
+      .writeStream.format("memory").queryName("chisq_stream")
+      .outputMode("append").start()
+    val emitted = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("chisq_stream")
+        .as[(String, String, Long)].collect()
+    } finally q.stop()
+    // the last emission per cell = the running count after the whole
+    // fixture streamed through; compare with the batch relation
+    val last = emitted.groupBy(r => (r._1, r._2))
+      .map { case (k, g) => k -> g.map(_._3).max }
+    val batch = graft.profiling.ChisqDrift.run(spark, sfDir)
+      .select("category", "slice", "observed_ct", "expected_micro",
+        "chisq_term_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(last.keySet == batch.map(r => (r._1, r._2)).toSet)
+    batch.foreach { case (c, s, o, _, _) =>
+      assert(last((c, s)) == o, s"cell ($c,$s) count drifted: ${last((c, s))}")
+    }
+    // the consumer derives the identical chi-square terms from the
+    // emitted cells with the batch entry's integer-micro arithmetic
+    val n = batch.map(_._3).sum
+    val rt = batch.groupBy(_._1).map { case (c, g) => c -> g.map(_._3).sum }
+    val ct = batch.groupBy(_._2).map { case (s, g) => s -> g.map(_._3).sum }
+    batch.foreach { case (c, s, _, expMicro, termMicro) =>
+      val o = last((c, s))
+      assert(expMicro == math.round(rt(c).toDouble * ct(s) / n * 1e6),
+        s"expected at ($c,$s) not derivable from the stream state")
+      val num = (o * n - rt(c) * ct(s)).toDouble
+      assert(termMicro ==
+        math.round(num * num / (rt(c).toDouble * ct(s) * n) * 1e6),
+        s"term at ($c,$s) not derivable from the stream state")
+    }
+  }
 }

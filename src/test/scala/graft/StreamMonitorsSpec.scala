@@ -731,19 +731,21 @@ class StreamMonitorsSpec extends SparkSpec {
       spark.table("cusum_stream")
         .as[StreamMonitors.CusumDay].collect()
     } finally q.stop()
-    // expected: per type, every day except the LAST closes in calendar
-    // order through the identical integer Page recurrence
+    // expected: per type, EVERY calendar day from the first seen up to
+    // (excluding) the last closes in order — gap days with zero events
+    // included — through the identical integer Page recurrence
     types.foreach { t =>
-      val days = daily.keys.collect { case (tt, d) if tt == t => d }
-        .toSeq.sortBy(_.toEpochDay)
-      val expectDays = days.dropRight(1)
+      val days = daily.keys.collect { case (tt, d) if tt == t => d.toEpochDay.toInt }
+        .toSeq.sorted
+      val expectDays = (days.min until days.max).toSeq
       val got = out.filter(_.event_type == t).sortBy(_.epoch_day)
-      assert(got.map(_.epoch_day).toSeq ==
-        expectDays.map(_.toEpochDay.toInt), s"closed-day set drifted for $t")
+      assert(got.map(_.epoch_day).toSeq == expectDays,
+        s"closed-day set drifted for $t")
       val p = params(t)
       var (hi, lo) = (0L, 0L)
       expectDays.zip(got).foreach { case (d, g) =>
-        val ct = daily((t, d))
+        val ct = daily.getOrElse(
+          (t, java.time.LocalDate.ofEpochDay(d.toLong)), 0L)
         hi = math.max(0L, hi + (ct - p.refCt) - p.slack)
         lo = math.min(0L, lo + (ct - p.refCt) + p.slack)
         val alert = hi > p.threshold || lo < -p.threshold
@@ -752,6 +754,42 @@ class StreamMonitorsSpec extends SparkSpec {
         if (alert) { hi = 0L; lo = 0L }
       }
     }
+  }
+
+  test("streaming cusum closes silent days: a multi-day outage fires cusum_lo") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 5 normal days at 4/day, then a 4-day TOTAL outage, then one event
+    // on day 10 — the outage days must close with ct=0 and drive the
+    // lo side past the threshold even though no event ever arrives
+    // inside the outage
+    val evs = ((0 until 5).flatMap { day =>
+      (0 until 4).map { i =>
+        Ev(day * 100L + i, ts(f"2026-04-${day + 1}%02d 0${i + 1}:00:00"), "load")
+      }
+    } :+ Ev(1000L, ts("2026-04-10 05:00:00"), "load"))
+    val input = MemoryStream[Ev]
+    // refCt=4, slack=1: each silent day adds -(4-1) = -3 to lo;
+    // threshold 8 crosses on the THIRD silent day (lo = -9)
+    val params = Map("load" -> StreamMonitors.CusumParams(4L, 1L, 8L))
+    val q = StreamMonitors.ingestCusum(input.toDF(), params)
+      .writeStream.format("memory").queryName("cusum_outage")
+      .outputMode("append").start()
+    val out = try {
+      input.addData(evs.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("cusum_outage")
+        .as[StreamMonitors.CusumDay].collect().sortBy(_.epoch_day)
+    } finally q.stop()
+    assert(out.length == 9, s"days 1-9 close (10 stays open): ${out.length}")
+    val silent = out.drop(5)
+    assert(silent.map(_.ct).toSeq == Seq(0L, 0L, 0L, 0L),
+      "outage days close with zero counts")
+    assert(silent.map(_.cusum_lo).toSeq == Seq(-3L, -6L, -9L, -3L),
+      s"lo recurrence drifted: ${silent.map(_.cusum_lo).toSeq}")
+    assert(!silent(0).alert && !silent(1).alert && silent(2).alert,
+      "the outage fires on the third silent day")
+    assert(out.take(5).forall(d => !d.alert && d.ct == 4L))
   }
 
   test("streaming interval overlap replays row-identical to the batch join") {

@@ -1,6 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 
@@ -23,10 +25,17 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * natively in both, and every verdict is integer — hash-exact.
   *
   * Scale shape: one scan per side, a block-local equi-join (block
-  * cardinality bounded by the key domain — the skew advisor's
-  * dispatch applies if a block goes hot), a per-dirty-record
+  * cardinality bounded by the key domain), a per-dirty-record
   * ROW_NUMBER window partitioned on the dirty key. Corpus-sized
-  * relations shuffle once, on the block key. */
+  * relations shuffle once, on the block key. A 100 TB registry can
+  * still hold a HOT block (a common surname suffix × a big nation
+  * goes quadratic inside the block and pins one task), so the engine
+  * path measures the clean side's block histogram once per
+  * (session, dir) and routes any block holding more than [[HotShare]]
+  * of the rows through [[graft.core.SkewJoin.saltedJoinHot]] — the
+  * verify stage then runs on 1/salt slices of the hot block while
+  * every cold block keeps the plain single-sub-key path
+  * (hot-block-spec-pinned, results row-identical either way). */
 object EntityMatch {
 
   /** The deterministic dirty registry: residue class picks the
@@ -49,13 +58,15 @@ object EntityMatch {
        |    FROM $table
        |),
        |cand AS (
-       |  SELECT dr.src_id, dr.variant_class, cl.c_custkey AS match_key,
-       |         LEVENSHTEIN(LOWER(dr.dirty_name), LOWER(cl.c_name)) AS dist
-       |    FROM dirty dr
-       |    JOIN clean cl
-       |      ON cl.c_nationkey = dr.c_nationkey
-       |     AND cl.blk = RIGHT(dr.dirty_name, 4)
-       |   WHERE LEVENSHTEIN(LOWER(dr.dirty_name), LOWER(cl.c_name)) <= 2
+       |  SELECT src_id, variant_class, match_key, dist FROM (
+       |    SELECT dr.src_id, dr.variant_class, cl.c_custkey AS match_key,
+       |           LEVENSHTEIN(LOWER(dr.dirty_name), LOWER(cl.c_name)) AS dist
+       |      FROM dirty dr
+       |      JOIN clean cl
+       |        ON cl.c_nationkey = dr.c_nationkey
+       |       AND cl.blk = RIGHT(dr.dirty_name, 4)
+       |  ) c0
+       |   WHERE dist <= 2
        |),
        |ranked AS (
        |  SELECT src_id, variant_class, match_key, dist,
@@ -74,10 +85,70 @@ object EntityMatch {
        | WHERE rk = 1
        | ORDER BY src_id""".stripMargin
 
+  /** A block is HOT when it holds more than this share of the clean
+    * side's rows. */
+  val HotShare = 0.01
+
+  /** Sub-keys a hot block fans out over. */
+  val HotSalt = 8
+
+  private[graft] def dirtyDf(spark: SparkSession, table: String): DataFrame =
+    spark.sql(
+      s"""SELECT src_id, variant_class, dirty_name,
+         |       CAST(c_nationkey AS STRING) || '|' || RIGHT(dirty_name, 4)
+         |         AS blk_key
+         |  FROM (${dirtySql(table)}) d""".stripMargin)
+
+  private[graft] def cleanDf(spark: SparkSession, table: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name,
+         |       CAST(c_nationkey AS STRING) || '|' || RIGHT(c_name, 4)
+         |         AS blk_key
+         |  FROM $table""".stripMargin)
+
+  /** The blocked match with the hot-block dispatch: blocks in `hot`
+    * route through the two-tier salted join (the verify stage runs on
+    * 1/[[HotSalt]] slices of each hot block), everything else keeps the
+    * plain block-local equi-join. Value-identical to [[sql]] by
+    * construction — the salt only re-partitions WHICH task verifies a
+    * candidate pair (spec-pinned on a planted hot block). */
+  private[graft] def runGuarded(spark: SparkSession, table: String,
+                                hot: Seq[Any],
+                                salt: Int = HotSalt): DataFrame = {
+    val dirty = dirtyDf(spark, table)
+    val clean = cleanDf(spark, table)
+    val joined =
+      if (hot.isEmpty) dirty.join(clean, Seq("blk_key"))
+      else graft.core.SkewJoin.saltedJoinHot(dirty, clean, "blk_key", hot, salt)
+    val perSrc = Window.partitionBy("src_id")
+    val election = Window.partitionBy("src_id")
+      .orderBy(col("dist"), col("match_key"))
+    joined
+      .select(col("src_id"), col("variant_class"),
+        col("c_custkey").as("match_key"),
+        expr("LEVENSHTEIN(LOWER(dirty_name), LOWER(c_name))").as("dist"))
+      .where(col("dist") <= 2)
+      .withColumn("candidate_ct", count(lit(1)).over(perSrc).cast("bigint"))
+      .withColumn("rk", row_number().over(election))
+      .where(col("rk") === 1)
+      .select(col("src_id"), col("variant_class"), col("match_key"),
+        col("dist").cast("bigint").as("edit_distance"),
+        col("candidate_ct"),
+        when(col("dist") === 0, "EXACT").otherwise("FUZZY").as("match_class"),
+        (col("match_key") === col("src_id")).as("is_true_match"))
+      .orderBy("src_id")
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "customer")
       .createOrReplaceTempView("__graft_em_cust")
-    spark.sql(sql("__graft_em_cust")(SparkDialect))
+    // block histogram measured ONCE per (session, dir) — the
+    // FreqProfiler-shaped advisor pass that picks the dispatch
+    val hot = graft.core.SessionCache.getOrElseUpdate(spark, "em_hot", dir) {
+      graft.core.SkewJoin.hotKeys(
+        cleanDf(spark, "__graft_em_cust"), "blk_key", HotShare)
+    }
+    runGuarded(spark, "__graft_em_cust", hot)
   }
 
   def duckSql(): String = sql("customer")(DuckDialect)

@@ -30,6 +30,45 @@ class EntityMmrSpec extends SparkSpec {
     }
   }
 
+  test("entity match: a planted hot block routes through the salted path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 400 of 1000 clean rows share ONE block (nation 7, last-4 "blok")
+    // — the common-surname-suffix × big-nation shape that pins a task
+    val hotRows = (0 until 400).map { i =>
+      (i.toLong, 7, f"hot$i%04dblok")
+    }
+    val coldRows = (0 until 600).map { i =>
+      (1000L + i, i % 5, f"cold$i%06d")
+    }
+    (hotRows ++ coldRows).toDF("c_custkey", "c_nationkey", "c_name")
+      .createOrReplaceTempView("__em_hot_fix")
+    // the advisor sees the hot block...
+    val hot = graft.core.SkewJoin.hotKeys(
+      graft.pipeline.EntityMatch.cleanDf(spark, "__em_hot_fix"),
+      "blk_key", graft.pipeline.EntityMatch.HotShare)
+    assert(hot == Seq("7|blok"), s"advisor missed the planted block: $hot")
+    // ...and the guarded path salts it: the __salt sub-key joins iff a
+    // hot block was dispatched (the xxhash64 draw itself constant-folds
+    // into the local fixture relation, so assert on the join key)
+    val guarded = graft.pipeline.EntityMatch
+      .runGuarded(spark, "__em_hot_fix", hot)
+    assert(guarded.queryExecution.executedPlan.toString.contains("__salt"),
+      "hot block must route through the salted join")
+    val unsalted = graft.pipeline.EntityMatch
+      .runGuarded(spark, "__em_hot_fix", Nil)
+    assert(!unsalted.queryExecution.executedPlan.toString.contains("__salt"),
+      "cold-only dispatch must keep the plain block join")
+    // the salt only moves WORK, never answers: row-identical to the
+    // dual-rendered SQL form
+    val viaSql = spark.sql(graft.pipeline.EntityMatch
+      .sql("__em_hot_fix")(graft.oracle.SparkDialect)).collect().toSeq
+    assert(guarded.collect().toSeq == viaSql,
+      "salted result drifted from the SQL rendering")
+    assert(unsalted.collect().toSeq == viaSql,
+      "plain result drifted from the SQL rendering")
+  }
+
   test("entity match plans one block-local join, never a cross product") {
     val p = graft.pipeline.EntityMatch.run(spark, sfDir)
       .queryExecution.executedPlan.toString

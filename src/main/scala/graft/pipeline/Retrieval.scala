@@ -334,12 +334,19 @@ object Retrieval {
     * `7·rel − 3·maxsim` (never divided, so no negative-division
     * semantics cross engines); ties break by doc_id.
     *
-    * Scale shape: the greedy is INHERENTLY sequential in k, so it runs
-    * UNROLLED — k CTE stages over the landed candidate/sim relations,
-    * which are (nQueries × k) and (nQueries × k²) rows REGARDLESS of
-    * corpus size (the corpus was already reduced by the BM25 top-k).
-    * Every stage is a window + join over those metadata-sized
-    * relations; the corpus is never touched. */
+    * Scale shape: the corpus-scale work — BM25 top-k and the pairwise
+    * candidate cosines — lands ONCE per (session, dir) as the
+    * candidate/sim relations, which are (nQueries × k) and
+    * (nQueries × k²) rows REGARDLESS of corpus size. The greedy itself
+    * is INHERENTLY sequential in k, so the engine collects those
+    * bounded integer relations and runs it DRIVER-LOCALLY
+    * ([[mmrGreedy]]) — zero per-pick Spark jobs, which is what makes a
+    * serving rerank's k = 50–100 reachable (k staged cluster
+    * round-trips were the old shape's per-stage fixed cost; the
+    * driver loop is O(q·k²·k) integer ops). The DuckDB oracle unrolls
+    * the k steps as CTE stages in ONE statement ([[mmrSelSql]] —
+    * DuckDB materializes CTEs, so it stays linear) and must elect the
+    * identical picks. */
   private def mmrCandSql(bmRel: String)(d: Dialect): String =
     s"""SELECT query_id, doc_id,
        |       CAST(${d.intDiv("score_micro * 1000000",
@@ -360,14 +367,13 @@ object Retrieval {
        |  FROM mce a JOIN mce b
        |    ON b.query_id = a.query_id AND b.doc_id <> a.doc_id""".stripMargin
 
-  /** One greedy step's SELECT body. `prevRels` are the relations
-    * holding the earlier picks — landed views engine-side (each step
-    * checkpoints before the next, so Spark's CTE inlining cannot
-    * re-plan the whole prefix at every reference: the naive
-    * single-statement form re-derived sel1..sel_{i-1} inside sel_i,
-    * ~2^k subplans — measured 5.0 s for k=5 over 30-row relations),
-    * CTE names in the oracle statement (DuckDB materializes CTEs, so
-    * the single statement is linear there). */
+  /** One greedy step's SELECT body — ORACLE rendering only (the engine
+    * runs the greedy driver-locally in [[mmrGreedy]]); `prevRels` are
+    * the CTE names of the earlier picks. DuckDB materializes CTEs, so
+    * the single unrolled statement stays linear there; Spark's CTE
+    * inlining re-planned ~2^k subplans on this same form (measured
+    * 5.0 s for k=5 over 30-row relations), which is why the engine
+    * left SQL for the sequential tail entirely. */
   private def mmrStepSql(cand: String, sim: String,
                          prevRels: Seq[String], i: Int): String =
     if (i == 1)
@@ -430,7 +436,37 @@ object Retrieval {
     (spark.table(candV), spark.table(simV))
   }
 
+  /** The greedy itself, over the collected integer relations: `cand`
+    * rows are (query_id, doc_id, rel_micro), `sim` maps
+    * (query_id, da, db) → sim_micro (absent → 0, like the SQL
+    * LEFT JOIN COALESCE). Objective and ties match [[mmrStepSql]]
+    * exactly: argmax 7·rel − 3·max-sim-to-selected, then doc_id. */
+  private[graft] def mmrGreedy(cand: Seq[(Long, Long, Long)],
+                               sim: Map[(Long, Long, Long), Long],
+                               k: Int): Seq[(Long, Long, Int, Long, Long)] =
+    cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (q, cs) =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Long, Long)]
+      var selected = List.empty[Long]
+      var rank = 1
+      var remaining = cs.map(c => (c._2, c._3))
+      while (rank <= k && remaining.nonEmpty) {
+        val (mmr, doc, rel) = remaining.map { case (d, r) =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(s => sim.getOrElse((q, d, s), 0L)).max
+          (7L * r - 3L * maxSim, d, r)
+        }.minBy { case (m, d, _) => (-m, d) }
+        out += ((q, doc, rank, rel, mmr))
+        selected ::= doc
+        remaining = remaining.filter(_._1 != doc)
+        rank += 1
+      }
+      out.toSeq
+    }
+
   def runMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val (_, emb) = views(spark, dir)
     val candV = landed(spark, dir, "mmrcand") {
       spark.sql(mmrCandSql(bmView(spark, dir))(sd))
@@ -438,16 +474,20 @@ object Retrieval {
     val simV = landed(spark, dir, "mmrsim") {
       spark.sql(mmrSimSql(candV, emb)(sd))
     }
-    // land each greedy step before the next references it — the picks
-    // are (queries × 1) rows per step, and checkpointing severs the
-    // 2^k CTE-inlining re-plan the one-statement form pays in Spark
-    val selVs = (1 to MmrK).foldLeft(Seq.empty[String]) { (prev, i) =>
-      val v = landed(spark, dir, s"mmrsel$i") {
-        spark.sql(mmrStepSql(candV, simV, prev, i))
-      }
-      prev :+ v
+    // collect the bounded (q×k)/(q×k²) integer relations once per
+    // (session, dir) and run the sequential greedy driver-locally —
+    // no per-pick Spark jobs (the old unrolled form staged k
+    // checkpoints; before that, CTE inlining re-planned 2^k subplans)
+    val picks = graft.core.SessionCache.getOrElseUpdate(spark, "retr_mmrpicks", dir) {
+      val cand = spark.table(candV).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val sim = spark.table(simV).collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+        .toMap
+      mmrGreedy(cand, sim, MmrK)
     }
-    spark.sql(mmrFinalSql(selVs))
+    picks.toDF("query_id", "doc_id", "pick_rank", "rel_micro", "mmr_decimicro")
+      .orderBy("query_id", "pick_rank")
   }
 
   def duckMmrSql(): String = {

@@ -79,6 +79,42 @@ class EntityMmrSpec extends SparkSpec {
     assert(joins == 1, s"expected the single blocked join, got $joins")
   }
 
+  test("mmr at production k=50: driver greedy handles serving-scale reranks") {
+    // 4 queries × 80 candidates, deterministic pseudo-random integers —
+    // the (q×k²) shape a serving rerank actually collects
+    def h(x: Long): Long = { var v = x * 0x9E3779B97F4A7C15L; v ^= v >>> 29; v & 0x7FFFFFFFL }
+    val cand = for (q <- 0L until 4L; d <- 0L until 80L)
+      yield (q, d, 1000000L - h(q * 1000 + d) % 900000L)
+    val sim = (for (q <- 0L until 4L; a <- 0L until 80L; b <- 0L until 80L
+                    if a != b)
+      yield (q, a, b) -> (h(q * 100000 + a * 300 + b) % 1000000L)).toMap
+    val picks = graft.pipeline.Retrieval.mmrGreedy(cand, sim, 50)
+    assert(picks.length == 4 * 50)
+    picks.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3) == (1 to 50), s"q$q ranks")
+      assert(byRank.map(_._2).distinct.length == 50, s"q$q repeats")
+      // the objective of successive picks never increases: the selected
+      // set only grows, so every candidate's score is non-increasing
+      byRank.map(_._5).sliding(2).foreach { w =>
+        assert(w(0) >= w(1), s"q$q objective increased: $w")
+      }
+      // first pick is the pure-relevance argmax (ties by doc_id)
+      val best = cand.filter(_._1 == q).minBy(c => (-c._3, c._2))
+      assert(byRank.head._2 == best._2 && byRank.head._5 == 7L * best._3)
+      // spot-verify the greedy argmax at rank 25 against a literal
+      // re-evaluation of the remaining candidates
+      val sel24 = byRank.take(24).map(_._2)
+      val expect = cand.filter(_._1 == q).filterNot(c => sel24.contains(c._2))
+        .map { c =>
+          (7L * c._3 - 3L * sel24.map(s => sim.getOrElse((q, c._2, s), 0L)).max,
+            c._2)
+        }.minBy { case (m, d) => (-m, d) }
+      assert(byRank(24)._2 == expect._2 && byRank(24)._5 == expect._1,
+        s"q$q rank-25 pick drifted")
+    }
+  }
+
   test("mmr: picks replay the greedy exactly from the landed integers") {
     val spark2 = spark
     import spark2.implicits._

@@ -66,17 +66,20 @@ def main():
     nev = con.execute(f"SELECT MAX(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
     nuser = con.execute(f"SELECT MAX(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
 
+    # NOTE: %09d WIDENS past 1e9 while DuckDB's lpad TRUNCATES, so keys
+    # >= 10^9 take the un-padded branch (mirroring %09d) to preserve the
+    # name-encodes-key property entity_match depends on
     # c_name encodes the key in the base generator ('Customer#%09d'), so
     # copies REWRITE it to match their offset key — otherwise every name
     # recurs <copies> times and name-blocked operators (entity_match)
     # inherit a duplicate-name artifact the base data doesn't have
     copy_table("customer",
                "SELECT c_custkey + {c}*" + str(ncust) + " AS c_custkey,"
-               " 'Customer#' || lpad(CAST(c_custkey + {c}*" + str(ncust) + " AS VARCHAR), 9, '0') AS c_name,"
+               " 'Customer#' || CASE WHEN length(CAST(c_custkey + {c}*" + str(ncust) + " AS VARCHAR)) > 9 THEN CAST(c_custkey + {c}*" + str(ncust) + " AS VARCHAR) ELSE lpad(CAST(c_custkey + {c}*" + str(ncust) + " AS VARCHAR), 9, '0') END AS c_name,"
                " c_nationkey, c_acctbal, c_mktsegment FROM '{src}/customer.parquet'")
     copy_table("supplier",
                "SELECT s_suppkey + {c}*" + str(nsupp) + " AS s_suppkey,"
-               " 'Supplier#' || lpad(CAST(s_suppkey + {c}*" + str(nsupp) + " AS VARCHAR), 9, '0') AS s_name,"
+               " 'Supplier#' || CASE WHEN length(CAST(s_suppkey + {c}*" + str(nsupp) + " AS VARCHAR)) > 9 THEN CAST(s_suppkey + {c}*" + str(nsupp) + " AS VARCHAR) ELSE lpad(CAST(s_suppkey + {c}*" + str(nsupp) + " AS VARCHAR), 9, '0') END AS s_name,"
                " s_nationkey, s_acctbal FROM '{src}/supplier.parquet'")
     copy_table("part",
                "SELECT p_partkey + {c}*" + str(npart) + " AS p_partkey, p_name, p_brand,"

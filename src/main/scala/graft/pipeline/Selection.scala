@@ -753,21 +753,66 @@ object Selection {
     *
     * Scale shape: quality comes from the single-scan text metrics, dup
     * membership from the landed component labels (metadata-sized LEFT
-    * join), the decile is one global window over (score, id) — at
-    * 100 TB swap NTILE for a pre-computed quantile fence join, same
-    * rows. */
-  private def calibrationTail(table: String, compRel: String)
-                             (d: Dialect): String =
+    * join). The decile is NOT a global NTILE (that plans an
+    * all-rows-to-one-task sort — the engine's worst standing sf1 ratio
+    * at 3.7× before this rework): because quality_score is ROUND(x, 4)
+    * — a ≤10001-value quantized domain — ROUND(score·10⁴) is an
+    * INJECTIVE bucket key, so the exact global rank decomposes into
+    * (bucket offset from a ≤10001-row count relation) +
+    * (ROW_NUMBER partitioned by bucket, ordered by doc_id), and the
+    * decile restates NTILE's piecewise size split (first n mod 10
+    * groups get one extra row) in closed integer form. The corpus
+    * shuffles once on the bucket key; every window over corpus-sized
+    * data is bucket-partitioned; the only single-partition window runs
+    * over the bounded bucket-count relation. Equality with literal
+    * NTILE is spec-pinned. */
+  private def calibDqbCtes(table: String, compRel: String)
+                          (d: Dialect): String =
     s"""qx AS (
        |  SELECT doc_id, quality_score FROM (
        |${graft.pipeline.TextAnalysis.sql(table, ordered = false)(d)}
        |  ) tq
        |),
-       |dq AS (
+       |dqb AS ${d.cteMaterialized}(
        |  SELECT q.doc_id, q.quality_score,
        |         CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS is_dup,
-       |         NTILE(10) OVER (ORDER BY q.quality_score, q.doc_id) AS decile
+       |         CAST(ROUND(q.quality_score * 10000) AS BIGINT) AS qb
        |    FROM qx q LEFT JOIN $compRel c ON c.id = q.doc_id
+       |)""".stripMargin
+
+  /** The rank/decile tail over a (landed) dqb relation — referenced
+    * TWICE (bucket counts + the rank join), which is exactly why the
+    * engine lands dqb first: Spark inlines multi-referenced CTEs, and
+    * the qx scan is the regex-heavy text-metrics pass. The oracle marks
+    * dqb MATERIALIZED instead. */
+  private def calibRankTail(dqbRel: String)(d: Dialect): String = {
+    val base = d.intDiv("n", "10")
+    s"""bo AS (
+       |  SELECT qb, CAST(COUNT(*) AS BIGINT) AS bc FROM $dqbRel GROUP BY qb
+       |),
+       |bo2 AS (
+       |  SELECT qb,
+       |         CAST(COALESCE(SUM(bc) OVER (ORDER BY qb
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS off,
+       |         CAST(SUM(bc) OVER () AS BIGINT) AS n
+       |    FROM bo
+       |),
+       |dq AS (
+       |  SELECT b.is_dup, b.quality_score, o.n,
+       |         o.off + ROW_NUMBER() OVER (PARTITION BY b.qb
+       |                                    ORDER BY b.doc_id) AS rnk
+       |    FROM $dqbRel b JOIN bo2 o ON o.qb = b.qb
+       |),
+       |dd AS (
+       |  SELECT is_dup, quality_score,
+       |         CASE WHEN rnk <= (n % 10) * ($base + 1)
+       |              THEN ${d.intDiv("(rnk - 1)", s"($base + 1)")} + 1
+       |              ELSE n % 10
+       |                   + ${d.intDiv(s"(rnk - 1 - (n % 10) * ($base + 1))",
+                                        s"($base)")} + 1
+       |         END AS decile
+       |    FROM dq
        |)
        |SELECT CAST(decile AS INT) AS decile,
        |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
@@ -776,18 +821,26 @@ object Selection {
        |         AS dup_share,
        |       CAST(MIN(quality_score) AS DOUBLE) AS min_quality,
        |       CAST(MAX(quality_score) AS DOUBLE) AS max_quality
-       |  FROM dq
+       |  FROM dd
        | GROUP BY decile
        | ORDER BY decile""".stripMargin
+  }
 
   def calibrationSql(table: String)(d: Dialect): String =
     s"""${Dedup.clusterCompCtes(table, 0.5)(d)},
-       |${calibrationTail(table, "comp")(d)}""".stripMargin
+       |${calibDqbCtes(table, "comp")(d)},
+       |${calibRankTail("dqb")(d)}""".stripMargin
 
   def runCalibration(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_calib_docs")
     val comp = Dedup.clusterCompView(spark, dir)
-    spark.sql(s"WITH ${calibrationTail("__graft_calib_docs", comp)(SparkDialect)}")
+    // land dqb once per call — the tail reads it twice (bucket counts,
+    // rank join) and the qx scan must not run twice
+    val dqbV = "__graft_calib_dqb"
+    spark.sql(s"""WITH ${calibDqbCtes("__graft_calib_docs", comp)(SparkDialect)}
+                 |SELECT * FROM dqb""".stripMargin)
+      .localCheckpoint(eager = true).createOrReplaceTempView(dqbV)
+    spark.sql(s"WITH ${calibRankTail(dqbV)(SparkDialect)}")
   }
 }

@@ -589,6 +589,50 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("calibration bucketed-rank deciles equal literal NTILE exactly") {
+    // the engine decomposes the global NTILE into (bucket offset +
+    // bucket-partitioned ROW_NUMBER) via the injective ROUND(score·1e4)
+    // key — this pins the decomposition to the literal global window
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__calib_nt_docs")
+    val comp = graft.pipeline.Dedup.clusterCompView(spark, sfDir)
+    val d: graft.oracle.Dialect = graft.oracle.SparkDialect
+    val lit = spark.sql(
+      s"""WITH qx AS (
+         |  SELECT doc_id, quality_score FROM (
+         |${graft.pipeline.TextAnalysis.sql("__calib_nt_docs", ordered = false)(d)}
+         |  ) tq
+         |),
+         |dq AS (
+         |  SELECT q.doc_id, q.quality_score,
+         |         CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS is_dup,
+         |         NTILE(10) OVER (ORDER BY q.quality_score, q.doc_id) AS decile
+         |    FROM qx q LEFT JOIN $comp c ON c.id = q.doc_id
+         |)
+         |SELECT CAST(decile AS INT) AS decile,
+         |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+         |       CAST(SUM(is_dup) AS BIGINT) AS dup_doc_ct,
+         |       CAST(ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+         |         AS dup_share,
+         |       CAST(MIN(quality_score) AS DOUBLE) AS min_quality,
+         |       CAST(MAX(quality_score) AS DOUBLE) AS max_quality
+         |  FROM dq
+         | GROUP BY decile
+         | ORDER BY decile""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val calib = graft.pipeline.Selection.runCalibration(spark, sfDir)
+    val got = calib.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == lit, s"bucketed decomposition drifted from NTILE:\n$got\n$lit")
+    // and the corpus-sized rank window is bucket-partitioned — the only
+    // single-partition window runs over the bounded bucket-count relation
+    val p = calib.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(qb"),
+      "rank window must partition on the quantized score bucket")
+  }
+
   test("substring rewrite keeps first occurrences and elides later spans") {
     import spark.implicits._
     val span = (1 to 13).map(i => s"shared$i").mkString(" ")

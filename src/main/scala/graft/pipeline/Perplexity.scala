@@ -26,10 +26,13 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * magnitude smaller than the crawl); scoring is two equi-joins of the
   * token stream against those landed count relations (broadcast-able
   * when the reference slice is small) plus one per-doc integer groupBy.
-  * The tercile NTILE is a global single-partition window over the
-  * per-DOC relation — same documented at-scale swap as
-  * `quality_calibration` (Selection.scala): replace with the two-phase
-  * histogram threshold election when doc counts pass ~10⁸.
+  * The tercile is NOT a global NTILE (that plans an all-docs-to-one-
+  * task sort): `FLOOR(ppl·[[TercileBuckets]])` is monotone in the
+  * tercile order, so the exact global rank decomposes into a bucket
+  * offset (prefix sum over the bounded bucket-count relation) plus a
+  * bucket-partitioned ROW_NUMBER ordered by (ppl, doc_id) — the same
+  * decomposition as `quality_calibration`, spec-pinned equal to
+  * literal NTILE.
   */
 object Perplexity {
 
@@ -90,17 +93,58 @@ object Perplexity {
        |         SUM(lp_micro) AS lps, SUM(oov) AS oov_ct
        |    FROM terms GROUP BY id
        |),
-       |scored AS (
+       |scored AS ${d.cteMaterialized}(
        |  SELECT doc_id, n_tokens, lps, oov_ct,
        |         CAST(ROUND(EXP(-(CAST(lps AS DOUBLE) / 1000000.0) / n_tokens), 4) AS DOUBLE) AS ppl
        |    FROM docstats
+       |)""".stripMargin
+  }
+
+  /** Coarse monotone bucket resolution for the tercile rank
+    * decomposition — bucket count is bounded by
+    * TercileBuckets · max-ppl, metadata at any corpus size. */
+  val TercileBuckets = 256
+
+  /** The tercile tail over a (landed) scored relation — read twice
+    * (bucket counts + the rank join), so the engine lands `scored`
+    * first; the oracle marks it MATERIALIZED. Restates NTILE(3)'s
+    * piecewise size split (first n mod 3 groups get one extra row) in
+    * closed integer form over the decomposed exact rank. */
+  private def tercileTail(scoredRel: String)(d: Dialect): String = {
+    val base = d.intDiv("n", "3")
+    s"""pbo AS (
+       |  SELECT pb, CAST(COUNT(*) AS BIGINT) AS bc FROM (
+       |    SELECT CAST(FLOOR(ppl * $TercileBuckets) AS BIGINT) AS pb
+       |      FROM $scoredRel) z
+       |   GROUP BY pb
+       |),
+       |pbo2 AS (
+       |  SELECT pb,
+       |         CAST(COALESCE(SUM(bc) OVER (ORDER BY pb
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS off,
+       |         CAST(SUM(bc) OVER () AS BIGINT) AS n
+       |    FROM pbo
+       |),
+       |prk AS (
+       |  SELECT s.doc_id, s.n_tokens, s.oov_ct, s.lps, s.ppl, o.n,
+       |         o.off + ROW_NUMBER() OVER (PARTITION BY o.pb
+       |                                    ORDER BY s.ppl, s.doc_id) AS rnk
+       |    FROM (SELECT *, CAST(FLOOR(ppl * $TercileBuckets) AS BIGINT) AS spb
+       |            FROM $scoredRel) s
+       |    JOIN pbo2 o ON o.pb = s.spb
        |)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |       CAST(oov_ct AS BIGINT) AS oov_ct,
        |       CAST(lps AS BIGINT) AS lp_micro,
        |       ppl,
-       |       CAST(NTILE(3) OVER (ORDER BY ppl, doc_id) AS INT) AS ppl_bucket
-       |  FROM scored
+       |       CAST(CASE WHEN rnk <= (n % 3) * ($base + 1)
+       |                 THEN ${d.intDiv("(rnk - 1)", s"($base + 1)")} + 1
+       |                 ELSE n % 3
+       |                      + ${d.intDiv(s"(rnk - 1 - (n % 3) * ($base + 1))",
+                                           s"($base)")} + 1
+       |            END AS INT) AS ppl_bucket
+       |  FROM prk
        | ORDER BY doc_id""".stripMargin
   }
 
@@ -109,7 +153,8 @@ object Perplexity {
   def sql(table: String)(d: Dialect): String =
     s"""WITH ${modelCtes(table)(d)},
        |${scoreText(table, "train_big", "train_ctx", "vocab",
-                    "(SELECT v FROM vsz)")(d)}""".stripMargin
+                    "(SELECT v FROM vsz)")(d)},
+       |${tercileTail("scored")(d)}""".stripMargin
 
   def duckSql(): String = sql("documents")(DuckDialect)
 
@@ -118,12 +163,27 @@ object Perplexity {
     * the vocabulary both derive from the landed bigram counts) — and V
     * is collected to a literal; the scoring tail then joins the token
     * stream against the landed views. */
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val (bigV, ctxV, vocV, v) = modelViews(spark, dir)
-    val raw = "__graft_lm_docs_" + java.lang.Integer.toHexString(dir.hashCode)
-    graft.core.Tables.load(spark, dir, "documents").createOrReplaceTempView(raw)
-    spark.sql(s"WITH ${scoreText(raw, bigV, ctxV, vocV, v.toString)(SparkDialect)}")
-  }
+  def run(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"WITH ${tercileTail(scoredView(spark, dir))(SparkDialect)}")
+
+  /** The per-doc scored relation, landed once per (session, dir) — it
+    * is the SIGNAL relation every consumer reads (the tercile tail
+    * reads it twice: bucket counts + rank join; the streaming gate's
+    * cutoff derives from it), so it follows the landed-relation
+    * convention (Retrieval hit lists, the BPE merge table). */
+  private def scoredView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "lmscored", dir) {
+      val (bigV, ctxV, vocV, v) = modelViews(spark, dir)
+      val raw = "__graft_lm_docs_" + java.lang.Integer.toHexString(dir.hashCode)
+      graft.core.Tables.load(spark, dir, "documents").createOrReplaceTempView(raw)
+      val scoredV = "__graft_lm_scored_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(
+        s"""WITH ${scoreText(raw, bigV, ctxV, vocV, v.toString)(SparkDialect)}
+           |SELECT * FROM scored""".stripMargin)
+        .localCheckpoint(eager = true).createOrReplaceTempView(scoredV)
+      scoredV
+    }
 
   /** The frozen model for the streaming ingest gate: bigram counts
     * keyed `"prev w"` (words are whitespace-split, so the space join is

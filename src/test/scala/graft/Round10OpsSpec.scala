@@ -405,6 +405,32 @@ class Round10OpsSpec extends SparkSpec {
       "head bucket must hold the lowest perplexities")
   }
 
+  test("perplexity tercile decomposition equals literal NTILE exactly") {
+    // the engine restates NTILE(3) as bucket-offset + bucket-partitioned
+    // ROW_NUMBER; pin it to a literal NTILE computed independently over
+    // the collected (ppl, doc_id) order
+    val rows = Perplexity.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("ppl"),
+        r.getAs[Int]("ppl_bucket")))
+    val n = rows.length
+    val (base, rem) = (n / 3, n % 3)
+    val expected = rows.sortBy(r => (r._2, r._1)).zipWithIndex.map {
+      case ((id, _, _), ix) =>
+        val rnk = ix + 1
+        val b = if (rnk <= rem * (base + 1)) (rnk - 1) / (base + 1) + 1
+                else rem + (rnk - 1 - rem * (base + 1)) / base + 1
+        id -> b
+    }.toMap
+    rows.foreach { case (id, _, got) =>
+      assert(got == expected(id), s"doc $id bucket $got != NTILE ${expected(id)}")
+    }
+    // the corpus-sized rank window partitions on the ppl bucket
+    val p = Perplexity.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(spb") || p.contains("hashpartitioning(pb"),
+      "rank window must partition on the coarse ppl bucket")
+  }
+
   test("container-meta entry matches its arithmetic oracle rendering on Spark") {
     graft.core.Tables.load(spark, sfDir, "documents")
       .createOrReplaceTempView("__r10_media_docs")

@@ -88,13 +88,19 @@ object Packer {
     * exact integer mean of its chunks' FK reading grade
     * ([[DocStats.fkX100Sql]], weighted by chunk since that is what the
     * model consumes), and `curriculum_pos` is the global rank easy →
-    * hard with deterministic ties. The difficulty join and rank run
-    * over the pack MANIFEST (metadata-sized at any corpus scale — one
-    * row per pack), so the single global ordering window is free; the
-    * chunk-level rollup partitions by (shard, pack). */
-  def curriculumSql(table: String, budget: Int = Budget,
+    * hard with deterministic ties. The pack manifest grows LINEARLY
+    * with the corpus (one row per `budget` tokens — a 100 T-token
+    * corpus packs into ~5·10¹⁰ rows), so the rank is NOT a global
+    * ROW_NUMBER (an all-packs-to-one-task sort): `avg_fk_x100` is an
+    * integer over the bounded FK-grade domain, so the exact global
+    * rank decomposes into a grade offset (prefix sum over the bounded
+    * grade-count relation) plus a grade-partitioned ROW_NUMBER ordered
+    * by (shard, pack_id) — the `quality_calibration` decomposition,
+    * spec-pinned equal to the literal global window. The chunk-level
+    * rollup partitions by (shard, pack). */
+  private[graft] def curriculumGradedCtes(table: String, budget: Int = Budget,
                     tokenRe: String = Chunker.WsTokenRe)(d: Dialect): String =
-    s"""WITH ${packCtes(table, budget, tokenRe)(d)},
+    s"""${packCtes(table, budget, tokenRe)(d)},
        |fk AS (
        |${DocStats.fkX100Sql(table)(d)}
        |),
@@ -107,22 +113,44 @@ object Packer {
        |    JOIN fk f ON f.doc_id = a.doc_id
        |   GROUP BY a.shard, a.pack_id
        |),
-       |graded AS (
+       |graded AS ${d.cteMaterialized}(
        |  SELECT shard, pack_id, chunk_ct, token_ct,
        |         CASE WHEN fk_sum >= 0
        |              THEN ${d.intDiv("2 * fk_sum + chunk_ct", "2 * chunk_ct")}
        |              ELSE -${d.intDiv("2 * -(fk_sum) + chunk_ct", "2 * chunk_ct")}
        |         END AS avg_fk_x100
        |    FROM pd
+       |)""".stripMargin
+
+  /** The rank tail over a (landed) graded relation — read twice
+    * (grade counts + the rank join); the oracle marks graded
+    * MATERIALIZED, the engine lands it. */
+  private[graft] def curriculumRankTail(gradedRel: String)(d: Dialect): String =
+    s"""gro AS (
+       |  SELECT avg_fk_x100 AS gk, CAST(COUNT(*) AS BIGINT) AS gc
+       |    FROM $gradedRel GROUP BY avg_fk_x100
+       |),
+       |gro2 AS (
+       |  SELECT gk,
+       |         CAST(COALESCE(SUM(gc) OVER (ORDER BY gk
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS off
+       |    FROM gro
        |)
-       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY avg_fk_x100, shard, pack_id)
+       |SELECT CAST(o.off + ROW_NUMBER() OVER (PARTITION BY g.avg_fk_x100
+       |                                       ORDER BY g.shard, g.pack_id)
        |            AS BIGINT) AS curriculum_pos,
-       |       shard, CAST(pack_id AS BIGINT) AS pack_id,
-       |       CAST(chunk_ct AS BIGINT) AS chunk_ct,
-       |       CAST(token_ct AS BIGINT) AS token_ct,
-       |       CAST(avg_fk_x100 AS BIGINT) AS avg_fk_x100
-       |  FROM graded
+       |       g.shard, CAST(g.pack_id AS BIGINT) AS pack_id,
+       |       CAST(g.chunk_ct AS BIGINT) AS chunk_ct,
+       |       CAST(g.token_ct AS BIGINT) AS token_ct,
+       |       CAST(g.avg_fk_x100 AS BIGINT) AS avg_fk_x100
+       |  FROM $gradedRel g JOIN gro2 o ON o.gk = g.avg_fk_x100
        | ORDER BY curriculum_pos""".stripMargin
+
+  def curriculumSql(table: String, budget: Int = Budget,
+                    tokenRe: String = Chunker.WsTokenRe)(d: Dialect): String =
+    s"""WITH ${curriculumGradedCtes(table, budget, tokenRe)(d)},
+       |${curriculumRankTail("graded")(d)}""".stripMargin
 
   private def registered(spark: SparkSession, dir: String): String = {
     graft.core.Tables.load(spark, dir, "documents")
@@ -141,8 +169,16 @@ object Packer {
   def duckExactSql(): String =
     sql("documents", tokenRe = Chunker.ExactTokenRe)(DuckDialect)
 
-  def runCurriculum(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(curriculumSql(registered(spark, dir))(SparkDialect))
+  def runCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    // land graded once per call — the rank tail reads it twice
+    val gradedV = "__graft_pack_graded_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    spark.sql(
+      s"""WITH ${curriculumGradedCtes(registered(spark, dir))(SparkDialect)}
+         |SELECT * FROM graded""".stripMargin)
+      .localCheckpoint(eager = true).createOrReplaceTempView(gradedV)
+    spark.sql(s"WITH ${curriculumRankTail(gradedV)(SparkDialect)}")
+  }
   def duckCurriculumSql(): String = curriculumSql("documents")(DuckDialect)
 
   /** Epoch shuffling — the training-order assignment a data loader

@@ -204,6 +204,26 @@ class CurationOpsSpec extends SparkSpec {
       "curriculum drops or invents packs")
   }
 
+  test("curriculum grade-rank decomposition equals the literal global window") {
+    // the engine restates the global ROW_NUMBER as grade-offset +
+    // grade-partitioned rank; pin it to the literal ordering computed
+    // independently over the collected manifest
+    val cur = graft.pipeline.Packer.runCurriculum(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("curriculum_pos"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("avg_fk_x100")))
+    val expected = cur.sortBy(r => (r._4, r._2, r._3)).zipWithIndex
+      .map { case ((_, s, p, _), ix) => (s, p) -> (ix + 1L) }.toMap
+    cur.foreach { case (pos, s, p, _) =>
+      assert(pos == expected((s, p)),
+        s"pack ($s,$p) pos $pos != literal ${expected((s, p))}")
+    }
+    // the pack-sized rank window partitions on the grade
+    val plan = graft.pipeline.Packer.runCurriculum(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(avg_fk_x100"),
+      "rank window must partition on the FK grade")
+  }
+
   test("skew report advice is consistent with the measured distribution") {
     val rows = graft.core.SkewReport.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

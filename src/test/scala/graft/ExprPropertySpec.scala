@@ -101,4 +101,37 @@ class ExprPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("closed-form NTILE split matches the window-function definition") {
+    // quality_calibration / lm_perplexity / pack_curriculum restate
+    // NTILE(k) over the decomposed exact rank as:
+    //   rnk <= rem*(base+1) ? (rnk-1)/(base+1)+1
+    //                       : rem + (rnk-1-rem*(base+1))/base + 1
+    // with base = n/k, rem = n%k. Property: for every (n, k) the
+    // formula yields k (or n, when n<k) groups whose sizes differ by at
+    // most 1, larger groups first, covering ranks 1..n in order — the
+    // SQL-standard NTILE definition.
+    val gen = for {
+      n <- Gen.choose(1, 5000)
+      k <- Gen.oneOf(2, 3, 7, 10, 16)
+    } yield (n, k)
+    val cases = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, Seed(20260815L)).get
+    cases.foreach { case (n, k) =>
+      val (base, rem) = (n / k, n % k)
+      val buckets = (1 to n).map { rnk =>
+        if (rnk <= rem * (base + 1)) (rnk - 1) / (base + 1) + 1
+        else rem + (rnk - 1 - rem * (base + 1)) / base + 1
+      }
+      // monotone, starts at 1, ends at min(n, k)
+      assert(buckets.head == 1 && buckets.last == math.min(n, k), s"n=$n k=$k")
+      assert(buckets.zip(buckets.tail).forall { case (a, b) => b - a == 0 || b - a == 1 },
+        s"n=$n k=$k skips a group")
+      val sizes = buckets.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"n=$n k=$k sizes $sizes")
+      // larger groups come first (the first n mod k groups get the extra)
+      assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
+        s"n=$n k=$k larger groups must lead: $sizes")
+    }
+  }
 }

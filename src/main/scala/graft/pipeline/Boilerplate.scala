@@ -70,11 +70,30 @@ object Boilerplate {
        |),
        |${bodySql("tg", docFreq, heavyFrac).stripPrefix("WITH ")}""".stripMargin
 
+  /** Spark-side trigram derivation, ROW-LOCAL: the split array
+    * transforms to grams inside each document row, so the token stream
+    * is never shuffled or per-doc sorted (the [[tgSql]] window form the
+    * oracle keeps plans Exchange(id) + Sort over every token; this
+    * form is a pure projection + explode — embarrassingly parallel at
+    * any corpus size). Identical (id, gram) relation by construction:
+    * same lowercase/split/empty-drop as `wordsRel`, same space-joined
+    * trigram, same DISTINCT (spec-pinned; the oracle compare re-proves
+    * it end-to-end). */
+  private[graft] def tgSparkSql(table: String): String =
+    s"""SELECT DISTINCT doc_id AS id,
+       |       concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS gram
+       |  FROM (SELECT doc_id, ws FROM (
+       |          SELECT doc_id,
+       |                 filter(split(LOWER(text), '\\\\s+'), w -> w <> '') AS ws
+       |            FROM $table) z0
+       |         WHERE size(ws) >= 3) z
+       |  LATERAL VIEW explode(sequence(0, size(ws) - 3)) e AS i""".stripMargin
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_docs_bp")
     val v = "__graft_bp_tg_" + java.lang.Integer.toHexString(dir.hashCode)
-    spark.sql(tgSql("__graft_docs_bp")(SparkDialect))
+    spark.sql(tgSparkSql("__graft_docs_bp"))
       .localCheckpoint(eager = true)
       .createOrReplaceTempView(v)
     spark.sql(bodySql(v))

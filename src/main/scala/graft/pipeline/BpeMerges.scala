@@ -42,10 +42,31 @@ object BpeMerges {
        | ORDER BY pair_ct DESC, left_tok, right_tok
        | LIMIT $topK""".stripMargin
 
+  /** Spark-side pair counting, ROW-LOCAL: adjacent pairs derive from
+    * the split array inside each document row, so the token stream is
+    * never shuffled into the per-doc LEAD sort the dual-rendered [[sql]]
+    * form (kept for the oracle) pays — a pure projection + explode
+    * feeding one map-side-combined GROUP BY (spec-pinned identical;
+    * the oracle compare re-proves it end-to-end). */
+  private[graft] def pairsSparkSql(table: String, topK: Int = TopK): String =
+    s"""SELECT left_tok, right_tok,
+       |       left_tok || '_' || right_tok AS merged,
+       |       CAST(COUNT(*) AS BIGINT) AS pair_ct
+       |  FROM (
+       |    SELECT ws[i] AS left_tok, ws[i + 1] AS right_tok
+       |      FROM (SELECT ws FROM (
+       |              SELECT filter(split(LOWER(text), '\\\\s+'), w -> w <> '') AS ws
+       |                FROM $table) z0
+       |             WHERE size(ws) >= 2) z
+       |      LATERAL VIEW explode(sequence(0, size(ws) - 2)) e AS i) p
+       | GROUP BY left_tok, right_tok
+       | ORDER BY pair_ct DESC, left_tok, right_tok
+       | LIMIT $topK""".stripMargin
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_bpe_docs")
-    spark.sql(sql("__graft_bpe_docs")(SparkDialect))
+    spark.sql(pairsSparkSql("__graft_bpe_docs"))
   }
 
   def duckSql(): String = sql("documents")(DuckDialect)

@@ -62,10 +62,25 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("bpe merge pairs plan has no self-join of the token stream") {
-    // adjacency comes from a per-document LEAD window, not a join
+    // adjacency derives row-locally from the split array: no join, and
+    // no window either — the token stream never shuffles
     val p = plan(graft.pipeline.BpeMerges.run(spark, sfDir))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
       !p.contains("CartesianProduct"), "pair derivation should be join-free")
+    assert(!p.contains("Window"), "pair derivation should be window-free")
+  }
+
+  test("row-local bpe pairs equal the dual-rendered window form") {
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__bpe_pairs_par")
+    val rowLocal = spark.sql(
+      graft.pipeline.BpeMerges.pairsSparkSql("__bpe_pairs_par"))
+      .collect().map(_.toSeq).toSeq
+    val windowed = spark.sql(graft.pipeline.BpeMerges
+      .sql("__bpe_pairs_par")(graft.oracle.SparkDialect))
+      .collect().map(_.toSeq).toSeq
+    assert(rowLocal.nonEmpty && rowLocal == windowed,
+      s"first diff: ${rowLocal.zip(windowed).find { case (a, b) => a != b }}")
   }
 
   test("embedding outliers fall below their cluster's p10 fence") {

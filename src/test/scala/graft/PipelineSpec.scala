@@ -319,6 +319,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("row-local trigram derivation equals the window form, shuffle-free") {
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__bp_tg_par")
+    val rowLocal = spark.sql(
+      graft.pipeline.Boilerplate.tgSparkSql("__bp_tg_par"))
+    val windowed = spark.sql(graft.pipeline.Boilerplate
+      .tgSql("__bp_tg_par")(graft.oracle.SparkDialect))
+    val a = rowLocal.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = windowed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, s"trigram relations differ: ${(a -- b).take(3)} / ${(b -- a).take(3)}")
+    // the row-local form is a pure projection+explode+distinct: the only
+    // exchange is the DISTINCT's — the token stream itself never
+    // shuffles into a per-doc sort (the windowed form pays Sort+Exchange)
+    val p = rowLocal.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "row-local form must plan no window")
+  }
+
   test("boilerplate scoring emits one sane row per document") {
     val rows = graft.pipeline.Boilerplate.run(spark, sfDir).collect()
     assert(rows.length == 500)

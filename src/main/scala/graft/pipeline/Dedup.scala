@@ -26,6 +26,24 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   */
 object Dedup {
 
+  /** Row-local Spark rendering of the `sh` shingle relation (the
+    * dual-rendered [[shinglesCte]] LEAD-window form stays the oracle
+    * rendering): 5-grams derive from the split array inside each
+    * document row — pure projection + explode + DISTINCT, so the token
+    * stream never shuffles into a per-doc sort (parity-spec-pinned
+    * identical; only the memoized `__graft_sh_*` build uses it, every
+    * consumer reads the landed view). */
+  private[graft] def shinglesSparkSql(table: String): String =
+    s"""SELECT DISTINCT doc_id AS id,
+       |       concat_ws(' ', ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4])
+       |         AS shingle
+       |  FROM (SELECT doc_id, ws FROM (
+       |          SELECT doc_id,
+       |                 filter(split(LOWER(text), '\\\\s+'), w -> w <> '') AS ws
+       |            FROM $table) z0
+       |         WHERE size(ws) >= 5) z
+       |  LATERAL VIEW explode(sequence(0, size(ws) - 5)) e AS i""".stripMargin
+
   private def shinglesCte(d: Dialect, table: String): String =
     s"""words AS (
        |  ${d.wordsRel(table, "doc_id", "text")}
@@ -323,7 +341,6 @@ object Dedup {
       {
         val k = graft.core.SessionCache.counter(spark, "dedup_rels").getAndIncrement()
         val docs = register(spark, dir)
-        val d: Dialect = SparkDialect
         // localCheckpoint truncates lineage: the view becomes the
         // materialized partitions themselves, so downstream plans can
         // never silently recompute the pipeline (persist+view relies on
@@ -336,9 +353,9 @@ object Dedup {
           if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
             println(f"DEDUPMAT $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
-        // sh first: the word-explode + window pipeline runs ONCE; the
+        // sh first: the row-local shingle projection runs ONCE; the
         // hot-shingle filter then reads the persisted sh twice cheaply.
-        mat(s"__graft_sh_$k", s"WITH ${shinglesCte(d, docs)} SELECT * FROM sh")
+        mat(s"__graft_sh_$k", shinglesSparkSql(docs))
         mat(s"__graft_shf_$k",
           s"""SELECT s.id, s.shingle FROM __graft_sh_$k s
              |JOIN (SELECT shingle FROM __graft_sh_$k

@@ -92,6 +92,24 @@ object Repetition {
     s"""WITH grams AS (${gramsSql(table)(d)}),
        |${bodySql("grams").stripPrefix("WITH ")}""".stripMargin
 
+  /** Row-local Spark rendering of the grams relation (the dual-rendered
+    * [[gramsSql]] LEAD-window form stays the oracle rendering): the
+    * word and its two successors derive from the split array inside
+    * each document row — the token stream never shuffles into a
+    * per-doc sort. Successor guards keep out-of-bounds lookups NULL
+    * under ANSI mode (matching LEAD's run-off-the-end NULLs).
+    * Parity-spec-pinned identical. */
+  private[graft] def gramsSparkSql(table: String): String =
+    s"""SELECT doc_id AS id, ws[i] AS word,
+       |       CASE WHEN i + 1 < size(ws) THEN ws[i + 1] END AS nxt,
+       |       CASE WHEN i + 2 < size(ws) THEN ws[i + 2] END AS nxt2
+       |  FROM (SELECT doc_id, ws FROM (
+       |          SELECT doc_id,
+       |                 filter(split(LOWER(text), '\\\\s+'), w -> w <> '') AS ws
+       |            FROM $table) z0
+       |         WHERE size(ws) >= 1) z
+       |  LATERAL VIEW explode(sequence(0, size(ws) - 1)) e AS i""".stripMargin
+
   /** The materialized grams view, memoized per (session, dir) — shared
     * by the repetition entry and the corpus rollup. */
   def gramsView(spark: SparkSession, dir: String): String =
@@ -102,7 +120,7 @@ object Repetition {
         .createOrReplaceTempView(docs)
       val v = "__graft_rep_grams_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      spark.sql(gramsSql(docs)(SparkDialect))
+      spark.sql(gramsSparkSql(docs))
         .localCheckpoint(eager = true)
         .createOrReplaceTempView(v)
       v

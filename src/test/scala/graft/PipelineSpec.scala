@@ -319,6 +319,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("row-local shingle derivation equals the window form, shuffle-free") {
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__sh_par")
+    val rowLocal = spark.sql(graft.pipeline.Dedup.shinglesSparkSql("__sh_par"))
+    val d: graft.oracle.Dialect = graft.oracle.SparkDialect
+    val windowed = spark.sql(
+      s"""WITH words AS (
+         |  ${d.wordsRel("__sh_par", "doc_id", "text")}
+         |),
+         |lagged AS (
+         |  SELECT id, word,
+         |         LEAD(word, 1) OVER w AS w1, LEAD(word, 2) OVER w AS w2,
+         |         LEAD(word, 3) OVER w AS w3, LEAD(word, 4) OVER w AS w4
+         |    FROM words
+         |  WINDOW w AS (PARTITION BY id ORDER BY pos)
+         |)
+         |SELECT DISTINCT id,
+         |       word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS shingle
+         |  FROM lagged WHERE w4 IS NOT NULL""".stripMargin)
+    val a = rowLocal.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = windowed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, s"shingle relations differ: ${(a -- b).take(3)} / ${(b -- a).take(3)}")
+    assert(!rowLocal.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("row-local repetition grams equal the window form incl. tail NULLs") {
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__rep_par")
+    val rowLocal = spark.sql(
+      graft.pipeline.Repetition.gramsSparkSql("__rep_par"))
+    val windowed = spark.sql(graft.pipeline.Repetition
+      .gramsSql("__rep_par")(graft.oracle.SparkDialect))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(canon(rowLocal) == canon(windowed), "gram multisets differ")
+    assert(!rowLocal.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("row-local trigram derivation equals the window form, shuffle-free") {
     graft.core.Tables.load(spark, sfDir, "documents")
       .createOrReplaceTempView("__bp_tg_par")

@@ -100,6 +100,59 @@ object Perplexity {
        |)""".stripMargin
   }
 
+  /** Row-local Spark rendering of the scoring pipeline through `scored`
+    * (the dual-rendered [[scoreText]] stays the oracle rendering): the
+    * (prev, word) bigram derives from the split array inside each
+    * document row — no LAG window, so the corpus token stream never
+    * shuffles into a per-doc sort — and the vocab `<unk>` mapping
+    * applies through TWO broadcast joins (one per bigram side) instead
+    * of map-then-window. Per-doc sums are order-free integer micro-nats,
+    * so the relation is bit-identical (the engine-vs-one-statement
+    * parity spec re-proves it end-to-end). */
+  private def scoreSparkCtes(table: String, bigRel: String, ctxRel: String,
+                             vocabRel: String, vExpr: String): String =
+    s"""pr AS (
+       |  SELECT doc_id AS id, ws[i] AS wraw,
+       |         CASE WHEN i = 0 THEN NULL ELSE ws[i - 1] END AS praw
+       |    FROM (SELECT doc_id, ws FROM (
+       |            SELECT doc_id,
+       |                   filter(split(LOWER(text), '\\\\s+'), w -> w <> '') AS ws
+       |              FROM (SELECT doc_id, text FROM $table
+       |                     WHERE text IS NOT NULL) t0) z0
+       |           WHERE size(ws) >= 1) z
+       |    LATERAL VIEW explode(sequence(0, size(ws) - 1)) e AS i
+       |),
+       |sm2 AS (
+       |  SELECT pr.id,
+       |         CASE WHEN vw.word IS NOT NULL THEN pr.wraw
+       |              ELSE '<unk>' END AS wm,
+       |         CASE WHEN pr.praw IS NULL THEN '<s>'
+       |              WHEN vp.word IS NOT NULL THEN pr.praw
+       |              ELSE '<unk>' END AS pm
+       |    FROM pr
+       |    LEFT JOIN $vocabRel vw ON vw.word = pr.wraw
+       |    LEFT JOIN $vocabRel vp ON vp.word = pr.praw
+       |),
+       |terms AS (
+       |  SELECT sm2.id,
+       |         CAST(ROUND(LN(CAST(COALESCE(tb.c, 0) + 1 AS DOUBLE)
+       |                       / (COALESCE(tc.cc, 0) + $vExpr)) * 1000000) AS BIGINT) AS lp_micro,
+       |         CASE WHEN sm2.wm = '<unk>' THEN 1 ELSE 0 END AS oov
+       |    FROM sm2
+       |    LEFT JOIN $bigRel tb ON tb.prev = sm2.pm AND tb.w = sm2.wm
+       |    LEFT JOIN $ctxRel tc ON tc.prev = sm2.pm
+       |),
+       |docstats AS (
+       |  SELECT id AS doc_id, COUNT(*) AS n_tokens,
+       |         SUM(lp_micro) AS lps, SUM(oov) AS oov_ct
+       |    FROM terms GROUP BY id
+       |),
+       |scored AS (
+       |  SELECT doc_id, n_tokens, lps, oov_ct,
+       |         CAST(ROUND(EXP(-(CAST(lps AS DOUBLE) / 1000000.0) / n_tokens), 4) AS DOUBLE) AS ppl
+       |    FROM docstats
+       |)""".stripMargin
+
   /** Coarse monotone bucket resolution for the tercile rank
     * decomposition — bucket count is bounded by
     * TercileBuckets · max-ppl, metadata at any corpus size. */
@@ -179,7 +232,7 @@ object Perplexity {
       val scoredV = "__graft_lm_scored_" +
         java.lang.Integer.toHexString(dir.hashCode)
       spark.sql(
-        s"""WITH ${scoreText(raw, bigV, ctxV, vocV, v.toString)(SparkDialect)}
+        s"""WITH ${scoreSparkCtes(raw, bigV, ctxV, vocV, v.toString)}
            |SELECT * FROM scored""".stripMargin)
         .localCheckpoint(eager = true).createOrReplaceTempView(scoredV)
       scoredV

@@ -82,6 +82,28 @@ sealed trait Dialect {
   /** Relation of (id, pos, word): `textExpr` lowercased and split on
     * whitespace, one row per word with its 0-based position. */
   def wordsRel(table: String, idCol: String, textExpr: String): String
+  /** Relation of (id, gram): space-joined `n`-grams of `textExpr`'s
+    * consecutive words — the shared derivation behind every positional-
+    * agnostic n-gram screen (screens that need word POSITIONS keep
+    * bespoke SQL: the two renderings agree on gram content but not on
+    * raw split positions for leading-whitespace docs). Default: LEAD
+    * windows over [[wordsRel]] (fine single-node — the oracle path);
+    * [[SparkDialect]] overrides with a ROW-LOCAL array transform so the
+    * engine never shuffles the token stream into a per-doc sort. */
+  def wordNgramsRel(table: String, idCol: String, textExpr: String,
+                    n: Int): String = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    val leads = (1 to (n - 1)).map(i =>
+      s"LEAD(word, $i) OVER w AS w$i").mkString(",\n       ")
+    val concat = (1 to (n - 1)).map(i => s"w$i").mkString(
+      "word || ' ' || ", " || ' ' || ", "")
+    s"""SELECT id, $concat AS gram FROM (
+       |  SELECT id, word,
+       |       $leads
+       |    FROM (${wordsRel(table, idCol, textExpr)}) words
+       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
+       |) lg WHERE w${n - 1} IS NOT NULL""".stripMargin
+  }
   /** Relation of (cols..., pos) for pos in 1..`nExpr` inclusive (no rows
     * when the bound is below 1) — the lateral integer series both
     * engines need for character-position explodes. */
@@ -183,6 +205,21 @@ object SparkDialect extends Dialect {
     s"""SELECT $idCol AS id, p.pos, p.word FROM $table
        | LATERAL VIEW posexplode(split(LOWER($textExpr), '\\\\s+')) p AS pos, word
        | WHERE p.word <> ''""".stripMargin
+  /** Row-local override: the n-gram derives from the split array inside
+    * each input row (pure projection + explode) — the token stream is
+    * never shuffled into the per-doc sort the default LEAD-window form
+    * pays. Same (id, gram) relation (parity-spec-pinned). */
+  override def wordNgramsRel(table: String, idCol: String, textExpr: String,
+                             n: Int): String = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    s"""SELECT id, concat_ws(' ', slice(ws, i + 1, $n)) AS gram
+       |  FROM (SELECT id, ws FROM (
+       |          SELECT $idCol AS id,
+       |                 filter(split(LOWER($textExpr), '\\\\s+'), w -> w <> '') AS ws
+       |            FROM $table) z0
+       |         WHERE size(ws) >= $n) z
+       |  LATERAL VIEW explode(sequence(0, size(ws) - $n)) e AS i""".stripMargin
+  }
   def seriesRel(rel: String, cols: Seq[String], nExpr: String): String =
     // NULL when the bound is below 1 — explode of NULL yields no rows
     // (sequence(1, 0) would count DOWN instead of producing nothing)

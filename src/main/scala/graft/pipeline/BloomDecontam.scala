@@ -59,25 +59,11 @@ object BloomDecontam {
   /** Shared gram stream: (id, gh) for every 13-word gram, md5-hashed.
     * Same LEAD-window build as [[Selection.substringDupSql]] — one
     * shuffle on doc id, no self-join. */
-  private def gramCtes(table: String)(d: Dialect): String = {
-    val leads = (1 to (GramWords - 1)).map(i =>
-      s"LEAD(word, $i) OVER w AS w$i").mkString(",\n       |         ")
-    val concat = (1 to (GramWords - 1)).map(i => s"w$i").mkString(
-      "word || ' ' || ", " || ' ' || ", "")
-    s"""words AS (
-       |  ${d.wordsRel(table, "doc_id", "text")}
-       |),
-       |lagged AS (
-       |  SELECT id, word,
-       |         $leads
-       |    FROM words
-       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
-       |),
-       |grams AS (
-       |  SELECT id, MD5($concat) AS gh
-       |    FROM lagged WHERE w${GramWords - 1} IS NOT NULL
+  private def gramCtes(table: String)(d: Dialect): String =
+    s"""grams AS (
+       |  SELECT id, MD5(gram) AS gh
+       |    FROM (${d.wordNgramsRel(table, "doc_id", "text", GramWords)}) g
        |)""".stripMargin
-  }
 
   /** The K bit positions of a gram-hash expression, one row per seed:
     * `pos_i = hexToLong(md5('bloom:' || i || ':' || gh)) % m`. */

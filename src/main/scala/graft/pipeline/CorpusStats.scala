@@ -422,16 +422,9 @@ object NgramNovelty {
     * three rollups below would otherwise each re-derive the word
     * explode + windows, since Spark inlines CTEs). */
   def gramSql(table: String)(d: Dialect): String =
-    s"""WITH words AS (
-       |  ${d.wordsRel(table, "doc_id", "text")}
-       |),
-       |tg AS (
-       |  SELECT id, MD5(word || ' ' || w1 || ' ' || w2) AS gram FROM (
-       |    SELECT id, word,
-       |           LEAD(word, 1) OVER w AS w1, LEAD(word, 2) OVER w AS w2
-       |      FROM words
-       |    WINDOW w AS (PARTITION BY id ORDER BY pos)
-       |  ) x WHERE w2 IS NOT NULL
+    s"""WITH tg AS (
+       |  SELECT id, MD5(gram) AS gram
+       |    FROM (${d.wordNgramsRel(table, "doc_id", "text", 3)}) g
        |)
        |SELECT s.source, t.gram FROM tg t
        |JOIN $table s ON s.doc_id = t.id""".stripMargin

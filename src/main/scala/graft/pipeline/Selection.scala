@@ -406,22 +406,9 @@ object Selection {
     * it linear at 100 TB (Lee et al. run the equivalent census with a
     * suffix array; the hashed-gram census is the shuffle-native form). */
   def substringDupSql(table: String)(d: Dialect): String = {
-    val leads = (1 to (GramWords - 1)).map(i =>
-      s"LEAD(word, $i) OVER w AS w$i").mkString(",\n       |         ")
-    val concat = (1 to (GramWords - 1)).map(i => s"w$i").mkString(
-      "word || ' ' || ", " || ' ' || ", "")
-    s"""WITH words AS (
-       |  ${d.wordsRel(table, "doc_id", "text")}
-       |),
-       |lagged AS (
-       |  SELECT id, word,
-       |         $leads
-       |    FROM words
-       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
-       |),
-       |grams AS (
-       |  SELECT id, MD5($concat) AS gh
-       |    FROM lagged WHERE w${GramWords - 1} IS NOT NULL
+    s"""WITH grams AS (
+       |  SELECT id, MD5(gram) AS gh
+       |    FROM (${d.wordNgramsRel(table, "doc_id", "text", GramWords)}) g
        |),
        |census AS (
        |  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT id) >= 2
@@ -545,23 +532,10 @@ object Selection {
     * (groupBy, map-side partials); the check is one equi-join of the
     * (tiny) eval gram relation against it — never doc-to-doc. */
   def ngramDecontaminateSql(table: String)(d: Dialect): String = {
-    val leads = (1 to (GramWords - 1)).map(i =>
-      s"LEAD(word, $i) OVER w AS w$i").mkString(",\n       |         ")
-    val concat = (1 to (GramWords - 1)).map(i => s"w$i").mkString(
-      "word || ' ' || ", " || ' ' || ", "")
     val evalMod = Dedup.EvalMod
-    s"""WITH words AS (
-       |  ${d.wordsRel(table, "doc_id", "text")}
-       |),
-       |lagged AS (
-       |  SELECT id, word,
-       |         $leads
-       |    FROM words
-       |  WINDOW w AS (PARTITION BY id ORDER BY pos)
-       |),
-       |grams AS (
-       |  SELECT id, MD5($concat) AS gh
-       |    FROM lagged WHERE w${GramWords - 1} IS NOT NULL
+    s"""WITH grams AS (
+       |  SELECT id, MD5(gram) AS gh
+       |    FROM (${d.wordNgramsRel(table, "doc_id", "text", GramWords)}) g
        |),
        |train_g AS (
        |  SELECT DISTINCT gh FROM grams WHERE id % $evalMod <> 0

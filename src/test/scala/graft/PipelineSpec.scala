@@ -319,6 +319,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("wordNgramsRel row-local override equals the window form across n") {
+    val spark2 = spark
+    import spark2.implicits._
+    // planted edge cases: leading/trailing whitespace, runs, short docs
+    Seq((1L, "  alpha beta gamma delta epsilon zeta  "),
+        (2L, "one  two\tthree"),
+        (3L, "short"),
+        (4L, "a b"),
+        (5L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text").createOrReplaceTempView("__ng_par")
+    val d: graft.oracle.Dialect = graft.oracle.SparkDialect
+    Seq(2, 3, 5, 13).foreach { n =>
+      val rowLocal = spark.sql(d.wordNgramsRel("__ng_par", "doc_id", "text", n))
+      // the trait's default LEAD-window rendering, hand-inlined with the
+      // Spark wordsRel — the oracle-path shape
+      val leads = (1 to (n - 1)).map(i => s"LEAD(word, $i) OVER w AS w$i")
+        .mkString(", ")
+      val concat = (1 to (n - 1)).map(i => s"w$i")
+        .mkString("word || ' ' || ", " || ' ' || ", "")
+      val windowed = spark.sql(
+        s"""SELECT id, $concat AS gram FROM (
+           |  SELECT id, word, $leads
+           |    FROM (${d.wordsRel("__ng_par", "doc_id", "text")}) words
+           |  WINDOW w AS (PARTITION BY id ORDER BY pos)
+           |) lg WHERE w${n - 1} IS NOT NULL""".stripMargin)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(canon(rowLocal) == canon(windowed), s"n=$n gram multisets differ")
+      assert(!rowLocal.queryExecution.executedPlan.toString.contains("Window"),
+        s"n=$n row-local form must plan no window")
+    }
+  }
+
   test("row-local shingle derivation equals the window form, shuffle-free") {
     graft.core.Tables.load(spark, sfDir, "documents")
       .createOrReplaceTempView("__sh_par")

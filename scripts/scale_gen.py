@@ -3,7 +3,10 @@
 SCALING.md curve. Dev tooling only (like check.py) — not part of the
 Scala library. Usage:
 
-    python3 scripts/scale_gen.py [/root/testdata/sf0.1] [/tmp/testdata/sf1]
+    python3 scripts/scale_gen.py [/root/testdata/sf0.1] [/tmp/testdata/sf1] [copies]
+
+`copies` defaults to 10 (sf0.1 -> sf1); 100 builds the sf10 fixture for
+the three-point SCALING.md curve.
 
 Design: a faithful 10x, not a naive replicate.
 
@@ -38,8 +41,11 @@ COPIES = 10
 
 
 def main():
+    global COPIES
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata/sf1"
+    if len(sys.argv) > 3:
+        COPIES = int(sys.argv[3])
     con = duckdb.connect()
 
     def outdir(name):

@@ -268,6 +268,12 @@ object Runner {
         // tokenizer-fit artifact: the learned 8-merge BPE table
         land("curate", "bpe_merge_table",
           graft.pipeline.BpeMerges.runTrain(spark, dataDir))
+        // trained NB quality-filter weights + the confusion matrix of
+        // the trained model against its weak-supervision labels
+        land("curate", "classifier_weights",
+          graft.pipeline.ClassifierTrain.runTrain(spark, dataDir))
+        land("curate", "classifier_eval",
+          graft.pipeline.ClassifierTrain.runEval(spark, dataDir))
       case "index" =>
         // build + persist the bucket-partitioned ANN index, then report
         // the recall of every probe path against the exact baseline

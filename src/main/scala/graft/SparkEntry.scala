@@ -424,7 +424,11 @@ object SparkEntry {
         ((s: SparkSession, dir: String) =>
           graft.pipeline.BpeMerges.runTrainCompression(s, dir))),
       ("dedup_simhash_sweep" ->
-        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhashSweep(s, dir)))
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runSimhashSweep(s, dir))),
+      ("classifier_train" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.ClassifierTrain.runTrain(s, dir))),
+      ("classifier_eval" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.ClassifierTrain.runEval(s, dir)))
       ).toMap
 
   def oracleSql: Map[String, String] =
@@ -649,6 +653,8 @@ object SparkEntry {
       ("bpe_train_compression" ->
         graft.pipeline.BpeMerges.duckTrainCompressionSql()),
       ("dedup_simhash_sweep" ->
-        graft.pipeline.Dedup.simhashSweepSql("documents")(graft.oracle.DuckDialect))
+        graft.pipeline.Dedup.simhashSweepSql("documents")(graft.oracle.DuckDialect)),
+      ("classifier_train" -> graft.pipeline.ClassifierTrain.duckTrainSql()),
+      ("classifier_eval" -> graft.pipeline.ClassifierTrain.duckEvalSql())
       ).toMap
 }

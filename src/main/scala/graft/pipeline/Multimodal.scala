@@ -974,24 +974,26 @@ object Multimodal {
          | ORDER BY id, frame_idx""".stripMargin)
   }
 
-  /** Video near-dup by sampled-frame hash sequence: candidates share a
-    * 16-bit band of the SAME sampled frame (total hamming ≤ 3 over 4
-    * frames ⇒ some frame's hashes are equal ⇒ all its bands match —
-    * pigeonhole over frames, then over bands), verified by the exact
+  /** Video near-dup by sampled-frame hash sequence: candidates share an
+    * IDENTICAL 64-bit hash of the SAME sampled frame (total hamming ≤ 3
+    * over 4 frames ⇒ by pigeonhole some frame carries 0 differing bits
+    * ⇒ that frame's whole hash is equal), verified by the exact
     * frame-aligned `bit_count(xor)` sum. Payloads never shuffle; only
-    * the (id, frame_idx, fhash) relation moves. */
+    * the (id, frame_idx, fhash) relation moves.
+    *
+    * Scale shape: joining on the full 64-bit frame hash (instead of a
+    * 16-bit band of it, the r10 form) keeps the recall guarantee while
+    * cutting random candidate collisions from ~N²/2¹⁶ to ~N²/2⁶⁴ —
+    * the r10-adjudicated quadratic candidate growth is gone, and any
+    * residual (frame_idx, fhash) bucket mass IS genuine shared-frame
+    * near-dup output, i.e. the join is output-linear. */
   def runVideoDedup(spark: SparkSession, dir: String): DataFrame = {
     val view = videoHashView(spark, dir)
     spark.sql(
-      s"""WITH bands AS (
-         |  SELECT id, frame_idx, fhash, b AS bi,
-         |         shiftrightunsigned(fhash, CAST(16 * b AS INT)) & 65535 AS bv
-         |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
-         |),
-         |cands AS (
+      s"""WITH cands AS (
          |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
-         |    FROM bands a JOIN bands c
-         |      ON c.frame_idx = a.frame_idx AND c.bi = a.bi AND c.bv = a.bv
+         |    FROM $view a JOIN $view c
+         |      ON c.frame_idx = a.frame_idx AND c.fhash = a.fhash
          |         AND c.id > a.id
          |)
          |SELECT id_a, id_b, hamming FROM (

@@ -399,7 +399,7 @@ class PlanSpec extends SparkSpec {
       "audio dedup re-scanned parquet instead of the landed hash relation")
   }
 
-  test("video dedup joins frame-aligned banded candidates — never all-pairs") {
+  test("video dedup joins frame-aligned full-hash candidates — never all-pairs") {
     val p = plan(graft.pipeline.Multimodal.runVideoDedup(spark, dir))
     assert(!p.contains("CartesianProduct"), "video dedup plans a cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -46,6 +46,15 @@ object ClassifierTrain {
   private def labelExpr(text: String): String =
     s"(CASE WHEN (' ' || LOWER($text) || ' ') LIKE '% dup %' THEN 1 ELSE 0 END)"
 
+  /** Row-local Scala twins of the SQL tokenizer/label — the streaming
+    * ingest twin ([[graft.streaming.StreamMonitors.ingestClassifierCounts]])
+    * folds with these, replay-spec-pinned to the SQL census. */
+  private[graft] def tokensOf(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+  private[graft] def labelOf(text: String): Int =
+    if ((" " + text.toLowerCase(java.util.Locale.ROOT) + " ")
+          .contains(" dup ")) 1 else 0
+
   /** Labeled-words CTE prefix: (id, pos, word) with the label carried
     * in the id's parity (id = doc_id·2 + y) — the [[Multimodal]] id
     * trick, avoiding a token-stream re-join to recover y. */

@@ -721,4 +721,52 @@ object StreamMonitors {
           Iterator.single(ChisqCellCount(cell._1, cell._2, next.o))
       }
   }
+
+  final case class ClfState(pos: Long, neg: Long)
+  final case class ClfTokenCount(word: String, ct_pos: Long, ct_neg: Long)
+
+  /** Continuous classifier-training sufficient statistics — the
+    * streaming twin of [[graft.pipeline.ClassifierTrain]]: the NB
+    * trainer's whole model is the per-token class-count census, which
+    * is additive, so the trained weights stay current under ingestion
+    * with NO retrain pass. Each micro-batch pre-folds its documents to
+    * per-partition (word, ct_pos, ct_neg) partials (only the
+    * vocabulary-bounded census ever shuffles per trigger — never the
+    * token stream), and keyed state per word adds them in. After any
+    * stream prefix the latest emission per word is BIT-IDENTICAL to the
+    * batch census over the same documents (replay-spec-pinned); the
+    * micro-nat log-odds weights derive from the emitted counts with the
+    * batch entry's exact arithmetic — the cross-token totals they need
+    * are the CONSUMER's one metadata-sized pass over V rows, the
+    * [[ingestPsiCounts]] emit-sufficient-stats shape. State: two longs
+    * per vocabulary token, bounded forever. */
+  def ingestClassifierCounts(docs: DataFrame): Dataset[ClfTokenCount] = {
+    import docs.sparkSession.implicits._
+    docs
+      .selectExpr("text").where("text IS NOT NULL").as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        it.foreach { text =>
+          val y = graft.pipeline.ClassifierTrain.labelOf(text)
+          graft.pipeline.ClassifierTrain.tokensOf(text).foreach { w =>
+            val (p, n) = m.getOrElse(w, (0L, 0L))
+            m(w) = if (y == 1) (p + 1L, n) else (p, n + 1L)
+          }
+        }
+        m.iterator.map { case (w, (p, n)) => (w, p, n) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ClfState, ClfTokenCount](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (word: String, partials: Iterator[(String, Long, Long)],
+         state: GroupState[ClfState]) =>
+          val prev = state.getOption.getOrElse(ClfState(0L, 0L))
+          val next = partials.foldLeft(prev) { (s, p) =>
+            ClfState(s.pos + p._2, s.neg + p._3)
+          }
+          state.update(next)
+          Iterator.single(ClfTokenCount(word, next.pos, next.neg))
+      }
+  }
 }

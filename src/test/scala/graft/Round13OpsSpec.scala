@@ -57,4 +57,43 @@ class Round13OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "eval plans a cartesian")
   }
+
+  test("streaming classifier counts replay bit-identical to the batch census") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.core.Tables.load(spark, sfDir, "documents")
+      .selectExpr("text").where("text IS NOT NULL").as[String].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 3)
+    val input = MemoryStream[String]
+    val q = graft.streaming.StreamMonitors.ingestClassifierCounts(
+      input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    val emitted = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("clf_stream").as[(String, Long, Long)].collect()
+    } finally q.stop()
+    // the last emission per word = the running census after the whole
+    // fixture streamed through; compare with the batch trainer
+    val last = emitted.groupBy(_._1)
+      .map { case (w, g) => w -> g.map(r => (r._2, r._3)).maxBy(t => t._1 + t._2) }
+    val batch = ClassifierTrain.runTrain(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(last.keySet == batch.map(_._1).toSet)
+    batch.foreach { case (w, p, n, _) =>
+      assert(last(w) == ((p, n)), s"token '$w' census drifted: ${last(w)}")
+    }
+    // the consumer derives the identical micro-nat weights from the
+    // emitted counts with the batch entry's exact arithmetic
+    val tp = batch.map(_._2).sum; val tn = batch.map(_._3).sum
+    val v = batch.length.toLong
+    batch.foreach { case (w, p, n, micro) =>
+      val d = math.log((p + 1.0) / (tp + v)) - math.log((n + 1.0) / (tn + v))
+      assert(micro == math.round(d * 1e6),
+        s"token '$w' weight not derivable from the stream state")
+    }
+  }
 }

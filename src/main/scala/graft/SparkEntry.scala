@@ -374,6 +374,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Selection.runFunnel(s, dir))),
       ("dedup_embedding_sweep" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingSweep(s, dir))),
+      ("dedup_embedding_stack" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runEmbeddingStack(s, dir))),
       ("event_attribution" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runAttribution(s, dir))),
       ("url_normalize" ->
@@ -626,6 +628,7 @@ object SparkEntry {
       ("lookup_dedup_pairs" -> graft.pipeline.Dedup.pairLookupSql("documents")(graft.oracle.DuckDialect)),
       ("curation_funnel" -> graft.pipeline.Selection.funnelSql("documents")(graft.oracle.DuckDialect)),
       ("dedup_embedding_sweep" -> graft.pipeline.Dedup.embeddingSweepSql("embeddings")(graft.oracle.DuckDialect)),
+      ("dedup_embedding_stack" -> graft.pipeline.Dedup.embeddingStackSql("embeddings")(graft.oracle.DuckDialect)),
       ("event_attribution" -> graft.streaming.EventAnalytics.duckAttributionSql()),
       ("url_normalize" -> graft.pipeline.UrlOps.duckNormalizeSql()),
       ("url_domain_cap" -> graft.pipeline.UrlOps.duckDomainCapSql()),

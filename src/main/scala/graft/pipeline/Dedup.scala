@@ -298,10 +298,26 @@ object Dedup {
   // (the LSH entry's fixture point) keeps the candidate-surfacing path
   // exercised instead of returning a vacuous empty relation.
   def embeddingSql(table: String, threshold: Double = 0.30,
-                   nPlanes: Int = 4, dim: Int = 64)(d: Dialect): String = {
-    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
-    s"""WITH emb AS (
-       |  SELECT vec_id, label, $bucket AS bucket, embedding,
+                   minPlanes: Int = 4, dim: Int = 64,
+                   nOverride: Option[Long] = None)(d: Dialect): String = {
+    // ADAPTIVE sub-block resolution (Similarity.adaptiveModCase): the
+    // fixed 4-plane sub-block pinned bucket COUNT, so occupancy — and
+    // with it the within-(label, bucket) pair join — grew with the
+    // corpus (13.5× on the r13 sf10 10× hop). The plane count now
+    // scales with log2(N): occ=32 ≈ the ~10-label fixture's ~3 rows
+    // per (label, bucket) at the oracle scale, where the elected np
+    // stays minPlanes and the output is bit-identical to the old form.
+    // Engine path passes the driver-counted N (literal modulus — a
+    // scalar subquery in a join-key projection races Spark's broadcast
+    // build); the oracle elects in SQL, spec-pinned to the same rule.
+    val bucket = Similarity.bucketExpr("embedding", Similarity.AdaptiveMaxPlanes, dim)(d)
+    val bmod = nOverride
+      .map(n => Similarity.adaptiveModFor(n, occ = 32, minP = minPlanes).toString)
+      .getOrElse("(SELECT bmod FROM nb)")
+    val nbCte = if (nOverride.isDefined) ""
+      else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 32, minP = minPlanes)}\n),\n"
+    s"""WITH ${nbCte}emb AS (
+       |  SELECT vec_id, label, MOD($bucket, $bmod) AS bucket, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
        |    FROM $table
        |),
@@ -628,10 +644,18 @@ object Dedup {
 
   def runSimhash(spark: SparkSession, dir: String): DataFrame =
     spark.sql(simhashBody(simhashSigsView(spark, dir), 3)(SparkDialect))
+  /** The embeddings row count, measured ONCE per (session, dir) — the
+    * adaptive-resolution elections read it as a driver literal. */
+  private def embCount(spark: SparkSession, dir: String): Long =
+    graft.core.SessionCache.getOrElseUpdate(spark, "emb_count", dir) {
+      graft.core.Tables.load(spark, dir, "embeddings").count()
+    }
+
   def runEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb_dedup")
-    spark.sql(embeddingSql("__graft_emb_dedup")(SparkDialect))
+    spark.sql(embeddingSql("__graft_emb_dedup",
+      nOverride = Some(embCount(spark, dir)))(SparkDialect))
   }
 
   /** LSH-blocked embedding near-dup for UNLABELED corpora: the same
@@ -649,10 +673,23 @@ object Dedup {
   // surfaces a real candidate set through the gate; production near-dup
   // thresholds are 0.95+ either way.
   def embeddingLshSql(table: String, threshold: Double = 0.30,
-                      nPlanes: Int = 8, dim: Int = 64)(d: Dialect): String = {
-    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
-    s"""WITH emb AS (
-       |  SELECT vec_id, $bucket AS bucket, embedding,
+                      minPlanes: Int = 8, dim: Int = 64,
+                      nOverride: Option[Long] = None)(d: Dialect): String = {
+    // ADAPTIVE plane count (Similarity.adaptiveModCase): at occ=8 the
+    // elected np stays 8 through the sf0.1 fixture (N ≤ 2048 — output
+    // bit-identical to the old fixed-8-plane form) and climbs with
+    // log2(N) beyond it, pinning bucket occupancy so the candidate
+    // join stays output-linear (the fixed form read 11.2× on the r13
+    // sf10 10× hop — occupancy, not operator shape). Engine: driver-
+    // counted literal modulus; oracle: SQL election, same rule.
+    val bucket = Similarity.bucketExpr("embedding", Similarity.AdaptiveMaxPlanes, dim)(d)
+    val bmod = nOverride
+      .map(n => Similarity.adaptiveModFor(n, occ = 8, minP = minPlanes).toString)
+      .getOrElse("(SELECT bmod FROM nb)")
+    val nbCte = if (nOverride.isDefined) ""
+      else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 8, minP = minPlanes)}\n),\n"
+    s"""WITH ${nbCte}emb AS (
+       |  SELECT vec_id, MOD($bucket, $bmod) AS bucket, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
        |    FROM $table
        |),
@@ -671,7 +708,8 @@ object Dedup {
   def runEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb_lsh")
-    spark.sql(embeddingLshSql("__graft_emb_lsh")(SparkDialect))
+    spark.sql(embeddingLshSql("__graft_emb_lsh",
+      nOverride = Some(embCount(spark, dir)))(SparkDialect))
   }
 
   /** Cosine thresholds the embedding sweep reports — 0.30 is the
@@ -709,11 +747,19 @@ object Dedup {
        |    ON vc.th = t.th
        | ORDER BY threshold""".stripMargin
 
-  def embeddingSweepSql(table: String, nPlanes: Int = 8, dim: Int = 64)
+  def embeddingSweepSql(table: String, minPlanes: Int = 8, dim: Int = 64,
+                        nOverride: Option[Long] = None)
                        (d: Dialect): String = {
-    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
-    s"""WITH emb AS (
-       |  SELECT vec_id, $bucket AS bucket, embedding,
+    // Same adaptive bucket as embeddingLshSql — the sweep reads the
+    // SAME candidate relation the LSH entry verifies.
+    val bucket = Similarity.bucketExpr("embedding", Similarity.AdaptiveMaxPlanes, dim)(d)
+    val bmod = nOverride
+      .map(n => Similarity.adaptiveModFor(n, occ = 8, minP = minPlanes).toString)
+      .getOrElse("(SELECT bmod FROM nb)")
+    val nbCte = if (nOverride.isDefined) ""
+      else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 8, minP = minPlanes)}\n),\n"
+    s"""WITH ${nbCte}emb AS (
+       |  SELECT vec_id, MOD($bucket, $bmod) AS bucket, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
        |    FROM $table
        |),
@@ -782,7 +828,9 @@ object Dedup {
       // every candidate the bucket gate admits) — landed once
       spark.sql(
         s"""WITH emb AS (
-           |  SELECT vec_id, ${Similarity.bucketExpr("embedding")(SparkDialect)} AS bucket,
+           |  SELECT vec_id,
+           |         MOD(${Similarity.bucketExpr("embedding", Similarity.AdaptiveMaxPlanes)(SparkDialect)},
+           |             ${Similarity.adaptiveModFor(embCount(spark, dir), occ = 8)}) AS bucket,
            |         embedding,
            |         SQRT(${SparkDialect.dotProduct("embedding", "embedding")}) AS nrm
            |    FROM __graft_emb_lsh
@@ -795,6 +843,105 @@ object Dedup {
       name
     }
     spark.sql(s"WITH ${embeddingSweepTail(pv)}")
+  }
+
+  /** Multi-table LSH stacking — the RECALL half of the (np, R) sign-LSH
+    * knob the adaptive blocking documents: finer buckets (more planes)
+    * pin occupancy but split near-dup pairs with probability
+    * 1-(1-θ/π)^np; production holds recall by running R INDEPENDENT
+    * bucket tables and unioning their candidates. This entry measures
+    * that curve on the engine's own corpus: [[StackTables]] tables,
+    * table r keyed by a DISJOINT [[StackPlanesPerTable]]-plane range of
+    * one 30-plane bucket (plane streams are independent Bernoulli bits,
+    * so disjoint ranges ARE independent hash tables — one native bucket
+    * call per row, no second projection pass), each table's candidate
+    * join bucket-local, and the report shows verified pairs cumulative
+    * and MARGINAL per stacked table — the yield curve that tells a
+    * deployment when the next table stops paying.
+    *
+    * Scale shape: R bucket equi-joins over one landed (vec_id, b30,
+    * nrm, embedding) relation — R× the single-table entry's cost,
+    * occupancy pinned by the same adaptive modulus (capped at
+    * [[StackPlanesPerTable]] planes per table so three tables fit the
+    * IntegerType bucket; a deployment needing more planes AND R tables
+    * widens the native expression to LongType — headroom note, not a
+    * shape change). */
+  val StackTables = 3
+  val StackPlanesPerTable = 10
+
+  def embeddingStackBody(embRel: String, bmod: String,
+                         threshold: Double)(d: Dialect): String = {
+    val branches = (0 until StackTables).map { r =>
+      val shift = 1L << (StackPlanesPerTable * r)
+      def key(side: String) = s"MOD(${d.intDiv(s"$side.b30", shift.toString)}, $bmod)"
+      s"""  SELECT ${r + 1} AS tbl, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${d.dotProduct("a.embedding", "b.embedding")} / NULLIF(a.nrm * b.nrm, 0) AS cos
+         |    FROM $embRel a JOIN $embRel b
+         |      ON ${key("a")} = ${key("b")} AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val tt = (1 to StackTables).map(r => s"SELECT $r AS r").mkString("\n  UNION ALL\n  ")
+    s"""allp AS (
+       |$branches
+       |),
+       |firsts AS (
+       |  SELECT vec_a, vec_b, MIN(tbl) AS first_tbl
+       |    FROM allp WHERE cos >= $threshold
+       |   GROUP BY vec_a, vec_b
+       |),
+       |tt AS (
+       |  $tt
+       |)
+       |SELECT t.r AS n_tables,
+       |       CAST(COALESCE(c.cum, 0) AS BIGINT) AS pairs_cumulative,
+       |       CAST(COALESCE(m.marg, 0) AS BIGINT) AS pairs_marginal
+       |  FROM tt t
+       |  LEFT JOIN (SELECT t2.r, COUNT(*) AS cum
+       |               FROM tt t2 JOIN firsts f ON f.first_tbl <= t2.r
+       |              GROUP BY t2.r) c ON c.r = t.r
+       |  LEFT JOIN (SELECT first_tbl AS r, COUNT(*) AS marg
+       |               FROM firsts GROUP BY first_tbl) m ON m.r = t.r
+       | ORDER BY n_tables""".stripMargin
+  }
+
+  def embeddingStackSql(table: String, threshold: Double = 0.30,
+                        dim: Int = 64, nOverride: Option[Long] = None)
+                       (d: Dialect): String = {
+    val b30 = Similarity.bucketExpr(
+      "embedding", StackTables * StackPlanesPerTable, dim)(d)
+    val bmod = nOverride
+      .map(n => Similarity.adaptiveModFor(n, occ = 8, maxP = StackPlanesPerTable).toString)
+      .getOrElse("(SELECT bmod FROM nb)")
+    val nbCte = if (nOverride.isDefined) ""
+      else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 8, maxP = StackPlanesPerTable)}\n),\n"
+    s"""WITH ${nbCte}emb AS (
+       |  SELECT vec_id, $b30 AS b30, embedding,
+       |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
+       |    FROM $table
+       |),
+       |${embeddingStackBody("emb", bmod, threshold)(d)}""".stripMargin
+  }
+
+  def runEmbeddingStack(spark: SparkSession, dir: String): DataFrame = {
+    val n = embCount(spark, dir)
+    val pv = graft.core.SessionCache.getOrElseUpdate(spark, "embstack", dir) {
+      graft.core.Tables.load(spark, dir, "embeddings")
+        .createOrReplaceTempView("__graft_emb_stack_src")
+      val name = s"__graft_emb_stack_${java.lang.Integer.toHexString(dir.hashCode)}"
+      // one landed (vec_id, b30, nrm, embedding) relation: Spark
+      // inlines CTEs, so without it the 3 union branches would re-scan
+      // and re-hash the corpus 6 times
+      spark.sql(
+        s"""SELECT vec_id,
+           |       ${Similarity.bucketExpr("embedding",
+                      StackTables * StackPlanesPerTable)(SparkDialect)} AS b30,
+           |       embedding,
+           |       SQRT(${SparkDialect.dotProduct("embedding", "embedding")}) AS nrm
+           |  FROM __graft_emb_stack_src""".stripMargin)
+        .localCheckpoint(eager = true).createOrReplaceTempView(name)
+      name
+    }
+    val bmod = Similarity.adaptiveModFor(n, occ = 8, maxP = StackPlanesPerTable)
+    spark.sql(s"WITH ${embeddingStackBody(pv, bmod.toString, 0.30)(SparkDialect)}")
   }
 
   /** SEMANTIC decontamination — the embedding-space companion to the
@@ -817,11 +964,25 @@ object Dedup {
     * rows reach the cosine. Fixture threshold 0.25, same adjudication
     * as the 0.30/0.40 embedding-dedup entries (production 0.9+). */
   def decontaminateSemanticSql(table: String, threshold: Double = 0.25,
-                               nPlanes: Int = 4, dim: Int = 64)
+                               minPlanes: Int = 4, dim: Int = 64,
+                               nOverride: Option[Long] = None)
                               (d: Dialect): String = {
-    val bucket = Similarity.bucketExpr("embedding", nPlanes, dim)(d)
-    s"""WITH demb AS (
-       |  SELECT vec_id, $bucket AS bucket, embedding,
+    // ADAPTIVE plane count, recall-biased floor: the eval side is
+    // FIXED-size in production, so with a fixed plane count candidates
+    // grow ~N·E/2^np — linear in the corpus but paying the full eval
+    // fan-out per bucket; scaling np with log2(N) (occ=32 keeps the
+    // oracle-scale election at the recall-biased 4-plane floor) pins
+    // per-bucket occupancy so the probe side of the broadcast join
+    // stays bucket-thin at any corpus size. Engine: driver-counted
+    // literal; oracle: SQL election, same spec-pinned rule.
+    val bucket = Similarity.bucketExpr("embedding", Similarity.AdaptiveMaxPlanes, dim)(d)
+    val bmod = nOverride
+      .map(n => Similarity.adaptiveModFor(n, occ = 32, minP = minPlanes).toString)
+      .getOrElse("(SELECT bmod FROM nb)")
+    val nbCte = if (nOverride.isDefined) ""
+      else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 32, minP = minPlanes)}\n),\n"
+    s"""WITH ${nbCte}demb AS (
+       |  SELECT vec_id, MOD($bucket, $bmod) AS bucket, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm,
        |         (vec_id % 41 = 0) AS is_eval
        |    FROM $table
@@ -844,7 +1005,8 @@ object Dedup {
   def runDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb_decon")
-    spark.sql(decontaminateSemanticSql("__graft_emb_decon")(SparkDialect))
+    spark.sql(decontaminateSemanticSql("__graft_emb_decon",
+      nOverride = Some(embCount(spark, dir)))(SparkDialect))
   }
 
   /** Winnowing fingerprint dedup (the MOSS rolling-hash scheme,

@@ -11,7 +11,9 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * (shingles/minhash need word-scale content; a customer name is one
   * token). A dirty registry matches against the clean dimension the
   * standard two-stage way: (1) BLOCK on cheap stable keys — here
-  * (nationkey, last-4-of-name) — so candidate pairs are block-local,
+  * (nationkey, last-k-of-name) with k ELECTED from the registry size
+  * ([[blockDigitsFor]]) so block occupancy stays ~constant at any
+  * scale — so candidate pairs are block-local,
   * never the N×M cross product; (2) VERIFY with edit distance on the
   * case-folded names, keep distance ≤ 2, elect the best match per
   * dirty record by (distance, key) — deterministic ties.
@@ -50,11 +52,47 @@ object EntityMatch {
        |         ELSE c_name END AS dirty_name
        |  FROM $table""".stripMargin
 
-  def sql(table: String)(d: Dialect): String =
-    s"""WITH dirty AS (${dirtySql(table)}),
+  /** ADAPTIVE block resolution: the digit count of the name-tail block
+    * key elected from the registry size so expected block occupancy
+    * stays ~[[BlockOcc]] at any scale — a fixed last-4 key pins block
+    * COUNT, so occupancy (and the verify join's candidate mass) grows
+    * linearly with the registry (the r13 sf10 curve measured 10.4× on
+    * a 10× hop). Pure integer comparisons, so both engines elect the
+    * same width; RIGHT-of-string is stable under the head-of-string
+    * perturbations at ANY width ≤ the 9-digit tail, so the true pair
+    * always shares the block — widening only sheds FALSE candidates. */
+  val MinBlockDigits = 4
+  val MaxBlockDigits = 9
+  val BlockOcc = 8L
+
+  private def pow10(k: Int): Long = (1 to k).foldLeft(1L)((a, _) => a * 10)
+
+  /** SQL-side election (the oracle's form). */
+  def blockDigitsCase(nExpr: String): String =
+    (MinBlockDigits until MaxBlockDigits).map { k =>
+      s"WHEN $nExpr <= ${BlockOcc * pow10(k)} THEN $k"
+    }.mkString("CASE ", " ", s" ELSE $MaxBlockDigits END")
+
+  /** Driver-side election (the engine's form) — spec-pinned equal to
+    * [[blockDigitsCase]] across the boundaries. */
+  def blockDigitsFor(n: Long): Int =
+    (MinBlockDigits until MaxBlockDigits)
+      .find(k => n <= BlockOcc * pow10(k)).getOrElse(MaxBlockDigits)
+
+  /** `nOverride`: the engine path passes a driver-counted registry size
+    * and gets a literal width (a scalar subquery inside a broadcast
+    * join-key projection races Spark's subquery-wait); the oracle
+    * rendering (None) elects the width in SQL — same integer rule,
+    * spec-pinned. */
+  def sql(table: String, nOverride: Option[Long] = None)(d: Dialect): String = {
+    val blkDigits = nOverride.map(n => blockDigitsFor(n).toString)
+      .getOrElse("(SELECT blk_digits FROM nk)")
+    val nkCte = if (nOverride.isDefined) ""
+      else s"nk AS (\n  SELECT ${blockDigitsCase("COUNT(*)")} AS blk_digits FROM $table\n),\n"
+    s"""WITH ${nkCte}dirty AS (${dirtySql(table)}),
        |clean AS (
        |  SELECT c_custkey, c_nationkey, c_name,
-       |         RIGHT(c_name, 4) AS blk
+       |         RIGHT(c_name, $blkDigits) AS blk
        |    FROM $table
        |),
        |cand AS (
@@ -64,7 +102,7 @@ object EntityMatch {
        |      FROM dirty dr
        |      JOIN clean cl
        |        ON cl.c_nationkey = dr.c_nationkey
-       |       AND cl.blk = RIGHT(dr.dirty_name, 4)
+       |       AND cl.blk = RIGHT(dr.dirty_name, $blkDigits)
        |  ) c0
        |   WHERE dist <= 2
        |),
@@ -84,6 +122,7 @@ object EntityMatch {
        |  FROM ranked
        | WHERE rk = 1
        | ORDER BY src_id""".stripMargin
+  }
 
   /** A block is HOT when it holds more than this share of the clean
     * side's rows. */
@@ -92,17 +131,19 @@ object EntityMatch {
   /** Sub-keys a hot block fans out over. */
   val HotSalt = 8
 
-  private[graft] def dirtyDf(spark: SparkSession, table: String): DataFrame =
+  private[graft] def dirtyDf(spark: SparkSession, table: String,
+                             digits: Int = MinBlockDigits): DataFrame =
     spark.sql(
       s"""SELECT src_id, variant_class, dirty_name,
-         |       CAST(c_nationkey AS STRING) || '|' || RIGHT(dirty_name, 4)
+         |       CAST(c_nationkey AS STRING) || '|' || RIGHT(dirty_name, $digits)
          |         AS blk_key
          |  FROM (${dirtySql(table)}) d""".stripMargin)
 
-  private[graft] def cleanDf(spark: SparkSession, table: String): DataFrame =
+  private[graft] def cleanDf(spark: SparkSession, table: String,
+                             digits: Int = MinBlockDigits): DataFrame =
     spark.sql(
       s"""SELECT c_custkey, c_name,
-         |       CAST(c_nationkey AS STRING) || '|' || RIGHT(c_name, 4)
+         |       CAST(c_nationkey AS STRING) || '|' || RIGHT(c_name, $digits)
          |         AS blk_key
          |  FROM $table""".stripMargin)
 
@@ -114,9 +155,10 @@ object EntityMatch {
     * candidate pair (spec-pinned on a planted hot block). */
   private[graft] def runGuarded(spark: SparkSession, table: String,
                                 hot: Seq[Any],
-                                salt: Int = HotSalt): DataFrame = {
-    val dirty = dirtyDf(spark, table)
-    val clean = cleanDf(spark, table)
+                                salt: Int = HotSalt,
+                                digits: Int = MinBlockDigits): DataFrame = {
+    val dirty = dirtyDf(spark, table, digits)
+    val clean = cleanDf(spark, table, digits)
     val joined =
       if (hot.isEmpty) dirty.join(clean, Seq("blk_key"))
       else graft.core.SkewJoin.saltedJoinHot(dirty, clean, "blk_key", hot, salt)
@@ -140,15 +182,19 @@ object EntityMatch {
   }
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "customer")
-      .createOrReplaceTempView("__graft_em_cust")
-    // block histogram measured ONCE per (session, dir) — the
-    // FreqProfiler-shaped advisor pass that picks the dispatch
-    val hot = graft.core.SessionCache.getOrElseUpdate(spark, "em_hot", dir) {
-      graft.core.SkewJoin.hotKeys(
-        cleanDf(spark, "__graft_em_cust"), "blk_key", HotShare)
-    }
-    runGuarded(spark, "__graft_em_cust", hot)
+    val cust = graft.core.Tables.load(spark, dir, "customer")
+    cust.createOrReplaceTempView("__graft_em_cust")
+    // block width elected + block histogram measured ONCE per
+    // (session, dir) — the FreqProfiler-shaped advisor pass that picks
+    // the resolution and the dispatch (one column-pruned count + one
+    // key histogram; both metadata-cheap next to the verify join)
+    val (digits, hot) =
+      graft.core.SessionCache.getOrElseUpdate(spark, "em_hot", dir) {
+        val k = blockDigitsFor(cust.count())
+        (k, graft.core.SkewJoin.hotKeys(
+          cleanDf(spark, "__graft_em_cust", k), "blk_key", HotShare))
+      }
+    runGuarded(spark, "__graft_em_cust", hot, digits = digits)
   }
 
   def duckSql(): String = sql("customer")(DuckDialect)

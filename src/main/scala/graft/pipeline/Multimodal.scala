@@ -439,6 +439,87 @@ object Multimodal {
     * image entry: two real 128-sample PCM WAVs per document (samples
     * `(md5byte − 128) · 256`; variant B flips sample 0), real decoder,
     * arithmetic all-pairs oracle. */
+  /** The exact 64-bit hamming(≤3) pair join over a landed (id, hash)
+    * relation — candidate generation + exact `bit_count` verify, shared
+    * by the image ([[runPhashDedup]]) and audio ([[runAudioDedup]])
+    * near-dup entries. The OUTPUT is scheme-invariant (candidates are a
+    * SUPERSET; the exact hamming filter decides), so the candidate
+    * scheme is a pure engine-side election by corpus size:
+    *
+    *  - `4×16 BANDS` (N ≤ [[HammingElectBound]]): classic pigeonhole —
+    *    hamming ≤ 3 leaves one of 4 16-bit bands clean. Cheap explode
+    *    (4 rows/id) but random band collisions grow ~4·N²/2¹⁶: the
+    *    r13 sf10 curve measured exactly that (12.8× on a 10× hop at
+    *    1M ids — occupancy, not operator shape).
+    *  - `AG(3,2) COVER` (N above the bound): index the 8 byte-bands as
+    *    GF(2)³ points; the 14 affine hyperplanes `{x : a·x = b}`
+    *    (a ∈ 1..7, b ∈ 0..1) are 4-band subsets that COVER every
+    *    ≤3-subset (the differences of ≤3 points span ≤2 dimensions, so
+    *    a nonzero orthogonal `a` exists) — so for a true pair, some
+    *    hyperplane contains ALL its dirty bands and the complementary
+    *    4 KEPT bands (32 bits) match EXACTLY. 14 rows/id (a covering
+    *    design C(8,4,3)=14, vs C(8,3)=56 for the naive drop-3 family —
+    *    measured 78 s vs 12 s at 1M ids, the explode mass dominates)
+    *    and collisions ~14·N²/2³²: output-linear far past 10M ids,
+    *    where the 4×16 scheme's N²/2¹⁶ is already dead. Election
+    *    boundary MEASURED, not modeled: at 1M ids (the sf10 fixture)
+    *    the 4×16 scheme costs 12.5 s (audio) / 5.1 s (image) vs the
+    *    cover's 14.5 / 14.1 s — the explode+join mass of 14 rows/id
+    *    still outweighs the collision mass there; the collision term
+    *    quadruples per doubling while the cover grows linearly, so the
+    *    crossover sits just above 2M ids. (The naive drop-3-of-8
+    *    family — 56 combos — measured 78 s at the same point and is
+    *    strictly dominated by this cover.) */
+  val HammingElectBound: Long = 1L << 21
+
+  private[graft] def hammingPairsSql(view: String, hashCol: String,
+                                     nIds: Long): String = {
+    val cands =
+      if (nIds <= HammingElectBound)
+        s"""bands AS (
+           |  SELECT id, b AS bi,
+           |         shiftrightunsigned($hashCol, CAST(16 * b AS INT)) & 65535 AS bv
+           |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
+           |),
+           |cands AS (
+           |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+           |    FROM bands a JOIN bands c
+           |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
+           |)""".stripMargin
+      else {
+        // the 14 affine hyperplanes of AG(3,2): drop the 4 bands with
+        // parity(a & x) == b, keep the other 4 (32 bits of the hash)
+        val combos = for (a <- 1 until 8; b <- 0 until 2) yield {
+          var m = 0L
+          (0 until 8).foreach { x =>
+            if (Integer.bitCount(a & x) % 2 != b) m |= (0xffL << (8 * x))
+          }
+          m
+        }
+        val structs = combos.zipWithIndex.map { case (m, ci) =>
+          s"named_struct('ci', $ci, 'm', ${m}L)"
+        }.mkString(", ")
+        s"""bands AS (
+           |  SELECT id, cm.ci AS bi, $hashCol & cm.m AS bv
+           |    FROM $view LATERAL VIEW explode(array($structs)) e AS cm
+           |),
+           |cands AS (
+           |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+           |    FROM bands a JOIN bands c
+           |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
+           |)""".stripMargin
+      }
+    s"""WITH $cands
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT cd.id_a, cd.id_b,
+       |         CAST(bit_count(pa.$hashCol ^ pb.$hashCol) AS INT) AS hamming
+       |    FROM cands cd
+       |    JOIN $view pa ON pa.id = cd.id_a
+       |    JOIN $view pb ON pb.id = cd.id_b) z
+       | WHERE hamming <= 3
+       | ORDER BY id_a, id_b""".stripMargin
+  }
+
   def runAudioDedup(spark: SparkSession, dir: String): DataFrame = {
     val view = graft.core.SessionCache.getOrElseUpdate(spark, "ehash", dir) {
       import spark.implicits._
@@ -471,27 +552,9 @@ object Multimodal {
       }.toDF("id", "ehash").localCheckpoint(eager = true)
       val v = "__graft_ehash_" + java.lang.Integer.toHexString(dir.hashCode)
       hashed.createOrReplaceTempView(v)
-      v
+      (v, hashed.count())
     }
-    spark.sql(
-      s"""WITH bands AS (
-         |  SELECT id, ehash, b AS bi,
-         |         shiftrightunsigned(ehash, CAST(16 * b AS INT)) & 65535 AS bv
-         |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
-         |),
-         |cands AS (
-         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
-         |    FROM bands a JOIN bands c
-         |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
-         |)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT cd.id_a, cd.id_b,
-         |         CAST(bit_count(pa.ehash ^ pb.ehash) AS INT) AS hamming
-         |    FROM cands cd
-         |    JOIN $view pa ON pa.id = cd.id_a
-         |    JOIN $view pb ON pb.id = cd.id_b) z
-         | WHERE hamming <= 3
-         | ORDER BY id_a, id_b""".stripMargin)
+    spark.sql(hammingPairsSql(view._1, "ehash", view._2))
   }
 
   /** Arithmetic oracle for [[runAudioDedup]]: frame energies straight
@@ -687,27 +750,9 @@ object Multimodal {
       }.toDF("id", "phash").localCheckpoint(eager = true)
       val v = "__graft_phash_" + java.lang.Integer.toHexString(dir.hashCode)
       hashed.createOrReplaceTempView(v)
-      v
+      (v, hashed.count())
     }
-    spark.sql(
-      s"""WITH bands AS (
-         |  SELECT id, phash, b AS bi,
-         |         shiftrightunsigned(phash, CAST(16 * b AS INT)) & 65535 AS bv
-         |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
-         |),
-         |cands AS (
-         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
-         |    FROM bands a JOIN bands c
-         |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
-         |)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT cd.id_a, cd.id_b,
-         |         CAST(bit_count(pa.phash ^ pb.phash) AS INT) AS hamming
-         |    FROM cands cd
-         |    JOIN $view pa ON pa.id = cd.id_a
-         |    JOIN $view pb ON pb.id = cd.id_b) z
-         | WHERE hamming <= 3
-         | ORDER BY id_a, id_b""".stripMargin)
+    spark.sql(hammingPairsSql(view._1, "phash", view._2))
   }
 
   /** The oracle rendering: every hash bit from the md5 hex directly

@@ -222,6 +222,62 @@ object Similarity {
       case _            => unrolledBucketExpr(vec, nPlanes, dim)(d)
     }
 
+  /** ADAPTIVE-RESOLUTION blocking: the CASE chain electing the bucket
+    * modulus `2^np` from a row count so that expected bucket occupancy
+    * stays ~`occ` at ANY corpus size — `np = ceil(log2(n / occ))`
+    * clamped to `[minP, maxP]`, stated in pure integer comparisons
+    * (`n <= occ·2^p`) so both engines elect the SAME power bit-for-bit
+    * (no float log/ceil at the cross-engine boundary).
+    *
+    * Why this exists: a FIXED plane count is the one scale trap left in
+    * the LSH-blocked dedup family — bucket COUNT is constant, so
+    * occupancy grows linearly with the corpus and within-bucket pair
+    * joins quadratically (the r13 sf10 curve measured exactly that:
+    * 11-14× on a 10× hop for `dedup_embedding{,_lsh}`). Scaling the
+    * plane count with `log2(N)` pins occupancy, making the candidate
+    * join output-linear at any scale. The hyperplane stream is
+    * generated sequentially ([[graft.functions.BucketExpr.planes]]),
+    * so the low `np` bits of the `maxP`-plane bucket ARE the
+    * `np`-plane bucket — the adaptive bucket is a pure refinement:
+    * at small N it is bit-identical to the old fixed-plane block key.
+    *
+    * Recall: finer buckets split near-dup pairs with probability
+    * `1-(1-θ/π)^np`; production holds recall by stacking R independent
+    * bucket tables (R grows with np — standard LSH (np, R) tuning);
+    * the entries here demonstrate the occupancy half of that knob. */
+  def adaptiveModCase(nExpr: String, occ: Int = 8,
+                      minP: Int = 8, maxP: Int = 24): String =
+    (minP until maxP).map { p =>
+      s"WHEN $nExpr <= ${occ.toLong * (1L << p)} THEN ${1 << p}"
+    }.mkString("CASE ", " ", s" ELSE ${1 << maxP} END")
+
+  /** The one-row relation body carrying the elected modulus: render as
+    * `nb AS (adaptiveModCte(t))` and block on
+    * `MOD(bucket_maxP, (SELECT bmod FROM nb))`. ORACLE-side form only
+    * (DuckDB executes the uncorrelated scalar once); the engine splices
+    * a driver-elected literal instead ([[adaptiveModFor]]) — a scalar
+    * subquery inside a broadcast-join KEY projection races Spark's
+    * subquery-wait (the broadcast relation build can evaluate the key
+    * before the subquery finishes), and the count is one metadata-cheap
+    * driver job the session caches anyway. */
+  def adaptiveModCte(table: String, occ: Int = 8,
+                     minP: Int = 8, maxP: Int = 24): String =
+    s"SELECT ${adaptiveModCase("COUNT(*)", occ, minP, maxP)} AS bmod FROM $table"
+
+  /** Driver-side election — spec-pinned equal to [[adaptiveModCase]]
+    * across the boundaries. */
+  def adaptiveModFor(n: Long, occ: Int = 8,
+                     minP: Int = 8, maxP: Int = 24): Int =
+    (minP until maxP).find(p => n <= occ.toLong * (1L << p))
+      .map(1 << _).getOrElse(1 << maxP)
+
+  /** Planes rendered for the adaptive bucket: `maxP` bits computed once
+    * per row (native on the engine side), low bits selected by the
+    * elected modulus. 24 planes = 16.7M buckets: occupancy ~8 up to
+    * ~134M vectors per slice; `BucketExpr`'s IntegerType leaves
+    * headroom to 31 planes when a deployment needs more. */
+  val AdaptiveMaxPlanes: Int = 24
+
   /** The unrolled element-sum rendering — the DuckDB oracle's form and
     * the parity anchor for the native expression. */
   def unrolledBucketExpr(vec: String, nPlanes: Int = 8, dim: Int = 64)

@@ -1,0 +1,140 @@
+package graft
+
+/** Round-13 adaptive blocking: block resolution elected from corpus
+  * size so bucket/block occupancy stays ~constant at any scale — the
+  * fix for the fixed-resolution shapes the sf10 curve flagged
+  * (embedding LSH planes, entity-match block digits, 64-bit hamming
+  * candidate bands). Pins (1) the integer election boundaries,
+  * bit-identical across the SQL and driver renderings, (2) the
+  * plane-prefix property that makes the adaptive bucket a pure
+  * refinement of the old fixed bucket, and (3) the output-invariance
+  * of the hamming candidate scheme election. */
+class AdaptiveBlockingSpec extends SparkSpec {
+
+  test("adaptiveModCase elects the same modulus as the integer rule, at the boundaries") {
+    import graft.pipeline.Similarity
+    val probes = Seq[Long](0, 1, 500, 2000, 2048, 2049, 4096, 4097,
+      100000, 1 << 20, 8L * (1L << 23), 8L * (1L << 23) + 1, Long.MaxValue / 4)
+    val cases = probes.map { n =>
+      s"SELECT $n AS n, ${Similarity.adaptiveModCase(n.toString)} AS bmod"
+    }.mkString(" UNION ALL ")
+    val got = spark.sql(cases).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probes.foreach { n =>
+      assert(got(n) == Similarity.adaptiveModFor(n),
+        s"n=$n SQL elected ${got(n)}, driver rule says ${Similarity.adaptiveModFor(n)}")
+    }
+    // boundary semantics: occupancy target holds (n <= occ * bmod)
+    // and the modulus is minimal above minP
+    probes.filter(_ > 0).foreach { n =>
+      val m = got(n)
+      if (m < (1 << 24)) assert(n <= 8L * m, s"occupancy target violated at n=$n")
+      if (m > (1 << 8)) assert(n > 8L * (m / 2), s"modulus not minimal at n=$n")
+    }
+  }
+
+  test("the adaptive bucket is a pure refinement: low bits of the 24-plane bucket ARE the 8-plane bucket") {
+    import graft.functions.BucketExpr
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val vec = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vec)
+      val b24 = BucketExpr.compute(ad, 24, 64, aFloat = false)
+      val b8 = BucketExpr.compute(ad, 8, 64, aFloat = false)
+      assert((b24 & 255) == b8, "plane stream must be a sequential prefix")
+    }
+  }
+
+  test("entity-match block digits: SQL CASE == driver rule across the boundaries") {
+    import graft.pipeline.EntityMatch
+    val probes = Seq[Long](0, 1, 1500, 15000, 80000, 80001, 800000,
+      800001, 8000000L, 80000000L, 800000000L, 8000000000L, 8000000001L)
+    val cases = probes.map { n =>
+      s"SELECT CAST($n AS BIGINT) AS n, ${EntityMatch.blockDigitsCase(n.toString)} AS k"
+    }.mkString(" UNION ALL ")
+    val got = spark.sql(cases).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probes.foreach { n =>
+      assert(got(n) == EntityMatch.blockDigitsFor(n),
+        s"n=$n SQL=${got(n)} driver=${EntityMatch.blockDigitsFor(n)}")
+    }
+    assert(EntityMatch.blockDigitsFor(1500) == 4, "oracle-scale width unchanged")
+    assert(EntityMatch.blockDigitsFor(15000) == 4, "bench-scale width unchanged")
+    assert(EntityMatch.blockDigitsFor(150000) == 5)
+    assert(EntityMatch.blockDigitsFor(8000000001L) == 9, "cap at the digit tail")
+  }
+
+  test("LSH stack: marginal yield per table is consistent and cumulative counts are monotone") {
+    val rows = graft.pipeline.Dedup.runEmbeddingStack(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1 to graft.pipeline.Dedup.StackTables),
+      "one row per stacked table count")
+    // cumulative = running sum of marginals, and never decreases
+    var run = 0L
+    rows.foreach { case (r, cum, marg) =>
+      run += marg
+      assert(cum == run, s"table $r cumulative $cum != running marginal sum $run")
+      assert(marg >= 0)
+    }
+    // table 1 alone must find at least one pair on the fixture (the
+    // entry is not vacuous) and equals the running total at r=1
+    assert(rows.head._2 > 0, "stack entry surfaced no pairs at table 1")
+    // stacking can only add pairs: engine result equals the dual-
+    // rendered Spark SQL form with the same driver-elected modulus
+    val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__adap_stack_sql")
+    val viaSql = spark.sql(graft.pipeline.Dedup.embeddingStackSql(
+      "__adap_stack_sql", nOverride = Some(n))(graft.oracle.SparkDialect))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.toSeq == rows.toSeq,
+      "landed-relation body drifted from the single-statement rendering")
+  }
+
+  test("the 14 AG(3,2) hyperplanes cover every dirty-band triple (exhaustive)") {
+    // dropped set of plane (a,b) = bands x with parity(a&x) == b; the
+    // cover guarantee needs every ≤3-subset of {0..7} inside some
+    // dropped set — exhaustively checked, not argued
+    val planes = for (a <- 1 until 8; b <- 0 until 2)
+      yield (0 until 8).filter(x => Integer.bitCount(a & x) % 2 == b).toSet
+    assert(planes.size == 14 && planes.forall(_.size == 4))
+    for (i <- 0 until 8; j <- i until 8; k <- j until 8) {
+      val d = Set(i, j, k)
+      assert(planes.exists(d.subsetOf(_)),
+        s"dirty bands $d not covered by any hyperplane")
+    }
+  }
+
+  test("hamming candidate schemes are output-identical; the AG(3,2) cover catches 3 dirty bits in 3 different bands") {
+    val spark2 = spark
+    import spark2.implicits._
+    // planted relation: base hashes + variants at hamming 1..4, with
+    // the hamming-3 case spreading its dirty bits across THREE
+    // different byte-bands (bits 2, 21, 58 → bands 0, 2, 7) — the
+    // worst case for a covering scheme (no two errors share a band;
+    // covered by the a=5, b=0 hyperplane)
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 40).map(i => (i * 10L, rnd.nextLong()))
+    val variants = base.flatMap { case (id, h) =>
+      Seq(
+        (id + 1, h ^ 1L), // hamming 1
+        (id + 2, h ^ ((1L << 2) | (1L << 21) | (1L << 58))), // hamming 3, 3 bands
+        (id + 3, h ^ ((1L << 7) | (1L << 8) | (1L << 63) | (1L << 31))) // hamming 4: excluded
+      )
+    }
+    (base ++ variants).toDF("id", "h").createOrReplaceTempView("__adap_ham")
+    val small = spark.sql(
+      graft.pipeline.Multimodal.hammingPairsSql("__adap_ham", "h", nIds = 100))
+    val large = spark.sql(
+      graft.pipeline.Multimodal.hammingPairsSql("__adap_ham", "h",
+        nIds = graft.pipeline.Multimodal.HammingElectBound + 1))
+    assert(small.queryExecution.executedPlan.toString != null)
+    val a = small.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = large.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b, "candidate scheme must not change the verified output")
+    base.foreach { case (id, _) =>
+      assert(b.exists(p => p._1 == id && p._2 == id + 2 && p._3 == 3),
+        s"worst-case 3-band hamming-3 pair ($id, ${id + 2}) missed")
+      assert(!b.exists(p => p._2 == id + 3 && p._1 == id),
+        s"hamming-4 pair ($id, ${id + 3}) must not pass the verify gate")
+    }
+  }
+}

@@ -62,7 +62,8 @@ class EntityMmrSpec extends SparkSpec {
     // the salt only moves WORK, never answers: row-identical to the
     // dual-rendered SQL form
     val viaSql = spark.sql(graft.pipeline.EntityMatch
-      .sql("__em_hot_fix")(graft.oracle.SparkDialect)).collect().toSeq
+      .sql("__em_hot_fix", nOverride = Some(1000L))(graft.oracle.SparkDialect))
+      .collect().toSeq
     assert(guarded.collect().toSeq == viaSql,
       "salted result drifted from the SQL rendering")
     assert(unsalted.collect().toSeq == viaSql,

@@ -944,6 +944,33 @@ object Dedup {
     spark.sql(s"WITH ${embeddingStackBody(pv, bmod.toString, 0.30)(SparkDialect)}")
   }
 
+  /** The landed adaptive-bucket index for STREAMING embedding dedup:
+    * (vec_id, bucket, embedding, nrm) with the modulus elected from the
+    * corpus at INDEX time and returned alongside — incoming batches
+    * probe with the INDEX's modulus, never their own election (the
+    * resolution is a property of the landed index, exactly like IVF
+    * centroids; re-electing per batch would silently shift the bucket
+    * space under the join). Landed once per (session, dir). */
+  def embeddingIndex(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val bmod = Similarity.adaptiveModFor(embCount(spark, dir), occ = 8)
+    val name = graft.core.SessionCache.getOrElseUpdate(spark, "embindex", dir) {
+      graft.core.Tables.load(spark, dir, "embeddings")
+        .createOrReplaceTempView("__graft_emb_index_src")
+      val v = s"__graft_emb_index_${java.lang.Integer.toHexString(dir.hashCode)}"
+      spark.sql(
+        s"""SELECT vec_id,
+           |       MOD(${Similarity.bucketExpr("embedding",
+                          Similarity.AdaptiveMaxPlanes)(SparkDialect)},
+           |           $bmod) AS bucket,
+           |       embedding,
+           |       SQRT(${SparkDialect.dotProduct("embedding", "embedding")}) AS nrm
+           |  FROM __graft_emb_index_src""".stripMargin)
+        .localCheckpoint(eager = true).createOrReplaceTempView(v)
+      v
+    }
+    (spark.table(name), bmod)
+  }
+
   /** SEMANTIC decontamination — the embedding-space companion to the
     * fingerprint [[decontaminateSql]]: paraphrased or re-formatted eval
     * items share no 40-char winnow gram with their training twin but DO

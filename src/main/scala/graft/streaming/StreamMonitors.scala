@@ -769,4 +769,35 @@ object StreamMonitors {
           Iterator.single(ClfTokenCount(word, next.pos, next.neg))
       }
   }
+
+  /** Streaming embedding dedup at ingest — the stream twin of
+    * [[graft.pipeline.Dedup.runEmbeddingLsh]] and the incremental
+    * companion of [[ingestDedupIncremental]] for the vector modality:
+    * the landed corpus index ([[graft.pipeline.Dedup.embeddingIndex]])
+    * carries (bucket, vector, norm) with the adaptive modulus FROZEN at
+    * index time; each arriving vector buckets ROW-LOCALLY with the
+    * index's modulus (one native bucket call + MOD — no election, no
+    * state), stream-static equi-joins its ONE bucket of the index, and
+    * gates on exact cosine. Stateless and append-mode legal at any
+    * rate; per-probe candidate work is bucket-occupancy-bounded by the
+    * same adaptive election the batch path ships, so the per-row cost
+    * does not grow with the landed corpus. Replay-spec-pinned: a full
+    * corpus replay emits exactly the batch entry's verified pairs,
+    * symmetrized (each unordered pair once per endpoint). */
+  def ingestEmbeddingDedup(vecs: DataFrame,
+                           index: DataFrame, bmod: Int,
+                           threshold: Double = 0.30): DataFrame = {
+    val probes = vecs.selectExpr(
+      "vec_id AS batch_vec_id",
+      s"MOD(graft_bucket(embedding, ${graft.pipeline.Similarity.AdaptiveMaxPlanes}, 64), $bmod) AS bucket",
+      "embedding AS b_emb",
+      "SQRT(graft_dot(embedding, embedding)) AS b_nrm")
+    probes.join(index, Seq("bucket"))
+      .where(col("vec_id") =!= col("batch_vec_id"))
+      .selectExpr("batch_vec_id", "vec_id AS corpus_vec_id", "bucket",
+        "graft_dot(b_emb, embedding) / NULLIF(b_nrm * nrm, 0) AS cos")
+      .where(col("cos") >= threshold)
+      .selectExpr("batch_vec_id", "corpus_vec_id", "bucket",
+        "CAST(ROUND(cos, 4) AS DOUBLE) AS cosine")
+  }
 }

@@ -89,6 +89,45 @@ class AdaptiveBlockingSpec extends SparkSpec {
       "landed-relation body drifted from the single-statement rendering")
   }
 
+  test("streaming embedding dedup replays to the batch pair relation, symmetrized") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the landed index freezes the adaptive modulus; the full corpus
+    // replayed as the stream must rediscover exactly the batch entry's
+    // verified pairs — once per endpoint (stream probes only the
+    // static corpus side)
+    val (index, bmod) = graft.pipeline.Dedup.embeddingIndex(spark, sfDir)
+    val vecRows = graft.core.Tables.load(spark2, sfDir, "embeddings",
+        parallelize = false)
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamMonitors.ingestEmbeddingDedup(
+        in.toDF().toDF("vec_id", "embedding"), index, bmod)
+      .writeStream.format("memory").queryName("emb_dedup_stream")
+      .outputMode("append").start()
+    val out = try {
+      in.addData(vecRows.take(vecRows.size / 2): _*); q.processAllAvailable()
+      in.addData(vecRows.drop(vecRows.size / 2): _*); q.processAllAvailable()
+      spark.table("emb_dedup_stream")
+        .select("batch_vec_id", "corpus_vec_id", "cosine")
+        .as[(Long, Long, Double)].collect().toSeq
+    } finally q.stop()
+    val batch = graft.pipeline.Dedup.runEmbeddingLsh(spark, sfDir)
+      .select("vec_a", "vec_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    val streamPairs = out.map { case (a, b, c) =>
+      (math.min(a, b), math.max(a, b), c)
+    }
+    assert(streamPairs.toSet == batch.toSet,
+      s"stream found ${streamPairs.toSet.size} pairs, batch ${batch.size}")
+    // symmetrized exactly: every unordered pair once per endpoint
+    assert(out.size == 2 * batch.size,
+      s"expected each pair twice (once per probing endpoint): ${out.size} vs 2×${batch.size}")
+  }
+
   test("the 14 AG(3,2) hyperplanes cover every dirty-band triple (exhaustive)") {
     // dropped set of plane (a,b) = bands x with parity(a&x) == b; the
     // cover guarantee needs every ≤3-subset of {0..7} inside some

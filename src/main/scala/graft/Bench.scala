@@ -22,6 +22,31 @@ object Bench {
     once(); Seq(once(), once(), once()).min // warm, then min-of-3
   }
 
+  /** PARALLEL sentinel: the single-thread sentinel above cannot see a
+    * loss of parallel CPU capacity (host-level contention/steal on a
+    * shared box) — the r13b sf10 re-run measured heavy-scan entries
+    * 4-11× slower with the single-thread sentinel FLAT at 0.43 s.
+    * This one saturates every lane with the same deterministic integer
+    * mix (one task per configured core, min-of-2), so a future reader
+    * can normalize both swing modes: single-thread sentinel moved →
+    * uniform machine swing; parallel sentinel moved alone → the box's
+    * spare parallel capacity shrank and bandwidth-heavy entries are
+    * the ones inflated. */
+  private def parallelSentinelSec(spark: SparkSession, lanes: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(0 until lanes, lanes).map { s =>
+        var x = 0x9e3779b97f4a7c15L ^ s; var i = 0
+        while (i < 50000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        x
+      }.reduce(_ ^ _)
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); math.min(once(), once()) // warm, then min-of-2
+  }
+
   private def loadAvg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split("\\s+").take(3).mkString(",")
@@ -80,11 +105,15 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(4).max(1)
     val loadStart = loadAvg()
     val sentinelBefore = sentinelSec()
+    val parSentinelBefore = parallelSentinelSec(spark, cpus.toInt)
     val timedRuns = (1 to passes).map(_ => runOnce(timed = true))
     val sentinelAfter = sentinelSec()
+    val parSentinelAfter = parallelSentinelSec(spark, cpus.toInt)
     val loadEnd = loadAvg()
     val telemetry =
-      s""""sentinel_sec_before":$sentinelBefore,"sentinel_sec_after":$sentinelAfter,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
+      s""""sentinel_sec_before":$sentinelBefore,"sentinel_sec_after":$sentinelAfter,""" +
+      s""""par_sentinel_sec_before":$parSentinelBefore,"par_sentinel_sec_after":$parSentinelAfter,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
     val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
       name -> timedRuns.map(_(i)._2).min
     }

@@ -784,6 +784,32 @@ object StreamMonitors {
     * does not grow with the landed corpus. Replay-spec-pinned: a full
     * corpus replay emits exactly the batch entry's verified pairs,
     * symmetrized (each unordered pair once per endpoint). */
+  /** Streaming record linkage at ingest — the stream twin of
+    * [[graft.pipeline.EntityMatch]]: the clean dimension lands once
+    * with its block width FROZEN at index time
+    * ([[graft.pipeline.EntityMatch.blockDigitsFor]] over the dimension
+    * count — a property of the index, like the embedding twin's
+    * modulus); each arriving dirty record derives its block key
+    * ROW-LOCALLY, stream-static equi-joins its ONE block, and emits
+    * every candidate within edit distance ≤ 2. Stateless and
+    * append-mode legal: the BEST-match election is per-record
+    * aggregation, which production runs in the sink's `foreachBatch`
+    * (each record arrives once, so the election is batch-local) — the
+    * candidate relation here is the stream-legal surface, spec-pinned
+    * to the batch path's pre-election candidate set on a full replay. */
+  def ingestEntityMatch(dirty: DataFrame, clean: DataFrame,
+                        digits: Int): DataFrame = {
+    val probes = dirty.selectExpr(
+      "src_id", "variant_class", "dirty_name",
+      s"CAST(c_nationkey AS STRING) || '|' || RIGHT(dirty_name, $digits) AS blk_key")
+    probes.join(clean, Seq("blk_key"))
+      .selectExpr("src_id", "variant_class", "c_custkey AS match_key",
+        "LEVENSHTEIN(LOWER(dirty_name), LOWER(c_name)) AS dist")
+      .where(col("dist") <= 2)
+      .selectExpr("src_id", "variant_class", "match_key",
+        "CAST(dist AS BIGINT) AS edit_distance")
+  }
+
   def ingestEmbeddingDedup(vecs: DataFrame,
                            index: DataFrame, bmod: Int,
                            threshold: Double = 0.30): DataFrame = {

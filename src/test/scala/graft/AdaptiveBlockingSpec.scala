@@ -128,6 +128,47 @@ class AdaptiveBlockingSpec extends SparkSpec {
       s"expected each pair twice (once per probing endpoint): ${out.size} vs 2×${batch.size}")
   }
 
+  test("streaming entity match replays to the batch candidate relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.EntityMatch
+    graft.core.Tables.load(spark, sfDir, "customer")
+      .createOrReplaceTempView("__adap_em_cust")
+    val n = spark.table("__adap_em_cust").count()
+    val digits = EntityMatch.blockDigitsFor(n)
+    val clean = EntityMatch.cleanDf(spark, "__adap_em_cust", digits)
+      .localCheckpoint(true)
+    val dirtyRows = spark.sql(EntityMatch.dirtySql("__adap_em_cust"))
+      .selectExpr("src_id", "c_nationkey", "variant_class", "dirty_name")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    val in = MemoryStream[(Long, Int, Int, String)]
+    val q = graft.streaming.StreamMonitors.ingestEntityMatch(
+        in.toDF().toDF("src_id", "c_nationkey", "variant_class", "dirty_name"),
+        clean, digits)
+      .writeStream.format("memory").queryName("em_stream")
+      .outputMode("append").start()
+    val out = try {
+      in.addData(dirtyRows.take(dirtyRows.size / 2): _*); q.processAllAvailable()
+      in.addData(dirtyRows.drop(dirtyRows.size / 2): _*); q.processAllAvailable()
+      spark.table("em_stream")
+        .as[(Long, Int, Long, Long)].collect().toSeq
+    } finally q.stop()
+    // the batch path's pre-election candidate set, same frozen width
+    val batch = EntityMatch.dirtyDf(spark, "__adap_em_cust", digits)
+      .join(clean, Seq("blk_key"))
+      .selectExpr("src_id", "variant_class", "c_custkey",
+        "CAST(LEVENSHTEIN(LOWER(dirty_name), LOWER(c_name)) AS BIGINT) AS d")
+      .where("d <= 2")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.toSet == batch.toSet && out.size == batch.size,
+      s"stream candidates ${out.size} != batch ${batch.size}")
+    // every dirty record's true match is among the streamed candidates
+    assert(dirtyRows.map(_._1).forall(id => out.exists(c => c._1 == id && c._3 == id)),
+      "a true match fell out of the streamed candidate set")
+  }
+
   test("the 14 AG(3,2) hyperplanes cover every dirty-band triple (exhaustive)") {
     // dropped set of plane (a,b) = bands x with parity(a&x) == b; the
     // cover guarantee needs every ≤3-subset of {0..7} inside some

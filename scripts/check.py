@@ -1,9 +1,13 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate: run graft.Verify output
 against the DuckDB oracle. Usage:
-    python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+    python3 scripts/check.py [--json <path>] <sfDir> <verifyOutDir> [query ...]
 Compares per-query: column names (sorted), row count, and cell values
-(rows sorted canonically). Prints PASS/FAIL per query. Not part of the
+(rows sorted canonically). Prints PASS/FAIL per query. With --json,
+also writes the per-query record in the driver artifact's shape
+(rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) so the
+round's correctness result is committed IN-REPO (CORRECTNESS_local.json)
+instead of depending on the driver's artifact pipeline. Not part of the
 Scala library — dev tooling only (mirrors what the driver does).
 """
 import json
@@ -38,20 +42,33 @@ def table_rows(rows, names):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    json_path = None
+    if argv and argv[0] == "--json":
+        json_path = argv[1]
+        argv = argv[2:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
+    record = {}
+
+    def rec(name, rows_m, schema_m, hash_m, s_n, d_n, err=None):
+        record[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                        "hash_match": hash_m, "spark_rows": s_n,
+                        "oracle_rows": d_n, "err": err}
+
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         pdir = Path(out_dir) / name
         if not pdir.exists():
             print(f"FAIL {name}: no spark output")
+            rec(name, False, False, False, None, None, "no spark output")
             n_fail += 1
             continue
         spark_tbl = pq.read_table(str(pdir))
@@ -63,18 +80,25 @@ def main():
             d_rows = table_rows(res.fetchall(), d_names)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(name, False, False, False, len(s_rows), None,
+                f"oracle error: {e}")
             n_fail += 1
             continue
         if sorted(s_names) != sorted(d_names):
             print(f"FAIL {name}: columns differ\n  spark={sorted(s_names)}\n  duck ={sorted(d_names)}")
+            rec(name, len(s_rows) == len(d_rows), False, False,
+                len(s_rows), len(d_rows))
             n_fail += 1
             continue
         if s_rows == d_rows:
             print(f"PASS {name} ({len(s_rows)} rows)")
+            rec(name, True, True, True, len(s_rows), len(d_rows))
             n_pass += 1
         else:
             n_fail += 1
             print(f"FAIL {name}: values differ (spark {len(s_rows)} rows, duck {len(d_rows)} rows)")
+            rec(name, len(s_rows) == len(d_rows), True, False,
+                len(s_rows), len(d_rows))
             names_sorted = sorted(s_names)
             shown = 0
             for i in range(min(len(s_rows), len(d_rows))):
@@ -83,6 +107,8 @@ def main():
                     for j, cn in enumerate(names_sorted):
                         if s_rows[i][j] != d_rows[i][j]:
                             print(f"    row{i} {cn}: spark={s_rows[i][j]!r} duck={d_rows[i][j]!r}")
+    if json_path:
+        Path(json_path).write_text(json.dumps(record, indent=2) + "\n")
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

@@ -41,8 +41,11 @@ SPARK_GRAFT_CPUS=8 java -Xmx12g \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR" 2>/dev/null | grep -i fail || true
 
-echo "== gate 3/5: oracle value compare"
-if python3 scripts/check.py "$SF_DIR" "$OUT_DIR" 2>&1 | tail -3 | tee /tmp/gate_check.txt; then
+echo "== gate 3/5: oracle value compare (persists CORRECTNESS_local.json)"
+# --json writes the per-query verdicts in the driver artifact's shape;
+# r13's driver artifact came back empty, so the repo commits its own
+# (VERDICT r13 #1). Commit the refreshed file with the closing docs.
+if python3 scripts/check.py --json CORRECTNESS_local.json "$SF_DIR" "$OUT_DIR" 2>&1 | tail -3 | tee /tmp/gate_check.txt; then
   SUMMARY+="oracle compare: $(tail -1 /tmp/gate_check.txt)\n"
 else
   echo "GATE FAIL: oracle compare"; exit 1
@@ -56,13 +59,19 @@ else
 fi
 
 echo "== gate 5/5: working tree clean (round artifacts committed)"
-DIRTY="$(git status --porcelain)"
+# CORRECTNESS_local.json is exempt: gate 3 just regenerated it from THIS
+# tree, so it is never stale last-minute work — it is the artifact the
+# closing commit must include. Everything else dirty still fails.
+DIRTY="$(git status --porcelain | grep -v ' CORRECTNESS_local\.json$' || true)"
 if [ -n "$DIRTY" ]; then
   echo "$DIRTY"
   echo "GATE FAIL: untracked/modified files — commit round artifacts first"
   exit 1
 fi
-SUMMARY+="working tree: clean\n"
+if [ -n "$(git status --porcelain CORRECTNESS_local.json)" ]; then
+  echo "NOTE: commit the regenerated CORRECTNESS_local.json with the closing docs."
+fi
+SUMMARY+="working tree: clean (CORRECTNESS_local.json regenerated — commit it)\n"
 
 echo
 echo "== GATE GREEN — paste into the snapshot commit message:"

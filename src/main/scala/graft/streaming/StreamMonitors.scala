@@ -770,20 +770,6 @@ object StreamMonitors {
       }
   }
 
-  /** Streaming embedding dedup at ingest — the stream twin of
-    * [[graft.pipeline.Dedup.runEmbeddingLsh]] and the incremental
-    * companion of [[ingestDedupIncremental]] for the vector modality:
-    * the landed corpus index ([[graft.pipeline.Dedup.embeddingIndex]])
-    * carries (bucket, vector, norm) with the adaptive modulus FROZEN at
-    * index time; each arriving vector buckets ROW-LOCALLY with the
-    * index's modulus (one native bucket call + MOD — no election, no
-    * state), stream-static equi-joins its ONE bucket of the index, and
-    * gates on exact cosine. Stateless and append-mode legal at any
-    * rate; per-probe candidate work is bucket-occupancy-bounded by the
-    * same adaptive election the batch path ships, so the per-row cost
-    * does not grow with the landed corpus. Replay-spec-pinned: a full
-    * corpus replay emits exactly the batch entry's verified pairs,
-    * symmetrized (each unordered pair once per endpoint). */
   /** Streaming record linkage at ingest — the stream twin of
     * [[graft.pipeline.EntityMatch]]: the clean dimension lands once
     * with its block width FROZEN at index time
@@ -810,6 +796,20 @@ object StreamMonitors {
         "CAST(dist AS BIGINT) AS edit_distance")
   }
 
+  /** Streaming embedding dedup at ingest — the stream twin of
+    * [[graft.pipeline.Dedup.runEmbeddingLsh]] and the incremental
+    * companion of [[ingestDedupIncremental]] for the vector modality:
+    * the landed corpus index ([[graft.pipeline.Dedup.embeddingIndex]])
+    * carries (bucket, vector, norm) with the adaptive modulus FROZEN at
+    * index time; each arriving vector buckets ROW-LOCALLY with the
+    * index's modulus (one native bucket call + MOD — no election, no
+    * state), stream-static equi-joins its ONE bucket of the index, and
+    * gates on exact cosine. Stateless and append-mode legal at any
+    * rate; per-probe candidate work is bucket-occupancy-bounded by the
+    * same adaptive election the batch path ships, so the per-row cost
+    * does not grow with the landed corpus. Replay-spec-pinned: a full
+    * corpus replay emits exactly the batch entry's verified pairs,
+    * symmetrized (each unordered pair once per endpoint). */
   def ingestEmbeddingDedup(vecs: DataFrame,
                            index: DataFrame, bmod: Int,
                            threshold: Double = 0.30): DataFrame = {

@@ -307,21 +307,54 @@ object BpeMerges {
     b.result()
   }
 
+  /** Hard bound on the collected census: the driver never holds more
+    * than this many (word, count) rows, whatever the corpus. 2^22 rows
+    * (~hundreds of MB with symbol vectors) is far above any real BPE
+    * vocabulary — standard trainers cap the word census well below
+    * this — but it converts the collect from corpus-dependent to
+    * bounded-by-construction, like every other driver collect in the
+    * engine (≤1024-bucket histograms, 1-row elections, k-row heaps). */
+  val CensusTopV: Int = 1 << 22
+
   /** The training loop over any (doc_id, text) relation — split out so
     * specs can train on inline fixtures. ONE Spark job (the census
     * scan/collect); the merge loop is pure driver-local Scala. Returns
-    * the merge table and the FINAL symbol relation's view name. */
+    * the merge table and the FINAL symbol relation's view name.
+    *
+    * BOUNDED census: the collect keeps only words with
+    * `COUNT(*) >= minCount`, top-[[CensusTopV]] by (count DESC, word) —
+    * a TakeOrderedAndProject (k-row heap per task + driver merge, no
+    * global sort), so driver memory is capped at any corpus size.
+    * Exactness boundary: below both bounds (every word kept) the merge
+    * table is bit-identical to the full-census election — the fixture
+    * path, where the oracle's unrolled SQL training sees the identical
+    * census. Above them it is the standard BPE min-count approximation:
+    * a dropped word of length L and count c < minCount removes at most
+    * c·(L-1) < minCount·(L-1) from any pair's electorate, so merges
+    * whose winning margin exceeds the dropped mass are unchanged —
+    * hapax web-text noise (typos, URLs, hex ids) cannot outvote any
+    * repeated pair, which is why production BPE trainers floor the
+    * census as a matter of course. */
+  /** The bounded census statement the trainer collects — floor + top-V
+    * as ORDER BY/LIMIT so Spark plans a TakeOrderedAndProject (k-row
+    * heap per task + driver merge, never a global sort; spec-asserted). */
+  private[graft] def censusSql(table: String, minCount: Long): String =
+    s"""WITH words AS (
+       |  ${SparkDialect.wordsRel(table, "doc_id", "text")}
+       |)
+       |SELECT word, CAST(COUNT(*) AS BIGINT) AS wct
+       |  FROM words GROUP BY word
+       |HAVING COUNT(*) >= $minCount
+       | ORDER BY wct DESC, word
+       | LIMIT $CensusTopV""".stripMargin
+
   private[graft] def trainOnRel(spark: SparkSession, table: String,
-                                steps: Int): (DataFrame, String) = {
+                                steps: Int,
+                                minCount: Long = 1L): (DataFrame, String) = {
     import spark.implicits._
-    // One corpus scan: collect the vocabulary-bounded word census.
+    // One corpus scan: collect the bounded word census (floor + top-V).
     var census: Array[(String, Long, Vector[String])] =
-      spark.sql(
-        s"""WITH words AS (
-           |  ${SparkDialect.wordsRel(table, "doc_id", "text")}
-           |)
-           |SELECT word, CAST(COUNT(*) AS BIGINT) AS wct
-           |  FROM words GROUP BY word""".stripMargin)
+      spark.sql(censusSql(table, minCount))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), codepoints(r.getString(0))))
     val merges =
@@ -371,8 +404,8 @@ object BpeMerges {
   }
 
   private[graft] def trainOn(spark: SparkSession, table: String,
-                             steps: Int): DataFrame =
-    trainOnRel(spark, table, steps)._1
+                             steps: Int, minCount: Long = 1L): DataFrame =
+    trainOnRel(spark, table, steps, minCount)._1
 
   def duckTrainSql(): String = trainSql("documents")(DuckDialect)
 

@@ -140,6 +140,57 @@ class BpeTrainSpec extends SparkSpec {
       s"per-merge Spark jobs detected: $j2 jobs at 2 merges vs $j300 at 300")
   }
 
+  test("bpe census bound: floor=1 -> 2 leaves the merge table unchanged when counts allow") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same planted census as the hand-computed test: every word repeats
+    // (aaab x3, aab x2, cd x5), so a minCount=2 floor drops nothing and
+    // the election is bit-identical — the exactness boundary from below.
+    Seq((1L, "aaab aab cd cd"), (2L, "aaab aab cd cd"), (3L, "aaab cd"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__bpe_floor_fix")
+    val at1 = graft.pipeline.BpeMerges.trainOn(spark, "__bpe_floor_fix", 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val at2 = graft.pipeline.BpeMerges
+      .trainOn(spark, "__bpe_floor_fix", 8, minCount = 2L)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(at1 == at2, s"floor changed an all-repeated census: $at1 vs $at2")
+    // note "aaab" appears 3x but "aab" only 2x — counts straddle the
+    // floor without crossing it, so this is not a trivial fixture.
+    assert(at1.nonEmpty)
+  }
+
+  test("bpe census bound: a hapax word cannot outvote repeated pairs at floor=2") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "zzzzzz" is a hapax with 5 (z,z) slots — at floor=1 it WINS the
+    // first election (5 > 3); at floor=2 it is census-dropped and the
+    // repeated corpus elects (x,y). This is the documented exactness
+    // boundary: the floor is an approximation exactly when hapax mass
+    // could win, which is the web-noise case the bound exists for.
+    Seq((1L, "xy xy"), (2L, "xy zzzzzz"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__bpe_hapax_fix")
+    val at1 = graft.pipeline.BpeMerges.trainOn(spark, "__bpe_hapax_fix", 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val at2 = graft.pipeline.BpeMerges
+      .trainOn(spark, "__bpe_hapax_fix", 1, minCount = 2L)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(at1 == Seq((1, "z", "z", "zz", 5L)), s"floor=1 drifted: $at1")
+    assert(at2 == Seq((1, "x", "y", "xy", 3L)), s"floor=2 drifted: $at2")
+  }
+
+  test("bpe census bound: the collect plans as TakeOrderedAndProject, never a global sort") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "alpha beta beta")).toDF("doc_id", "text")
+      .createOrReplaceTempView("__bpe_plan_fix")
+    val plan = spark.sql(
+      graft.pipeline.BpeMerges.censusSql("__bpe_plan_fix", 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"census bound must be a k-row heap, got:\n$plan")
+    assert(!plan.contains("Sort ["), s"global sort in the census plan:\n$plan")
+  }
+
   test("bpe train: a 1000-merge budget trains driver-locally") {
     val spark2 = spark
     import spark2.implicits._

@@ -153,19 +153,65 @@ object Dedup {
        |$interCte
        |${jaccardBody("inter", "sizes", threshold)}""".stripMargin
 
-  /** The 12 md5-seeded min-hash signatures per doc. */
-  def minhashSigsSql(shfRel: String): String = {
-    val mins = (0 until 12)
+  /** ADAPTIVE minhash band geometry — the last fixed-resolution
+    * blocking shape after round 13b: (rows-per-band, band-count)
+    * elected from the corpus size the way
+    * [[graft.pipeline.Similarity.adaptiveModFor]] elects LSH planes.
+    * Why rows-per-band must grow with N: a band is an r-way AND, so an
+    * unrelated pair with background signature agreement s₀ collides a
+    * given band with probability s₀^r — FIXED r means false-candidate
+    * mass ~ N²·b·s₀^r grows quadratically, exactly the trap the sf10
+    * curve flagged for the fixed-plane family. Each ladder rung adds
+    * one row per band per ×64 corpus growth (designed for background
+    * agreement s₀ ≤ 1/64 ≈ 0.016 — unrelated web docs share far less),
+    * holding false-candidate mass per doc ~constant. The band COUNT
+    * grows alongside so the S-curve midpoint (1/b)^(1/r) stays at the
+    * 0.5-threshold design point ≈ 0.63: (3,4)→0.630, (4,6)→0.639,
+    * (5,10)→0.631 — the election changes the false-candidate bound,
+    * not the threshold semantics. Signature cost grows r·b (12→24→50
+    * hashes) — one linear scan; the candidate join is the quadratic
+    * risk the ladder retires. Election is pure integer comparisons,
+    * spec-pinned bit-identical across the SQL and driver renderings. */
+  val BandLadder: Seq[((Int, Int), Long)] =
+    Seq(((3, 4), 1L << 18), ((4, 6), 1L << 24))
+  val BandLadderTop: (Int, Int) = (5, 10)
+
+  /** Driver-side election (the engine's form). */
+  def bandGeometryFor(n: Long): (Int, Int) =
+    BandLadder.find(n <= _._2).map(_._1).getOrElse(BandLadderTop)
+
+  /** SQL-side election of rows-per-band (the oracle's form) —
+    * spec-pinned equal to [[bandGeometryFor]]._1 across boundaries. */
+  def bandRowsCase(nExpr: String): String =
+    BandLadder.map { case ((r, _), maxN) =>
+      s"WHEN $nExpr <= $maxN THEN $r"
+    }.mkString("CASE ", " ", s" ELSE ${BandLadderTop._1} END")
+
+  /** SQL-side election of the band count — spec-pinned equal to
+    * [[bandGeometryFor]]._2 across boundaries. */
+  def bandCountCase(nExpr: String): String =
+    BandLadder.map { case ((_, b), maxN) =>
+      s"WHEN $nExpr <= $maxN THEN $b"
+    }.mkString("CASE ", " ", s" ELSE ${BandLadderTop._2} END")
+
+  /** The r·b md5-seeded min-hash signatures per doc. */
+  def minhashSigsSql(shfRel: String, nHashes: Int = 12): String = {
+    val mins = (0 until nHashes)
       .map(i => s"MIN(MD5('s$i:' || shingle)) AS m$i").mkString(",\n       ")
     s"""SELECT id, $mins
        |  FROM $shfRel GROUP BY id""".stripMargin
   }
 
   /** The band-bucket candidate CTEs alone — `bands`, `cands` — shared by
-    * the minhash entry and the duplicate-cluster edge builder. */
-  private def minhashCandsCtes(sigsRel: String): String = {
-    val bandSize = 3
-    val bands = (0 until 12 / bandSize).map { b =>
+    * the minhash entry and the duplicate-cluster edge builder. Geometry
+    * defaults to the rung-0 (3 rows × 4 bands) design point — the
+    * oracle's rendering and the elected engine geometry at every
+    * fixture scale; the engine passes [[bandGeometryFor]]'s election
+    * above rung 0. */
+  private def minhashCandsCtes(sigsRel: String,
+                               geom: (Int, Int) = (3, 4)): String = {
+    val (bandSize, nBands) = geom
+    val bands = (0 until nBands).map { b =>
       val cols = (0 until bandSize).map(j => s"m${b * bandSize + j}").mkString(" || ")
       s"SELECT id, $b AS band, MD5($cols) AS bucket FROM $sigsRel"
     }.mkString("\n  UNION ALL\n  ")
@@ -179,21 +225,23 @@ object Dedup {
        |)""".stripMargin
   }
 
-  /** 12 min-hashes banded 4×3; candidates verified with true Jaccard
+  /** r·b min-hashes banded b×r; candidates verified with true Jaccard
     * computed ONLY for candidate pairs (never the all-pairs co-shingle
     * intersection — that would defeat the LSH bound banding exists for). */
   private def minhashBody(sigsRel: String, shfRel: String, sizesRel: String,
-                          threshold: Double): String =
-    s"""${minhashCandsCtes(sigsRel)},
+                          threshold: Double,
+                          geom: (Int, Int) = (3, 4)): String =
+    s"""${minhashCandsCtes(sigsRel, geom)},
        |${candInterCte(shfRel)}
        |${jaccardBody("cinter", sizesRel, threshold)}""".stripMargin
 
-  def minhashSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+  def minhashSql(table: String, threshold: Double = 0.5,
+                 geom: (Int, Int) = (3, 4))(d: Dialect): String =
     s"""WITH ${shinglesCte(d, table)},
        |sigs AS (
-       |${minhashSigsSql("shf")}
+       |${minhashSigsSql("shf", geom._1 * geom._2)}
        |),
-       |${minhashBody("sigs", "shf", "sizes", threshold)}""".stripMargin
+       |${minhashBody("sigs", "shf", "sizes", threshold, geom)}""".stripMargin
 
   /** 32-bit simhash from word-md5 hex-digit parities.
     *
@@ -369,6 +417,11 @@ object Dedup {
           if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
             println(f"DEDUPMAT $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
+        // band geometry elected ONCE from the corpus count (one cheap
+        // count job on the docs view), frozen alongside the signature
+        // relation it sized — every band consumer reads the SAME rungs
+        val geom = bandGeometryFor(spark.table(docs).count())
+        graft.core.SessionCache.getOrElseUpdate(spark, "dedup_band_geom", k)(geom)
         // sh first: the row-local shingle projection runs ONCE; the
         // hot-shingle filter then reads the persisted sh twice cheaply.
         mat(s"__graft_sh_$k", shinglesSparkSql(docs))
@@ -379,10 +432,15 @@ object Dedup {
              |  ON s.shingle = ok.shingle""".stripMargin)
         mat(s"__graft_sizes_$k",
           s"SELECT id, COUNT(*) AS sz FROM __graft_shf_$k GROUP BY id")
-        mat(s"__graft_minhash_sigs_$k", minhashSigsSql(s"__graft_shf_$k"))
+        mat(s"__graft_minhash_sigs_$k",
+          minhashSigsSql(s"__graft_shf_$k", geom._1 * geom._2))
         k
       }
     }
+
+  /** The band geometry frozen with generation `k`'s signature relation. */
+  private def bandGeomOf(spark: SparkSession, k: Int): (Int, Int) =
+    graft.core.SessionCache.getOrElseUpdate(spark, "dedup_band_geom", k)((3, 4))
 
   // The full pairwise intersection is the quadratic relation; only plain
   // Jaccard pays for it, and only on first use (minhash never touches it).
@@ -429,15 +487,16 @@ object Dedup {
     * LSH-recall harness will show. Reads only landed relations
     * (signatures, candidate intersections, sizes) — zero corpus passes. */
   private def minhashCalibrationBody(sigsRel: String, cinterRel: String,
-                                     sizesRel: String): String = {
-    val matched = (0 until 12)
+                                     sizesRel: String,
+                                     nHashes: Int = 12): String = {
+    val matched = (0 until nHashes)
       .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""SELECT c.doc_a, c.doc_b,
-       |       CAST(ROUND(($matched) / 12.0, 4) AS DOUBLE) AS est_jaccard,
+       |       CAST(ROUND(($matched) / $nHashes.0, 4) AS DOUBLE) AS est_jaccard,
        |       CAST(ROUND(CAST(c.ict AS DOUBLE)
        |                  / (sa.sz + sb.sz - c.ict), 4) AS DOUBLE) AS true_jaccard,
-       |       CAST(ROUND(($matched) / 12.0
+       |       CAST(ROUND(($matched) / $nHashes.0
        |                  - CAST(c.ict AS DOUBLE) / (sa.sz + sb.sz - c.ict), 4)
        |            AS DOUBLE) AS est_err
        |  FROM $cinterRel c
@@ -460,8 +519,10 @@ object Dedup {
   def runMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val k = registerShingleRels(spark, dir)
     registerCandInterRel(spark, k)
+    val (r, b) = bandGeomOf(spark, k)
     spark.sql(minhashCalibrationBody(
-      s"__graft_minhash_sigs_$k", s"__graft_cinter_$k", s"__graft_sizes_$k"))
+      s"__graft_minhash_sigs_$k", s"__graft_cinter_$k", s"__graft_sizes_$k",
+      nHashes = r * b))
   }
 
   /** Dedup thresholds the sweep reports — the banding design point
@@ -611,7 +672,8 @@ object Dedup {
   private def registerCandInterRel(spark: SparkSession, k: Int): Unit =
     graft.core.SessionCache.getOrElseUpdate(spark, "dedup_cinter", k) {
       val cands = spark.sql(
-        s"""WITH ${minhashCandsCtes(s"__graft_minhash_sigs_$k")}
+        s"""WITH ${minhashCandsCtes(s"__graft_minhash_sigs_$k",
+                                    bandGeomOf(spark, k))}
            |SELECT * FROM cands""".stripMargin)
         .localCheckpoint(eager = true)
       cands.createOrReplaceTempView(s"__graft_cands_$k")
@@ -1460,8 +1522,9 @@ object Dedup {
     * semantics pick representatives the same way: group + MIN). */
   /** CTE list ending in the symmetric `edges(src, dst)` relation. */
   private def clusterEdgeCtes(table: String, sigsRel: String, shfRel: String,
-                              sizesRel: String, threshold: Double): String =
-    s"""${minhashCandsCtes(sigsRel)},
+                              sizesRel: String, threshold: Double,
+                              geom: (Int, Int) = (3, 4)): String =
+    s"""${minhashCandsCtes(sigsRel, geom)},
        |${candInterCte(shfRel)},
        |mh AS (
        |  SELECT doc_a, doc_b FROM (${jaccardBody("cinter", sizesRel, threshold)}) j
@@ -1594,7 +1657,8 @@ object Dedup {
     val docs = register(spark, dir)
     spark.sql(
       s"""WITH ${clusterEdgeCtes(docs, s"__graft_minhash_sigs_$k",
-                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)}
+                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5,
+                                 bandGeomOf(spark, k))}
          |SELECT src, dst FROM edges""".stripMargin)
   }
 
@@ -1680,7 +1744,8 @@ object Dedup {
     val docs = register(spark, dir)
     spark.sql(
       s"""WITH ${clusterEdgeCtes(docs, s"__graft_minhash_sigs_$k",
-                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5)},
+                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5,
+                                 bandGeomOf(spark, k))},
          |${sourceMatrixBody(docs)}""".stripMargin)
   }
 
@@ -1729,8 +1794,9 @@ object Dedup {
     * this harness runs on a sampled slice instead). Rounding runs in
     * integer arithmetic so both engines agree at the 4th decimal. */
   def lshRecallBody(interRel: String, sizesRel: String, sigsRel: String,
-                    threshold: Double)(d: Dialect): String =
-    s"""WITH ${minhashCandsCtes(sigsRel)},
+                    threshold: Double, geom: (Int, Int) = (3, 4))
+                   (d: Dialect): String =
+    s"""WITH ${minhashCandsCtes(sigsRel, geom)},
        |truth AS (
        |  SELECT i.doc_a, i.doc_b
        |    FROM $interRel i
@@ -1758,18 +1824,19 @@ object Dedup {
        |       END AS cand_precision
        |  FROM counts""".stripMargin
 
-  def lshRecallSql(table: String, threshold: Double = 0.5)(d: Dialect): String =
+  def lshRecallSql(table: String, threshold: Double = 0.5,
+                   geom: (Int, Int) = (3, 4))(d: Dialect): String =
     s"""WITH ${shinglesCte(d, table)},
        |$interCte,
        |sigs AS (
-       |${minhashSigsSql("shf")}
+       |${minhashSigsSql("shf", geom._1 * geom._2)}
        |),
-       |${lshRecallBody("inter", "sizes", "sigs", threshold)(d).stripPrefix("WITH ")}""".stripMargin
+       |${lshRecallBody("inter", "sizes", "sigs", threshold, geom)(d).stripPrefix("WITH ")}""".stripMargin
 
   def runLshRecall(spark: SparkSession, dir: String): DataFrame = {
     val k = registerShingleRels(spark, dir)
     registerInterRel(spark, k)
     spark.sql(lshRecallBody(s"__graft_inter_$k", s"__graft_sizes_$k",
-      s"__graft_minhash_sigs_$k", 0.5)(SparkDialect))
+      s"__graft_minhash_sigs_$k", 0.5, bandGeomOf(spark, k))(SparkDialect))
   }
 }

@@ -62,6 +62,62 @@ class AdaptiveBlockingSpec extends SparkSpec {
     assert(EntityMatch.blockDigitsFor(8000000001L) == 9, "cap at the digit tail")
   }
 
+  test("minhash band geometry: SQL CASE == driver rule across the boundaries") {
+    import graft.pipeline.Dedup
+    val probes = Seq[Long](0, 1, 500, 5000, 50000, 1L << 18, (1L << 18) + 1,
+      500000, 1L << 24, (1L << 24) + 1, 1L << 30, Long.MaxValue / 4)
+    val cases = probes.map { n =>
+      s"SELECT CAST($n AS BIGINT) AS n, ${Dedup.bandRowsCase(n.toString)} AS r, ${Dedup.bandCountCase(n.toString)} AS b"
+    }.mkString(" UNION ALL ")
+    val got = spark.sql(cases).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    probes.foreach { n =>
+      assert(got(n) == Dedup.bandGeometryFor(n),
+        s"n=$n SQL elected ${got(n)}, driver rule says ${Dedup.bandGeometryFor(n)}")
+    }
+    // fixture scales stay at the rung-0 design point (the oracle's form)
+    assert(Dedup.bandGeometryFor(500) == ((3, 4)), "oracle-scale geometry unchanged")
+    assert(Dedup.bandGeometryFor(50000) == ((3, 4)), "sf1-scale geometry unchanged")
+    assert(Dedup.bandGeometryFor(500000) == ((4, 6)), "sf10 elects rung 1")
+    assert(Dedup.bandGeometryFor(1L << 30) == ((5, 10)), "web scale elects the top rung")
+    // every rung preserves the S-curve midpoint (1/b)^(1/r) within 2%
+    // of the 0.5-threshold design point
+    (Dedup.BandLadder.map(_._1) :+ Dedup.BandLadderTop).foreach { case (r, b) =>
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - 0.63) < 0.02, s"rung ($r,$b) midpoint $mid drifted")
+    }
+  }
+
+  test("minhash at a forced higher rung: verified pairs stay within truth, recall measured") {
+    import graft.pipeline.Dedup
+    import graft.oracle.SparkDialect
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__adap_mh_docs")
+    // truth = the exact-Jaccard pair relation (geometry-free)
+    val truth = spark.sql(Dedup.jaccardSql("__adap_mh_docs")(SparkDialect))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairsAt(geom: (Int, Int)): Set[(Long, Long)] =
+      spark.sql(Dedup.minhashSql("__adap_mh_docs", 0.5, geom)(SparkDialect))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rung0 = pairsAt((3, 4))
+    val rung1 = pairsAt((4, 6))
+    // the verify gate means NO rung can emit a non-truth pair
+    assert(rung0.subsetOf(truth) && rung1.subsetOf(truth),
+      "a banded candidate passed verification but is not a true pair")
+    // recall holds at the deeper rung on the fixture: the wider-band
+    // AND is compensated by more bands (the S-curve midpoint is pinned)
+    val recall0 = if (truth.isEmpty) 1.0 else rung0.size.toDouble / truth.size
+    val recall1 = if (truth.isEmpty) 1.0 else rung1.size.toDouble / truth.size
+    assert(truth.nonEmpty, "fixture must plant true near-dup pairs")
+    assert(recall1 >= recall0 - 0.1,
+      s"rung-1 recall $recall1 collapsed vs rung-0 $recall0")
+    // and the harness itself reports the same numbers (same geometry)
+    val rep = spark.sql(Dedup.lshRecallSql("__adap_mh_docs", 0.5, (4, 6))(SparkDialect))
+      .collect().head
+    assert(rep.getLong(0) == truth.size.toLong,
+      "recall harness truth count drifted from the exact pair relation")
+  }
+
   test("LSH stack: marginal yield per table is consistent and cumulative counts are monotone") {
     val rows = graft.pipeline.Dedup.runEmbeddingStack(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

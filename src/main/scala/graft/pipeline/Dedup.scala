@@ -728,8 +728,16 @@ object Dedup {
     * and each pair join is bucket-local, ~1/2^nPlanes of the quadratic.
     * Sign-LSH buckets are cosine-aware, so true near-duplicates
     * (cosine -> 1) land in the same bucket with probability
-    * (1 - theta/pi)^nPlanes — the standard hamming-cosine guarantee;
-    * production recall stacks multiple independent bucket tables. */
+    * (1 - theta/pi)^nPlanes — the standard hamming-cosine guarantee.
+    * RECALL at the elected np: the adaptive election trades pair-split
+    * probability 1-(1-θ/π)^np for pinned occupancy — a DEDUP miss
+    * costs storage, not safety, so this entry ships single-table and
+    * the repo measures the split rate as data (`dedup_embedding_stack`
+    * reports cumulative/marginal verified-pair yield per added table
+    * on this very corpus). Recall-critical consumers take the shipped
+    * stacked form instead: [[decontaminateSemanticSql]] runs
+    * [[DecontamTables]] disjoint-plane tables, and
+    * [[embeddingStackBody]] is the reusable R-table candidate builder. */
   // Fixture threshold 0.30 (vs the labeled path's 0.40): within-bucket
   // cosine on the random synthetic corpus tops out ~0.40, so 0.30
   // surfaces a real candidate set through the gate; production near-dup
@@ -1002,7 +1010,8 @@ object Dedup {
         .localCheckpoint(eager = true).createOrReplaceTempView(name)
       name
     }
-    val bmod = Similarity.adaptiveModFor(n, occ = 8, maxP = StackPlanesPerTable)
+    val bmod = Similarity.adaptiveModForWarn(n, occ = 8, minP = 8,
+      maxP = StackPlanesPerTable, what = "dedup_embedding_stack")
     spark.sql(s"WITH ${embeddingStackBody(pv, bmod.toString, 0.30)(SparkDialect)}")
   }
 
@@ -1044,58 +1053,84 @@ object Dedup {
     * Fewer planes than the dedup path (4 vs 8): decontamination is
     * recall-critical — a missed leak poisons the benchmark, a spurious
     * candidate merely costs one exact-cosine check — so the bucket
-    * gate is twice as permissive and production stacks several
-    * independent bucket tables on top.
+    * gate is twice as permissive AND the shipped entry runs the full
+    * (np, R) stack: [[DecontamTables]] independent bucket tables, each
+    * keyed by a DISJOINT [[DecontamPlanesPerTable]]-plane range of the
+    * one native [[graft.pipeline.Similarity.AdaptiveMaxPlanes]]-plane
+    * bucket (plane bits are independent Bernoulli draws, so disjoint
+    * ranges ARE independent hash tables). A near-dup pair at angle θ
+    * splits ONE table with probability 1-(1-θ/π)^np; with R tables the
+    * MISS probability is that quantity to the R-th power — at np=4,
+    * θ/π=0.2 that is 0.59 → 0.20, the difference between a dedup
+    * convenience and a contamination-safety gate.
     *
     * Scale shape: the eval side is benchmark-sized (broadcast); the
-    * training corpus shuffles ZERO times — each row computes its
-    * bucket, probes the broadcast eval buckets, and only colliding
-    * rows reach the cosine. Fixture threshold 0.25, same adjudication
-    * as the 0.30/0.40 embedding-dedup entries (production 0.9+). */
+    * training corpus shuffles ZERO times — each row computes its one
+    * native bucket, probes the broadcast eval keys R times (R
+    * broadcast joins over the same scan), and only colliding rows
+    * reach the cosine; the GROUP BY dedups candidates surfaced by
+    * more than one table. Per-table np caps at
+    * [[DecontamPlanesPerTable]] (the disjoint ranges must fit the
+    * IntegerType bucket) — the engine path WARNS when the corpus
+    * exhausts that cap ([[graft.pipeline.Similarity.adaptiveModForWarn]]).
+    * Fixture threshold 0.25, same adjudication as the 0.30/0.40
+    * embedding-dedup entries (production 0.9+). */
+  val DecontamTables = 3
+  val DecontamPlanesPerTable = 8
+
   def decontaminateSemanticSql(table: String, threshold: Double = 0.25,
                                minPlanes: Int = 4, dim: Int = 64,
-                               nOverride: Option[Long] = None)
+                               nOverride: Option[Long] = None,
+                               tables: Int = DecontamTables)
                               (d: Dialect): String = {
-    // ADAPTIVE plane count, recall-biased floor: the eval side is
-    // FIXED-size in production, so with a fixed plane count candidates
-    // grow ~N·E/2^np — linear in the corpus but paying the full eval
-    // fan-out per bucket; scaling np with log2(N) (occ=32 keeps the
-    // oracle-scale election at the recall-biased 4-plane floor) pins
-    // per-bucket occupancy so the probe side of the broadcast join
-    // stays bucket-thin at any corpus size. Engine: driver-counted
-    // literal; oracle: SQL election, same spec-pinned rule.
+    // ADAPTIVE per-table plane count, recall-biased floor: occ=32 keeps
+    // the oracle-scale election at the permissive 4-plane floor and
+    // climbs with log2(N) to the 8-plane range cap. Engine:
+    // driver-counted literal; oracle: SQL election, same rule.
     val bucket = Similarity.bucketExpr("embedding", Similarity.AdaptiveMaxPlanes, dim)(d)
     val bmod = nOverride
-      .map(n => Similarity.adaptiveModFor(n, occ = 32, minP = minPlanes).toString)
+      .map(n => Similarity.adaptiveModFor(n, occ = 32, minP = minPlanes,
+        maxP = DecontamPlanesPerTable).toString)
       .getOrElse("(SELECT bmod FROM nb)")
     val nbCte = if (nOverride.isDefined) ""
-      else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 32, minP = minPlanes)}\n),\n"
+      else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 32,
+        minP = minPlanes, maxP = DecontamPlanesPerTable)}\n),\n"
+    val branches = (0 until tables).map { r =>
+      val shift = 1L << (DecontamPlanesPerTable * r)
+      def key(side: String) = s"MOD(${d.intDiv(s"$side.b24", shift.toString)}, $bmod)"
+      s"""  SELECT /*+ BROADCAST(e) */ ${r + 1} AS tbl,
+         |         t.vec_id AS train_id, e.vec_id AS eval_id,
+         |         ${d.dotProduct("t.embedding", "e.embedding")}
+         |           / NULLIF(t.nrm * e.nrm, 0) AS cos
+         |    FROM demb t JOIN demb e
+         |      ON ${key("t")} = ${key("e")} AND e.is_eval AND NOT t.is_eval""".stripMargin
+    }.mkString("\n  UNION ALL\n")
     s"""WITH ${nbCte}demb AS (
-       |  SELECT vec_id, MOD($bucket, $bmod) AS bucket, embedding,
+       |  SELECT vec_id, $bucket AS b24, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm,
        |         (vec_id % 41 = 0) AS is_eval
        |    FROM $table
        |),
        |dpairs AS (
-       |  SELECT /*+ BROADCAST(e) */ t.vec_id AS train_id,
-       |         e.vec_id AS eval_id, t.bucket,
-       |         ${d.dotProduct("t.embedding", "e.embedding")}
-       |           / NULLIF(t.nrm * e.nrm, 0) AS cos
-       |    FROM demb t JOIN demb e
-       |      ON t.bucket = e.bucket AND e.is_eval AND NOT t.is_eval
+       |$branches
        |)
-       |SELECT train_id, eval_id, bucket,
-       |       CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
+       |SELECT train_id, eval_id,
+       |       CAST(MIN(tbl) AS INT) AS first_tbl,
+       |       CAST(ROUND(MAX(cos), 4) AS DOUBLE) AS cosine
        |  FROM dpairs
        | WHERE cos >= $threshold
+       | GROUP BY train_id, eval_id
        | ORDER BY train_id, eval_id""".stripMargin
   }
 
   def runDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "embeddings")
       .createOrReplaceTempView("__graft_emb_decon")
+    val n = embCount(spark, dir)
+    Similarity.adaptiveModForWarn(n, occ = 32, minP = 4,
+      maxP = DecontamPlanesPerTable, what = "decontaminate_semantic")
     spark.sql(decontaminateSemanticSql("__graft_emb_decon",
-      nOverride = Some(embCount(spark, dir)))(SparkDialect))
+      nOverride = Some(n))(SparkDialect))
   }
 
   /** Winnowing fingerprint dedup (the MOSS rolling-hash scheme,

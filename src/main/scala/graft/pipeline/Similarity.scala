@@ -271,6 +271,25 @@ object Similarity {
     (minP until maxP).find(p => n <= occ.toLong * (1L << p))
       .map(1 << _).getOrElse(1 << maxP)
 
+  /** [[adaptiveModFor]] with a CLAMP WARNING: call sites whose plane
+    * budget caps `maxP` below [[AdaptiveMaxPlanes]] (the stacked /
+    * decontamination tables, whose R disjoint plane ranges split the
+    * one native bucket) silently re-enter linear occupancy growth once
+    * `n > occ·2^maxP` — the occupancy guarantee is EXHAUSTED, not just
+    * clamped. The engine paths log it so a deployment sees the moment
+    * the LongType-bucket widening (headroom note in
+    * [[graft.pipeline.Dedup.embeddingStackBody]]) stops being optional. */
+  def adaptiveModForWarn(n: Long, occ: Int, minP: Int, maxP: Int,
+                         what: String): Int = {
+    val m = adaptiveModFor(n, occ, minP, maxP)
+    if (n > occ.toLong * (1L << maxP))
+      org.slf4j.LoggerFactory.getLogger("graft.similarity").warn(
+        s"$what: adaptive bucket election clamped at maxP=$maxP for n=$n " +
+        s"(occupancy ~${n / m} > target $occ); candidate joins grow " +
+        "linearly past this point — widen the bucket type or reduce R")
+    m
+  }
+
   /** Planes rendered for the adaptive bucket: `maxP` bits computed once
     * per row (native on the engine side), low bits selected by the
     * elected modulus. 24 planes = 16.7M buckets: occupancy ~8 up to

@@ -145,6 +145,30 @@ class AdaptiveBlockingSpec extends SparkSpec {
       "landed-relation body drifted from the single-statement rendering")
   }
 
+  test("stacked semantic decontamination: R tables strictly contain table 1's pairs") {
+    import graft.pipeline.Dedup
+    import graft.oracle.SparkDialect
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__adap_decon")
+    val n = spark.table("__adap_decon").count()
+    def pairsAt(tables: Int): Set[(Long, Long)] =
+      spark.sql(Dedup.decontaminateSemanticSql("__adap_decon",
+        nOverride = Some(n), tables = tables)(SparkDialect))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairsAt(1)
+    val stacked = pairsAt(Dedup.DecontamTables)
+    // stacking can only ADD leak pairs — that is the recall guarantee
+    // the contamination gate ships with
+    assert(one.subsetOf(stacked),
+      s"stack lost ${(one -- stacked).size} of table 1's pairs")
+    assert(one.nonEmpty, "fixture must surface leak candidates at table 1")
+    assert(stacked.size >= one.size)
+    // the disjoint plane ranges must fit the native IntegerType bucket
+    assert(Dedup.DecontamTables * Dedup.DecontamPlanesPerTable <=
+      graft.pipeline.Similarity.AdaptiveMaxPlanes,
+      "plane ranges overflow the native bucket")
+  }
+
   test("streaming embedding dedup replays to the batch pair relation, symmetrized") {
     val spark2 = spark
     import spark2.implicits._

@@ -722,6 +722,57 @@ object StreamMonitors {
       }
   }
 
+  final case class KsState(ca: Long, cb: Long)
+  final case class KsValueCount(v: Long, ca: Long, cb: Long)
+
+  /** Continuous KS-drift sufficient statistics — the streaming twin of
+    * [[graft.profiling.KsDrift]], closing the drift family's last
+    * batch-only member (PSI, chi-square, and CUSUM already ingest).
+    * The KS statistic's whole input is the value-domain count relation
+    * (per-cents-value class counts — [[graft.profiling.KsDrift.cntSql]]),
+    * which is additive, so it stays current under ingestion with no
+    * re-scan: each micro-batch pre-folds its rows to per-partition
+    * (v, ca, cb) partials (only value-domain rows ever shuffle per
+    * trigger — never the line-item stream), and keyed state per value
+    * adds them in. After any stream prefix the latest emission per
+    * value is BIT-IDENTICAL to the batch count relation over the same
+    * rows (replay-spec-pinned). The sup-statistic itself needs the
+    * cumulative sums — cross-value state — so, exactly like PSI's
+    * smoothed shares and χ²'s marginals, it stays the CONSUMER's
+    * metadata-sized pass over the emitted value domain (the batch
+    * entry's two-level prefix sum, whose phase 1 already reads exactly
+    * this relation). State: two longs per distinct cents value —
+    * price-range-bounded regardless of stream length. */
+  def ingestKsCounts(lineitem: DataFrame): Dataset[KsValueCount] = {
+    import lineitem.sparkSession.implicits._
+    lineitem
+      .selectExpr(
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v",
+        "CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS a")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        it.foreach { case (v, a) =>
+          val (ca, cb) = m.getOrElse(v, (0L, 0L))
+          m(v) = (ca + a, cb + (1L - a))
+        }
+        m.iterator.map { case (v, (ca, cb)) => (v, ca, cb) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KsState, KsValueCount](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (v: Long, partials: Iterator[(Long, Long, Long)],
+         state: GroupState[KsState]) =>
+          val prev = state.getOption.getOrElse(KsState(0L, 0L))
+          val next = partials.foldLeft(prev) { (s, p) =>
+            KsState(s.ca + p._2, s.cb + p._3)
+          }
+          state.update(next)
+          Iterator.single(KsValueCount(v, next.ca, next.cb))
+      }
+  }
+
   final case class ClfState(pos: Long, neg: Long)
   final case class ClfTokenCount(word: String, ct_pos: Long, ct_neg: Long)
 

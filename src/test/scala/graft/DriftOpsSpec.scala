@@ -136,6 +136,53 @@ class DriftOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming ks counts replay bit-identical to the batch value-domain relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("l_extendedprice", "l_returnflag")
+      .as[(Double, String)].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 3)
+    val input = MemoryStream[(Double, String)]
+    val q = graft.streaming.StreamMonitors.ingestKsCounts(
+      input.toDF().toDF("l_extendedprice", "l_returnflag"))
+      .writeStream.format("memory").queryName("ks_stream")
+      .outputMode("append").start()
+    val emitted = try {
+      input.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("ks_stream").as[(Long, Long, Long)].collect()
+    } finally q.stop()
+    // the last emission per value = the running counts after the whole
+    // fixture streamed through; compare with the batch count relation
+    // (the exact input of the batch entry's two-level prefix sum)
+    val last = emitted.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(r => (r._2, r._3)).maxBy(t => t._1 + t._2) }
+    graft.core.Tables.load(spark, sfDir, "lineitem")
+      .createOrReplaceTempView("__ks_twin_li")
+    val batch = spark.sql(graft.profiling.KsDrift.cntSql("__ks_twin_li"))
+      .as[(Long, Long, Long)].collect()
+    assert(last.keySet == batch.map(_._1).toSet)
+    batch.foreach { case (v, ca, cb) =>
+      assert(last(v) == ((ca, cb)), s"value $v counts drifted: ${last(v)}")
+    }
+    // the consumer derives the IDENTICAL KS verdict from the emitted
+    // state: fold the cumulative sums over the value domain and compare
+    // with the batch entry bit-for-bit
+    val entry = graft.profiling.KsDrift.run(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().head
+    var (ca, cb, num) = (0L, 0L, 0L)
+    val na = batch.map(_._2).sum; val nb = batch.map(_._3).sum
+    batch.sortBy(_._1).foreach { case (v, a, b) =>
+      val (sa, sb) = last(v); ca += sa; cb += sb
+      num = math.max(num, math.abs(nb * ca - na * cb))
+    }
+    assert(entry == ((na, nb, num, num * 1000000L / (na * nb))),
+      s"KS verdict not derivable from the stream state: $entry")
+  }
+
   test("streaming chisq counts replay bit-identical to the batch cells") {
     val spark2 = spark
     import spark2.implicits._

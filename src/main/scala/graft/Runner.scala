@@ -296,6 +296,20 @@ object Runner {
         // a whitening/projection pass broadcasts
         land("index", "pca_components",
           graft.pipeline.EmbeddingAlgebra.pcaComponents(spark, dataDir, k = 8))
+        // the adaptive-bucket embedding-dedup index the streaming
+        // probes (ingestEmbeddingDedup) join against: landed here the
+        // same way the session builds it, with the elected modulus
+        // FROZEN beside the rows — a later session (or a streaming
+        // job) reads index + meta and probes with the INDEX's
+        // resolution, never a re-election over its own batch
+        val (embIdx, embBmod) =
+          graft.pipeline.Dedup.embeddingIndex(spark, dataDir)
+        land("index", "embedding_index", embIdx)
+        land("index", "embedding_index_meta", {
+          import spark.implicits._
+          Seq((embBmod, graft.pipeline.Similarity.AdaptiveMaxPlanes))
+            .toDF("bmod", "max_planes")
+        })
         // store health: per landed relation file count / bytes /
         // small-files flag (driver-side fs metadata, no data reads)
         land("index", "store_file_report",

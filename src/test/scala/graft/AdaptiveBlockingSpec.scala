@@ -169,6 +169,31 @@ class AdaptiveBlockingSpec extends SparkSpec {
       "plane ranges overflow the native bucket")
   }
 
+  test("embedding index lands + reads back with its frozen modulus (the Runner index stage's contract)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (index, bmod) = graft.pipeline.Dedup.embeddingIndex(spark, sfDir)
+    // the modulus is the election over the corpus count — a property of
+    // the index, recomputable by any later session from the meta row
+    val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    assert(bmod == graft.pipeline.Similarity.adaptiveModFor(n, occ = 8))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embidx").toString
+    index.write.mode("overwrite").parquet(s"$dir/embedding_index")
+    Seq((bmod, graft.pipeline.Similarity.AdaptiveMaxPlanes))
+      .toDF("bmod", "max_planes")
+      .write.mode("overwrite").parquet(s"$dir/embedding_index_meta")
+    val back = spark.read.parquet(s"$dir/embedding_index")
+    val metaBack = spark.read.parquet(s"$dir/embedding_index_meta")
+      .as[(Int, Int)].collect().head
+    assert(metaBack == ((bmod, graft.pipeline.Similarity.AdaptiveMaxPlanes)))
+    // row-identical round trip: (vec_id, bucket) pairs survive landing
+    val a = index.selectExpr("vec_id", "bucket")
+      .as[(Long, Int)].collect().toSet
+    val b = back.selectExpr("vec_id", "bucket")
+      .as[(Long, Int)].collect().toSet
+    assert(a == b && a.size == n, "landed index drifted from the session index")
+  }
+
   test("streaming embedding dedup replays to the batch pair relation, symmetrized") {
     val spark2 = spark
     import spark2.implicits._

@@ -9,7 +9,7 @@ object Bench {
     * 1.3x between two artifacts, a uniform 1.3x query inflation is the
     * machine, not a regression. Pure integer xorshift mix — no
     * allocation, no JIT-variant branches, deterministic work. */
-  private def sentinelSec(): Double = {
+  private[graft] def sentinelSec(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L; var i = 0
@@ -32,7 +32,7 @@ object Bench {
     * uniform machine swing; parallel sentinel moved alone → the box's
     * spare parallel capacity shrank and bandwidth-heavy entries are
     * the ones inflated. */
-  private def parallelSentinelSec(spark: SparkSession, lanes: Int): Double = {
+  private[graft] def parallelSentinelSec(spark: SparkSession, lanes: Int): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       spark.sparkContext.parallelize(0 until lanes, lanes).map { s =>

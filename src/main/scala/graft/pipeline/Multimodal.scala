@@ -462,18 +462,25 @@ object Multimodal {
     *    measured 78 s vs 12 s at 1M ids, the explode mass dominates)
     *    and collisions ~14·N²/2³²: output-linear far past 10M ids,
     *    where the 4×16 scheme's N²/2¹⁶ is already dead. Election
-    *    boundary MEASURED, not modeled: at 1M ids (the sf10 fixture)
-    *    the 4×16 scheme costs 12.5 s (audio) / 5.1 s (image) vs the
-    *    cover's 14.5 / 14.1 s — the explode+join mass of 14 rows/id
-    *    still outweighs the collision mass there; the collision term
-    *    quadruples per doubling while the cover grows linearly, so the
-    *    crossover sits just above 2M ids. (The naive drop-3-of-8
-    *    family — 56 combos — measured 78 s at the same point and is
-    *    strictly dominated by this cover.) */
-  val HammingElectBound: Long = 1L << 21
+    *    boundary MEASURED, not modeled ([[graft.HammingScaleBench]],
+    *    synthetic hash-only relation, calm window, both sentinels
+    *    recorded): at 1M ids bands 8.4 s (34.6M candidates) vs cover
+    *    12.1 s (18 k candidates) — the 14-rows/id explode mass still
+    *    outweighs collisions; at 2M ids bands 51.0 s (138M candidates,
+    *    ×4.0 per doubling exactly as N²/2¹⁶ predicts) vs cover 6.0 s;
+    *    at 4M ids the band join's ~550M extrapolated candidates GC-
+    *    thrash a 24 GiB JVM while the cover holds ~linear. The
+    *    crossover sits between 1M and 2M, so the bound is 2²⁰ — the
+    *    r13 bound of 2²¹ left the measured-worst point (2M) on the
+    *    wrong side. (The naive drop-3-of-8 family — 56 combos —
+    *    measured 78 s at 1M and is strictly dominated by this cover.) */
+  val HammingElectBound: Long = 1L << 20
 
-  private[graft] def hammingPairsSql(view: String, hashCol: String,
-                                     nIds: Long): String = {
+  /** The elected candidate CTEs alone (`bands`, `cands`) — split out so
+    * the hamming scale bench ([[graft.HammingScaleBench]]) can count
+    * candidates per scheme without the verify join. */
+  private[graft] def hammingCandsCtes(view: String, hashCol: String,
+                                      nIds: Long): String = {
     val cands =
       if (nIds <= HammingElectBound)
         s"""bands AS (
@@ -509,7 +516,12 @@ object Multimodal {
            |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
            |)""".stripMargin
       }
-    s"""WITH $cands
+    cands
+  }
+
+  private[graft] def hammingPairsSql(view: String, hashCol: String,
+                                     nIds: Long): String = {
+    s"""WITH ${hammingCandsCtes(view, hashCol, nIds)}
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT cd.id_a, cd.id_b,
        |         CAST(bit_count(pa.$hashCol ^ pb.$hashCol) AS INT) AS hamming

@@ -65,6 +65,54 @@ case class BucketExpr(child: Expression, nPlanes: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** WIDE sign-LSH bucket: `graft_bucket_long(vec[, nPlanes, dim])` —
+  * the LongType twin of [[BucketExpr]] for consumers whose PLANE
+  * BUDGET outgrows the 31-bit integer bucket: the stacked (np, R)
+  * paths key R disjoint plane ranges off ONE bucket value, so R tables
+  * × an adaptively-elected per-table np need up to 63 planes
+  * (3 × 21 here, vs the 3 × 10 / 3 × 8 the integer bucket capped —
+  * the r13 advisor's "occupancy guarantee exhausts at ~8k vectors per
+  * slice" headroom note, now retired as mechanism: per-table occupancy
+  * holds to occ·2²¹ ≈ 16.7M vectors per slice). Same plane stream,
+  * same NULL semantics, same left-to-right projection order; the low
+  * `k` bits equal [[BucketExpr]]'s k-plane bucket (spec-pinned prefix
+  * property), and the unrolled BIGINT SQL rendering stays the DuckDB
+  * oracle's form. */
+case class BucketLongExpr(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bucket_long"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else BucketExpr.computeLong(v.asInstanceOf[ArrayData], nPlanes, dim, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = ${childGen.isNull}
+          ? 0L
+          : graft.functions.BucketExpr.computeLong(
+              ${childGen.value}, $nPlanes, $dim, $isFloat);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketLongExpr =
+    copy(child = newChild)
+}
+
 object BucketExpr {
 
   /** The shared deterministic hyperplane source (an LCG over
@@ -112,16 +160,45 @@ object BucketExpr {
     bucket
   }
 
+  def computeLong(a: ArrayData, nPlanes: Int, dim: Int, aFloat: Boolean): Long = {
+    if (a.numElements() < dim) return 0L
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return 0L
+      i += 1
+    }
+    val ws = planesFor(nPlanes, dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val w = ws(p)
+      var proj = 0.0
+      var j = 0
+      while (j < dim) {
+        val v = if (aFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        proj += v * w(j)
+        j += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.core.SessionCache.getOrElseUpdate(spark, "bucketfn", "reg") {
+      def lit(children: Seq[Expression], i: Int, dflt: Int): Int =
+        children.lift(i).map(_.eval().asInstanceOf[Number].intValue)
+          .getOrElse(dflt)
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_bucket",
-        (children: Seq[Expression]) => {
-          def lit(i: Int, dflt: Int): Int =
-            children.lift(i).map(_.eval().asInstanceOf[Number].intValue)
-              .getOrElse(dflt)
-          BucketExpr(children.head, lit(1, 8), lit(2, 64))
-        },
+        (children: Seq[Expression]) =>
+          BucketExpr(children.head, lit(children, 1, 8), lit(children, 2, 64)),
+        "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bucket_long",
+        (children: Seq[Expression]) =>
+          BucketLongExpr(children.head, lit(children, 1, 63), lit(children, 2, 64)),
         "scala_udf")
       true
     }

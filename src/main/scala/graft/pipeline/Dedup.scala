@@ -929,21 +929,24 @@ object Dedup {
     * and MARGINAL per stacked table — the yield curve that tells a
     * deployment when the next table stops paying.
     *
-    * Scale shape: R bucket equi-joins over one landed (vec_id, b30,
+    * Scale shape: R bucket equi-joins over one landed (vec_id, b63,
     * nrm, embedding) relation — R× the single-table entry's cost,
-    * occupancy pinned by the same adaptive modulus (capped at
-    * [[StackPlanesPerTable]] planes per table so three tables fit the
-    * IntegerType bucket; a deployment needing more planes AND R tables
-    * widens the native expression to LongType — headroom note, not a
-    * shape change). */
+    * occupancy pinned by the same adaptive modulus up to
+    * [[StackPlanesPerTable]] planes per table. The bucket is the WIDE
+    * LongType expression ([[Similarity.bucketLongExpr]], r14 — the
+    * r13 "widens to LongType" headroom note shipped as mechanism), so
+    * three tables carry 21 planes each: per-table occupancy holds to
+    * occ·2²¹ ≈ 16.7M vectors per slice before
+    * [[Similarity.adaptiveModForWarn]] flags exhaustion (the
+    * IntegerType bucket capped that at ~8k). */
   val StackTables = 3
-  val StackPlanesPerTable = 10
+  val StackPlanesPerTable = 21
 
   def embeddingStackBody(embRel: String, bmod: String,
                          threshold: Double)(d: Dialect): String = {
     val branches = (0 until StackTables).map { r =>
       val shift = 1L << (StackPlanesPerTable * r)
-      def key(side: String) = s"MOD(${d.intDiv(s"$side.b30", shift.toString)}, $bmod)"
+      def key(side: String) = s"MOD(${d.intDiv(s"$side.b63", shift.toString)}, $bmod)"
       s"""  SELECT ${r + 1} AS tbl, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         ${d.dotProduct("a.embedding", "b.embedding")} / NULLIF(a.nrm * b.nrm, 0) AS cos
          |    FROM $embRel a JOIN $embRel b
@@ -976,7 +979,7 @@ object Dedup {
   def embeddingStackSql(table: String, threshold: Double = 0.30,
                         dim: Int = 64, nOverride: Option[Long] = None)
                        (d: Dialect): String = {
-    val b30 = Similarity.bucketExpr(
+    val b63 = Similarity.bucketLongExpr(
       "embedding", StackTables * StackPlanesPerTable, dim)(d)
     val bmod = nOverride
       .map(n => Similarity.adaptiveModFor(n, occ = 8, maxP = StackPlanesPerTable).toString)
@@ -984,7 +987,7 @@ object Dedup {
     val nbCte = if (nOverride.isDefined) ""
       else s"nb AS (\n  ${Similarity.adaptiveModCte(table, occ = 8, maxP = StackPlanesPerTable)}\n),\n"
     s"""WITH ${nbCte}emb AS (
-       |  SELECT vec_id, $b30 AS b30, embedding,
+       |  SELECT vec_id, $b63 AS b63, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm
        |    FROM $table
        |),
@@ -997,13 +1000,13 @@ object Dedup {
       graft.core.Tables.load(spark, dir, "embeddings")
         .createOrReplaceTempView("__graft_emb_stack_src")
       val name = s"__graft_emb_stack_${java.lang.Integer.toHexString(dir.hashCode)}"
-      // one landed (vec_id, b30, nrm, embedding) relation: Spark
+      // one landed (vec_id, b63, nrm, embedding) relation: Spark
       // inlines CTEs, so without it the 3 union branches would re-scan
       // and re-hash the corpus 6 times
       spark.sql(
         s"""SELECT vec_id,
-           |       ${Similarity.bucketExpr("embedding",
-                      StackTables * StackPlanesPerTable)(SparkDialect)} AS b30,
+           |       ${Similarity.bucketLongExpr("embedding",
+                      StackTables * StackPlanesPerTable)(SparkDialect)} AS b63,
            |       embedding,
            |       SQRT(${SparkDialect.dotProduct("embedding", "embedding")}) AS nrm
            |  FROM __graft_emb_stack_src""".stripMargin)
@@ -1056,9 +1059,10 @@ object Dedup {
     * gate is twice as permissive AND the shipped entry runs the full
     * (np, R) stack: [[DecontamTables]] independent bucket tables, each
     * keyed by a DISJOINT [[DecontamPlanesPerTable]]-plane range of the
-    * one native [[graft.pipeline.Similarity.AdaptiveMaxPlanes]]-plane
-    * bucket (plane bits are independent Bernoulli draws, so disjoint
-    * ranges ARE independent hash tables). A near-dup pair at angle θ
+    * one native WIDE bucket
+    * ([[graft.pipeline.Similarity.bucketLongExpr]], 63 planes — plane
+    * bits are independent Bernoulli draws, so disjoint ranges ARE
+    * independent hash tables). A near-dup pair at angle θ
     * splits ONE table with probability 1-(1-θ/π)^np; with R tables the
     * MISS probability is that quantity to the R-th power — at np=4,
     * θ/π=0.2 that is 0.59 → 0.20, the difference between a dedup
@@ -1070,13 +1074,14 @@ object Dedup {
     * broadcast joins over the same scan), and only colliding rows
     * reach the cosine; the GROUP BY dedups candidates surfaced by
     * more than one table. Per-table np caps at
-    * [[DecontamPlanesPerTable]] (the disjoint ranges must fit the
-    * IntegerType bucket) — the engine path WARNS when the corpus
-    * exhausts that cap ([[graft.pipeline.Similarity.adaptiveModForWarn]]).
+    * [[DecontamPlanesPerTable]] = 21 (3 disjoint ranges fit the 63-bit
+    * LongType bucket), holding per-table occupancy to occ·2²¹ ≈ 67M
+    * training rows; the engine path WARNS when the corpus exhausts
+    * that cap ([[graft.pipeline.Similarity.adaptiveModForWarn]]).
     * Fixture threshold 0.25, same adjudication as the 0.30/0.40
     * embedding-dedup entries (production 0.9+). */
   val DecontamTables = 3
-  val DecontamPlanesPerTable = 8
+  val DecontamPlanesPerTable = 21
 
   def decontaminateSemanticSql(table: String, threshold: Double = 0.25,
                                minPlanes: Int = 4, dim: Int = 64,
@@ -1087,7 +1092,8 @@ object Dedup {
     // the oracle-scale election at the permissive 4-plane floor and
     // climbs with log2(N) to the 8-plane range cap. Engine:
     // driver-counted literal; oracle: SQL election, same rule.
-    val bucket = Similarity.bucketExpr("embedding", Similarity.AdaptiveMaxPlanes, dim)(d)
+    val bucket = Similarity.bucketLongExpr(
+      "embedding", DecontamTables * DecontamPlanesPerTable, dim)(d)
     val bmod = nOverride
       .map(n => Similarity.adaptiveModFor(n, occ = 32, minP = minPlanes,
         maxP = DecontamPlanesPerTable).toString)
@@ -1097,7 +1103,7 @@ object Dedup {
         minP = minPlanes, maxP = DecontamPlanesPerTable)}\n),\n"
     val branches = (0 until tables).map { r =>
       val shift = 1L << (DecontamPlanesPerTable * r)
-      def key(side: String) = s"MOD(${d.intDiv(s"$side.b24", shift.toString)}, $bmod)"
+      def key(side: String) = s"MOD(${d.intDiv(s"$side.b63", shift.toString)}, $bmod)"
       s"""  SELECT /*+ BROADCAST(e) */ ${r + 1} AS tbl,
          |         t.vec_id AS train_id, e.vec_id AS eval_id,
          |         ${d.dotProduct("t.embedding", "e.embedding")}
@@ -1106,7 +1112,7 @@ object Dedup {
          |      ON ${key("t")} = ${key("e")} AND e.is_eval AND NOT t.is_eval""".stripMargin
     }.mkString("\n  UNION ALL\n")
     s"""WITH ${nbCte}demb AS (
-       |  SELECT vec_id, $bucket AS b24, embedding,
+       |  SELECT vec_id, $bucket AS b63, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm,
        |         (vec_id % 41 = 0) AS is_eval
        |    FROM $table

@@ -297,6 +297,49 @@ object Similarity {
     * headroom to 31 planes when a deployment needs more. */
   val AdaptiveMaxPlanes: Int = 24
 
+  /** Plane budget of the WIDE (LongType) bucket — the stacked (np, R)
+    * consumers key R disjoint plane ranges off one bucket value, so
+    * their budget is R × per-table-maxP; 63 planes fit 3 × 21. */
+  val AdaptiveMaxPlanesLong: Int = 63
+
+  /** The wide bucket as a dialect-neutral expression: native LongType
+    * call on the engine side, unrolled BIGINT CASE sums on the oracle
+    * side — the same dual-rendering contract as [[bucketExpr]], with
+    * the same plane stream (the low k bits ARE [[bucketExpr]]'s k-plane
+    * bucket — spec-pinned). */
+  def bucketLongExpr(vec: String, nPlanes: Int = AdaptiveMaxPlanesLong,
+                     dim: Int = 64)(d: Dialect): String =
+    d match {
+      case SparkDialect => s"graft_bucket_long($vec, $nPlanes, $dim)"
+      case _            => unrolledBucketLongExpr(vec, nPlanes, dim)(d)
+    }
+
+  /** The unrolled BIGINT rendering of the wide bucket — the DuckDB
+    * oracle's form and the parity anchor for the native expression.
+    * The OUTER 63-term bit sum is rendered as a BALANCED tree: its
+    * operands are integers, so association is exact and the balance is
+    * pure parse-depth relief (63 chained terms + the 64-term inner
+    * float chains overflow DuckDB's 128-deep binder); the INNER
+    * projection chains stay strictly left-to-right — that order is the
+    * float-rounding contract with the native expression. */
+  def unrolledBucketLongExpr(vec: String, nPlanes: Int = AdaptiveMaxPlanesLong,
+                             dim: Int = 64)(d: Dialect): String = {
+    val planes = hyperplanes(nPlanes, dim)
+    def proj(w: Seq[Double]): String =
+      w.zipWithIndex.map { case (wv, i) =>
+        s"${d.elementAt(vec, i + 1)} * ($wv)"
+      }.mkString(" + ")
+    def balanced(ts: Seq[String]): String =
+      if (ts.size == 1) ts.head
+      else {
+        val (l, r) = ts.splitAt(ts.size / 2)
+        s"(${balanced(l)} + ${balanced(r)})"
+      }
+    balanced(planes.zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN ${proj(w)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    })
+  }
+
   /** The unrolled element-sum rendering — the DuckDB oracle's form and
     * the parity anchor for the native expression. */
   def unrolledBucketExpr(vec: String, nPlanes: Int = 8, dim: Int = 64)

@@ -163,10 +163,10 @@ class AdaptiveBlockingSpec extends SparkSpec {
       s"stack lost ${(one -- stacked).size} of table 1's pairs")
     assert(one.nonEmpty, "fixture must surface leak candidates at table 1")
     assert(stacked.size >= one.size)
-    // the disjoint plane ranges must fit the native IntegerType bucket
+    // the disjoint plane ranges must fit the native WIDE bucket
     assert(Dedup.DecontamTables * Dedup.DecontamPlanesPerTable <=
-      graft.pipeline.Similarity.AdaptiveMaxPlanes,
-      "plane ranges overflow the native bucket")
+      graft.pipeline.Similarity.AdaptiveMaxPlanesLong,
+      "plane ranges overflow the wide bucket")
   }
 
   test("embedding index lands + reads back with its frozen modulus (the Runner index stage's contract)") {

@@ -21,6 +21,33 @@ class BucketExprSpec extends SparkSpec {
     }
   }
 
+  test("wide bucket is bit-identical to the unrolled BIGINT SQL form; low bits prefix the int bucket") {
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("__bexpr_emb")
+    // full 63-plane parity with the oracle's unrolled BIGINT rendering
+    val mism = spark.sql(
+      s"""SELECT COUNT(*) AS n FROM __bexpr_emb
+         | WHERE graft_bucket_long(embedding, 63, 64) <>
+         |       ${Similarity.unrolledBucketLongExpr("embedding", 63, 64)(SparkDialect)}""".stripMargin)
+      .head().getAs[Long]("n")
+    assert(mism == 0L, s"$mism mismatching wide buckets")
+    // the plane stream is shared, so the wide bucket's low 24 bits ARE
+    // the int bucket — the property that makes the stacked keys pure
+    // refinements of the single-table ones
+    val pref = spark.sql(
+      s"""SELECT COUNT(*) AS n FROM __bexpr_emb
+         | WHERE MOD(graft_bucket_long(embedding, 63, 64), ${1 << 24}) <>
+         |       CAST(graft_bucket(embedding, 24, 64) AS BIGINT)""".stripMargin)
+      .head().getAs[Long]("n")
+    assert(pref == 0L, s"$pref wide buckets whose low bits drift from the int bucket")
+    // NULL/short semantics match the int form
+    val r = spark.sql(
+      """SELECT graft_bucket_long(array(CAST(1.0 AS FLOAT)), 63, 64) AS s,
+        |       graft_bucket_long(CAST(NULL AS ARRAY<FLOAT>), 63, 64) AS w
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("s") == 0L && r.getAs[Long]("w") == 0L)
+  }
+
   test("native bucket spreads vectors over many buckets") {
     graft.core.Tables.load(spark, sfDir, "embeddings")
       .createOrReplaceTempView("__bexpr_emb")

@@ -298,6 +298,10 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Similarity.runOutliers(s, dir))),
       ("decontaminate_semantic" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateSemantic(s, dir))),
+      ("decontaminate_semantic_stack" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateStack(s, dir))),
+      ("dedup_band_geometry" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runBandGeometry(s, dir))),
       ("event_rate_anomaly" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))),
       ("event_props_stats" ->
@@ -580,6 +584,8 @@ object SparkEntry {
       ("bpe_pairs" -> graft.pipeline.BpeMerges.duckSql()),
       ("embedding_outliers" -> graft.pipeline.Similarity.outliersSql("embeddings")(graft.oracle.DuckDialect)),
       ("decontaminate_semantic" -> graft.pipeline.Dedup.decontaminateSemanticSql("embeddings")(graft.oracle.DuckDialect)),
+      ("decontaminate_semantic_stack" -> graft.pipeline.Dedup.decontaminateStackSql("embeddings")(graft.oracle.DuckDialect)),
+      ("dedup_band_geometry" -> graft.pipeline.Dedup.bandGeometrySql("documents")(graft.oracle.DuckDialect)),
       ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()),
       ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),

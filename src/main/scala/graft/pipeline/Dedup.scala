@@ -194,6 +194,27 @@ object Dedup {
       s"WHEN $nExpr <= $maxN THEN $b"
     }.mkString("CASE ", " ", s" ELSE ${BandLadderTop._2} END")
 
+  /** The elected band geometry AS DATA — the election is an engine
+    * behavior, so it is oracle-checked like any other: both engines
+    * evaluate the same integer CASE over the same corpus count (a
+    * plain projection over a one-row aggregate — no join-key scalar
+    * subquery, so the dual rendering is safe on both sides). A
+    * deployment reads this row to know which rung its corpus runs at
+    * and what the signature bill is. */
+  def bandGeometrySql(table: String)(d: Dialect): String =
+    s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM $table)
+       |SELECT n_docs AS corpus_docs,
+       |       CAST(${bandRowsCase("n_docs")} AS INT) AS rows_per_band,
+       |       CAST(${bandCountCase("n_docs")} AS INT) AS band_ct,
+       |       CAST((${bandRowsCase("n_docs")}) * (${bandCountCase("n_docs")})
+       |            AS INT) AS hash_ct
+       |  FROM n""".stripMargin
+
+  def runBandGeometry(spark: SparkSession, dir: String): DataFrame = {
+    val docs = register(spark, dir)
+    spark.sql(bandGeometrySql(docs)(SparkDialect))
+  }
+
   /** The r·b md5-seeded min-hash signatures per doc. */
   def minhashSigsSql(shfRel: String, nHashes: Int = 12): String = {
     val mins = (0 until nHashes)
@@ -1083,14 +1104,14 @@ object Dedup {
   val DecontamTables = 3
   val DecontamPlanesPerTable = 21
 
-  def decontaminateSemanticSql(table: String, threshold: Double = 0.25,
-                               minPlanes: Int = 4, dim: Int = 64,
-                               nOverride: Option[Long] = None,
-                               tables: Int = DecontamTables)
-                              (d: Dialect): String = {
+  /** The shared CTE prefix — `nb` (oracle election), `demb` (one scan:
+    * wide bucket + norm + eval flag), `dpairs` (the R branch joins). */
+  private def decontamPairsCtes(table: String, minPlanes: Int, dim: Int,
+                                nOverride: Option[Long], tables: Int)
+                               (d: Dialect): String = {
     // ADAPTIVE per-table plane count, recall-biased floor: occ=32 keeps
     // the oracle-scale election at the permissive 4-plane floor and
-    // climbs with log2(N) to the 8-plane range cap. Engine:
+    // climbs with log2(N) to the 21-plane range cap. Engine:
     // driver-counted literal; oracle: SQL election, same rule.
     val bucket = Similarity.bucketLongExpr(
       "embedding", DecontamTables * DecontamPlanesPerTable, dim)(d)
@@ -1111,7 +1132,7 @@ object Dedup {
          |    FROM demb t JOIN demb e
          |      ON ${key("t")} = ${key("e")} AND e.is_eval AND NOT t.is_eval""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH ${nbCte}demb AS (
+    s"""${nbCte}demb AS (
        |  SELECT vec_id, $bucket AS b63, embedding,
        |         SQRT(${d.dotProduct("embedding", "embedding")}) AS nrm,
        |         (vec_id % 41 = 0) AS is_eval
@@ -1119,7 +1140,15 @@ object Dedup {
        |),
        |dpairs AS (
        |$branches
-       |)
+       |)""".stripMargin
+  }
+
+  def decontaminateSemanticSql(table: String, threshold: Double = 0.25,
+                               minPlanes: Int = 4, dim: Int = 64,
+                               nOverride: Option[Long] = None,
+                               tables: Int = DecontamTables)
+                              (d: Dialect): String =
+    s"""WITH ${decontamPairsCtes(table, minPlanes, dim, nOverride, tables)(d)}
        |SELECT train_id, eval_id,
        |       CAST(MIN(tbl) AS INT) AS first_tbl,
        |       CAST(ROUND(MAX(cos), 4) AS DOUBLE) AS cosine
@@ -1127,6 +1156,47 @@ object Dedup {
        | WHERE cos >= $threshold
        | GROUP BY train_id, eval_id
        | ORDER BY train_id, eval_id""".stripMargin
+
+  /** The yield curve of the decontamination stack — what each added
+    * table BUYS in recovered leak pairs (the embedding-stack report's
+    * safety-gate twin): per table count 1..R, cumulative and marginal
+    * verified leak pairs, where a pair counts at the FIRST table that
+    * surfaces it. The marginal column is the number a deployment reads
+    * to justify (or stop) adding tables; a fat marginal at R means the
+    * pair-split probability is still high and R should grow. */
+  def decontaminateStackSql(table: String, threshold: Double = 0.25,
+                            minPlanes: Int = 4, dim: Int = 64,
+                            nOverride: Option[Long] = None)
+                           (d: Dialect): String = {
+    val tt = (1 to DecontamTables).map(r => s"SELECT $r AS r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${decontamPairsCtes(table, minPlanes, dim, nOverride,
+                                 DecontamTables)(d)},
+       |firsts AS (
+       |  SELECT train_id, eval_id, MIN(tbl) AS first_tbl
+       |    FROM dpairs WHERE cos >= $threshold
+       |   GROUP BY train_id, eval_id
+       |),
+       |tt AS (
+       |  $tt
+       |)
+       |SELECT t.r AS n_tables,
+       |       CAST(COALESCE(c.cum, 0) AS BIGINT) AS leak_pairs_cumulative,
+       |       CAST(COALESCE(m.marg, 0) AS BIGINT) AS leak_pairs_marginal
+       |  FROM tt t
+       |  LEFT JOIN (SELECT t2.r, COUNT(*) AS cum
+       |               FROM tt t2 JOIN firsts f ON f.first_tbl <= t2.r
+       |              GROUP BY t2.r) c ON c.r = t.r
+       |  LEFT JOIN (SELECT first_tbl AS r, COUNT(*) AS marg
+       |               FROM firsts GROUP BY first_tbl) m ON m.r = t.r
+       | ORDER BY n_tables""".stripMargin
+  }
+
+  def runDecontaminateStack(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("__graft_emb_decon_stack")
+    spark.sql(decontaminateStackSql("__graft_emb_decon_stack",
+      nOverride = Some(embCount(spark, dir)))(SparkDialect))
   }
 
   def runDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {

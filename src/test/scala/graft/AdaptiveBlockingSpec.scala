@@ -167,6 +167,17 @@ class AdaptiveBlockingSpec extends SparkSpec {
     assert(Dedup.DecontamTables * Dedup.DecontamPlanesPerTable <=
       graft.pipeline.Similarity.AdaptiveMaxPlanesLong,
       "plane ranges overflow the wide bucket")
+    // the yield-curve entry closes against the pair entry: cumulative
+    // at table 1 = table-1 pairs, cumulative at R = the stacked total,
+    // marginals sum to it
+    val curve = Dedup.runDecontaminateStack(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == (1 to Dedup.DecontamTables))
+    assert(curve.head._2 == one.size.toLong,
+      s"curve table-1 cumulative ${curve.head._2} != table-1 pairs ${one.size}")
+    assert(curve.last._2 == stacked.size.toLong,
+      s"curve total ${curve.last._2} != stacked pairs ${stacked.size}")
+    assert(curve.map(_._3).sum == curve.last._2, "marginals must sum to the total")
   }
 
   test("embedding index lands + reads back with its frozen modulus (the Runner index stage's contract)") {

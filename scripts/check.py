@@ -50,10 +50,19 @@ def main():
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    # One FRESH connection per oracle query: a single shared connection
+    # accumulates allocator footprint across the 222 queries (the
+    # megabyte-scale unrolled wide-bucket SQL binds ~25k expression
+    # nodes) until mid-run queries die with bad_alloc on an otherwise
+    # idle box. Views are lazy, so per-query setup costs nothing.
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        return c
+
     n_pass = n_fail = 0
     record = {}
 
@@ -75,9 +84,11 @@ def main():
         s_names = list(spark_tbl.schema.names)
         s_rows = table_rows([tuple(r.values()) for r in spark_tbl.to_pylist()], s_names)
         try:
+            con = fresh_con()
             res = con.execute(sql)
             d_names = [d[0] for d in res.description]
             d_rows = table_rows(res.fetchall(), d_names)
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             rec(name, False, False, False, len(s_rows), None,

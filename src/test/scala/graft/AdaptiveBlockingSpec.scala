@@ -101,8 +101,10 @@ class AdaptiveBlockingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rung0 = pairsAt((3, 4))
     val rung1 = pairsAt((4, 6))
+    val rung2 = pairsAt(graft.pipeline.Dedup.BandLadderTop)
     // the verify gate means NO rung can emit a non-truth pair
-    assert(rung0.subsetOf(truth) && rung1.subsetOf(truth),
+    assert(rung0.subsetOf(truth) && rung1.subsetOf(truth) &&
+      rung2.subsetOf(truth),
       "a banded candidate passed verification but is not a true pair")
     // recall holds at the deeper rung on the fixture: the wider-band
     // AND is compensated by more bands (the S-curve midpoint is pinned)

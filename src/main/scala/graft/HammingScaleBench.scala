@@ -33,8 +33,27 @@ object HammingScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.tunePerf(spark)
+    // HAM_NO_BROADCAST=1: force shuffled joins — isolates the
+    // auto-broadcast plan flip when the hash relation fits under the
+    // threshold (a 14M-row exploded band side broadcast-builds on ONE
+    // thread, which can cost more than the shuffle it avoids)
+    if (sys.env.get("HAM_NO_BROADCAST").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val s1 = Bench.sentinelSec()
     val sp = Bench.parallelSentinelSec(spark, cpus.toInt)
+    // UNTIMED warmup of BOTH schemes at a small n: the first execution
+    // of each plan shape carries its whole-stage-codegen + JIT warmup,
+    // which polluted the r14 first cut (the cover "cost" 11.3 s at 1M
+    // ids but 5.5 s at 2M — impossible on real scaling; the 1M point
+    // was the cover's first-ever execution)
+    spark.sql(
+      s"""SELECT id, xxhash64(id) AS h FROM range(65536)""")
+      .localCheckpoint(eager = true).createOrReplaceTempView("__ham_warm")
+    Seq(1L, graft.pipeline.Multimodal.HammingElectBound + 1).foreach { f =>
+      spark.sql(graft.pipeline.Multimodal
+        .hammingPairsSql("__ham_warm", "h", f)).count()
+    }
+    spark.catalog.dropTempView("__ham_warm")
     val out = new StringBuilder
     ns.foreach { n =>
       // base ids [0, n); planted variants live at [n, n + n/64) with

@@ -464,17 +464,21 @@ object Multimodal {
     *    where the 4×16 scheme's N²/2¹⁶ is already dead. Election
     *    boundary MEASURED, not modeled ([[graft.HammingScaleBench]],
     *    synthetic hash-only relation, calm window, both sentinels
-    *    recorded): at 1M ids bands 8.4 s (34.6M candidates) vs cover
-    *    12.1 s (18 k candidates) — the 14-rows/id explode mass still
-    *    outweighs collisions; at 2M ids bands 51.0 s (138M candidates,
-    *    ×4.0 per doubling exactly as N²/2¹⁶ predicts) vs cover 6.0 s;
-    *    at 4M ids the band join's ~550M extrapolated candidates GC-
-    *    thrash a 24 GiB JVM while the cover holds ~linear. The
-    *    crossover sits between 1M and 2M, so the bound is 2²⁰ — the
-    *    r13 bound of 2²¹ left the measured-worst point (2M) on the
-    *    wrong side. (The naive drop-3-of-8 family — 56 combos —
-    *    measured 78 s at 1M and is strictly dominated by this cover.) */
-  val HammingElectBound: Long = 1L << 20
+    *    recorded, warmup pass so no point carries JIT, and the band
+    *    self-join pinned to SHUFFLE_HASH — the r14 first cut showed
+    *    bands "winning" at ≤1M ids, which turned out to be Spark
+    *    auto-BROADCASTING the cover's 14M-row exploded band side at
+    *    sizes under the threshold and single-thread-building it; with
+    *    the plan flip removed the cover wins every point from 256k up:
+    *    256k 1.66 vs 1.90 s, 512k 1.87 vs 2.70 s, 1M 2.99 vs 5.21 s,
+    *    2M 5.14 vs 24.5 s (bands ×4.0 candidate mass per doubling,
+    *    exactly N²/2¹⁶; ~550M extrapolated candidates GC-thrash a
+    *    24 GiB JVM at 4M), and holds near-linear through 8M. The bound
+    *    is 2¹⁸: below it both schemes are sub-second and the bands'
+    *    4-rows/id explode mass is the cheaper constant; above it the
+    *    cover is measured-dominant. (The naive drop-3-of-8 family — 56
+    *    combos — measured 78 s at 1M, strictly dominated.) */
+  val HammingElectBound: Long = 1L << 18
 
   /** The elected candidate CTEs alone (`bands`, `cands`) — split out so
     * the hamming scale bench ([[graft.HammingScaleBench]]) can count
@@ -489,7 +493,7 @@ object Multimodal {
            |    FROM $view LATERAL VIEW explode(array(0, 1, 2, 3)) e AS b
            |),
            |cands AS (
-           |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+           |  SELECT /*+ SHUFFLE_HASH(a) */ DISTINCT a.id AS id_a, c.id AS id_b
            |    FROM bands a JOIN bands c
            |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
            |)""".stripMargin
@@ -511,7 +515,7 @@ object Multimodal {
            |    FROM $view LATERAL VIEW explode(array($structs)) e AS cm
            |),
            |cands AS (
-           |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+           |  SELECT /*+ SHUFFLE_HASH(a) */ DISTINCT a.id AS id_a, c.id AS id_b
            |    FROM bands a JOIN bands c
            |      ON c.bi = a.bi AND c.bv = a.bv AND c.id > a.id
            |)""".stripMargin

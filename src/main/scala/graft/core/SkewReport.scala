@@ -23,9 +23,11 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   * both engines dispatch identically; shares are rounded single
   * divisions of exact counts.
   *
-  * Scale shape: one column-pruned scan per declared key, map-side
-  * combined counts, per-key top-5 windows over the (distinct-key-sized)
-  * count relation — raw rows never shuffle, only (key, count) pairs. */
+  * Scale shape: one column-pruned scan per declared TABLE (a row-local
+  * stack() unpivot emits every declared key's (join_key, k) pair from
+  * the same scanned row), map-side combined counts, per-key top-5
+  * windows over the (distinct-key-sized) count relation — raw rows
+  * never shuffle, only (key, count) pairs. */
 object SkewReport {
 
   /** The fixture's join keys — production passes its own catalog. */
@@ -38,9 +40,25 @@ object SkewReport {
 
   def sql(tableOf: String => String,
           keys: Seq[(String, String, String)] = Keys)(d: Dialect): String = {
-    val scans = keys.map { case (t, c, label) =>
-      s"SELECT '$label' AS join_key, ${d.castText(c)} AS k FROM ${tableOf(t)}"
-    }.mkString("\n  UNION ALL\n  ")
+    // Spark: ONE scan per table, however many keys it declares — the
+    // row-local stack() unpivot emits a (join_key, k) pair per declared
+    // key from the same scanned row, so a table contributing 3 keys is
+    // read once, not 3× (at corpus scale the declared-key list is the
+    // FACT table's, and input bandwidth is the whole cost). DuckDB
+    // oracle keeps the per-key UNION ALL scans — a different plan
+    // agreeing on the same relation.
+    val scans =
+      if (d == SparkDialect)
+        keys.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, ks) =>
+          val pairs = ks.map { case (_, c, label) =>
+            s"'$label', ${d.castText(c)}"
+          }.mkString(", ")
+          s"SELECT stack(${ks.size}, $pairs) AS (join_key, k) FROM ${tableOf(t)}"
+        }.mkString("\n  UNION ALL\n  ")
+      else
+        keys.map { case (t, c, label) =>
+          s"SELECT '$label' AS join_key, ${d.castText(c)} AS k FROM ${tableOf(t)}"
+        }.mkString("\n  UNION ALL\n  ")
     s"""WITH kv AS (
        |  $scans
        |),
@@ -77,7 +95,12 @@ object SkewReport {
   def run(spark: SparkSession, dir: String): DataFrame = {
     val tables = Keys.map(_._1).distinct
     tables.foreach { t =>
-      Tables.load(spark, dir, t).createOrReplaceTempView(s"__graft_skew_$t")
+      // cheap count-groupBy consumer: the map-side partial aggregation
+      // on the raw scan collapses each branch to (key, count) pairs, so
+      // a load-time rebalance would shuffle raw rows the aggregate never
+      // needs to move
+      Tables.load(spark, dir, t, parallelize = false)
+        .createOrReplaceTempView(s"__graft_skew_$t")
     }
     spark.sql(sql(t => s"__graft_skew_$t")(SparkDialect))
   }

@@ -438,10 +438,15 @@ object Dedup {
           if (sys.env.contains("GRAFT_PROFILE_DEBUG"))
             println(f"DEDUPMAT $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
-        // band geometry elected ONCE from the corpus count (one cheap
-        // count job on the docs view), frozen alongside the signature
-        // relation it sized — every band consumer reads the SAME rungs
-        val geom = bandGeometryFor(spark.table(docs).count())
+        // band geometry elected ONCE from the corpus count, frozen
+        // alongside the signature relation it sized — every band
+        // consumer reads the SAME rungs. Count on a RAW load, not the
+        // rebalanced docs view: the raw scan's count collapses to the
+        // parquet footer stats, where counting through the rebalance
+        // would shuffle the full document text just to count rows
+        val geom = bandGeometryFor(
+          graft.core.Tables.load(spark, dir, "documents",
+            parallelize = false).count())
         graft.core.SessionCache.getOrElseUpdate(spark, "dedup_band_geom", k)(geom)
         // sh first: the row-local shingle projection runs ONCE; the
         // hot-shingle filter then reads the persisted sh twice cheaply.
@@ -731,7 +736,7 @@ object Dedup {
     * adaptive-resolution elections read it as a driver literal. */
   private def embCount(spark: SparkSession, dir: String): Long =
     graft.core.SessionCache.getOrElseUpdate(spark, "emb_count", dir) {
-      graft.core.Tables.load(spark, dir, "embeddings").count()
+      graft.core.Tables.load(spark, dir, "embeddings", parallelize = false).count()
     }
 
   def runEmbedding(spark: SparkSession, dir: String): DataFrame = {

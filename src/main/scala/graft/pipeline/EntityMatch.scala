@@ -190,7 +190,11 @@ object EntityMatch {
     // key histogram; both metadata-cheap next to the verify join)
     val (digits, hot) =
       graft.core.SessionCache.getOrElseUpdate(spark, "em_hot", dir) {
-        val k = blockDigitsFor(cust.count())
+        // elect on a RAW load: the count collapses to parquet footer
+        // stats there, where counting the rebalanced view would pay the
+        // exchange just to size the block key
+        val k = blockDigitsFor(graft.core.Tables.load(
+          spark, dir, "customer", parallelize = false).count())
         (k, graft.core.SkewJoin.hotKeys(
           cleanDf(spark, "__graft_em_cust", k), "blk_key", HotShare))
       }

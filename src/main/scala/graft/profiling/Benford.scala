@@ -60,7 +60,8 @@ object Benford {
   def run(spark: SparkSession, dir: String): DataFrame = {
     val tabs = Columns.map(_._1).distinct.map { t =>
       val v = s"__graft_benford_$t"
-      graft.core.Tables.load(spark, dir, t).createOrReplaceTempView(v)
+      graft.core.Tables.load(spark, dir, t, parallelize = false)
+        .createOrReplaceTempView(v)
       t -> v
     }.toMap
     spark.sql(sql(tabs)(SparkDialect))

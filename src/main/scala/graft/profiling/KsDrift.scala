@@ -118,7 +118,7 @@ object KsDrift {
        |${finalSelect(DuckDialect)}""".stripMargin
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "lineitem")
+    graft.core.Tables.load(spark, dir, "lineitem", parallelize = false)
       .createOrReplaceTempView("__graft_ks_li")
     // the ONE corpus scan: land the value-domain count relation
     spark.sql(cntSql("__graft_ks_li")).localCheckpoint(eager = true)

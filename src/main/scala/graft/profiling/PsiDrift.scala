@@ -64,7 +64,7 @@ object PsiDrift {
        | ORDER BY bucket""".stripMargin
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "lineitem")
+    graft.core.Tables.load(spark, dir, "lineitem", parallelize = false)
       .createOrReplaceTempView("__graft_psi_li")
     spark.sql(sql("__graft_psi_li")(SparkDialect))
   }

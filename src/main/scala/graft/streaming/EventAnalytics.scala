@@ -68,7 +68,10 @@ object EventAnalytics {
   }
 
   def runFunnel(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    // shuffle-first plan: the per-user window re-keys every row anyway,
+    // so the load-time rebalance exchange would be a second full
+    // shuffle of the raw rows for nothing
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_funnel_events")
     spark.sql(funnelSql("__graft_funnel_events")(SparkDialect))
   }
@@ -99,7 +102,7 @@ object EventAnalytics {
        | ORDER BY c.cohort, c.week_n""".stripMargin
 
   def runRetention(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_ret_events")
     spark.sql(retentionSql("__graft_ret_events")(SparkDialect))
   }
@@ -144,7 +147,7 @@ object EventAnalytics {
        | ORDER BY a.user_id""".stripMargin
 
   def runPattern(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_pat_events")
     spark.sql(patternSql("__graft_pat_events")(SparkDialect))
   }
@@ -190,7 +193,7 @@ object EventAnalytics {
   val AnomalyZ = 3.0
 
   def runRateAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_rate_events")
     spark.sql(rateAnomalySql("__graft_rate_events")(SparkDialect))
   }
@@ -231,7 +234,7 @@ object EventAnalytics {
   val LookupRows = 20
 
   def runLookupRateAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_rate_events")
     spark.sql(lookupRateAnomalySql("__graft_rate_events")(SparkDialect))
   }
@@ -492,7 +495,7 @@ object EventAnalytics {
        |          FROM cand WHERE rn = 1) z""".stripMargin
 
   def runAttribution(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_attr_events")
     spark.sql(attributionSql("__graft_attr_events"))
   }
@@ -550,7 +553,7 @@ object EventAnalytics {
        | ORDER BY r.purchase_id, touch_rank""".stripMargin
 
   def runMultiTouch(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_attr_events")
     spark.sql(multiTouchSql("__graft_attr_events")(SparkDialect))
   }

@@ -60,7 +60,7 @@ object Sessions {
   }
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.load(spark, dir, "events")
+    graft.core.Tables.load(spark, dir, "events", parallelize = false)
       .createOrReplaceTempView("__graft_sess_events")
     spark.sql(sql("__graft_sess_events")(SparkDialect))
   }

@@ -574,4 +574,24 @@ class PlanSpec extends SparkSpec {
         s"round $round: duplicate pair claimed by two buckets")
     }
   }
+
+  test("cheap-aggregate and shuffle-first consumers skip the load rebalance") {
+    // These entries either map-side-combine straight off the scan (the
+    // partial aggregate collapses rows before any exchange) or re-key
+    // every row at their first window/groupBy anyway — in both shapes
+    // the load-time rebalance (Exchange RoundRobinPartitioning) would
+    // be a full shuffle of raw rows the plan never needs. The guard
+    // fires on this fixture's single-row-group files, so a regression
+    // that re-enables it shows up here as a roundrobin exchange.
+    val entries = Seq("skew_report", "drift_ks", "drift_psi", "drift_chisq",
+      "profile_benford", "event_sessions", "event_funnel", "event_retention",
+      "event_pattern", "event_rate_anomaly", "lookup_rate_anomaly",
+      "event_attribution", "event_attribution_multitouch",
+      "event_changepoint")
+    entries.foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, dir))
+      assert(!p.contains("RoundRobinPartitioning"),
+        s"$n pays the load-time rebalance its first shuffle/aggregate makes redundant")
+    }
+  }
 }

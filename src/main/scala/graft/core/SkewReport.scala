@@ -40,30 +40,23 @@ object SkewReport {
 
   def sql(tableOf: String => String,
           keys: Seq[(String, String, String)] = Keys)(d: Dialect): String = {
-    // Spark: ONE scan per table, however many keys it declares — the
-    // row-local stack() unpivot emits a (join_key, k) pair per declared
-    // key from the same scanned row, so a table contributing 3 keys is
-    // read once, not 3× (at corpus scale the declared-key list is the
-    // FACT table's, and input bandwidth is the whole cost). DuckDB
-    // oracle keeps the per-key UNION ALL scans — a different plan
-    // agreeing on the same relation.
-    val scans =
-      if (d == SparkDialect)
-        keys.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, ks) =>
-          val pairs = ks.map { case (_, c, label) =>
-            s"'$label', ${d.castText(c)}"
-          }.mkString(", ")
-          s"SELECT stack(${ks.size}, $pairs) AS (join_key, k) FROM ${tableOf(t)}"
-        }.mkString("\n  UNION ALL\n  ")
-      else
-        keys.map { case (t, c, label) =>
-          s"SELECT '$label' AS join_key, ${d.castText(c)} AS k FROM ${tableOf(t)}"
-        }.mkString("\n  UNION ALL\n  ")
-    s"""WITH kv AS (
+    // One column-pruned scan per declared key, each branch aggregating
+    // on the key's NATIVE type and casting to text only on its
+    // distinct-key-sized count relation. Two scale properties fall out:
+    // (1) columnar input bandwidth is the same as a fused multi-key
+    // scan — each branch's scan prunes to exactly its one column, so K
+    // single-column scans read the bytes of one K-column scan (a
+    // stack()-unpivot fusion was measured 60% SLOWER at sf10: it forces
+    // every key through one text-typed partial-aggregate hash carrying
+    // all K key spaces at once); (2) the raw-row cast disappears — the
+    // COUNT hashes 8-byte natives, and the text cast runs over
+    // distinct keys, not rows.
+    val scans = keys.map { case (t, c, label) =>
+      s"""SELECT '$label' AS join_key, ${d.castText("k")} AS k, ct FROM (
+         |    SELECT $c AS k, COUNT(*) AS ct FROM ${tableOf(t)} GROUP BY $c) g_$c""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH cnt AS (
        |  $scans
-       |),
-       |cnt AS (
-       |  SELECT join_key, k, COUNT(*) AS ct FROM kv GROUP BY join_key, k
        |),
        |tot AS (
        |  SELECT join_key, SUM(ct) AS total, COUNT(*) AS distinct_keys,

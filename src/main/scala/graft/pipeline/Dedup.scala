@@ -139,7 +139,7 @@ object Dedup {
   }
 
   /** Jaccard verification body over (inter, sizes) relations. */
-  private def jaccardBody(interRel: String, sizesRel: String, threshold: Double): String =
+  private[graft] def jaccardBody(interRel: String, sizesRel: String, threshold: Double): String =
     s"""SELECT i.doc_a, i.doc_b,
        |       CAST(ROUND(CAST(i.ict AS DOUBLE) / (sa.sz + sb.sz - i.ict), 4) AS DOUBLE) AS jaccard
        |  FROM $interRel i

@@ -47,18 +47,25 @@ object JaccardScaleBench {
       s"""CASE WHEN pmod(xxhash64($base * 1000003 + $p), 5) = 0
          |     THEN concat('s', pmod(xxhash64($base * 611 + $p), 64))
          |     ELSE concat('w', pmod(xxhash64($base * 401 + $p), $V)) END""".stripMargin
-    def docsSql(n: Long): String =
-      s"""SELECT id AS doc_id,
-         |       concat_ws(' ', transform(sequence(0, ${W - 1}),
-         |                                p -> ${word("id", "p")})) AS text
+    // word expressions expanded driver-side (no higher-order-function
+    // lambdas: localCheckpoint fails to re-bind lambda variables over a
+    // union-of-range plan — "key not found: id#N" — while the same
+    // expressions as plain projections checkpoint fine)
+    def docsSql(n: Long): String = {
+      val base = (0 until W).map(p => word("id", p.toString)).mkString(",\n         ")
+      val plant = (0 until W).map { p =>
+        s"""CASE WHEN pmod(xxhash64(id * 7919 + $p), 50) = 0
+           |     THEN concat('x', pmod(xxhash64(id * 31 + $p), $V))
+           |     ELSE ${word("id", p.toString)} END""".stripMargin
+      }.mkString(",\n         ")
+      s"""SELECT id AS doc_id, concat_ws(' ',
+         |         $base) AS text
          |  FROM range($n)
          |UNION ALL
-         |SELECT id + $n AS doc_id,
-         |       concat_ws(' ', transform(sequence(0, ${W - 1}),
-         |         p -> CASE WHEN pmod(xxhash64(id * 7919 + p), 50) = 0
-         |                   THEN concat('x', pmod(xxhash64(id * 31 + p), $V))
-         |                   ELSE ${word("id", "p")} END)) AS text
+         |SELECT id + $n AS doc_id, concat_ws(' ',
+         |         $plant) AS text
          |  FROM range(0, $n, 64)""".stripMargin
+    }
 
     // UNTIMED warmup of the plan shapes
     runPoint(spark, docsSql(4096), 4096 / 64, warm = true)

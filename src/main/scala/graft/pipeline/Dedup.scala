@@ -756,7 +756,10 @@ object Dedup {
     * (cosine -> 1) land in the same bucket with probability
     * (1 - theta/pi)^nPlanes — the standard hamming-cosine guarantee.
     * RECALL at the elected np: the adaptive election trades pair-split
-    * probability 1-(1-θ/π)^np for pinned occupancy — a DEDUP miss
+    * probability 1-(1-θ/π)^np for pinned occupancy — MEASURED at scale
+    * by `graft.LshScaleBench` (lsh_scale_r14.json): planted pairs at
+    * θ≈0.05 rad recall 0.751/0.725/0.704 at 1M/4M/16.8M ids (np
+    * 18/20/22), R=3 stack 0.985/0.980/0.977 — a DEDUP miss
     * costs storage, not safety, so this entry ships single-table and
     * the repo measures the split rate as data (`dedup_embedding_stack`
     * reports cumulative/marginal verified-pair yield per added table

@@ -302,6 +302,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runDecontaminateStack(s, dir))),
       ("dedup_band_geometry" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runBandGeometry(s, dir))),
+      ("graph_domain_rank" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.DomainRank.runDomainRank(s, dir))),
       ("event_rate_anomaly" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))),
       ("event_props_stats" ->
@@ -586,6 +588,7 @@ object SparkEntry {
       ("decontaminate_semantic" -> graft.pipeline.Dedup.decontaminateSemanticSql("embeddings")(graft.oracle.DuckDialect)),
       ("decontaminate_semantic_stack" -> graft.pipeline.Dedup.decontaminateStackSql("embeddings")(graft.oracle.DuckDialect)),
       ("dedup_band_geometry" -> graft.pipeline.Dedup.bandGeometrySql("documents")(graft.oracle.DuckDialect)),
+      ("graph_domain_rank" -> graft.pipeline.DomainRank.duckSql()),
       ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()),
       ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),

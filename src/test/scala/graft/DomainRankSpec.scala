@@ -1,0 +1,84 @@
+package graft
+
+import graft.oracle.SparkDialect
+import graft.pipeline.DomainRank
+
+/** Link-graph domain rank: the unrolled SQL power iteration must match
+  * the same integer recurrence run in plain Scala over the engine's own
+  * edge relation — bit-identical, not approximately. */
+class DomainRankSpec extends SparkSpec {
+
+  private def docsView(): String = {
+    graft.core.Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("__dr_docs")
+    "__dr_docs"
+  }
+
+  private def nSrc(): Long =
+    spark.sql(s"SELECT COUNT(DISTINCT source) FROM ${docsView()}")
+      .collect()(0).getLong(0)
+
+  test("rank equals the integer recurrence over the engine's own graph") {
+    val edges = spark.sql(
+      DomainRank.edgesSql(docsView(), Some(nSrc()))(SparkDialect))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val out = DomainRank.runDomainRank(spark, sfDir).collect()
+    val nodes = out.map(_.getString(0))
+    assert(nodes.nonEmpty && edges.nonEmpty)
+
+    var rank = nodes.map(_ -> DomainRank.MicroBase).toMap
+    for (_ <- 1 to DomainRank.Iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst, w, outW) =>
+        contrib(dst) += rank(src) * w / outW
+      }
+      rank = nodes.map(n =>
+        n -> (DomainRank.Teleport + DomainRank.DampPct * contrib(n) / 100)).toMap
+    }
+    out.foreach { r =>
+      assert(r.getLong(4) == rank(r.getString(0)),
+        s"rank mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("graph shape: no self-edges, pruned dangling targets, consistent out-weights") {
+    val edges = spark.sql(
+      DomainRank.edgesSql(docsView(), Some(nSrc()))(SparkDialect))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val sites = DomainRank.runDomainRank(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    assert(edges.forall { case (s, d, _, _) => s != d })
+    assert(edges.forall { case (_, d, _, _) => sites.contains(d) })
+    edges.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._3).sum == es.head._4)
+      assert(es.map(_._4).distinct.length == 1)
+    }
+  }
+
+  test("mass invariants: teleport floor holds, total mass never exceeds the start") {
+    val out = DomainRank.runDomainRank(spark, sfDir).collect()
+    assert(out.forall(_.getLong(4) >= DomainRank.Teleport))
+    assert(out.map(_.getLong(4)).sum <= out.length * DomainRank.MicroBase)
+    // the ordering is the point of the report: the top site must
+    // actually be cited, and ranks must not be degenerate-uniform
+    assert(out.head.getLong(3) > 0, "top-ranked site has no in-links")
+    assert(out.map(_.getLong(4)).distinct.length > 1)
+  }
+
+  test("landed graph memoizes: a second run is bit-identical") {
+    val a = DomainRank.runDomainRank(spark, sfDir).collect().toSeq
+    val b = DomainRank.runDomainRank(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("iterated engine loop equals the oracle's one-statement unrolled form") {
+    val oneShot = spark.sql(
+      DomainRank.domainRankSql(docsView(), Some(nSrc()))(SparkDialect))
+      .collect().toSeq
+    val looped = DomainRank.runDomainRank(spark, sfDir).collect().toSeq
+    assert(looped == oneShot)
+  }
+}

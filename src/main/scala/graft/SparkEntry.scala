@@ -304,6 +304,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Dedup.runBandGeometry(s, dir))),
       ("graph_domain_rank" ->
         ((s: SparkSession, dir: String) => graft.pipeline.DomainRank.runDomainRank(s, dir))),
+      ("select_rank_budget" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.DomainRank.runRankBudget(s, dir))),
       ("event_rate_anomaly" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))),
       ("event_props_stats" ->
@@ -589,6 +591,7 @@ object SparkEntry {
       ("decontaminate_semantic_stack" -> graft.pipeline.Dedup.decontaminateStackSql("embeddings")(graft.oracle.DuckDialect)),
       ("dedup_band_geometry" -> graft.pipeline.Dedup.bandGeometrySql("documents")(graft.oracle.DuckDialect)),
       ("graph_domain_rank" -> graft.pipeline.DomainRank.duckSql()),
+      ("select_rank_budget" -> graft.pipeline.DomainRank.duckRankBudgetSql()),
       ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()),
       ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),

@@ -67,7 +67,7 @@ object DomainRank {
   // fixture assigns source = src(doc_id % 20), so any id-modulus group
   // is perfectly correlated with source and the site grain would
   // collapse to one site per source.
-  private def siteExpr(idCol: String, srcCol: String)(d: Dialect): String = {
+  private[graft] def siteExpr(idCol: String, srcCol: String)(d: Dialect): String = {
     val g = d.hexToLong(s"SUBSTRING(MD5('site:' || ${d.castText(idCol)}), 1, 4)")
     s"$srcCol || '-' || ${d.castText(s"($g % $SiteGroups)")}"
   }
@@ -121,6 +121,24 @@ object DomainRank {
     * graph whose rank vector is too big to ship to every executor. */
   val RankBroadcastBound: Long = 1L << 22
 
+  /** The unrolled CTE chain `r0 … r[[Iters]]` of the integer power
+    * iteration over landed `nodesRel(site, n_docs)` /
+    * `edgesRel(src, dst, w, out_w)` — the oracle's one-statement
+    * rendering of the engine's landed-per-iteration loop. */
+  private[graft] def rankChain(nodesRel: String, edgesRel: String,
+                               rankHint: String)(d: Dialect): String = {
+    val iters = (1 to Iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |${iterSql(nodesRel, edgesRel, prev, rankHint)(d)}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""r0 AS (
+       |  SELECT site, CAST($MicroBase AS BIGINT) AS rank_u FROM $nodesRel
+       |),
+       |$iters""".stripMargin
+  }
+
   /** The unrolled integer power iteration + final report over landed
     * `nodesRel(site, n_docs)` / `edgesRel(src, dst, w, out_w)`.
     * `rankHint` steers the per-iteration joins on the Spark path (the
@@ -131,19 +149,9 @@ object DomainRank {
     * partials down to node grain). DuckDB ignores the hint comment. */
   private[graft] def rankTail(nodesRel: String, edgesRel: String,
                               rankHint: String = "BROADCAST")
-                             (d: Dialect): String = {
-    val iters = (1 to Iters).map { i =>
-      val prev = if (i == 1) "r0" else s"r${i - 1}"
-      s"""r$i AS (
-         |${iterSql(nodesRel, edgesRel, prev, rankHint)(d)}
-         |)""".stripMargin
-    }.mkString(",\n")
-    s"""r0 AS (
-       |  SELECT site, CAST($MicroBase AS BIGINT) AS rank_u FROM $nodesRel
-       |),
-       |$iters,
+                             (d: Dialect): String =
+    s"""${rankChain(nodesRel, edgesRel, rankHint)(d)},
        |${reportSql(nodesRel, edgesRel, s"r$Iters", rankHint)(d)}""".stripMargin
-  }
 
   /** One power-iteration step over `prevRel(site, rank_u)`. */
   private[graft] def iterSql(nodesRel: String, edgesRel: String,
@@ -205,20 +213,9 @@ object DomainRank {
     * same recurrence as one unrolled-CTE statement ([[rankTail]]);
     * [[graft.DomainRankSpec]] pins the two forms bit-identical. */
   def runDomainRank(spark: SparkSession, dir: String): DataFrame = {
-    val (nv, ev, nNodes) = landedGraph(spark, dir)
-    val hint = if (nNodes <= RankBroadcastBound) "BROADCAST" else "SHUFFLE_HASH"
-    val sfx = graft.core.SessionCache.counter(spark, "domainrank_iter")
-      .incrementAndGet()
-    var prev = s"__graft_dr_r0_$sfx"
-    spark.sql(s"SELECT site, CAST($MicroBase AS BIGINT) AS rank_u FROM $nv")
-      .createOrReplaceTempView(prev)
-    for (i <- 1 to Iters) {
-      val next = s"__graft_dr_r${i}_$sfx"
-      spark.sql(iterSql(nv, ev, prev, hint)(SparkDialect))
-        .localCheckpoint().createOrReplaceTempView(next)
-      prev = next
-    }
-    spark.sql(s"WITH ${reportSql(nv, ev, prev, hint)(SparkDialect)}")
+    val (nv, ev, _) = landedGraph(spark, dir)
+    val (_, rv, hint) = landedRanks(spark, dir)
+    spark.sql(s"WITH ${reportSql(nv, ev, rv, hint)(SparkDialect)}")
   }
 
   private[graft] def landedGraph(spark: SparkSession,
@@ -241,4 +238,119 @@ object DomainRank {
     }
 
   def duckSql(): String = domainRankSql("documents")(DuckDialect)
+
+  // ---------------------------------------------------------------------
+  // Rank-weighted domain budget — the curation step the rank EXISTS for:
+  // published crawl pipelines weight per-domain document budgets by host
+  // rank (Common Crawl's ranked host lists feed exactly this selection in
+  // C4/RefinedWeb-style recipes), replacing the flat per-domain cap of
+  // [[UrlOps.runDomainCap]] with an authority-proportional allocation.
+
+  /** Share of the corpus the rank-weighted budget keeps. */
+  val BudgetPct = 50L
+  /** Minimum docs every crawled site keeps (domain diversity floor). */
+  val FloorDocs = 1L
+
+  /** Site-grain allocation + kept-set report over `docsiteRel(doc_id,
+    * site)`, `nodesRel(site, n_docs)` and the converged
+    * `rankRel(site, rank_u)`: each site's budget is the integer-exact
+    * proportional share `(rank_u · B) DIV Σrank` (B = [[BudgetPct]]% of
+    * the corpus), floored at [[FloorDocs]] and capped at n_docs; the
+    * kept set is the site's first `alloc` docs by the content-keyed md5
+    * priority (the [[UrlOps.runDomainCap]] / [[PrioritySample]] draw, so
+    * the kept set is stable across runs/engines/layouts). The report
+    * pins the exact kept set via its id-sum without emitting doc grain.
+    *
+    * Scale shape: `alloc` is NODE-grain metadata (one BIGINT per host)
+    * and broadcasts into the doc-grain window's output; the corpus-
+    * touching work is ONE scan + one window shuffle partitioned by
+    * site — identical to the flat domain cap's bill. The two scalar
+    * totals are single-row relations cross-joined into node grain. */
+  private[graft] def budgetTail(docsiteRel: String, nodesRel: String,
+                                rankRel: String, rankHint: String)
+                               (d: Dialect): String = {
+    val prio = s"SUBSTRING(MD5('rankbudget:' || ${d.castText("ds.doc_id")}), 1, 16)"
+    val b = d.intDiv(s"t.total_docs * $BudgetPct", "100")
+    s"""tot AS (
+       |  SELECT SUM(n_docs) AS total_docs FROM $nodesRel
+       |),
+       |rsum AS (
+       |  SELECT SUM(rank_u) AS sum_rank FROM $rankRel
+       |),
+       |alloc AS (
+       |  SELECT /*+ $rankHint(r) */ n.site, n.n_docs, r.rank_u,
+       |         LEAST(CAST(n.n_docs AS BIGINT),
+       |               GREATEST(CAST($FloorDocs AS BIGINT),
+       |                        ${d.intDiv(s"r.rank_u * ($b)", "s.sum_rank")})) AS alloc_docs
+       |    FROM $nodesRel n
+       |    JOIN $rankRel r ON r.site = n.site
+       |    CROSS JOIN tot t CROSS JOIN rsum s
+       |),
+       |prio AS (
+       |  SELECT ds.site, ds.doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY ds.site
+       |                            ORDER BY $prio, ds.doc_id) AS rk
+       |    FROM $docsiteRel ds
+       |),
+       |kept AS (
+       |  SELECT /*+ BROADCAST(a) */ p.site,
+       |         COUNT(*) AS kept_docs, SUM(p.doc_id) AS kept_id_sum
+       |    FROM prio p JOIN alloc a ON a.site = p.site
+       |   WHERE p.rk <= a.alloc_docs
+       |   GROUP BY p.site
+       |)
+       |SELECT a.site, CAST(a.n_docs AS BIGINT) AS n_docs,
+       |       CAST(a.rank_u AS BIGINT) AS rank_micro,
+       |       CAST(a.alloc_docs AS BIGINT) AS alloc_docs,
+       |       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       |       CAST(COALESCE(k.kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+       |  FROM alloc a LEFT JOIN kept k ON k.site = a.site
+       | ORDER BY a.site""".stripMargin
+  }
+
+  def rankBudgetSql(table: String, nSrcOverride: Option[Long] = None)
+                   (d: Dialect): String = {
+    val nSrc = nSrcOverride.map(_.toString).getOrElse(
+      s"SELECT COUNT(DISTINCT source) FROM $table")
+    s"""WITH ${graphCtes(table, nSrc)(d)},
+       |${rankChain("nodes", "edges", "BROADCAST")(d)},
+       |${budgetTail("docsite", "nodes", s"r$Iters", "BROADCAST")(d)}""".stripMargin
+  }
+
+  /** Converged node-grain ranks, landed once per session beside the
+    * graph ([[landedGraph]]): the budget entry and any downstream
+    * consumer read the same frozen rank relation the report entry
+    * computed — rank never recomputes per consumer. */
+  private[graft] def landedRanks(spark: SparkSession,
+                                 dir: String): (String, String, String) =
+    graft.core.SessionCache.getOrElseUpdate(spark, "domainrank_final", dir) {
+      val (nv, ev, nNodes) = landedGraph(spark, dir)
+      val hint = if (nNodes <= RankBroadcastBound) "BROADCAST" else "SHUFFLE_HASH"
+      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      var prev = s"__graft_dr_f0_$sfx"
+      spark.sql(s"SELECT site, CAST($MicroBase AS BIGINT) AS rank_u FROM $nv")
+        .createOrReplaceTempView(prev)
+      for (i <- 1 to Iters) {
+        val next = s"__graft_dr_f${i}_$sfx"
+        spark.sql(iterSql(nv, ev, prev, hint)(SparkDialect))
+          .localCheckpoint().createOrReplaceTempView(next)
+        prev = next
+      }
+      (nv, prev, hint)
+    }
+
+  def runRankBudget(spark: SparkSession, dir: String): DataFrame = {
+    val (nv, rv, hint) = landedRanks(spark, dir)
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__graft_drb_docs")
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    val dsv = s"__graft_drb_docsite_$sfx"
+    spark.sql(
+      s"""SELECT doc_id, ${siteExpr("doc_id", "source")(SparkDialect)} AS site
+         |  FROM __graft_drb_docs""".stripMargin)
+      .createOrReplaceTempView(dsv)
+    spark.sql(s"WITH ${budgetTail(dsv, nv, rv, hint)(SparkDialect)}")
+  }
+
+  def duckRankBudgetSql(): String = rankBudgetSql("documents")(DuckDialect)
 }

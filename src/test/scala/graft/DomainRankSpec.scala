@@ -14,6 +14,9 @@ class DomainRankSpec extends SparkSpec {
     "__dr_docs"
   }
 
+  private def docSiteSql(): String =
+    DomainRank.siteExpr("doc_id", "source")(SparkDialect)
+
   private def nSrc(): Long =
     spark.sql(s"SELECT COUNT(DISTINCT source) FROM ${docsView()}")
       .collect()(0).getLong(0)
@@ -72,6 +75,45 @@ class DomainRankSpec extends SparkSpec {
     val a = DomainRank.runDomainRank(spark, sfDir).collect().toSeq
     val b = DomainRank.runDomainRank(spark, sfDir).collect().toSeq
     assert(a == b)
+  }
+
+  test("rank budget: allocation proportional, floored, capped; kept set exact") {
+    val out = DomainRank.runRankBudget(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val totalDocs = out.map(_.getLong(1)).sum
+    val sumRank = out.map(_.getLong(2)).sum
+    val b = totalDocs * DomainRank.BudgetPct / 100
+    out.foreach { r =>
+      val (nDocs, rankU, alloc, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val expected = math.min(nDocs,
+        math.max(DomainRank.FloorDocs, rankU * b / sumRank))
+      assert(alloc == expected, s"alloc mismatch for ${r.getString(0)}")
+      // every site has at least `alloc` docs by construction, so the
+      // kept count is exactly the allocation
+      assert(kept == alloc)
+    }
+    // the budget actually bites: some site is capped below its doc count
+    assert(out.exists(r => r.getLong(3) < r.getLong(1)))
+    // and rank moves allocation: kept share is not uniform across sites
+    assert(out.map(r => r.getLong(3) * 100 / r.getLong(1)).distinct.length > 1)
+  }
+
+  test("rank budget kept-id checksum matches a plain-Scala recompute") {
+    val out = DomainRank.runRankBudget(spark, sfDir).collect()
+    val docs = spark.sql(
+      s"""SELECT doc_id,
+         |       ${docSiteSql()} AS site,
+         |       SUBSTRING(MD5('rankbudget:' || CAST(doc_id AS STRING)), 1, 16) AS prio
+         |  FROM ${docsView()}""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySite = docs.groupBy(_._2)
+    out.foreach { r =>
+      val kept = bySite(r.getString(0)).sortBy(t => (t._3, t._1))
+        .take(r.getLong(3).toInt)
+      assert(kept.map(_._1).sum == r.getLong(5),
+        s"kept-id sum mismatch for ${r.getString(0)}")
+    }
   }
 
   test("iterated engine loop equals the oracle's one-statement unrolled form") {

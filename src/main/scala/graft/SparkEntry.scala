@@ -306,6 +306,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.DomainRank.runDomainRank(s, dir))),
       ("select_rank_budget" ->
         ((s: SparkSession, dir: String) => graft.pipeline.DomainRank.runRankBudget(s, dir))),
+      ("graph_harmonic" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.Harmonic.runHarmonic(s, dir))),
       ("event_rate_anomaly" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))),
       ("event_props_stats" ->
@@ -592,6 +594,7 @@ object SparkEntry {
       ("dedup_band_geometry" -> graft.pipeline.Dedup.bandGeometrySql("documents")(graft.oracle.DuckDialect)),
       ("graph_domain_rank" -> graft.pipeline.DomainRank.duckSql()),
       ("select_rank_budget" -> graft.pipeline.DomainRank.duckRankBudgetSql()),
+      ("graph_harmonic" -> graft.pipeline.Harmonic.duckSql()),
       ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()),
       ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),

@@ -877,4 +877,27 @@ object StreamMonitors {
       .selectExpr("batch_vec_id", "corpus_vec_id", "bucket",
         "CAST(ROUND(cos, 4) AS DOUBLE) AS cosine")
   }
+
+  /** Streaming crawl-authority annotation at ingest — the stream twin
+    * of [[graft.pipeline.DomainRank]]: the rank relation converges
+    * BATCH-side and lands once ([[graft.pipeline.DomainRank.landedRanks]]
+    * — rank is an iterative fixpoint, not a streaming computation);
+    * each arriving document derives its site key ROW-LOCALLY (the same
+    * md5-nibble arithmetic the batch graph uses) and stream-static
+    * equi-joins the frozen node-grain relation — host-count-sized, so
+    * Spark plans it as a reused broadcast per trigger. Stateless,
+    * append-mode legal; emits the doc annotated with its site's
+    * authority and budget. Admission control against `alloc_docs` (a
+    * per-site running count) is the sink's `foreachBatch` job — the
+    * same batch-local-election adjudication as [[ingestEntityMatch]].
+    * Replay-spec-pinned: a full corpus replay carries exactly the
+    * batch budget entry's per-site rank/alloc on every doc. */
+  def ingestDomainRank(docs: DataFrame, rankBudget: DataFrame): DataFrame = {
+    val site = graft.pipeline.DomainRank
+      .siteExpr("doc_id", "source")(graft.oracle.SparkDialect)
+    docs.selectExpr("doc_id", s"$site AS site")
+      .join(rankBudget.selectExpr("site", "rank_micro", "alloc_docs"),
+        Seq("site"))
+      .selectExpr("doc_id", "site", "rank_micro", "alloc_docs")
+  }
 }

@@ -116,6 +116,41 @@ class DomainRankSpec extends SparkSpec {
     }
   }
 
+  test("streaming rank annotation replays to the batch budget relation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val budget = DomainRank.runRankBudget(spark, sfDir)
+      .localCheckpoint(true)
+    val docRows = graft.core.Tables.load(spark2, sfDir, "documents",
+        parallelize = false)
+      .selectExpr("doc_id", "source").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamMonitors.ingestDomainRank(
+        in.toDF().toDF("doc_id", "source"), budget)
+      .writeStream.format("memory").queryName("dr_stream")
+      .outputMode("append").start()
+    val out = try {
+      in.addData(docRows.take(docRows.size / 2): _*); q.processAllAvailable()
+      in.addData(docRows.drop(docRows.size / 2): _*); q.processAllAvailable()
+      spark.table("dr_stream")
+        .select("doc_id", "site", "rank_micro", "alloc_docs")
+        .as[(Long, String, Long, Long)].collect().toSeq
+    } finally q.stop()
+    // every doc annotated exactly once, with its batch site + budget
+    assert(out.size == docRows.size)
+    val siteOf = spark.sql(
+      s"""SELECT doc_id, ${docSiteSql()} AS site FROM ${docsView()}""")
+      .as[(Long, String)].collect().toMap
+    val batch = budget.collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    out.foreach { case (id, site, rank, alloc) =>
+      assert(site == siteOf(id))
+      assert((rank, alloc) == batch(site))
+    }
+  }
+
   test("iterated engine loop equals the oracle's one-statement unrolled form") {
     val oneShot = spark.sql(
       DomainRank.domainRankSql(docsView(), Some(nSrc()))(SparkDialect))

@@ -38,7 +38,9 @@ object GraphScaleBench {
     val sp = Bench.parallelSentinelSec(spark, cpus.toInt)
 
     val Deg = 8
+    var landed: Seq[org.apache.spark.sql.DataFrame] = Nil
     def land(n: Long): (String, String, Long) = {
+      landed.foreach(_.unpersist()); landed = Nil
       val draws =
         s"""SELECT CAST(id / $Deg AS BIGINT) AS src,
            |       CASE WHEN pmod(xxhash64(id * 13), 4) = 0
@@ -46,7 +48,7 @@ object GraphScaleBench {
            |            ELSE pmod(xxhash64(id * 11), $n) END AS dst,
            |       1 + pmod(xxhash64(id * 17), 3) AS w
            |  FROM range(${n * Deg})""".stripMargin
-      spark.sql(
+      val edgesDf = spark.sql(
         s"""SELECT e.src, e.dst, e.w, o.out_w FROM (
            |  SELECT src, dst, SUM(w) AS w FROM ($draws) d
            |   WHERE src <> dst GROUP BY src, dst) e
@@ -54,11 +56,13 @@ object GraphScaleBench {
            |  SELECT src, dst, SUM(w) AS w FROM ($draws) d
            |   WHERE src <> dst GROUP BY src, dst) e2 GROUP BY src) o
            |  ON o.src = e.src""".stripMargin)
-        .localCheckpoint(eager = true).createOrReplaceTempView("__gr_edges")
-      spark.sql(s"SELECT id AS site, 1 AS n_docs FROM range($n)")
-        .localCheckpoint(eager = true).createOrReplaceTempView("__gr_nodes")
-      val edges = spark.table("__gr_edges").count()
-      ("__gr_nodes", "__gr_edges", edges)
+        .localCheckpoint(eager = true)
+      edgesDf.createOrReplaceTempView("__gr_edges")
+      val nodesDf = spark.sql(s"SELECT id AS site, 1 AS n_docs FROM range($n)")
+        .localCheckpoint(eager = true)
+      nodesDf.createOrReplaceTempView("__gr_nodes")
+      landed = Seq(edgesDf, nodesDf)
+      ("__gr_nodes", "__gr_edges", edgesDf.count())
     }
 
     /** The engine loop verbatim: r0 → 8 × iterSql → total-mass check. */
@@ -68,14 +72,19 @@ object GraphScaleBench {
       spark.sql(
         s"SELECT site, CAST(${DomainRank.MicroBase} AS BIGINT) AS rank_u FROM $nv")
         .createOrReplaceTempView(prev)
+      var prevDf: Option[org.apache.spark.sql.DataFrame] = None
       for (i <- 1 to DomainRank.Iters) {
         val next = s"__gr_r$i"
-        spark.sql(DomainRank.iterSql(nv, ev, prev, hint)(SparkDialect))
-          .localCheckpoint(eager = true).createOrReplaceTempView(next)
+        val nextDf = spark.sql(DomainRank.iterSql(nv, ev, prev, hint)(SparkDialect))
+          .localCheckpoint(eager = true)
+        nextDf.createOrReplaceTempView(next)
+        prevDf.foreach(_.unpersist())
+        prevDf = Some(nextDf)
         prev = next
       }
       val mass = spark.sql(s"SELECT SUM(rank_u) FROM $prev")
         .collect()(0).getLong(0)
+      prevDf.foreach(_.unpersist())
       ((System.nanoTime() - t0) / 1e9, mass)
     }
 

@@ -117,9 +117,14 @@ object DomainRank {
 
   /** Node count above which the per-iteration rank vector stops
     * broadcasting and the edge join co-partitions instead (hash-join
-    * hint, never a sort of the edge relation): ~4M hosts ≈ a ~10⁸-edge
-    * graph whose rank vector is too big to ship to every executor. */
-  val RankBroadcastBound: Long = 1L << 22
+    * hint, never a sort of the edge relation). MEASURED, not argued
+    * (`graph_scale_r14.json`, clean machine, skewed 8-degree graph):
+    * broadcast wins at 64k nodes (3.1 vs 5.0 s), loses from 256k
+    * (6.7 vs 5.3 s), and falls progressively further behind as the
+    * per-iteration rank-map ship-and-build cost grows — 4M: 92 vs
+    * 25 s, 16M: 256 vs 138 s. Crossover sits between 2¹⁶ and 2¹⁸;
+    * elect the midpoint. */
+  val RankBroadcastBound: Long = 1L << 17
 
   /** The unrolled CTE chain `r0 … r[[Iters]]` of the integer power
     * iteration over landed `nodesRel(site, n_docs)` /
@@ -328,12 +333,16 @@ object DomainRank {
       val hint = if (nNodes <= RankBroadcastBound) "BROADCAST" else "SHUFFLE_HASH"
       val sfx = java.lang.Integer.toHexString(dir.hashCode)
       var prev = s"__graft_dr_f0_$sfx"
+      var prevDf: Option[DataFrame] = None
       spark.sql(s"SELECT site, CAST($MicroBase AS BIGINT) AS rank_u FROM $nv")
         .createOrReplaceTempView(prev)
       for (i <- 1 to Iters) {
         val next = s"__graft_dr_f${i}_$sfx"
-        spark.sql(iterSql(nv, ev, prev, hint)(SparkDialect))
-          .localCheckpoint().createOrReplaceTempView(next)
+        val nextDf = spark.sql(iterSql(nv, ev, prev, hint)(SparkDialect))
+          .localCheckpoint()
+        nextDf.createOrReplaceTempView(next)
+        prevDf.foreach(_.unpersist())  // the loop reads only r_{i-1}
+        prevDf = Some(nextDf)
         prev = next
       }
       (nv, prev, hint)

@@ -39,6 +39,13 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   *    relation at fixture scale; the estimate is engine-specific
   *    (DataSketches), so it ships as library API + spec, not an
   *    oracle entry — the repo's streaming-twin precedent.
+  *    Determinism is REGIME-SCOPED (measured, HyperBallScaleBench):
+  *    in DataSketches' exact coupon regime (balls ≲ a few hundred —
+  *    the fixture) two runs are bit-identical; once sketches go
+  *    dense, `hll_union_agg`'s merge order varies with shuffle
+  *    arrival and estimates wander WITHIN the sketch error bound
+  *    run-to-run — the standard distributed-HLL contract, same as
+  *    any engine's approx_count_distinct.
   */
 object Harmonic {
 
@@ -116,11 +123,12 @@ object Harmonic {
     val sfx = graft.core.SessionCache.counter(spark, "harmonic_iter")
       .incrementAndGet()
     var prev = s"__graft_hc_b1_$sfx"
+    var prevDf: Option[DataFrame] = None
     spark.sql(s"SELECT src, dst, 1 AS dist FROM $ev")
       .createOrReplaceTempView(prev)
     for (h <- 2 to MaxHops) {
       val next = s"__graft_hc_b${h}_$sfx"
-      spark.sql(
+      val nextDf = spark.sql(
         s"""SELECT src, dst, MIN(dist) AS dist FROM (
            |  SELECT src, dst, dist FROM $prev
            |  UNION ALL
@@ -128,7 +136,10 @@ object Harmonic {
            |    FROM $prev p JOIN $ev e ON e.src = p.dst
            |   WHERE p.dist = ${h - 1} AND p.src <> e.dst
            |) u GROUP BY src, dst""".stripMargin)
-        .localCheckpoint().createOrReplaceTempView(next)
+        .localCheckpoint()
+      nextDf.createOrReplaceTempView(next)
+      prevDf.foreach(_.unpersist())  // only the newest layer is read again
+      prevDf = Some(nextDf)
       prev = next
     }
     spark.sql(s"WITH ${reportSql(nv, prev)(SparkDialect)}")
@@ -162,15 +173,20 @@ object Harmonic {
     val sfx = graft.core.SessionCache.counter(spark, "hyperball_iter")
       .incrementAndGet()
     var prev = s"__graft_hb_s0_$sfx"
-    spark.sql(
+    // each hop needs ONLY the previous state: unpersist the superseded
+    // checkpoint once the next lands, or V·sketch bytes accumulate per
+    // hop and the loop's memory bill is MaxHops× what the recurrence
+    // actually carries (measured 50 GB RSS at 1M nodes before this)
+    var prevDf = spark.sql(
       s"""SELECT site, hll_sketch_agg(site, $lgK) AS sk,
          |       CAST(1 AS BIGINT) AS est,
          |       CAST(0 AS BIGINT) AS h_u
          |  FROM $nodesRel GROUP BY site""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView(prev)
+      .localCheckpoint()
+    prevDf.createOrReplaceTempView(prev)
     for (d <- 1 to MaxHops) {
       val next = s"__graft_hb_s${d}_$sfx"
-      spark.sql(
+      val nextDf = spark.sql(
         s"""WITH nbr AS (
            |  SELECT /*+ $hint(p) */ e.dst AS site,
            |         hll_union_agg(p.sk) AS nsk
@@ -188,7 +204,10 @@ object Harmonic {
            |       h_u + (hll_sketch_estimate(sk) - est0) * $MicroBase DIV $d
            |         AS h_u
            |  FROM m""".stripMargin)
-        .localCheckpoint().createOrReplaceTempView(next)
+        .localCheckpoint()
+      nextDf.createOrReplaceTempView(next)
+      prevDf.unpersist()
+      prevDf = nextDf
       prev = next
     }
     spark.sql(

@@ -90,6 +90,10 @@ class HarmonicSpec extends SparkSpec {
     assert(est.values.forall(_._1 >= 1L))
   }
 
+  // exact-equality determinism is a COUPON-REGIME property (fixture
+  // balls are small enough that DataSketches stays in its exact
+  // sparse mode); dense-regime runs agree only within HLL error —
+  // HyperBallScaleBench measures and bounds that drift at 1M nodes
   test("hyperball is deterministic: two runs agree exactly") {
     val (nv, pv) = Harmonic.landedPairs(spark, sfDir)
     val a = Harmonic.hyperBall(spark, nv, pv).collect().toSeq

@@ -47,6 +47,22 @@ object Bench {
     once(); math.min(once(), once()) // warm, then min-of-2
   }
 
+  /** IO/CACHE sentinel: the round-14c refresh measured a TWO-SIDED
+    * ±1.3–1.6× tail on sub-second scan entries with BOTH CPU sentinels
+    * flat — page-cache state after memory-heavy neighbor JVMs, the one
+    * swing mode CPU work cannot see. This times one fixed
+    * column-bytes scan of the sf dir's documents parquet (codegen paid
+    * on a warmup scan of region first, so the number is IO+decode, not
+    * JIT): if this moved between artifacts while the CPU sentinels
+    * held, small-scan entries are riding cache state, not code. */
+  private[graft] def ioSentinelSec(spark: SparkSession, sfDir: String): Double = {
+    spark.read.parquet(s"$sfDir/region.parquet").count() // pay codegen/JIT
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("SUM(octet_length(text))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def loadAvg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split("\\s+").take(3).mkString(",")
@@ -106,13 +122,16 @@ object Bench {
     val loadStart = loadAvg()
     val sentinelBefore = sentinelSec()
     val parSentinelBefore = parallelSentinelSec(spark, cpus.toInt)
+    val ioSentinelBefore = ioSentinelSec(spark, sfDir)
     val timedRuns = (1 to passes).map(_ => runOnce(timed = true))
     val sentinelAfter = sentinelSec()
     val parSentinelAfter = parallelSentinelSec(spark, cpus.toInt)
+    val ioSentinelAfter = ioSentinelSec(spark, sfDir)
     val loadEnd = loadAvg()
     val telemetry =
       s""""sentinel_sec_before":$sentinelBefore,"sentinel_sec_after":$sentinelAfter,""" +
       s""""par_sentinel_sec_before":$parSentinelBefore,"par_sentinel_sec_after":$parSentinelAfter,""" +
+      s""""io_sentinel_sec_before":$ioSentinelBefore,"io_sentinel_sec_after":$ioSentinelAfter,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
     val results = queries.map(_._1).zipWithIndex.map { case (name, i) =>
       name -> timedRuns.map(_(i)._2).min

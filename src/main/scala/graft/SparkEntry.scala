@@ -308,6 +308,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.DomainRank.runRankBudget(s, dir))),
       ("graph_harmonic" ->
         ((s: SparkSession, dir: String) => graft.pipeline.Harmonic.runHarmonic(s, dir))),
+      ("graph_cocitation" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.CoCitation.runCocitation(s, dir))),
       ("event_rate_anomaly" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))),
       ("event_props_stats" ->
@@ -595,6 +597,7 @@ object SparkEntry {
       ("graph_domain_rank" -> graft.pipeline.DomainRank.duckSql()),
       ("select_rank_budget" -> graft.pipeline.DomainRank.duckRankBudgetSql()),
       ("graph_harmonic" -> graft.pipeline.Harmonic.duckSql()),
+      ("graph_cocitation" -> graft.pipeline.CoCitation.duckSql()),
       ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()),
       ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),

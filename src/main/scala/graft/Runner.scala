@@ -310,6 +310,16 @@ object Runner {
           Seq((embBmod, graft.pipeline.Similarity.AdaptiveMaxPlanes))
             .toDF("bmod", "max_planes")
         })
+        // the link-graph authority relations the streaming annotation
+        // (ingestDomainRank) probes: graph extracted once, rank
+        // converged batch-side, budget allocation landed beside it —
+        // a later session or streaming job reads these instead of
+        // re-running the fixpoint (the embedding-index precedent)
+        val (gnv, gev, _) = graft.pipeline.DomainRank.landedGraph(spark, dataDir)
+        land("index", "domain_graph_nodes", spark.table(gnv))
+        land("index", "domain_graph_edges", spark.table(gev))
+        land("index", "domain_rank_budget",
+          graft.pipeline.DomainRank.runRankBudget(spark, dataDir))
         // store health: per landed relation file count / bytes /
         // small-files flag (driver-side fs metadata, no data reads)
         land("index", "store_file_report",

@@ -89,6 +89,10 @@ object DomainRank {
        |  SELECT doc_id, ${siteExpr("doc_id", "source")(d)} AS site FROM $table
        |),
        |srcs AS (
+       |  -- unpartitioned window, BOUNDED relation: it ranks the
+       |  -- DISTINCT-source index (|sources| ≪ corpus, a crawl-config
+       |  -- constant), not corpus rows — the bucket-count-relation
+       |  -- exception to the no-single-partition-window rule
        |  SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
        |    FROM (SELECT DISTINCT source FROM $table) ds
        |),

@@ -310,6 +310,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => graft.pipeline.Harmonic.runHarmonic(s, dir))),
       ("graph_cocitation" ->
         ((s: SparkSession, dir: String) => graft.pipeline.CoCitation.runCocitation(s, dir))),
+      ("graph_communities" ->
+        ((s: SparkSession, dir: String) => graft.pipeline.GraphCommunities.runCommunities(s, dir))),
       ("event_rate_anomaly" ->
         ((s: SparkSession, dir: String) => graft.streaming.EventAnalytics.runRateAnomaly(s, dir))),
       ("event_props_stats" ->
@@ -598,6 +600,7 @@ object SparkEntry {
       ("select_rank_budget" -> graft.pipeline.DomainRank.duckRankBudgetSql()),
       ("graph_harmonic" -> graft.pipeline.Harmonic.duckSql()),
       ("graph_cocitation" -> graft.pipeline.CoCitation.duckSql()),
+      ("graph_communities" -> graft.pipeline.GraphCommunities.duckSql()),
       ("event_rate_anomaly" -> graft.streaming.EventAnalytics.duckRateAnomalySql()),
       ("event_props_stats" -> graft.streaming.EventAnalytics.duckPropsStatsSql()),
       ("lookup_rate_anomaly" -> graft.streaming.EventAnalytics.duckLookupRateAnomalySql()),

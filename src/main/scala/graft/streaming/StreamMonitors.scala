@@ -891,13 +891,18 @@ object StreamMonitors {
     * per-site running count) is the sink's `foreachBatch` job — the
     * same batch-local-election adjudication as [[ingestEntityMatch]].
     * Replay-spec-pinned: a full corpus replay carries exactly the
-    * batch budget entry's per-site rank/alloc on every doc. */
+    * batch budget entry's per-site rank/alloc on every doc. A doc
+    * from a site the landed graph has never seen (a NOVEL domain at
+    * ingest) is NOT dropped — the join is left-outer and the doc
+    * emits with NULL rank/alloc, so the sink routes new domains to
+    * its cold-start policy instead of losing them silently (the
+    * no-silent-caps rule applied to stream joins). */
   def ingestDomainRank(docs: DataFrame, rankBudget: DataFrame): DataFrame = {
     val site = graft.pipeline.DomainRank
       .siteExpr("doc_id", "source")(graft.oracle.SparkDialect)
     docs.selectExpr("doc_id", s"$site AS site")
       .join(rankBudget.selectExpr("site", "rank_micro", "alloc_docs"),
-        Seq("site"))
+        Seq("site"), "left")
       .selectExpr("doc_id", "site", "rank_micro", "alloc_docs")
   }
 }

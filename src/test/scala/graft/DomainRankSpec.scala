@@ -151,6 +151,30 @@ class DomainRankSpec extends SparkSpec {
     }
   }
 
+  test("streaming rank annotation keeps novel-domain docs with null rank") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val budget = DomainRank.runRankBudget(spark, sfDir)
+      .localCheckpoint(true)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamMonitors.ingestDomainRank(
+        in.toDF().toDF("doc_id", "source"), budget)
+      .writeStream.format("memory").queryName("dr_novel_stream")
+      .outputMode("append").start()
+    val rows = try {
+      // a source the batch graph has never seen -> an unseen site key
+      in.addData((999999999L, "never-crawled-source"))
+      q.processAllAvailable()
+      spark.table("dr_novel_stream").collect()
+    } finally q.stop()
+    assert(rows.length == 1, "novel-domain doc must NOT be dropped")
+    assert(rows.head.getLong(0) == 999999999L)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3),
+      "novel domain carries null rank/alloc for the sink's cold-start policy")
+  }
+
   test("iterated engine loop equals the oracle's one-statement unrolled form") {
     val oneShot = spark.sql(
       DomainRank.domainRankSql(docsView(), Some(nSrc()))(SparkDialect))

@@ -271,10 +271,13 @@ object DomainRank {
     * pins the exact kept set via its id-sum without emitting doc grain.
     *
     * Scale shape: `alloc` is NODE-grain metadata (one BIGINT per host)
-    * and broadcasts into the doc-grain window's output; the corpus-
-    * touching work is ONE scan + one window shuffle partitioned by
-    * site — identical to the flat domain cap's bill. The two scalar
-    * totals are single-row relations cross-joined into node grain. */
+    * and joins the doc-grain window's output under the SAME hint
+    * election as the rank loop (broadcast below
+    * [[RankBroadcastBound]], hash-co-partitioned above — a 10⁷-host
+    * alloc relation is not broadcastable); the corpus-touching work is
+    * ONE scan + one window shuffle partitioned by site — identical to
+    * the flat domain cap's bill. The two scalar totals are single-row
+    * relations cross-joined into node grain. */
   private[graft] def budgetTail(docsiteRel: String, nodesRel: String,
                                 rankRel: String, rankHint: String)
                                (d: Dialect): String = {
@@ -302,7 +305,7 @@ object DomainRank {
        |    FROM $docsiteRel ds
        |),
        |kept AS (
-       |  SELECT /*+ BROADCAST(a) */ p.site,
+       |  SELECT /*+ $rankHint(a) */ p.site,
        |         COUNT(*) AS kept_docs, SUM(p.doc_id) AS kept_id_sum
        |    FROM prio p JOIN alloc a ON a.site = p.site
        |   WHERE p.rk <= a.alloc_docs

@@ -48,14 +48,19 @@ object DataChars {
     * path for a historical run's table state (schemas come from the
     * DataFrames themselves, counts from parallel count() actions). */
   def fromTables(spark: SparkSession,
-                 tables: Seq[(String, DataFrame)]): DataFrame = {
+                 tables: Seq[(String, DataFrame)],
+                 knownCounts: Map[String, Long] = Map.empty): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = Pools.actions
-    // parallel row counts — the reference's chunked COUNT(*) fan-out
+    // parallel row counts — the reference's chunked COUNT(*) fan-out.
+    // `knownCounts` lets a caller that introspects the SAME table state
+    // twice (SchemaDrift's seeded two-run history: only schemas differ,
+    // row counts are identical by construction) pay the count jobs once.
     val counts: Map[String, Long] = Await.result(
       Future.sequence(tables.map { case (t, df) =>
-        Future(t -> df.count())
+        knownCounts.get(t)
+          .fold(Future(t -> df.count()))(c => Future.successful(t -> c))
       }), Duration.Inf).toMap
     val rows = for {
       (t, df) <- tables

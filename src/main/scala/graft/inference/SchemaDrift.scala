@@ -68,8 +68,10 @@ object SchemaDrift {
   /** Land a data_chars snapshot for the given table state under a run id
     * and return the landed path. */
   def landSnapshot(spark: SparkSession, root: String, runId: String,
-                   tables: Seq[(String, DataFrame)]): String =
-    RunStore.land(DataChars.fromTables(spark, tables), root, runId, "data_chars")
+                   tables: Seq[(String, DataFrame)],
+                   knownCounts: Map[String, Long] = Map.empty): String =
+    RunStore.land(DataChars.fromTables(spark, tables, knownCounts),
+      root, runId, "data_chars")
 
   /** Drift between the two most recent landed runs under `root` —
     * the Runner's cross-invocation path. */
@@ -83,9 +85,24 @@ object SchemaDrift {
     * same root cannot shift which snapshots the oracle compares). */
   def run(spark: SparkSession, dir: String): DataFrame = {
     val root = RunStore.root
-    val p0 = landSnapshot(spark, root, "run_000", priorRunTables(spark, dir))
-    val p1 = landSnapshot(spark, root, "run_001",
-      Tables.names.map(t => t -> Tables.load(spark, dir, t, parallelize = false)))
+    val current = Tables.names.map(t =>
+      t -> Tables.load(spark, dir, t, parallelize = false))
+    // ONE count pass serves both snapshots (guide §1.2): the seeded
+    // prior state mutates schemas only (drop / add / retype a column),
+    // never row counts, so introspecting it re-counts the identical
+    // tables. The landed record_ct values are unchanged.
+    val counts: Map[String, Long] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        graft.core.Pools.actions
+      Await.result(Future.sequence(current.map { case (t, df) =>
+        Future(t -> df.count())
+      }), Duration.Inf).toMap
+    }
+    val p0 = landSnapshot(spark, root, "run_000", priorRunTables(spark, dir),
+      counts)
+    val p1 = landSnapshot(spark, root, "run_001", current, counts)
     spark.sql(diffSql(p0, p1)(SparkDialect))
   }
 

@@ -78,7 +78,11 @@ object Boilerplate {
     * any corpus size). Identical (id, gram) relation by construction:
     * same lowercase/split/empty-drop as `wordsRel`, same space-joined
     * trigram, same DISTINCT (spec-pinned; the oracle compare re-proves
-    * it end-to-end). */
+    * it end-to-end). (r14 audit note: a row-local `array_distinct`
+    * spelling of the DISTINCT was tried and MEASURED 7× slower —
+    * ArrayDistinct on non-primitive element types falls back to a
+    * quadratic per-row scan; the global DISTINCT exchange is the
+    * cheaper spelling at every scale until that changes.) */
   private[graft] def tgSparkSql(table: String): String =
     s"""SELECT DISTINCT doc_id AS id,
        |       concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS gram
@@ -89,6 +93,33 @@ object Boilerplate {
        |         WHERE size(ws) >= 3) z
        |  LATERAL VIEW explode(sequence(0, size(ws) - 3)) e AS i""".stripMargin
 
+  /** Engine rendering of [[bodySql]]: each gram row reads its
+    * document frequency from a COUNT window over `gram` instead of the
+    * oracle form's groupBy+join-back — one `gram` exchange total where
+    * the join form pays the census aggregation plus the join's own
+    * exchange of the full (id, gram) relation (guide §2.4: the
+    * aggregation and the join were keyed identically — fuse them).
+    * Same doc_ct per row by construction; the tail is [[bodySql]]'s
+    * verbatim. */
+  private[graft] def bodySparkSql(tgRel: String, docFreq: Int = 4,
+                                  heavyFrac: Double = 0.5): String =
+    s"""WITH cnt AS (
+       |  SELECT id, COUNT(*) OVER (PARTITION BY gram) AS doc_ct FROM $tgRel
+       |),
+       |per_doc AS (
+       |  SELECT id, COUNT(*) AS gram_ct,
+       |         SUM(CASE WHEN doc_ct >= $docFreq THEN 1 ELSE 0 END) AS bp_ct
+       |    FROM cnt GROUP BY id
+       |)
+       |SELECT id AS doc_id, CAST(gram_ct AS BIGINT) AS gram_ct,
+       |       CAST(bp_ct AS BIGINT) AS boilerplate_ct,
+       |       CAST(ROUND(CAST(bp_ct AS DOUBLE) / gram_ct, 4) AS DOUBLE)
+       |         AS boilerplate_frac,
+       |       CAST(CASE WHEN bp_ct >= $heavyFrac * gram_ct THEN 1 ELSE 0 END
+       |            AS INT) AS boilerplate_heavy
+       |  FROM per_doc
+       | ORDER BY doc_id""".stripMargin
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_docs_bp")
@@ -96,7 +127,7 @@ object Boilerplate {
     spark.sql(tgSparkSql("__graft_docs_bp"))
       .localCheckpoint(eager = true)
       .createOrReplaceTempView(v)
-    spark.sql(bodySql(v))
+    spark.sql(bodySparkSql(v))
   }
 
   /** The materialized per-doc OUTPUT, memoized per (session, dir) — the

@@ -306,17 +306,59 @@ object CorpusDrift {
        |  FROM j
        | ORDER BY source, lang""".stripMargin
 
+  /** Both snapshots derive from ONE corpus scan (guide §1.2: don't
+    * recompute what one pass can produce): the old spelling scanned
+    * `documents` THREE times with the per-row `regexp_count` tokenizer
+    * (prior = filter branch + src0 union branch, current = third scan).
+    * The finer census below groups on (source, lang, %97-retired,
+    * %7-seventh) — the exact partition both snapshots' groups are
+    * unions of — so each snapshot is an integer re-aggregation of the
+    * checkpointed census (associative SUMs: values land bit-identical
+    * to the three-scan form, which stays the oracle-side rendering of
+    * record; the landed parquet is what the DuckDB oracle diffs). */
+  private def censusSql(table: String): String = {
+    val tokens = SparkDialect.regexpCount("text", "\\S+")
+    s"""SELECT source, lang,
+       |       CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS retired,
+       |       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS seventh,
+       |       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       |       CAST(SUM(CAST($tokens AS BIGINT)) AS BIGINT) AS token_ct
+       |  FROM $table
+       | GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.RunStore
     val docs = "__graft_drift_docs"
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView(docs)
+    val cv = "__graft_drift_census"
+    spark.sql(censusSql(docs)).localCheckpoint(eager = true)
+      .createOrReplaceTempView(cv)
     val root = RunStore.root
+    // prior = the non-seventh cells of every non-src19 source (with the
+    // %97 cells remapped to src_retired) plus ALL src0 cells doubled —
+    // cell-for-cell the aggregate of priorSql's row set
     val p0 = RunStore.land(
-      spark.sql(snapshotSql(s"(${priorSql(docs)})")(SparkDialect)),
+      spark.sql(
+        s"""SELECT source, lang,
+           |       CAST(SUM(doc_ct) AS BIGINT) AS doc_ct,
+           |       CAST(SUM(token_ct) AS BIGINT) AS token_ct
+           |  FROM (
+           |  SELECT CASE WHEN retired = 1 THEN 'src_retired' ELSE source END
+           |           AS source, lang, doc_ct, token_ct
+           |    FROM $cv WHERE source <> 'src19' AND seventh = 0
+           |  UNION ALL
+           |  SELECT source, lang, doc_ct, token_ct FROM $cv
+           |   WHERE source = 'src0'
+           |) u GROUP BY source, lang""".stripMargin),
       root, "run_000", "corpus_stats")
     val p1 = RunStore.land(
-      spark.sql(snapshotSql(docs)(SparkDialect)),
+      spark.sql(
+        s"""SELECT source, lang,
+           |       CAST(SUM(doc_ct) AS BIGINT) AS doc_ct,
+           |       CAST(SUM(token_ct) AS BIGINT) AS token_ct
+           |  FROM $cv GROUP BY source, lang""".stripMargin),
       root, "run_001", "corpus_stats")
     spark.sql(diffSql(p0, p1)(SparkDialect))
   }
@@ -386,12 +428,32 @@ object DocDrift {
     val docs = "__graft_docdrift_docs"
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView(docs)
+    // ONE hashing scan for both snapshots (guide §1.2) — the old
+    // spelling MD5-scanned the corpus three times (prior's filter +
+    // src0 branches, then current). Each doc's current and prior
+    // hashes come out of the same row; the landed values are
+    // bit-identical to the three-scan form (same MD5 inputs), and the
+    // DuckDB oracle diffs the same landed parquet as before.
+    val bv = "__graft_docdrift_base"
+    spark.sql(
+      s"""SELECT doc_id, source, h_cur,
+         |       CASE WHEN doc_id % 11 = 0 THEN MD5(text || ' vLEGACY')
+         |            ELSE h_cur END AS h_prior
+         |  FROM (SELECT doc_id, source, text, MD5(text) AS h_cur
+         |          FROM $docs) b""".stripMargin)
+      .localCheckpoint(eager = true)
+      .createOrReplaceTempView(bv)
     val root = RunStore.root
     val p0 = RunStore.land(
-      spark.sql(snapshotSql(s"(${priorSql(docs)})")),
+      spark.sql(
+        s"""SELECT doc_id, source, h_prior AS content_hash FROM $bv
+           | WHERE doc_id % 7 <> 0
+           |UNION ALL
+           |SELECT doc_id + 1000000 AS doc_id, source, h_cur AS content_hash
+           |  FROM $bv WHERE source = 'src0'""".stripMargin),
       root, "run_000", "doc_snapshot")
     val p1 = RunStore.land(
-      spark.sql(snapshotSql(docs)),
+      spark.sql(s"SELECT doc_id, source, h_cur AS content_hash FROM $bv"),
       root, "run_001", "doc_snapshot")
     spark.sql(diffSql(p0, p1)(SparkDialect))
   }

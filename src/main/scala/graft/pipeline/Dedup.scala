@@ -1255,6 +1255,25 @@ object Dedup {
        |SELECT DISTINCT id, fp FROM wins WHERE pos >= $w""".stripMargin
   }
 
+  /** Spark-side hot-cutoff filter: the per-fingerprint count rides a
+    * COUNT window over the SAME `fp` partitioning the downstream pair
+    * self-join consumes, so the fingerprint relation is exchanged by
+    * `fp` ONCE and that exchange is shared (ReuseExchange) by both
+    * join sides — where the oracle form's groupBy+join hot census
+    * plans a census aggregation + broadcast build per REFERENCE of
+    * `fpf` (Spark inlines CTEs; the winnow body references it twice).
+    * Guide §2.4: an aggregation and a join keyed the same way share
+    * one exchange. Row-set identical to the join form by construction
+    * (same count, same cutoff); the oracle keeps the census rendering,
+    * so the full result is re-proven equal end-to-end by the gate. */
+  private[pipeline] def hotFpsSparkCte(fpsRel: String, hotCutoff: Int): String =
+    s"""fpf AS (
+       |  SELECT id, fp FROM (
+       |    SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS fp_ct
+       |      FROM $fpsRel) w
+       |   WHERE fp_ct <= $hotCutoff
+       |)""".stripMargin
+
   /** The near-dup pair body over a fingerprint relation; dialect-free. */
   def winnowBodySql(fpsRel: String, minShared: Int = 3,
                     hotCutoff: Int = 50): String =
@@ -1288,6 +1307,28 @@ object Dedup {
     s"""WITH fps AS (${winnowFpsSql(table, k, w)(d)}),
        |${winnowBodySql("fps", minShared, hotCutoff).stripPrefix("WITH ")}""".stripMargin
 
+  /** Engine rendering of [[winnowBodySql]] — identical tail, hot
+    * filter via [[hotFpsSparkCte]] (OptRewriteParitySpec pins row
+    * identity with the oracle form; the gate re-proves it end-to-end). */
+  def winnowBodySparkSql(fpsRel: String, minShared: Int = 3,
+                         hotCutoff: Int = 50): String =
+    s"""WITH ${hotFpsSparkCte(fpsRel, hotCutoff)},
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel GROUP BY id),
+       |pairs AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS shared
+       |    FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.id < b.id
+       |   GROUP BY a.id, b.id HAVING COUNT(*) >= $minShared
+       |)
+       |SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared_fp_ct,
+       |       CAST(ROUND(CAST(p.shared AS DOUBLE)
+       |                  / (sa.sz + sb.sz - p.shared), 4) AS DOUBLE)
+       |         AS winnow_jaccard
+       |  FROM pairs p
+       |  JOIN sizes sa ON sa.id = p.doc_a
+       |  JOIN sizes sb ON sb.id = p.doc_b
+       | ORDER BY winnow_jaccard DESC, p.doc_a, p.doc_b
+       | LIMIT 100""".stripMargin
+
   /** The materialized winnowing fingerprint sets, memoized per
     * (session, dir) — shared by the near-dup entry and decontamination.
     *
@@ -1313,7 +1354,7 @@ object Dedup {
     }
 
   def runWinnow(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(winnowBodySql(winnowFpsView(spark, dir)))
+    spark.sql(winnowBodySparkSql(winnowFpsView(spark, dir)))
 
   /** Decontamination — train/eval n-gram collision detection (the
     * published 13-gram-overlap checks of large-model training runs, on
@@ -1345,10 +1386,23 @@ object Dedup {
        |esizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel
        |           WHERE id % $EvalMod = 0 GROUP BY id)""".stripMargin
 
-  def decontaminateBodySql(fpsRel: String, minShared: Int = 3,
-                           hotCutoff: Int = 50): String =
-    s"""WITH ${decontCtes(fpsRel, minShared, hotCutoff)}
-       |SELECT h.corpus_id, h.eval_id, CAST(h.shared AS BIGINT) AS shared_fp_ct,
+  /** Engine rendering of [[decontCtes]] — hot filter via
+    * [[hotFpsSparkCte]] (one shared fp exchange), same `hits`/`esizes`
+    * text. */
+  private[pipeline] def decontSparkCtes(fpsRel: String, minShared: Int,
+                                        hotCutoff: Int): String =
+    s"""${hotFpsSparkCte(fpsRel, hotCutoff)},
+       |hits AS (
+       |  SELECT c.id AS corpus_id, e.id AS eval_id, COUNT(*) AS shared
+       |    FROM fpf c JOIN fpf e
+       |      ON e.fp = c.fp AND c.id % $EvalMod <> 0 AND e.id % $EvalMod = 0
+       |   GROUP BY c.id, e.id HAVING COUNT(*) >= $minShared
+       |),
+       |esizes AS (SELECT id, COUNT(*) AS sz FROM $fpsRel
+       |           WHERE id % $EvalMod = 0 GROUP BY id)""".stripMargin
+
+  private def decontaminateTail: String =
+    s"""SELECT h.corpus_id, h.eval_id, CAST(h.shared AS BIGINT) AS shared_fp_ct,
        |       CAST(ROUND(CAST(h.shared AS DOUBLE) / s.sz, 4) AS DOUBLE)
        |         AS eval_overlap
        |  FROM hits h
@@ -1356,12 +1410,23 @@ object Dedup {
        | ORDER BY eval_overlap DESC, h.corpus_id, h.eval_id
        | LIMIT 100""".stripMargin
 
+  def decontaminateBodySql(fpsRel: String, minShared: Int = 3,
+                           hotCutoff: Int = 50): String =
+    s"""WITH ${decontCtes(fpsRel, minShared, hotCutoff)}
+       |$decontaminateTail""".stripMargin
+
+  /** Engine form: [[decontSparkCtes]] hot filter, identical tail. */
+  def decontaminateBodySparkSql(fpsRel: String, minShared: Int = 3,
+                                hotCutoff: Int = 50): String =
+    s"""WITH ${decontSparkCtes(fpsRel, minShared, hotCutoff)}
+       |$decontaminateTail""".stripMargin
+
   def decontaminateSql(table: String)(d: Dialect): String =
     s"""WITH fps AS (${winnowFpsSql(table)(d)}),
        |${decontaminateBodySql("fps").stripPrefix("WITH ")}""".stripMargin
 
   def runDecontaminate(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(decontaminateBodySql(winnowFpsView(spark, dir)))
+    spark.sql(decontaminateBodySparkSql(winnowFpsView(spark, dir)))
 
   /** Per-benchmark-item contamination verdict — the report a curation
     * run actually acts on: for each eval doc, how many corpus docs
@@ -1369,10 +1434,8 @@ object Dedup {
     * item with high max overlap is compromised regardless of how many
     * distinct corpus docs leaked it; no LIMIT — the eval set is
     * benchmark-sized. */
-  def decontaminateReportSql(fpsRel: String, minShared: Int = 3,
-                             hotCutoff: Int = 50): String =
-    s"""WITH ${decontCtes(fpsRel, minShared, hotCutoff)}
-       |SELECT h.eval_id,
+  private def decontaminateReportTail: String =
+    s"""SELECT h.eval_id,
        |       CAST(COUNT(*) AS BIGINT) AS corpus_match_ct,
        |       CAST(MAX(h.shared) AS BIGINT) AS max_shared_fp_ct,
        |       CAST(ROUND(CAST(MAX(h.shared) AS DOUBLE) / s.sz, 4) AS DOUBLE)
@@ -1382,12 +1445,23 @@ object Dedup {
        | GROUP BY h.eval_id, s.sz
        | ORDER BY max_eval_overlap DESC, eval_id""".stripMargin
 
+  def decontaminateReportSql(fpsRel: String, minShared: Int = 3,
+                             hotCutoff: Int = 50): String =
+    s"""WITH ${decontCtes(fpsRel, minShared, hotCutoff)}
+       |$decontaminateReportTail""".stripMargin
+
+  /** Engine form: [[decontSparkCtes]] hot filter, identical tail. */
+  def decontaminateReportSparkSql(fpsRel: String, minShared: Int = 3,
+                                  hotCutoff: Int = 50): String =
+    s"""WITH ${decontSparkCtes(fpsRel, minShared, hotCutoff)}
+       |$decontaminateReportTail""".stripMargin
+
   def decontaminateReportFullSql(table: String)(d: Dialect): String =
     s"""WITH fps AS (${winnowFpsSql(table)(d)}),
        |${decontaminateReportSql("fps").stripPrefix("WITH ")}""".stripMargin
 
   def runDecontaminateReport(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(decontaminateReportSql(winnowFpsView(spark, dir)))
+    spark.sql(decontaminateReportSparkSql(winnowFpsView(spark, dir)))
 
   /** The raw decontamination hit relation (corpus_id, eval_id, shared),
     * landed once per (session, dir) — the curation ledger (and any
@@ -1398,7 +1472,7 @@ object Dedup {
       val v = "__graft_decont_hits_" +
         java.lang.Integer.toHexString(dir.hashCode)
       spark.sql(
-        s"""WITH ${decontCtes(winnowFpsView(spark, dir), 3, 50)}
+        s"""WITH ${decontSparkCtes(winnowFpsView(spark, dir), 3, 50)}
            |SELECT corpus_id, eval_id, CAST(shared AS BIGINT) AS shared
            |  FROM hits""".stripMargin)
         .localCheckpoint(eager = true).createOrReplaceTempView(v)
@@ -1496,7 +1570,7 @@ object Dedup {
     }
 
   def runFuzzyChunks(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(fuzzyChunkOut(winnowBodySql(chunkFpsView(spark, dir)))(SparkDialect))
+    spark.sql(fuzzyChunkOut(winnowBodySparkSql(chunkFpsView(spark, dir)))(SparkDialect))
 
   /** Incremental corpus-ingestion dedup — the shape a daily pipeline
     * actually runs: an incoming batch (fixture split: doc_id %

@@ -126,7 +126,15 @@ object Harmonic {
     var prevDf: Option[DataFrame] = None
     spark.sql(s"SELECT src, dst, 1 AS dist FROM $ev")
       .createOrReplaceTempView(prev)
-    for (h <- 2 to MaxHops) {
+    // convergence early-exit: once a hop settles NO new pair (no row at
+    // dist = h), every later hop's frontier join is empty and the
+    // MIN-group returns the carried relation unchanged — b_h = b_MaxHops
+    // exactly, so the remaining iterations are pure no-op jobs. The
+    // emptiness probe is a LIMIT-1 read of the just-checkpointed layer
+    // (guide §1.2: stop computing what is already fixed-point).
+    var h = 2
+    var converged = false
+    while (h <= MaxHops && !converged) {
       val next = s"__graft_hc_b${h}_$sfx"
       val nextDf = spark.sql(
         s"""SELECT src, dst, MIN(dist) AS dist FROM (
@@ -141,6 +149,8 @@ object Harmonic {
       prevDf.foreach(_.unpersist())  // only the newest layer is read again
       prevDf = Some(nextDf)
       prev = next
+      converged = nextDf.where(s"dist = $h").isEmpty
+      h += 1
     }
     spark.sql(s"WITH ${reportSql(nv, prev)(SparkDialect)}")
   }

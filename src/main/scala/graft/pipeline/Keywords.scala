@@ -51,10 +51,49 @@ object Keywords {
        | WHERE rn <= $k
        | ORDER BY doc_id, rank""".stripMargin
 
+  /** Engine rendering: document frequency and idf4 ride a COUNT window
+    * over `word` on the tf relation instead of the oracle form's
+    * groupBy+join — Spark inlines the twice-referenced `tf` CTE, so the
+    * join form re-derives the full word explode + (id, word) aggregate
+    * per reference (the measured plan held TWO scan→explode→aggregate
+    * subtrees); the window form derives tf once and shares its `word`
+    * exchange between the df count and nothing else (guide §2.4). The
+    * idf4 arithmetic is the same double-precision expression over the
+    * same integer inputs, so scores are bit-identical (the oracle gate
+    * re-proves the full relation). */
+  private[graft] def sparkSql(table: String, k: Int = 5): String =
+    s"""WITH words AS (
+       |  ${SparkDialect.wordsRel(table, "doc_id", "text")}
+       |),
+       |tf AS (
+       |  SELECT id, word, COUNT(*) AS tf FROM words GROUP BY id, word
+       |),
+       |n AS (SELECT COUNT(*) AS n_docs FROM $table),
+       |scored AS (
+       |  SELECT id, word, tf, df,
+       |         tf * CAST(ROUND(LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / df)
+       |                         * 10000) AS BIGINT) AS score4
+       |    FROM (SELECT id, word, tf,
+       |                 COUNT(*) OVER (PARTITION BY word) AS df
+       |            FROM tf) w
+       |),
+       |ranked AS (
+       |  SELECT id, word, tf, df, score4,
+       |         ROW_NUMBER() OVER (PARTITION BY id
+       |                            ORDER BY score4 DESC, word) AS rn
+       |    FROM scored
+       |)
+       |SELECT id AS doc_id, CAST(rn AS INT) AS rank, word AS term,
+       |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |       CAST(score4 / 10000.0 AS DOUBLE) AS tfidf
+       |  FROM ranked
+       | WHERE rn <= $k
+       | ORDER BY doc_id, rank""".stripMargin
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_kw_docs")
-    spark.sql(sql("__graft_kw_docs")(SparkDialect))
+    spark.sql(sparkSql("__graft_kw_docs"))
   }
 
   def duckSql(): String = sql("documents")(DuckDialect)

@@ -582,8 +582,13 @@ object Scoring {
           Future(CatSuite.run(spark, dir, t).withColumn("table_name", lit(t))))),
         Duration.Inf)
         .reduce(_ unionByName _)
+      // materialized (see prevalenceView): every consumer of the bare
+      // view re-executed the 4-suite union plan; the result is one row
+      // per CAT test — LocalRelation-sized.
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(cat.collect(): _*), cat.schema)
       val view = "__graft_catres_shared"
-      cat.createOrReplaceTempView(view)
+      local.createOrReplaceTempView(view)
       view
     }
 
@@ -802,8 +807,17 @@ object Scoring {
 
   private def prevalenceView(spark: SparkSession, dir: String): String =
     graft.core.SessionCache.getOrElseUpdate(spark, "prevalence_view", dir) {
+      // materialized like its siblings (enrichedView / anomaliesView /
+      // queryResultsView): a bare temp view re-executes the full
+      // prevalence plan in EVERY consumer (Spark inlines views), and
+      // score_card_columns references it twice per run — the r14 plan
+      // audit measured the duplicated subtree. Metadata-sized (one row
+      // per failed test per column), so it lands as a LocalRelation.
+      val res = runTestPrevalence(spark, dir)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(res.collect(): _*), res.schema)
       val view = "__graft_prev_shared"
-      runTestPrevalence(spark, dir).createOrReplaceTempView(view)
+      local.createOrReplaceTempView(view)
       view
     }
 

@@ -1,0 +1,50 @@
+package graft
+
+import graft.pipeline.{Boilerplate, Dedup, Keywords}
+import graft.oracle.SparkDialect
+
+/** Round-14 optimization parity: every engine-side rewrite of this
+  * round (window-based hot-fingerprint filter, window document
+  * frequency, one-scan snapshot derivations) must emit a row set
+  * BIT-IDENTICAL to the oracle-side rendering it replaced, on the same
+  * session over the sf0.001 fixture. The sf0.01 gate re-proves each
+  * end-to-end against DuckDB; this spec pins the equivalence at the
+  * rendering level so a future edit to one side trips immediately. */
+class OptRewriteParitySpec extends SparkSpec {
+
+  private val dir = sfDir
+
+  private def rows(sql: String): Seq[String] =
+    spark.sql(sql).collect().map(_.toString).sorted.toSeq
+
+  test("winnow pair body: window hot filter == census-join hot filter") {
+    val fps = Dedup.winnowFpsView(spark, dir)
+    assert(rows(Dedup.winnowBodySparkSql(fps)) ==
+      rows(Dedup.winnowBodySql(fps)))
+  }
+
+  test("decontaminate body: window hot filter == census-join hot filter") {
+    val fps = Dedup.winnowFpsView(spark, dir)
+    assert(rows(Dedup.decontaminateBodySparkSql(fps)) ==
+      rows(Dedup.decontaminateBodySql(fps)))
+    assert(rows(Dedup.decontaminateReportSparkSql(fps)) ==
+      rows(Dedup.decontaminateReportSql(fps)))
+  }
+
+  test("keywords: window document frequency == groupBy+join idf") {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__opt_kw_docs")
+    assert(rows(Keywords.sparkSql("__opt_kw_docs")) ==
+      rows(Keywords.sql("__opt_kw_docs")(SparkDialect)))
+  }
+
+  test("boilerplate: window doc frequency == groupBy+join-back") {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__opt_bp_docs")
+    val tg = "__opt_bp_tg"
+    spark.sql(Boilerplate.tgSparkSql("__opt_bp_docs"))
+      .localCheckpoint(eager = true).createOrReplaceTempView(tg)
+    assert(rows(Boilerplate.bodySparkSql(tg)) ==
+      rows(Boilerplate.bodySql(tg)))
+  }
+}

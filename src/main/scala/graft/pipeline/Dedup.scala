@@ -347,6 +347,40 @@ object Dedup {
   def simhashSql(table: String, maxHamming: Int = 3)(d: Dialect): String =
     simhashBody(s"(${simhashSigsSql(table)(d)})", maxHamming)(d)
 
+  /** Engine rendering of [[simhashBody]]: the hot-bucket census rides
+    * a COUNT window over the same (chunk, piece) partitioning the
+    * candidate self-join consumes — the [[hotFpsSparkCte]] fusion at
+    * piece grain (the oracle keeps the census-join form; the gate
+    * re-proves equality end-to-end, OptRewriteParitySpec pins it). */
+  def simhashBodySparkSql(sigs2Rel: String, maxHamming: Int,
+                          hotCutoff: Int = SimhashHotCutoff): String = {
+    val d: Dialect = SparkDialect
+    val chunks = (0 until 4).map { c =>
+      val byte = s"CAST(${d.shiftRight("v", c * 8)} % 256 AS INT)"
+      s"SELECT id, v, $c AS chunk, $byte AS piece FROM $sigs2Rel"
+    }.mkString("\n  UNION ALL\n  ")
+    val hamming = d.bitCount(d.bitXor("a.v", "b.v"))
+    s"""WITH chunks AS (
+       |  $chunks
+       |),
+       |c2 AS (
+       |  SELECT id, v, chunk, piece FROM (
+       |    SELECT id, v, chunk, piece,
+       |           COUNT(*) OVER (PARTITION BY chunk, piece) AS occ
+       |      FROM chunks) w
+       |   WHERE occ <= $hotCutoff
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, $hamming AS hamming
+       |    FROM c2 a JOIN c2 b
+       |      ON a.chunk = b.chunk AND a.piece = b.piece AND a.id < b.id
+       |   WHERE $hamming <= $maxHamming
+       |)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |  FROM cands
+       | ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicates for LABELED corpora: pairwise
     * cosine within (label, sign-LSH bucket) sub-blocks, norms
     * precomputed once per vector. The label alone is NOT a scale-safe
@@ -731,7 +765,7 @@ object Dedup {
     }
 
   def runSimhash(spark: SparkSession, dir: String): DataFrame =
-    spark.sql(simhashBody(simhashSigsView(spark, dir), 3)(SparkDialect))
+    spark.sql(simhashBodySparkSql(simhashSigsView(spark, dir), 3))
   /** The embeddings row count, measured ONCE per (session, dir) — the
     * adaptive-resolution elections read it as a driver literal. */
   private def embCount(spark: SparkSession, dir: String): Long =

@@ -118,6 +118,10 @@ object KsDrift {
        |${finalSelect(DuckDialect)}""".stripMargin
 
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // parallelize stays FALSE: measured both ways in r14 — the
+    // rebalance exchange of the raw rows costs ~1 s more than the
+    // single-task scan it parallelizes (map-side partial aggregation
+    // on the raw scan already collapses to the value domain).
     graft.core.Tables.load(spark, dir, "lineitem", parallelize = false)
       .createOrReplaceTempView("__graft_ks_li")
     // the ONE corpus scan: land the value-domain count relation

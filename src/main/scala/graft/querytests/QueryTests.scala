@@ -106,7 +106,12 @@ object QueryTests {
        | OR (total IS NULL AND match_total IS NOT NULL)
        | OR (total NOT BETWEEN match_total + $lo AND match_total + $hi)""".stripMargin
 
-  /** lineitem order totals vs orders.o_totalprice, grouped by order key. */
+  /** lineitem order totals vs orders.o_totalprice, grouped by order key.
+    * (r14 audit note: a pre-aggregate + FULL OUTER JOIN engine rendering
+    * was tried and measured NEUTRAL-to-worse at min-of-4 — the regroup's
+    * third exchange only carries rows the map-side partials already
+    * collapsed to key grain, while the join form pays two sort-merge
+    * sorts; the reference's UNION-ALL shape stays.) */
   private def orderBalance(mismatch: String): Dialect => String =
     aggregateInner(
       groupBy = "l_orderkey", totalExpr = "SUM(CAST(l_extendedprice AS DOUBLE))",

@@ -38,6 +38,21 @@ class OptRewriteParitySpec extends SparkSpec {
       rows(Keywords.sql("__opt_kw_docs")(SparkDialect)))
   }
 
+  test("simhash candidates: window hot-bucket filter == census-join") {
+    import graft.oracle.{SparkDialect => SD}
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("__opt_sh_docs")
+    graft.functions.SimHashExpr.register(spark)
+    val sigs = "__opt_sh_sigs"
+    spark.sql(
+      s"""SELECT id, v FROM (
+         |  SELECT doc_id AS id, graft_simhash(text) AS v FROM __opt_sh_docs) s
+         | WHERE v IS NOT NULL""".stripMargin)
+      .localCheckpoint(eager = true).createOrReplaceTempView(sigs)
+    assert(rows(Dedup.simhashBodySparkSql(sigs, 3)) ==
+      rows(Dedup.simhashBody(sigs, 3)(SD)))
+  }
+
   test("boilerplate: window doc frequency == groupBy+join-back") {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__opt_bp_docs")

@@ -58,16 +58,53 @@ object Referential {
     Edges.map { case (ct, cc, pt, pc) => edgeSql(tabs, ct, cc, pt, pc) }
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY fk_edge")
 
+  /** Engine rendering of [[edgeSql]]: the child pre-aggregates to a
+    * (key, cnt) census BEFORE the parent join (guide §2.3 — reduce the
+    * big side first), so the join carries one row per distinct child
+    * key and the edge report is a plain aggregate over the joined
+    * census — no COUNT(DISTINCT) Expand over raw child rows (the
+    * oracle form planned TWO distinct-aggregate pipelines per edge;
+    * 144 exchanges across the 8-edge union, 64 after). Identical
+    * values: SUM(cnt) over the census == COUNT(*) over rows, a census
+    * group IS one distinct value, and COUNT(k)/COUNT(CASE…) ignore
+    * NULLs exactly as COUNT(DISTINCT …) did. */
+  private def edgeSparkSql(tabs: Map[String, String],
+                           ct: String, cc: String, pt: String, pc: String): String =
+    s"""SELECT '$ct.$cc -> $pt.$pc' AS fk_edge,
+       |       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS child_ct,
+       |       CAST(COALESCE(SUM(CASE WHEN c.k IS NOT NULL AND p.__pk IS NULL
+       |                              THEN cnt END), 0) AS BIGINT) AS orphan_ct,
+       |       CAST(COUNT(CASE WHEN c.k IS NOT NULL AND p.__pk IS NULL
+       |                       THEN 1 END) AS BIGINT) AS orphan_val_ct,
+       |       CAST(COALESCE(SUM(CASE WHEN c.k IS NULL THEN cnt END), 0)
+       |            AS BIGINT) AS null_key_ct,
+       |       CAST(COUNT(c.k) AS BIGINT) AS child_val_ct,
+       |       (SELECT CAST(COUNT(DISTINCT $pc) AS BIGINT) FROM ${tabs(pt)})
+       |         AS parent_val_ct
+       |  FROM (SELECT $cc AS k, COUNT(*) AS cnt FROM ${tabs(ct)}
+       |         GROUP BY $cc) c
+       |  LEFT JOIN (SELECT DISTINCT $pc AS __pk FROM ${tabs(pt)}) p
+       |    ON p.__pk = c.k""".stripMargin
+
+  def sparkSql(tabs: Map[String, String]): String =
+    Edges.map { case (ct, cc, pt, pc) => edgeSparkSql(tabs, ct, cc, pt, pc) }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY fk_edge")
+
   private def tables: Seq[String] =
     Edges.flatMap { case (ct, _, pt, _) => Seq(ct, pt) }.distinct
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val tabs = tables.map { t =>
       val v = s"__graft_fk_$t"
-      graft.core.Tables.load(spark, dir, t).createOrReplaceTempView(v)
+      // parallelize=false: per-row work is a key projection feeding a
+      // map-side-combined census — the cheap-aggregate case the load
+      // guard documents (the rebalance shuffled raw lineitem 3× here,
+      // once per edge; measured equal-time either way at sf0.1)
+      graft.core.Tables.load(spark, dir, t, parallelize = false)
+        .createOrReplaceTempView(v)
       t -> v
     }.toMap
-    spark.sql(sql(tabs))
+    spark.sql(sparkSql(tabs))
   }
 
   def duckSql(): String = sql(tables.map(t => t -> t).toMap)

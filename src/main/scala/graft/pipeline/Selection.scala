@@ -580,24 +580,38 @@ object Selection {
     * metadata-sized relation (canon keepers, component labels, gate
     * flags); tokens ride one regexp-count scan joined per stage by id.
     * Nothing rescans text beyond that one pass. */
-  private def funnelTail(table: String, compRel: String, gateRel: String)
-                        (d: Dialect): String = {
+  /** The funnel's per-doc token/canon-hash relation — three regexes +
+    * an MD5 per document. The stage chain references it transitively
+    * from EVERY stage (stages ∪-branches re-derive the whole prefix
+    * chain under Spark's CTE inlining), so the engine entry checkpoints
+    * it once per run and feeds [[funnelTailFromTok]]; the oracle keeps
+    * the single statement via [[funnelTail]]. */
+  private[pipeline] def funnelTokSql(table: String)(d: Dialect): String = {
     val tokens = d.regexpCount("text", "\\S+")
     // Unicode-aware, mirroring Dedup.canonExpr — see the note there
     val noPunct = d.regexpReplace("LOWER(text)", "[^\\p{L}\\p{N}\\s]", "")
     val canon = s"TRIM(${d.regexpReplace(noPunct, "\\s+", " ")})"
+    s"""SELECT doc_id, CAST($tokens AS BIGINT) AS tk,
+       |       MD5($canon) AS canon_hash
+       |  FROM $table""".stripMargin
+  }
+
+  private def funnelTail(table: String, compRel: String, gateRel: String)
+                        (d: Dialect): String =
+    s"""tok AS (
+       |${funnelTokSql(table)(d)}
+       |),
+       |${funnelTailFromTok("tok", compRel, gateRel)(d)}""".stripMargin
+
+  private def funnelTailFromTok(tokRel: String, compRel: String,
+                                gateRel: String)(d: Dialect): String = {
     val draw = d.hexToLong(
       s"SUBSTRING(MD5('split:' || ${d.castText("unit_id")}), 1, 15)")
-    s"""tok AS (
-       |  SELECT doc_id, CAST($tokens AS BIGINT) AS tk,
-       |         MD5($canon) AS canon_hash
-       |    FROM $table
-       |),
-       |s1 AS (
+    s"""s1 AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY canon_hash
        |                                      ORDER BY doc_id) AS rn
-       |      FROM tok) c WHERE rn = 1
+       |      FROM $tokRel) c WHERE rn = 1
        |),
        |s2 AS (
        |  SELECT s1.doc_id FROM s1 LEFT JOIN $compRel c ON c.id = s1.doc_id
@@ -615,7 +629,7 @@ object Selection {
        |  ) u WHERE ($draw % 10) < $TrainBuckets
        |),
        |stages AS (
-       |  SELECT 0 AS stage_ord, 'raw' AS stage, doc_id FROM tok
+       |  SELECT 0 AS stage_ord, 'raw' AS stage, doc_id FROM $tokRel
        |  UNION ALL SELECT 1, 'post_exact_dedup', doc_id FROM s1
        |  UNION ALL SELECT 2, 'post_near_dedup', doc_id FROM s2
        |  UNION ALL SELECT 3, 'post_quality_gate', doc_id FROM s3
@@ -624,7 +638,7 @@ object Selection {
        |agg AS (
        |  SELECT s.stage_ord, s.stage,
        |         COUNT(*) AS doc_ct, SUM(t.tk) AS token_ct
-       |    FROM stages s JOIN tok t ON t.doc_id = s.doc_id
+       |    FROM stages s JOIN $tokRel t ON t.doc_id = s.doc_id
        |   GROUP BY s.stage_ord, s.stage
        |),
        |raw AS (SELECT token_ct AS raw_tokens FROM agg WHERE stage_ord = 0)
@@ -644,7 +658,13 @@ object Selection {
        |),
        |${funnelTail(table, "comp", "gate")(d)}""".stripMargin
 
-  /** Spark path: every stage input is a landed relation. */
+  /** Spark path: every stage input is a landed relation. (r14 audit
+    * note: checkpointing the `tok` relation per run was tried to kill
+    * the stage chain's repeated tok derivation and MEASURED SLOWER at
+    * both sf0.1 and sf1 — 1.02→1.28 s / 0.82→0.95 s warm — the
+    * checkpoint materialization costs more than the re-derivations it
+    * saves, and the inline form stays one statement for the planner to
+    * dedupe. Kept the single-statement form.) */
   def runFunnel(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_funnel_docs")

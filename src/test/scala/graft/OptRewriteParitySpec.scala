@@ -53,6 +53,18 @@ class OptRewriteParitySpec extends SparkSpec {
       rows(Dedup.simhashBody(sigs, 3)(SD)))
   }
 
+  test("fk integrity: pre-aggregated census join == raw-row distinct aggregates") {
+    import graft.inference.Referential
+    val tabs = Seq("lineitem", "orders", "part", "supplier", "customer",
+      "nation", "region", "events").map { t =>
+      val v = s"__opt_fk_$t"
+      graft.core.Tables.load(spark, dir, t, parallelize = false)
+        .createOrReplaceTempView(v)
+      t -> v
+    }.toMap
+    assert(rows(Referential.sparkSql(tabs)) == rows(Referential.sql(tabs)))
+  }
+
   test("boilerplate: window doc frequency == groupBy+join-back") {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__opt_bp_docs")

@@ -733,10 +733,46 @@ object SourceMixture {
        | ORDER BY doc_id, copy""".stripMargin
   }
 
+  /** The landed per-source mixture relation — memoized per (session,
+    * dir) as a LocalRelation (one row per source). The sampling entry
+    * consumes the LANDED weights instead of re-deriving the full
+    * mixture plan inline (the quality-gate/outView pattern; the r14
+    * plan audit measured sample_mixture re-running the whole mixture
+    * computation per pass — 42 exchanges for a join+explode entry). */
+  private def mixtureView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "mixture_view", dir) {
+      val res = run(spark, dir)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(res.collect(): _*), res.schema)
+      val view = "__graft_mixture_shared"
+      local.createOrReplaceTempView(view)
+      view
+    }
+
+  /** [[sampleSql]]'s tail over an already-computed mixture relation. */
+  private def sampleTail(table: String, wselRel: String)(d: Dialect): String = {
+    val draw = s"(${d.hexToInt(s"SUBSTRING(MD5('mix:' || ${d.castText("doc_id")}), 1, 8)")} % 10000)"
+    s"""WITH m AS (
+       |  SELECT source,
+       |         CAST(ROUND(upsample_factor * 10000) AS BIGINT) AS uf_bp
+       |    FROM $wselRel
+       |),
+       |kk AS (
+       |  SELECT dd.doc_id, dd.source,
+       |         ${d.intDiv("m.uf_bp", "10000")}
+       |           + (CASE WHEN $draw < m.uf_bp % 10000 THEN 1 ELSE 0 END)
+       |           AS n_copies
+       |    FROM $table dd JOIN m ON m.source = dd.source
+       |)
+       |SELECT doc_id, source, CAST(pos - 1 AS INT) AS copy
+       |  FROM (${d.seriesRel("kk", Seq("doc_id", "source"), "n_copies")}) s
+       | ORDER BY doc_id, copy""".stripMargin
+  }
+
   def runSample(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__graft_mix_docs")
-    spark.sql(sampleSql("__graft_mix_docs")(SparkDialect))
+    spark.sql(sampleTail("__graft_mix_docs", mixtureView(spark, dir))(SparkDialect))
   }
 
   def sampleDuckSql(): String = sampleSql("documents")(DuckDialect)

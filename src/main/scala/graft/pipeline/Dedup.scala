@@ -1879,13 +1879,38 @@ object Dedup {
     * (one cheap agg per round — no row-level change join). */
   /** The symmetric dup-edge relation (PlanSpec asserts it stays
     * equi-join-only — no cartesian ever enters the cluster path). */
+  /** The LABELED duplicate-pair relation — minhash-verified near pairs
+    * (is_exact = 0) plus exact content-hash star pairs (is_exact = 1) —
+    * checkpointed once per (session, dir). Cluster edges and the
+    * cross-source matrix both consume it: the r13 "landed pair reuse"
+    * discipline applied to the one entry (source matrix) that still
+    * re-derived the exact-pair MD5 scans per run. */
+  private[graft] def dupPairsView(spark: SparkSession, dir: String): String =
+    graft.core.SessionCache.getOrElseUpdate(spark, "duppairs", dir) {
+      val k = registerShingleRels(spark, dir)
+      val docs = register(spark, dir)
+      val v = s"__graft_dup_pairs_$k"
+      spark.sql(
+        s"""WITH ${clusterEdgeCtes(docs, s"__graft_minhash_sigs_$k",
+                                   s"__graft_shf_$k", s"__graft_sizes_$k", 0.5,
+                                   bandGeomOf(spark, k))}
+           |SELECT doc_a, doc_b, 0 AS is_exact FROM mh
+           |UNION ALL
+           |SELECT doc_a, doc_b, 1 AS is_exact FROM epairs""".stripMargin)
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView(v)
+      v
+    }
+
   private[graft] def clusterEdges(spark: SparkSession, dir: String): DataFrame = {
-    val k = registerShingleRels(spark, dir)
-    val docs = register(spark, dir)
+    val pv = dupPairsView(spark, dir)
     spark.sql(
-      s"""WITH ${clusterEdgeCtes(docs, s"__graft_minhash_sigs_$k",
-                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5,
-                                 bandGeomOf(spark, k))}
+      s"""WITH upairs AS (SELECT DISTINCT doc_a, doc_b FROM $pv),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM upairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM upairs
+         |)
          |SELECT src, dst FROM edges""".stripMargin)
   }
 
@@ -1967,12 +1992,11 @@ object Dedup {
        |${sourceMatrixBody(table)}""".stripMargin
 
   def runSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val k = registerShingleRels(spark, dir)
+    val pv = dupPairsView(spark, dir)
     val docs = register(spark, dir)
     spark.sql(
-      s"""WITH ${clusterEdgeCtes(docs, s"__graft_minhash_sigs_$k",
-                                 s"__graft_shf_$k", s"__graft_sizes_$k", 0.5,
-                                 bandGeomOf(spark, k))},
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM $pv WHERE is_exact = 0),
+         |epairs AS (SELECT doc_a, doc_b FROM $pv WHERE is_exact = 1),
          |${sourceMatrixBody(docs)}""".stripMargin)
   }
 

@@ -330,7 +330,10 @@ object CorpusDrift {
   def run(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.RunStore
     val docs = "__graft_drift_docs"
-    graft.core.Tables.load(spark, dir, "documents")
+    // parallelize=false: the census is one map-side-combined GROUP BY
+    // over a cheap projection (guide: the rebalance exchange is pure
+    // cost for cheap aggregates)
+    graft.core.Tables.load(spark, dir, "documents", parallelize = false)
       .createOrReplaceTempView(docs)
     val cv = "__graft_drift_census"
     spark.sql(censusSql(docs)).localCheckpoint(eager = true)
@@ -426,7 +429,9 @@ object DocDrift {
   def run(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.RunStore
     val docs = "__graft_docdrift_docs"
-    graft.core.Tables.load(spark, dir, "documents")
+    // parallelize=false: one MD5 projection per row feeding two
+    // metadata-sized landings — no per-row work worth a rebalance
+    graft.core.Tables.load(spark, dir, "documents", parallelize = false)
       .createOrReplaceTempView(docs)
     // ONE hashing scan for both snapshots (guide §1.2) — the old
     // spelling MD5-scanned the corpus three times (prior's filter +

@@ -90,7 +90,10 @@ object SchemaDrift {
     // ONE count pass serves both snapshots (guide §1.2): the seeded
     // prior state mutates schemas only (drop / add / retype a column),
     // never row counts, so introspecting it re-counts the identical
-    // tables. The landed record_ct values are unchanged.
+    // tables. The landed record_ct values are unchanged. (A fused
+    // union-of-aggregates single action was A/B-measured no better
+    // than this parallel fan-out — the thread pool already overlaps
+    // the jobs.)
     val counts: Map[String, Long] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration

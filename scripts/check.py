@@ -121,6 +121,13 @@ def main():
     if json_path:
         Path(json_path).write_text(json.dumps(record, indent=2) + "\n")
     print(f"== {n_pass} pass, {n_fail} fail")
+    # One-line machine-readable summary as the LAST stdout line (VERDICT
+    # r14 #1): the driver's ~2 KB stdout tail capture must find a
+    # parseable correctness JSON — CORRECTNESS_r{13,14}.json came back {}.
+    failing = sorted(n for n, r in record.items() if not r["hash_match"])
+    print(json.dumps({"n_queries": n_pass + n_fail, "n_correct": n_pass,
+                      "n_fail": n_fail, "failing": failing[:20]},
+                     separators=(",", ":")))
     sys.exit(1 if n_fail else 0)
 
 

@@ -46,7 +46,7 @@ echo "== gate 3/5: oracle value compare (persists CORRECTNESS_local.json)"
 # r13's driver artifact came back empty, so the repo commits its own
 # (VERDICT r13 #1). Commit the refreshed file with the closing docs.
 if python3 scripts/check.py --json CORRECTNESS_local.json "$SF_DIR" "$OUT_DIR" 2>&1 | tail -3 | tee /tmp/gate_check.txt; then
-  SUMMARY+="oracle compare: $(tail -1 /tmp/gate_check.txt)\n"
+  SUMMARY+="oracle compare: $(grep -E '^== ' /tmp/gate_check.txt | tail -1)\n"
 else
   echo "GATE FAIL: oracle compare"; exit 1
 fi
@@ -76,3 +76,7 @@ SUMMARY+="working tree: clean (CORRECTNESS_local.json regenerated — commit it)
 echo
 echo "== GATE GREEN — paste into the snapshot commit message:"
 printf "$SUMMARY"
+# One-line correctness JSON as the VERY LAST stdout line (VERDICT r14 #1):
+# the driver's ~2 KB stdout tail capture parses this; CORRECTNESS_r{13,14}
+# came back {} because nothing machine-readable survived the tail.
+grep -h '"n_correct"' /tmp/gate_check.txt | tail -1

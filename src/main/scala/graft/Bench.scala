@@ -110,7 +110,13 @@ object Bench {
     // memoized shared relations) so the TIMED passes measure steady-state
     // per-query cost — two consecutive bench runs now agree per query
     // instead of charging cold-start to whichever query ran first.
-    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) runOnce(timed = false)
+    // Its per-entry times are RECORDED (first_pass in the file artifact,
+    // warmup_total in the summary) so the cost of landing memoized shared
+    // relations is a visible line item, not an invisible subsidy
+    // (VERDICT r14 #5).
+    val warmupRun =
+      if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) Some(runOnce(timed = false))
+      else None
     // Per-query time = MIN across timed passes: the steady-state cost an
     // isolated warm run would show, robust to one-off GC/OS noise that a
     // single in-pass sample keeps picking up from its neighbors.
@@ -147,22 +153,38 @@ object Bench {
     val productionTotal = results.collect {
       case (k, v) if !harness.contains(k) => v
     }.sum
+    val warmupTotal = warmupRun.map(_.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,$telemetry,"queries":$qs,"sf":"$sfDir"}""")
     // Full per-query record to a file: the driver's stdout tail capture
     // truncates the one-line summary, losing entries round-over-round;
     // the file keeps every query with its per-pass samples AND the min,
     // so cross-round comparison needs no isolated re-runs and regressions
-    // that manifest as variance stay visible next to the min.
+    // that manifest as variance stay visible next to the min. first_pass
+    // is the untimed warm-up's wall clock for the entry — the landing
+    // cost of any memoized shared relation it builds (VERDICT r14 #5).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     val perQuery = queries.map(_._1).zipWithIndex.map { case (name, i) =>
       val samples = timedRuns.map(_(i)._2)
-      s""""$name":{"min":${samples.min},"passes":[${samples.mkString(",")}]}"""
+      val first = warmupRun.map(w => s""","first_pass":${w(i)._2}""").getOrElse("")
+      s""""$name":{"min":${samples.min},"passes":[${samples.mkString(",")}]$first}"""
     }.mkString("{", ",", "}")
+    val warmupField = warmupTotal.map(w => s""""warmup_total":$w,""").getOrElse("")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,"sf":"$sfDir","n_passes":$passes,$telemetry,"queries":$perQuery}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","production_total":$productionTotal,"sf":"$sfDir","n_passes":$passes,$warmupField$telemetry,"queries":$perQuery}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    // SHORT summary line LAST (VERDICT r14 #1): the driver captures only
+    // the final ~2 KB of stdout, and the 227-entry per-query map above
+    // pushes the long line's head past that window ("parsed": null three
+    // rounds running). This line carries the totals and sentinel pairs in
+    // <400 bytes with NO per-query map, so the driver's tail-capture
+    // always parses it. ADDITIVE: the long line and the file artifact are
+    // unchanged.
+    def r4(d: Double): Double = math.rint(d * 10000) / 10000
+    val warmupShort = warmupTotal.map(w => s""""warmup_total":${r4(w)},""").getOrElse("")
+    println(
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","production_total":${r4(productionTotal)},"n_queries":${results.size},"n_passes":$passes,$warmupShort"sentinels":[${r4(sentinelBefore)},${r4(sentinelAfter)}],"par_sentinels":[${r4(parSentinelBefore)},${r4(parSentinelAfter)}],"io_sentinels":[${r4(ioSentinelBefore)},${r4(ioSentinelAfter)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

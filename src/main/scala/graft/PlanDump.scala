@@ -23,6 +23,7 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Tables.tunePerf(spark)
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     for (n <- names) {
       // memoized shared relations land on first call (same as the bench
       // warm-up), so the dumped plan is the steady-state one
@@ -35,9 +36,12 @@ object PlanDump {
         val ex = "Exchange".r.findAllIn(txt).length
         println(s"PLANDUMP $n exchanges=$ex bytes=${txt.length}")
       } catch {
-        case e: Throwable => println(s"PLANDUMP $n FAILED: $e")
+        case e: Throwable => nFailed += 1; println(s"PLANDUMP $n FAILED: $e")
       }
     }
     spark.stop()
+    // A failed dump must fail the evidence run, not silently yield a
+    // missing plans/ artifact (ADVICE r14).
+    if (nFailed > 0) { println(s"PLANDUMP $nFailed failed"); sys.exit(1) }
   }
 }

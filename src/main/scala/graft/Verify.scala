@@ -19,6 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.tunePerf(spark)
     new java.io.File(outDir).mkdirs()
+    var nDumped = 0; var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,10 +27,11 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       // one retry — the reference's failed-batch rerun-singly semantics
-      try attempt()
+      try { attempt(); nDumped += 1 }
       catch { case _: Throwable =>
-        try attempt()
+        try { attempt(); nDumped += 1 }
         catch { case e: Throwable =>
+          nFailed += 1
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -50,5 +52,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // One-line dump summary as the LAST stdout line (VERDICT r14 #1):
+    // the driver's ~2 KB stdout tail capture needs a parseable record of
+    // what this run produced even when per-entry logs scroll past it.
+    println(
+      s"""{"metric":"verify_dump","n_queries":${nDumped + nFailed},"n_dumped":$nDumped,"n_failed":$nFailed,"out":"$outDir"}""")
   }
 }

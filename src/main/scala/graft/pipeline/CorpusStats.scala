@@ -749,7 +749,11 @@ object SourceMixture {
       val res = run(spark, dir)
       val local = spark.createDataFrame(
         java.util.Arrays.asList(res.collect(): _*), res.schema)
-      val view = "__graft_mixture_shared"
+      // dir-keyed view name (like __graft_decont_hits): the cache entry
+      // is per (session, dir), so a second dir in the same session must
+      // not overwrite the first dir's view behind its cache entry
+      val view =
+        s"__graft_mixture_shared_${java.lang.Integer.toHexString(dir.hashCode)}"
       local.createOrReplaceTempView(view)
       view
     }

@@ -74,8 +74,17 @@ object DataChars {
       StructField("general_type", StringType),
       StructField("is_decimal", IntegerType),
       StructField("record_ct", LongType)))
-    spark.createDataFrame(rows.asJava, schema)
-      .orderBy("table_name", "position")
+    // Driver-side sort + single-partition relation (guide §6): the rows
+    // are already built on the driver (one per column), so a Spark
+    // `.orderBy` here paid a range-partition sampling job + a
+    // shuffle.partitions-wide sort exchange per consumer, and the
+    // SchemaDrift landings wrote one tiny parquet file PER SHUFFLE
+    // PARTITION per snapshot. Sorting the driver rows and exposing one
+    // partition makes each landing a single-task single-file write and
+    // every downstream read a 1-split LocalTableScan. Same rows, same
+    // order, same schema.
+    val sorted = rows.sortBy(r => (r.getString(0), r.getInt(2)))
+    spark.createDataFrame(sorted.asJava, schema).coalesce(1)
   }
 
   /** DuckDB oracle: live information_schema introspection with the

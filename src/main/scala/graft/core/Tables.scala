@@ -42,40 +42,49 @@ object Tables {
     *   scan beats paying the exchange, so those consumers pass false.
     *   Real multi-file inputs are untouched either way. */
   def load(spark: SparkSession, dir: String, name: String,
-           parallelize: Boolean = true): DataFrame = {
-    // belt-and-braces: every engine entry loads a table before running
-    // SQL, so the native functions resolve even on a session that
-    // skipped tunePerf
-    graft.functions.DotExpr.register(spark)
-    graft.functions.BucketExpr.register(spark)
-    // Some driver parquet (events.ts) is TIMESTAMP(NANOS), which Spark's
-    // vectorized reader rejects outright. Read nanos as long and restore a
-    // (microsecond) timestamp column — set lazily so it also applies when
-    // the driver supplies its own SparkSession.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    val typed = schemas.get(name).fold(df) { want =>
-      want.fields.foldLeft(df) { (acc, f) =>
-        (f.dataType, acc.schema(f.name).dataType) match {
-          case (TimestampType, LongType) =>
-            acc.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
-          case _ => acc
+           parallelize: Boolean = true): DataFrame =
+    // The RELATION (a lazy plan, not data) is memoized per (session,
+    // dir, table, parallelize): every entry loads its tables before
+    // running SQL, and rebuilding the DataSource each time re-lists the
+    // path and re-reads the parquet footer on the DRIVER per entry per
+    // pass (guide §6: file listing is driver-side, single-process work
+    // worth caching — `filesourcePartitionFileCacheSize` exists for
+    // exactly this). Every action over the memoized plan still scans
+    // the parquet; nothing is materialized.
+    SessionCache.getOrElseUpdate(spark, "table_df", (dir, name, parallelize)) {
+      // belt-and-braces: every engine entry loads a table before running
+      // SQL, so the native functions resolve even on a session that
+      // skipped tunePerf
+      graft.functions.DotExpr.register(spark)
+      graft.functions.BucketExpr.register(spark)
+      // Some driver parquet (events.ts) is TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects outright. Read nanos as long and restore a
+      // (microsecond) timestamp column — set lazily so it also applies when
+      // the driver supplies its own SparkSession.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val typed = schemas.get(name).fold(df) { want =>
+        want.fields.foldLeft(df) { (acc, f) =>
+          (f.dataType, acc.schema(f.name).dataType) match {
+            case (TimestampType, LongType) =>
+              acc.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+            case _ => acc
+          }
         }
       }
+      // Parquet parallelism is row-group-bounded: a file with one row group
+      // is ONE scan task no matter how many cores exist, serializing every
+      // downstream per-row computation. Real deployments have many files /
+      // row groups so the scan parallelizes for free; this guard only
+      // rebalances under-parallel inputs (like the single-row-group driver
+      // fixtures) up to the cluster's parallelism. The partition-count
+      // probe costs a physical-planning pass, so its verdict is memoized
+      // per (session, dir, table) — it cannot change within a session.
+      val parallelism = spark.sparkContext.defaultParallelism
+      lazy val under = SessionCache.getOrElseUpdate(spark, "underparallel", (dir, name))(
+        typed.rdd.getNumPartitions < math.min(4, parallelism))
+      if (parallelize && under) typed.repartition(parallelism) else typed
     }
-    // Parquet parallelism is row-group-bounded: a file with one row group
-    // is ONE scan task no matter how many cores exist, serializing every
-    // downstream per-row computation. Real deployments have many files /
-    // row groups so the scan parallelizes for free; this guard only
-    // rebalances under-parallel inputs (like the single-row-group driver
-    // fixtures) up to the cluster's parallelism. The partition-count
-    // probe costs a physical-planning pass, so its verdict is memoized
-    // per (session, dir, table) — it cannot change within a session.
-    val parallelism = spark.sparkContext.defaultParallelism
-    lazy val under = SessionCache.getOrElseUpdate(spark, "underparallel", (dir, name))(
-      typed.rdd.getNumPartitions < math.min(4, parallelism))
-    if (parallelize && under) typed.repartition(parallelism) else typed
-  }
 
   /** Static schemas of the driver testdata (TESTDATA.md / FIXTURES.md §1).
     * Needed because `SparkEntry.oracleSql` is assembled without a live

@@ -32,10 +32,14 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
 object SchemaDrift {
 
   /** The prior run's table state: real DataFrames whose schemas carry
-    * the three seeded differences (every change class exercised). */
-  def priorRunTables(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
-    Tables.names.map { t =>
-      val df = Tables.load(spark, dir, t, parallelize = false)
+    * the three seeded differences (every change class exercised).
+    * SCHEMA-ONLY mutations by contract: drop / add / retype a column,
+    * never filter rows — [[run]] reuses the current tables' row counts
+    * for this state, and SchemaDriftSpec spot-checks the contract
+    * (a row-mutating edit here trips the spec). */
+  private[inference] def mutateToPrior(
+      tables: Seq[(String, DataFrame)]): Seq[(String, DataFrame)] =
+    tables.map { case (t, df) =>
       t -> (t match {
         case "events"   => df.drop("props")
         case "orders"   => df.withColumn("o_comment", lit("n/a"))
@@ -43,6 +47,11 @@ object SchemaDrift {
         case _          => df
       })
     }
+
+  def priorRunTables(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    mutateToPrior(Tables.names.map { t =>
+      t -> Tables.load(spark, dir, t, parallelize = false)
+    })
 
   /** Diff two landed data_chars snapshots into A/D/M drift rows — the
     * `data_structure_log` computation, dual-rendered for Spark and the
@@ -103,7 +112,10 @@ object SchemaDrift {
         Future(t -> df.count())
       }), Duration.Inf).toMap
     }
-    val p0 = landSnapshot(spark, root, "run_000", priorRunTables(spark, dir),
+    // prior state derived from the SAME loaded frames (guide §1.2: ten
+    // fewer parquet relation builds per run — the mutations are
+    // schema-only, so reusing the scans is identity-preserving)
+    val p0 = landSnapshot(spark, root, "run_000", mutateToPrior(current),
       counts)
     val p1 = landSnapshot(spark, root, "run_001", current, counts)
     spark.sql(diffSql(p0, p1)(SparkDialect))

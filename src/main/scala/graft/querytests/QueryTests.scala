@@ -22,8 +22,14 @@ import graft.oracle.{Dialect, DuckDialect, SparkDialect}
   *    category counts (tiny), not raw rows; the FULL JOIN on category is
   *    a join of two small aggregates.
   */
+/** @param sparkSql optional ENGINE rendering (plan-shape rewrite with
+  *   oracle-proven row identity — the winnow/hotFps discipline); the
+  *   oracle always renders `sql`. `sparkLookup` likewise for the
+  *   drill-down branch. */
 final case class QueryTest(name: String, sql: Dialect => String,
-                           lookup: Option[Dialect => String] = None)
+                           lookup: Option[Dialect => String] = None,
+                           sparkSql: Option[Dialect => String] = None,
+                           sparkLookup: Option[Dialect => String] = None)
 
 object QueryTests {
 
@@ -60,8 +66,10 @@ object QueryTests {
       testType: String, table: String, colNames: String, skipErrors: Long,
       inner: Dialect => String, noun: String = "error(s)",
       measure: String = "CAST(cnt AS DOUBLE)",
-      lookup: Option[Dialect => String] = None): QueryTest =
-    QueryTest(testType.toLowerCase, lookup = lookup, sql = d => {
+      lookup: Option[Dialect => String] = None,
+      sparkInner: Option[Dialect => String] = None,
+      sparkLookup: Option[Dialect => String] = None): QueryTest = {
+    def render(in: Dialect => String)(d: Dialect): String = {
       val t = d.textType
       s"""SELECT '$testType' AS test_type,
          |       '$table' AS table_name,
@@ -73,8 +81,11 @@ object QueryTests {
          |                     CONCAT(CASE WHEN cnt > $skipErrors THEN 'exceeding limit of '
          |                                 ELSE 'within limit of ' END, '$skipErrors.'))
          |            ELSE 'No errors found.' END AS result_message
-         |FROM (${inner(d)}) agg""".stripMargin
-    })
+         |FROM (${in(d)}) agg""".stripMargin
+    }
+    QueryTest(testType.toLowerCase, lookup = lookup, sql = render(inner),
+      sparkSql = sparkInner.map(render), sparkLookup = sparkLookup)
+  }
 
   /** Aggregate_Balance / _Minimum / _Percent / _Range share one inner
     * UNION-ALL-and-regroup shape with different mismatch predicates. */
@@ -89,6 +100,36 @@ object QueryTests {
        |           UNION ALL
        |           SELECT $matchGroupBy, CAST(NULL AS DOUBLE) AS total, $matchTotalExpr AS match_total
        |             FROM $matchTable WHERE $matchSubset GROUP BY $matchGroupBy ) a
+       |   GROUP BY $groupBy ) s
+       | WHERE $mismatch""".stripMargin
+
+  /** ENGINE rendering of [[aggregateInner]] (guide §2.3/§2.4): the
+    * reference shape aggregates each side behind its own exchange, then
+    * regroups the union on the SAME key — three exchanges where one
+    * suffices. Unioning the RAW projected rows and aggregating ONCE
+    * ships each side's map-side partial sums into a single key
+    * exchange: 3 exchanges → 1, and the exchanged rows drop from
+    * (2 aggregates + regroup input) to one set of per-partition
+    * partials. Value identity per key: both forms merge the SAME
+    * multiset of per-scan-partition partial SUMs in a final hash
+    * aggregate (the side-local inner SUM is itself partial-then-merge
+    * over the identical scan splits), and SUM skips the other side's
+    * NULLs identically — so every (total, match_total) pair is
+    * bit-equal wherever the reference form is deterministic. The
+    * oracle keeps the reference's two-level shape; the gate re-proves
+    * value identity end-to-end and QueryTestsSpec pins the
+    * engine-vs-oracle rendering pair. */
+  private def aggregateInnerSpark(
+      groupBy: String, rawTotalExpr: String, table: String, subset: String,
+      matchGroupBy: String, rawMatchTotalExpr: String, matchTable: String,
+      matchSubset: String, mismatch: String): Dialect => String = _ =>
+    s"""SELECT COUNT(*) AS cnt FROM (
+       |  SELECT $groupBy, SUM(total) AS total, SUM(match_total) AS match_total
+       |    FROM ( SELECT $groupBy, $rawTotalExpr AS total, CAST(NULL AS DOUBLE) AS match_total
+       |             FROM $table WHERE $subset
+       |           UNION ALL
+       |           SELECT $matchGroupBy, CAST(NULL AS DOUBLE) AS total, $rawMatchTotalExpr AS match_total
+       |             FROM $matchTable WHERE $matchSubset ) a
        |   GROUP BY $groupBy ) s
        | WHERE $mismatch""".stripMargin
 
@@ -120,6 +161,36 @@ object QueryTests {
       matchGroupBy = "o_orderkey", matchTotalExpr = "SUM(CAST(o_totalprice AS DOUBLE))",
       matchTable = "(SELECT o_orderkey, o_totalprice FROM orders) o",
       matchSubset = "1=1", mismatch = mismatch)
+
+  /** [[orderBalance]]'s single-exchange engine rendering. */
+  private def orderBalanceSpark(mismatch: String): Dialect => String =
+    aggregateInnerSpark(
+      groupBy = "l_orderkey", rawTotalExpr = "CAST(l_extendedprice AS DOUBLE)",
+      table = "(SELECT l_orderkey, l_extendedprice FROM lineitem) li",
+      subset = "1=1",
+      matchGroupBy = "o_orderkey", rawMatchTotalExpr = "CAST(o_totalprice AS DOUBLE)",
+      matchTable = "(SELECT o_orderkey, o_totalprice FROM orders) o",
+      matchSubset = "1=1", mismatch = mismatch)
+
+  /** [[orderBalanceLookup]]'s single-exchange engine rendering (same
+    * fusion as [[aggregateInnerSpark]]; identical per-key pairs, so the
+    * WHERE/ORDER BY/LIMIT tail sees the same rows). */
+  private def orderBalanceLookupSpark(mismatch: String): Dialect => String = d =>
+    s"""SELECT CAST(l_orderkey AS ${d.textType}) AS detail,
+       |       ${round4d("total - match_total")} AS measure
+       |  FROM (
+       |  SELECT l_orderkey, SUM(total) AS total, SUM(match_total) AS match_total
+       |    FROM ( SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS total,
+       |                  CAST(NULL AS DOUBLE) AS match_total
+       |             FROM lineitem
+       |           UNION ALL
+       |           SELECT o_orderkey, CAST(NULL AS DOUBLE) AS total,
+       |                  CAST(o_totalprice AS DOUBLE) AS match_total
+       |             FROM orders ) a
+       |   GROUP BY l_orderkey ) s
+       | WHERE $mismatch
+       | ORDER BY detail
+       | LIMIT $LookupLimit""".stripMargin
 
   private def comboInner(
       cols: String, table: String, subset: String,
@@ -266,16 +337,24 @@ object QueryTests {
   val tests: Seq[QueryTest] = Seq(
     countWrapper("Aggregate_Balance", "lineitem", "SUM(l_extendedprice) per order",
       0L, orderBalance(balanceMismatch),
-      lookup = Some(orderBalanceLookup(balanceMismatch))),
+      lookup = Some(orderBalanceLookup(balanceMismatch)),
+      sparkInner = Some(orderBalanceSpark(balanceMismatch)),
+      sparkLookup = Some(orderBalanceLookupSpark(balanceMismatch))),
     countWrapper("Aggregate_Minimum", "lineitem", "SUM(l_extendedprice) per order",
       0L, orderBalance(minimumMismatch),
-      lookup = Some(orderBalanceLookup(minimumMismatch))),
+      lookup = Some(orderBalanceLookup(minimumMismatch)),
+      sparkInner = Some(orderBalanceSpark(minimumMismatch)),
+      sparkLookup = Some(orderBalanceLookupSpark(minimumMismatch))),
     countWrapper("Aggregate_Balance_Percent", "lineitem", "SUM(l_extendedprice) per order",
       0L, orderBalance(pctMismatch(-5, 5)),
-      lookup = Some(orderBalanceLookup(pctMismatch(-5, 5)))),
+      lookup = Some(orderBalanceLookup(pctMismatch(-5, 5))),
+      sparkInner = Some(orderBalanceSpark(pctMismatch(-5, 5))),
+      sparkLookup = Some(orderBalanceLookupSpark(pctMismatch(-5, 5)))),
     countWrapper("Aggregate_Balance_Range", "lineitem", "SUM(l_extendedprice) per order",
       0L, orderBalance(rangeMismatch(-100, 100)),
-      lookup = Some(orderBalanceLookup(rangeMismatch(-100, 100)))),
+      lookup = Some(orderBalanceLookup(rangeMismatch(-100, 100))),
+      sparkInner = Some(orderBalanceSpark(rangeMismatch(-100, 100))),
+      sparkLookup = Some(orderBalanceLookupSpark(rangeMismatch(-100, 100)))),
     countWrapper("Combo_Match", "customer", "c_nationkey",
       0L, comboInner("c_nationkey", "customer", "1=1",
         "n_nationkey", "nation", "1=1"),
@@ -319,10 +398,15 @@ object QueryTests {
            | ORDER BY detail LIMIT $LookupLimit""".stripMargin))
   )
 
-  /** All query-test drill-downs unioned into one uniform relation. */
+  /** All query-test drill-downs unioned into one uniform relation.
+    * The Spark dialect takes each test's engine lookup rendering when
+    * one exists (row-identical by construction; the oracle keeps the
+    * reference shape). */
   def lookupAllSql(d: Dialect): String = {
     val parts = tests.flatMap { t =>
-      t.lookup.map { lk =>
+      val chosen =
+        if (d == SparkDialect) t.sparkLookup.orElse(t.lookup) else t.lookup
+      chosen.map { lk =>
         s"""SELECT '${t.name}' AS test_type, detail, measure
            |  FROM (${lk(d)}) lk""".stripMargin
       }
@@ -340,7 +424,8 @@ object QueryTests {
 
   def run(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.core.Tables.registerAll(spark, dir)
-    spark.sql(tests.find(_.name == name).get.sql(SparkDialect))
+    val t = tests.find(_.name == name).get
+    spark.sql(t.sparkSql.getOrElse(t.sql)(SparkDialect))
   }
 
   def duckSql(name: String): String =

@@ -584,12 +584,9 @@ object Scoring {
         .reduce(_ unionByName _)
       // materialized (see prevalenceView): every consumer of the bare
       // view re-executed the 4-suite union plan; the result is one row
-      // per CAT test — LocalRelation-sized.
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(cat.collect(): _*), cat.schema)
-      val view = "__graft_catres_shared"
-      local.createOrReplaceTempView(view)
-      view
+      // per CAT test — LocalRelation-sized, ENFORCED by the capped
+      // collect (falls back to a distributed checkpoint past the cap).
+      graft.core.Materialize.localView(spark, cat, "__graft_catres_shared")
     }
 
   private[graft] def duckCatRel(): String =
@@ -640,11 +637,7 @@ object Scoring {
       val res = graft.querytests.QueryTests.tests
         .map(t => graft.querytests.QueryTests.run(spark, dir, t.name))
         .reduce(_ unionByName _)
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(res.collect(): _*), res.schema)
-      val view = "__graft_qres_shared"
-      local.createOrReplaceTempView(view)
-      view
+      graft.core.Materialize.localView(spark, res, "__graft_qres_shared")
     }
 
   def runQueryPrevalence(spark: SparkSession, dir: String): DataFrame =
@@ -812,13 +805,11 @@ object Scoring {
       // prevalence plan in EVERY consumer (Spark inlines views), and
       // score_card_columns references it twice per run — the r14 plan
       // audit measured the duplicated subtree. Metadata-sized (one row
-      // per failed test per column), so it lands as a LocalRelation.
+      // per failed test per column), so it lands as a LocalRelation —
+      // ENFORCED by the capped collect (distributed-checkpoint fallback
+      // past the cap).
       val res = runTestPrevalence(spark, dir)
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(res.collect(): _*), res.schema)
-      val view = "__graft_prev_shared"
-      local.createOrReplaceTempView(view)
-      view
+      graft.core.Materialize.localView(spark, res, "__graft_prev_shared")
     }
 
   def runScoreCardColumns(spark: SparkSession, dir: String): DataFrame = {

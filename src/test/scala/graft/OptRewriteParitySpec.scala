@@ -65,6 +65,20 @@ class OptRewriteParitySpec extends SparkSpec {
     assert(rows(Referential.sparkSql(tabs)) == rows(Referential.sql(tabs)))
   }
 
+  test("query aggregate family: fused single-exchange union == two-level regroup") {
+    graft.core.Tables.registerAll(spark, dir)
+    val fused = graft.querytests.QueryTests.tests.filter(_.sparkSql.isDefined)
+    assert(fused.nonEmpty)
+    for (t <- fused) {
+      assert(rows(t.sparkSql.get(SparkDialect)) == rows(t.sql(SparkDialect)), t.name)
+      (t.sparkLookup, t.lookup) match {
+        case (Some(sl), Some(l)) =>
+          assert(rows(sl(SparkDialect)) == rows(l(SparkDialect)), s"${t.name} lookup")
+        case _ =>
+      }
+    }
+  }
+
   test("boilerplate: window doc frequency == groupBy+join-back") {
     graft.core.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("__opt_bp_docs")

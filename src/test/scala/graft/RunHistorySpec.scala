@@ -58,6 +58,13 @@ class RunHistorySpec extends SparkSpec {
     // the snapshots really landed as parquet run history
     assert(RunStore.runsWith(RunStore.root, "data_chars")
       .containsSlice(Seq("run_000", "run_001")))
+    // the schema-only contract run() relies on (it reuses the current
+    // tables' row counts for the prior snapshot): a row-mutating edit
+    // to mutateToPrior must trip this spot-check (ADVICE r14)
+    val prior = SchemaDrift.priorRunTables(spark, sfDir).toMap
+    val cur = graft.core.Tables.load(spark, sfDir, "events", parallelize = false)
+    assert(prior("events").count() == cur.count(),
+      "priorRunTables mutated row counts — run()'s shared-count shortcut is invalid")
   }
 
   test("diffLatest consumes genuine cross-invocation history") {

